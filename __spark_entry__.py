@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's daily-transactions
+analytics transposed onto the driver fixtures). ``queries()`` registers one
+callable per implemented operator from SURVEY.md §2 (+ §7 extensions);
+``oracle_sql()`` pairs each with DuckDB-runnable ANSI SQL over the same
+parquet tables. Column names/types are aligned on both sides so the
+driver's order-insensitive value-hash compares cleanly; double-typed
+aggregates are computed in exact DECIMAL arithmetic first and cast to
+DOUBLE at the end so both engines emit bit-identical values.
 """
 
 from __future__ import annotations
@@ -12,27 +15,20 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark import queries_registry as QR
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-day transaction counts over sf0.001 events (the
+    reference's daily-transactions semantics, corrected per SURVEY §2.9)."""
+    return QR.q_daily_transactions(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return QR.QUERIES
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return QR.ORACLE_SQL

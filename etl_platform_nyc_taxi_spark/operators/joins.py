@@ -1,0 +1,151 @@
+"""Join family (SURVEY.md §2.3 — absent from the reference, required by the
+verification harness and every extension operator).
+
+Scale discipline per join shape:
+
+* dimension joins (**join_dim**): explicit ``broadcast()`` of the small
+  side — zero shuffle of the fact table. The canonical case the reference
+  skipped: the ≤265-row taxi-zone lookup against billions of trips.
+* fact-fact joins (**join_facts**): let Catalyst/AQE pick sort-merge vs
+  shuffled-hash; optionally pre-repartition both sides on the key so a
+  chain of joins/aggs on the same key reuses one exchange.
+* existence checks (**semi/anti**): left-semi/anti instead of
+  join+distinct — no row multiplication, the probe side streams.
+* **range_join**: bucketized equi-join bridge so Catalyst gets an equality
+  key instead of a cross-product with a range filter.
+* **asof_join**: most-recent-match via union + partitioned window — no
+  per-key loop, no ``merge_asof`` UDF; pure shuffle-parallel operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast-hash join for a small dimension side (no fact shuffle)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def join_facts(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+    copartition_on: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Large-large join. With ``copartition_on``, both sides are hash
+    repartitioned on the key first — worthwhile when the same key feeds
+    several downstream joins/aggs (one exchange, reused)."""
+    if copartition_on:
+        n = num_partitions or left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        left = left.repartition(int(n), *copartition_on)
+        right = right.repartition(int(n), *copartition_on)
+    return left.join(right, on=on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """Rows of ``left`` with ≥1 match — EXISTS, no right columns, no dup
+    amplification."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
+    """Rows of ``left`` with no match — NOT EXISTS."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_value: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Value-in-interval join: left.v ∈ [right.lo, right.hi].
+
+    Naive form is a broadcast-nested-loop/cartesian with a filter. Here
+    each interval is exploded to the buckets it overlaps and the probe row
+    to its single bucket, so Catalyst sees an equi-join on
+    (bucket, *extra_on); the exact range predicate re-filters afterwards.
+    Shuffle-parallel; bucket_width tunes duplication vs selectivity
+    (choose ≈ median interval width).
+    """
+    lb = F.floor(F.col(left_value) / bucket_width)
+    probe = left.withColumn("__bucket", lb.cast("long"))
+    build = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width).cast("long"),
+                F.floor(F.col(right_hi) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = probe.join(build, on=["__bucket", *extra_on], how="inner")
+    return joined.filter(
+        (F.col(left_value) >= F.col(right_lo)) & (F.col(left_value) <= F.col(right_hi))
+    ).drop("__bucket")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` (backward; forward symmetric)
+    within the same ``on`` keys.
+
+    Implementation: tag + union both sides, one window partitioned by the
+    keys ordered by time carrying the last (or next) right-side payload
+    forward, then keep left rows. One shuffle on the keys, no driver
+    loops, no pandas — scales with key parallelism. Right payload columns
+    come back nullable (no match ⇒ NULL), matching SQL ASOF LEFT JOIN.
+    """
+    on = list(on)
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rhs = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    merged = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in payload}
+        fill["__match_ts"] = F.last(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w)
+    elif direction == "forward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in payload}
+        fill["__match_ts"] = F.first(
+            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w)
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    out = merged.withColumns(fill).filter(F.col("__side") == 1)
+    keep = [c for c in left.columns] + payload + ["__match_ts"]
+    return out.select(*keep).withColumnRenamed("__match_ts", f"{right_ts}_matched")

@@ -1,0 +1,147 @@
+"""Window / ranking / top-k operators (SURVEY.md §2.5 W1, §2.6 O2).
+
+The reference's ranking is a GLOBAL window —
+``dense_rank().over(Window.orderBy(count desc))`` with no partitionBy
+(reference: dags/spark_jobs/calculate_top_taxi_zones.py:34) — which forces
+every row through ONE partition. Harmless for ≤265 taxi zones, fatal for
+high-cardinality keys at 100 TB. The engine keeps the reference's exact
+tie semantics (dense_rank + ``rank <= k`` can return MORE than k rows and
+skips no rank numbers — deliberately not ``LIMIT k``) but gets scale safety
+from structure:
+
+* :func:`top_k_by_count` pre-aggregates (shuffle-parallel two-phase count)
+  BEFORE ranking, so the single-partition window only ever sees one row per
+  key — the 100 TB-safe shape of the reference's query.
+* For high-cardinality keys, :func:`top_k_global` adds a per-partition
+  pre-prune: any row not in its partition's top-k by count cannot be in the
+  global top-k, so each task keeps k rows and the final window ranks
+  ~k × num_partitions rows instead of num_keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked(
+    df: DataFrame,
+    order: Sequence[Column],
+    partition_by: Sequence[str | Column] = (),
+    method: str = "dense_rank",
+    out: str = "rank",
+) -> DataFrame:
+    """Attach a rank column. method: dense_rank | rank | row_number.
+
+    A window with no ``partition_by`` is a deliberate scale hazard (single
+    partition); only use it on pre-aggregated, provably-small inputs.
+    """
+    fn = {"dense_rank": F.dense_rank, "rank": F.rank, "row_number": F.row_number}[method]
+    w = Window.partitionBy(*partition_by).orderBy(*order) if partition_by else Window.orderBy(*order)
+    return df.withColumn(out, fn().over(w))
+
+
+def top_k_by_count(
+    df: DataFrame,
+    key: str | Column,
+    k: int = 5,
+    count_name: str = "cnt",
+    rank_name: str = "rank",
+    method: str = "dense_rank",
+) -> DataFrame:
+    """The corrected reference top-k (its defect D1 fixed): ONE global
+    aggregation over all input, then rank, then ``rank <= k``.
+
+    Plan shape: scan → partial count (map-side) → shuffle on key → final
+    count → exchange-to-1 window over |distinct keys| rows → filter. The
+    window input is the aggregate, never the fact rows, so this holds at
+    any fact-table scale while preserving dense_rank tie semantics
+    (>k rows on ties, no skipped ranks).
+    """
+    counted = df.groupBy(key).agg(F.count(F.lit(1)).alias(count_name))
+    return ranked(
+        counted, order=[F.col(count_name).desc()], method=method, out=rank_name
+    ).filter(F.col(rank_name) <= k)
+
+
+def top_k_global(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+) -> DataFrame:
+    """Global top-k over high-cardinality input without a global sort.
+
+    Two-phase: each partition locally sorts and keeps its own k candidates
+    (mapPartitions-free — expressed as a partition-keyed row_number window,
+    which Catalyst executes without an exchange), then one tiny global rank
+    over ≤ k·P survivors. Equivalent to ``orderBy().limit(k)`` but returns
+    a DataFrame with deterministic content for any total order.
+    """
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+    local_w = Window.partitionBy("__pid").orderBy(order)
+    survivors = (
+        with_pid.withColumn("__lr", F.row_number().over(local_w))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    global_w = Window.orderBy(order)
+    return survivors.withColumn("__gr", F.row_number().over(global_w)).filter(
+        F.col("__gr") <= k
+    ).drop("__gr")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_by: Sequence[str | Column],
+    order: Sequence[Column],
+    k: int,
+    method: str = "row_number",
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Top-k within each group (partitioned window — shuffle-parallel,
+    scale-safe as long as single groups fit a partition; salt skewed
+    groups upstream if not)."""
+    return ranked(df, order=order, partition_by=group_by, method=method, out=rank_name).filter(
+        F.col(rank_name) <= k
+    )
+
+
+def lag_lead(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str | Column],
+    order: Sequence[Column],
+    offset: int = 1,
+) -> DataFrame:
+    """lag/lead pair over a partitioned ordering (sessionization building
+    block)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    return df.withColumns(
+        {
+            f"{col}_lag": F.lag(col, offset).over(w),
+            f"{col}_lead": F.lead(col, offset).over(w),
+        }
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    value: str | Column,
+    partition_by: Sequence[str | Column],
+    order: Sequence[Column],
+    agg: str = "sum",
+    out: str = "running",
+) -> DataFrame:
+    """Cumulative aggregate (rows unbounded-preceding → current)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.col(value) if isinstance(value, str) else value
+    fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}[agg]
+    return df.withColumn(out, fn(c).over(w))

@@ -1,0 +1,49 @@
+"""Data-quality guards (SURVEY.md §2.9 C1-C4) as reusable checks.
+
+The reference embeds these inline in job 1
+(calculate_daily_transactions.py:91-103); the engine exposes them as
+composable helpers that avoid the reference's RDD conversion and
+collect-then-rebuild anti-patterns.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class DataQualityError(ValueError):
+    """Raised when a quality guard trips (parity with the reference's
+    ValueError at calculate_daily_transactions.py:92,100)."""
+
+
+def require_nonempty(df: DataFrame, context: str = "input") -> DataFrame:
+    """C1: fail fast on empty input. ``df.isEmpty()`` is an O(1 partition)
+    probe — not the reference's ``df.rdd.isEmpty()`` which forces a full
+    DataFrame→RDD conversion plan."""
+    if df.isEmpty():
+        raise DataQualityError(f"No data found in the {context}")
+    return df
+
+
+def require_nonnegative(df: DataFrame, col: str) -> DataFrame:
+    """C4: distributed assertion that ``col`` ≥ 0 — no collect; one
+    aggregate over the (already tiny) result."""
+    bad = df.filter(F.col(col) < 0).limit(1).count()
+    if bad:
+        raise DataQualityError(f"negative value in column {col!r}")
+    return df
+
+
+def zero_fill_date(df: DataFrame, date_col: str, count_col: str, day: dt.date) -> DataFrame:
+    """C3: ensure exactly-one row per requested day — an empty aggregate
+    becomes ``(day, 0)``. Expressed as a left join from a 1-row anchor
+    (broadcast, no collect), keeping everything in one Catalyst plan."""
+    spark = df.sparkSession
+    anchor = spark.createDataFrame([(day,)], f"{date_col} date")
+    return (
+        anchor.join(F.broadcast(df), on=date_col, how="left")
+        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0).cast("long")))
+    )

@@ -1,0 +1,123 @@
+"""Parquet sources (SURVEY.md §2.1 S1-S5).
+
+Capability parity with the reference's scan family, expressed as one
+multi-file Catalyst scan instead of the reference's driver-side per-file
+loop (reference: dags/spark_jobs/calculate_top_taxi_zones.py:37-40,69-79 —
+anti-pattern C5/D1):
+
+  * S1 glob scan with an imposed explicit schema
+    (calculate_daily_transactions.py:48-50)
+  * S2/S3 schema-probe + re-read with the harvested schema
+    (calculate_top_taxi_zones.py:21-27)
+  * S4 file discovery (calculate_top_taxi_zones.py:37-40)
+
+At 100 TB the per-file loop is fatal (one Spark job per file, no cross-file
+parallelism, N× scheduling overhead); a single ``spark.read.parquet(dir)``
+with ``mergeSchema`` gives the same drift tolerance in one distributed scan.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def list_parquet_files(data_path: str, pattern: str = "*.parquet") -> list[str]:
+    """S4: enumerate parquet files under a directory (sorted, deterministic).
+
+    Driver-side listing is only for orchestration decisions (sensing,
+    logging, per-file lineage); the scan itself should pass the directory or
+    glob to Spark so listing happens in parallel on the cluster.
+    """
+    return sorted(_glob.glob(os.path.join(data_path, pattern)))
+
+
+def probe_schema(spark: SparkSession, path: str) -> T.StructType:
+    """S3: footer-only schema inference of one parquet file/dir."""
+    return spark.read.parquet(path).schema
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    merge_schema: bool = True,
+) -> DataFrame:
+    """S1/S2: scan parquet file(s), optionally imposing an explicit schema.
+
+    ``path`` may be a file, a directory, or a glob — Spark parallelizes the
+    listing and the scan. With ``schema`` given, footer sampling is skipped
+    (scan-setup win on wide directories); with ``merge_schema``, drift
+    across file generations resolves by field name.
+    """
+    reader = spark.read.option("mergeSchema", str(merge_schema).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_parquet_dir(
+    spark: SparkSession,
+    data_path: str,
+    pattern: str = "*.parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S1: glob scan (reference parity for ``fhvhv_tripdata_*.parquet``)."""
+    return read_parquet(spark, os.path.join(data_path, pattern), schema=schema)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Footer-only probe for TIMESTAMP(NANOS) columns (driver-side, cheap).
+
+    Spark's parquet reader rejects nanosecond timestamps outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they surface as int64 and need
+    an explicit restore to timestamp (see :func:`read_parquet_auto`).
+    """
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:
+        return []
+    candidates = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not candidates:
+        return []
+    schema = pq.read_schema(candidates[0])
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_parquet_auto(spark: SparkSession, path: str) -> DataFrame:
+    """Scan parquet tolerating nanosecond timestamps.
+
+    NANOS columns come back as int64 epoch-nanos (legacy conf) and are
+    restored to ``timestamp_ntz`` at µs precision — the same floor
+    truncation Arrow/DuckDB apply, so oracle comparisons stay exact. The
+    conversion is a pure projection (no shuffle, stays in codegen).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver fixture table from ``{sf_dir}/{table}.parquet``."""
+    return read_parquet_auto(spark, os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def load_fixtures(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
+    """Load several fixture tables at once; returns name → DataFrame."""
+    return {t: load_fixture(spark, sf_dir, t) for t in tables}
