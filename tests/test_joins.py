@@ -1,0 +1,80 @@
+"""Join family: broadcast dim, semi/anti, range join, as-of join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    join_dim,
+    range_join,
+    semi_join,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_join_dim_broadcast_plan(spark):
+    fact = spark.range(100).withColumn("k", F.col("id") % 5)
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(5)], "k long, name string")
+    out = join_dim(fact, dim, on="k")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 100
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (3,)], "k int")
+    assert {r["k"] for r in semi_join(left, right, "k").collect()} == {2, 3}
+    assert {r["k"] for r in anti_join(left, right, "k").collect()} == {1}
+    # semi never duplicates on multi-match
+    assert semi_join(left, right, "k").count() == 2
+
+
+def test_range_join(spark):
+    probe = spark.createDataFrame([(1, 5.0), (2, 15.0), (3, 25.0)], "id int, v double")
+    intervals = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 20.0), ("wide", 0.0, 30.0)],
+        "name string, lo double, hi double",
+    )
+    out = range_join(probe, intervals, "v", "lo", "hi", bucket_width=10.0)
+    got = {(r["id"], r["name"]) for r in out.collect()}
+    assert got == {(1, "low"), (1, "wide"), (2, "mid"), (2, "wide"), (3, "wide")}
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:00:00"), 10.0), ("A", _ts("2024-01-01 10:00:00"), 11.0),
+         ("B", _ts("2024-01-01 09:30:00"), 99.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:30:00")), ("A", _ts("2024-01-01 10:00:00")),
+         ("B", _ts("2024-01-01 09:00:00"))],
+        "sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts")
+    got = {(r["sym"], r["tts"].isoformat(), r["px"]) for r in out.collect()}
+    assert got == {
+        ("A", "2024-01-01T09:30:00", 10.0),
+        ("A", "2024-01-01T10:00:00", 11.0),  # equal ts matches (backward incl.)
+        ("B", "2024-01-01T09:00:00", None),  # no quote yet → NULL
+    }
+
+
+def test_asof_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 10:00:00"), 11.0)], "sym string, qts timestamp, px double"
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:00:00")), ("A", _ts("2024-01-01 11:00:00"))],
+        "sym string, tts timestamp",
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", direction="forward")
+    got = {(r["tts"].hour, r["px"]) for r in out.collect()}
+    assert got == {(9, 11.0), (11, None)}

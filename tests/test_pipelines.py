@@ -1,0 +1,98 @@
+"""Pipeline semantics: zero-fill, D1 per-file-vs-global deviation pinned,
+quality guards, schema merge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_platform_nyc_taxi_spark.plans.daily_transactions import (
+    daily_counts,
+    daily_transactions,
+)
+from etl_platform_nyc_taxi_spark.plans.quality import (
+    DataQualityError,
+    require_nonempty,
+    require_nonnegative,
+)
+from etl_platform_nyc_taxi_spark.plans.top_zones import top_k_zones, top_k_zones_perfile
+from etl_platform_nyc_taxi_spark.schema import merge_schemas
+
+
+def test_daily_counts_all_days(trips):
+    got = {(r["transaction_date"].isoformat(), r["total_transactions"])
+           for r in daily_counts(trips).collect()}
+    assert got == {
+        ("2024-01-01", 2), ("2024-01-02", 2), ("2024-01-03", 1), ("2024-01-04", 2),
+        ("2024-02-01", 2), ("2024-02-02", 1),
+    }
+
+
+def test_daily_transactions_present_day(trips):
+    out = daily_transactions(trips, "2024-01-01", audit=False).collect()
+    assert len(out) == 1
+    assert out[0]["total_transactions"] == 2
+
+
+def test_daily_transactions_zero_fill(trips):
+    # C3 parity: an empty day still yields exactly one row with count 0.
+    out = daily_transactions(trips, "2024-06-01", audit=False).collect()
+    assert len(out) == 1
+    assert out[0]["transaction_date"] == dt.date(2024, 6, 1)
+    assert out[0]["total_transactions"] == 0
+
+
+def test_daily_transactions_audit_column(trips):
+    out = daily_transactions(trips, "2024-01-01").collect()[0]
+    assert out["calculated_at"] is not None
+
+
+def test_top_k_zones_global_semantics(trips):
+    # Corrected D1: global counts zone1=4, zone2=3, zone5=2, zone3=1
+    out = top_k_zones(trips, "2024-12-31", k=2, audit=False).collect()
+    assert [(r["taxi_zone_id"], r["rank"]) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_top_k_zones_perfile_reproduces_reference_defect(spark, trips):
+    # D1 pinned: per-file ranking then union → duplicate zones, colliding
+    # ranks — the reference's actual (buggy) output shape.
+    m1 = trips.filter(F.col("month") == "m1")
+    m2 = trips.filter(F.col("month") == "m2")
+    out = top_k_zones_perfile([m1, m2], "2024-12-31", k=2).collect()
+    pairs = sorted((r["taxi_zone_id"], r["rank"]) for r in out)
+    # m1: zone1=3, zone2=3 (tie → both rank 1), zone3=1 (rank 2, kept by k=2)
+    # m2: zone5=2 (rank 1), zone1=1 (rank 2)
+    assert pairs == [(1, 1), (1, 2), (2, 1), (3, 2), (5, 1)]  # zone 1 twice
+    # …whereas corrected global top-2 has no duplicates:
+    glob = top_k_zones(trips, "2024-12-31", k=2, audit=False).collect()
+    assert len({r["taxi_zone_id"] for r in glob}) == len(glob)
+
+
+def test_top_k_zones_cutoff_filters(trips):
+    out = top_k_zones(trips, "2024-01-31", k=1, audit=False).collect()
+    assert [(r["taxi_zone_id"], r["rank"]) for r in out] == [(1, 1), (2, 1)]  # tie kept
+
+
+def test_require_nonempty(spark, trips):
+    require_nonempty(trips)  # passes
+    with pytest.raises(DataQualityError, match="No data found"):
+        require_nonempty(trips.filter(F.lit(False)), context="input files")
+
+
+def test_require_nonnegative(spark):
+    df = spark.createDataFrame([(1,), (-2,)], "v int")
+    with pytest.raises(DataQualityError, match="negative"):
+        require_nonnegative(df, "v")
+
+
+def test_merge_schemas_union_and_conflict():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
+    b = T.StructType([T.StructField("y", T.StringType()), T.StructField("z", T.DoubleType())])
+    c = T.StructType([T.StructField("x", T.LongType())])  # widened in a later generation
+    merged = merge_schemas(a, b, c)
+    assert [f.name for f in merged.fields] == ["x", "y", "z"]
+    assert merged["x"].dataType == T.LongType()  # later schema wins
+    assert all(f.nullable for f in merged.fields)

@@ -1,0 +1,89 @@
+"""Sources & sinks: nanos-safe parquet loader, glob scan, JDBC SQL gen,
+local rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_platform_nyc_taxi_spark.sources.jdbc import (
+    JdbcConfig,
+    create_table_sql,
+    delete_where_sql,
+)
+from etl_platform_nyc_taxi_spark.sources.parquet import (
+    list_parquet_files,
+    probe_schema,
+    read_parquet_auto,
+    read_parquet_dir,
+)
+
+
+def test_nanos_parquet_roundtrip(spark, tmp_path):
+    # pyarrow-written ns timestamps (the driver fixtures' events.ts shape)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ns.parquet")
+    tbl = pa.table(
+        {
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 12, 0, 0, 123456), None],
+                type=pa.timestamp("ns"),
+            ),
+            "v": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    df = read_parquet_auto(spark, path)
+    assert isinstance(df.schema["ts"].dataType, T.TimestampNTZType)
+    got = df.orderBy("v").collect()
+    assert got[0]["ts"] == dt.datetime(2024, 1, 1, 12, 0, 0, 123456)
+    assert got[1]["ts"] is None
+
+
+def test_fixture_loader_matches_duckdb_values(spark):
+    import duckdb
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    df = load_fixture(spark, "/root/testdata/sf0.001", "events")
+    smin, smax = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+    omin, omax = duckdb.sql(
+        "SELECT min(ts), max(ts) FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()
+    assert (smin, smax) == (omin, omax)
+
+
+def test_glob_scan_and_probe(spark, tmp_path):
+    for m in ("2024-01", "2024-02"):
+        spark.createDataFrame([(m,)], "m string").write.parquet(
+            str(tmp_path / f"fhvhv_tripdata_{m}.parquet")
+        )
+    files = list_parquet_files(str(tmp_path), "fhvhv_tripdata_*.parquet")
+    assert len(files) == 2
+    schema = probe_schema(spark, files[0])
+    assert [f.name for f in schema.fields] == ["m"]
+    df = read_parquet_dir(spark, str(tmp_path), "fhvhv_tripdata_*.parquet")
+    assert df.count() == 2
+
+
+def test_jdbc_sql_generation():
+    assert (
+        delete_where_sql("daily_transaction", "transaction_date = DATE '2024-06-01'")
+        == "DELETE FROM daily_transaction WHERE transaction_date = DATE '2024-06-01'"
+    )
+    ddl = create_table_sql(
+        "daily_transaction",
+        "transaction_date DATE PRIMARY KEY, total_transactions INTEGER, calculated_at TIMESTAMP",
+    )
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS daily_transaction (")
+
+
+def test_jdbc_config_options():
+    cfg = JdbcConfig(url="jdbc:postgresql://h:5432/db", user="u", password="p")
+    opts = cfg.options()
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["batchsize"] == "10000"
