@@ -45,13 +45,14 @@ def minhash_sig(shingle_arr: Column, num_hashes: int = 16) -> Column:
     DuckDB oracle verbatim (same md5, same lexicographic min over
     fixed-width hex). Jaccard(A,B) ≈ fraction of matching signature slots.
     """
+    def seeded(seed: int):
+        prefix = f"{seed}:"
+        # NB: single-arg lambda — a 2-arg lambda would make Spark pass the
+        # array index as the second argument.
+        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_arr, lambda x, s=s: F.md5(F.concat(F.lit(f"{s}:"), x)))
-            )
-            for s in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(shingle_arr, seeded(s))) for s in range(num_hashes)]
     )
 
 
@@ -80,32 +81,34 @@ def simhash64(token_arr: Column) -> Column:
     higher-order functions, no UDF. Near-duplicates have small Hamming
     distance between simhashes.
     """
-    # counters[b] += (hash(token) >> b) & 1 ? 1 : -1
+    # counters[b] += (hash(token) >> b) & 1 ? 1 : -1   (bit positions
+    # unrolled with Python ints — shiftright/shiftleft take literal counts)
     zero = F.array_repeat(F.lit(0), 64)
+
+    def token_bits(tok):
+        h = F.xxhash64(tok)
+        return F.array(*[F.shiftright(h, b).bitwiseAND(F.lit(1)) for b in range(64)])
+
     counters = F.aggregate(
         token_arr,
         zero,
         lambda acc, tok: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)),
-            ),
+            token_bits(tok),
             lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
-    # fold sign bits into one long: sum over b of (counters[b] > 0) << b
-    return F.aggregate(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda cnt, b: F.when(cnt > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),  # slots are disjoint bits: XOR == sum
-    )
+    # fold sign bits into one long; disjoint bit values make + equal to OR
+    # (bit 63 is the sign bit: its set-value is -(2^63) in two's complement)
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    terms = [
+        F.when(counters[b] > 0, F.lit(bit_vals[b]).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:

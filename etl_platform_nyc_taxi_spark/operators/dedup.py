@@ -1,0 +1,249 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard
+(SURVEY.md §7.2 step 5 / the LLM-data-pipeline north star).
+
+Scale shapes (the whole point at 100 TB):
+
+* **exact**: fingerprint → groupBy — one shuffle on a 32-byte key, fully
+  parallel, no pairwise anything.
+* **MinHash-LSH**: shingle → signature (narrow, per-row) → explode to
+  ``bands`` rows per doc → shuffle on (band, band-key) → pairs only within
+  buckets. Candidate count is data-dependent, never O(n²); the exact
+  Jaccard verify runs only on candidates.
+* **SimHash**: one 64-bit signature per doc; banding on bit-blocks turns
+  Hamming-≤t search into equi-joins (t+1 blocks ⇒ pigeonhole guarantee).
+* **n-gram Jaccard**: exact pairwise, contained by a blocking key — the
+  honest quadratic fallback, only ever inside small blocks.
+
+MinHash/Jaccard use the md5-portable hash family so the whole pipeline is
+oracle-checkable in DuckDB (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.functions.hashing import (
+    hamming64,
+    minhash_sig,
+    shingles,
+    simhash64,
+)
+from etl_platform_nyc_taxi_spark.operators.text import fingerprint, tokens_ws
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per normalized-text fingerprint (hash-groupBy shape —
+    ``dropDuplicates`` on a derived 32-byte key, single shuffle)."""
+    return df.withColumn("__fp", fingerprint(text_col)).dropDuplicates(["__fp"]).drop("__fp")
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, copies,
+    min_doc_id) — the audit view of exact dedup."""
+    return (
+        df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("copies"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) from banded MinHash signatures.
+
+    rows/doc after explode = ``bands``; docs sharing ALL hashes of any band
+    land in one bucket. Probability of candidacy rises steeply with
+    Jaccard (s-curve at ~(1/bands)^(bands/num_hashes))."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_sig(F.array_distinct(shingles(text_col, k)), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("__sig")[b * rows_per_band + i] for i in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "key"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_shingle(
+    left_text: Column, right_text: Column, k: int = 4
+) -> Column:
+    """Exact Jaccard over distinct character k-shingles (verify step)."""
+    sa = F.array_distinct(shingles(left_text, k))
+    sb = F.array_distinct(shingles(right_text, k))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return inter / union
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥
+    threshold. Output: (id_a, id_b, jaccard). The verify join re-reads
+    only candidate texts (semi-joined), so the quadratic step never
+    materializes."""
+    cands = minhash_candidates(df, id_col, text_col, k, num_hashes, bands)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    ta = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", jaccard_shingle(F.col("__ta"), F.col("__tb"), k))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens."""
+    return df.select(
+        F.col(id_col), simhash64(tokens_ws(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via bit-block banding.
+
+    Split the 64-bit signature into ``blocks`` 16-bit blocks; by
+    pigeonhole, any pair within Hamming ≤ blocks-1 shares ≥1 exact block —
+    equi-join per block, then verify with bit_count. Needs
+    ``blocks > max_hamming`` for completeness."""
+    if blocks <= max_hamming:
+        raise ValueError("need blocks > max_hamming for exact recall")
+    width = 64 // blocks
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["block", "key"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard (exact pairwise within blocks)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs WITHIN a blocking key.
+
+    The blocking key bounds the quadratic blow-up (pairs only form inside
+    one shuffle bucket). With no block_cols this is a full cross-pair —
+    only acceptable on provably small inputs."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens_ws(text_col)) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens_ws(text_col), i + 1, n)),
+        )
+    )
+    base = df.select(
+        *[F.col(c) for c in block_cols], F.col(id_col).alias("__id"), grams.alias("__g")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] or [F.lit(True)]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g"))).cast("double")
+    union = F.size(F.array_union(F.col("a.__g"), F.col("b.__g"))).cast("double")
+    return (
+        a.join(b, cond & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

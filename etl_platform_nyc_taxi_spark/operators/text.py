@@ -1,0 +1,102 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §7.2 step 5).
+
+Tokenization, quality scoring, language-ID heuristic, and document
+fingerprinting — all pure built-in expressions (split/regexp/higher-order
+functions), zero UDFs, so they run at parquet-scan speed and every one has
+an exact DuckDB-SQL oracle. Designed for the ``documents`` fixture
+(doc_id, text, lang, source, n_chars) but parameterized on column names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny deterministic English stopword list for ratio features. (The
+#: fixture corpus is synthetic word-soup, so this is a *capability*
+#: demonstration with an exact oracle, not a trained model.)
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the standard GPT-2-style pre-split shape, minus unicode categories.
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens_ws(text: str | Column) -> Column:
+    """Whitespace tokens as array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def tokens_bpe(text: str | Column) -> Column:
+    """BPE-ish sub-word pre-tokens (lowercased) as array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_count(text: str | Column, mode: str = "ws") -> Column:
+    """Token count (whitespace or BPE-ish regex)."""
+    return F.size(tokens_ws(text) if mode == "ws" else tokens_bpe(text))
+
+
+def stopword_hits(tok_arr: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """How many tokens are stopwords (array filter, JVM-side)."""
+    return F.size(F.filter(tok_arr, lambda t: t.isin(*stopwords)))
+
+
+def with_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Quality-scoring features per document:
+
+    * ``n_tokens`` whitespace tokens, ``n_bpe_tokens`` subword tokens
+    * ``avg_token_len`` = chars-sans-spaces / tokens
+    * ``stopword_ratio`` stopword tokens / tokens
+    * ``alpha_ratio`` alphabetic chars / chars
+
+    All double arithmetic derives from integer counts (deterministic and
+    engine-portable).
+    """
+    toks = tokens_ws(text_col)
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    n_nospace = F.length(F.regexp_replace(c, r"\s", ""))
+    n_tok = F.size(toks)
+    p = prefix
+    return df.withColumns(
+        {
+            f"{p}n_tokens": n_tok,
+            f"{p}n_bpe_tokens": F.size(tokens_bpe(text_col)),
+            f"{p}avg_token_len": n_nospace.cast("double") / n_tok,
+            f"{p}stopword_ratio": stopword_hits(toks).cast("double") / n_tok,
+            f"{p}alpha_ratio": n_alpha.cast("double") / n_chars,
+        }
+    )
+
+
+def language_id(
+    text_col: str | Column,
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+    threshold: float = 0.05,
+) -> Column:
+    """Stopword-density language heuristic: 'en' when the English stopword
+    ratio clears ``threshold``, else 'unknown'. A real pipeline swaps in
+    per-language stopword lists or an n-gram model; the operator shape
+    (array filter → ratio → threshold) is what scales."""
+    toks = tokens_ws(text_col)
+    ratio = stopword_hits(toks, stopwords).cast("double") / F.size(toks)
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def normalize_text(text_col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Deterministic 32-hex document fingerprint over normalized text
+    (md5 — portable to the DuckDB oracle; swap for xxhash64 when oracle
+    portability doesn't matter)."""
+    return F.md5(normalize_text(text_col))

@@ -23,7 +23,25 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_platform_nyc_taxi_spark.operators.core import union_by_name
+from etl_platform_nyc_taxi_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
 from etl_platform_nyc_taxi_spark.operators.joins import anti_join, join_dim
+from etl_platform_nyc_taxi_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_norm,
+    lsh_topk,
+)
+from etl_platform_nyc_taxi_spark.operators.text import (
+    language_id,
+    fingerprint,
+    tokens_bpe,
+    tokens_ws,
+    stopword_hits,
+)
 from etl_platform_nyc_taxi_spark.operators.windows import (
     ranked,
     running_agg,
@@ -447,4 +465,331 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("low"))
         .alias("value_band"),
         F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis extension (SURVEY.md §7.2 step 5; operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup test corpus: every document plus a mutant with the first 10
+    chars dropped (id offset 1_000_000). Deterministic, oracle-expressible."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    m = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.expr("substring(text, 11)").alias("text"),
+        "lang",
+        "source",
+    )
+    return d.unionByName(m)
+
+
+_DOCS_MUTANTS_SQL = """
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text, lang, source
+        FROM documents
+"""
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts (whitespace + BPE-ish),
+    avg token length, stopword ratio, alphabetic ratio — all built-in
+    expressions at scan speed (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_ws("text")
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(tokens_bpe("text")).cast("long").alias("n_bpe_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"\s", "")).cast("double") / n_tok
+        ).alias("avg_token_len"),
+        (stopword_hits(toks).cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+    )
+
+
+@register(
+    "text_language_id",
+    r"""
+    SELECT doc_id,
+           CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                          t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\s+')) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language-ID heuristic (operators/text.py). The
+    operator shape (token filter → ratio → threshold) is the scalable part;
+    real pipelines swap richer per-language lists."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", language_id("text").alias("lang_pred")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint over normalized text (md5,
+    portable to the oracle; the exact-dedup key)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup extension (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+           COUNT(*) AS copies,
+           MIN(doc_id) AS min_doc_id
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups over a corpus where every doc is duplicated
+    (documents ∪ documents, ids offset) — hash-groupBy shape, one shuffle
+    on the 32-byte fingerprint."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
+    )
+    return exact_duplicate_groups(corpus)
+
+
+@register(
+    "dedup_minhash_lsh",
+    rf"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(text, CAST(i AS INT), 6)
+                            for i in range(1, greatest(length(text)-5,1)+1)]) AS sh
+      FROM corpus
+    ),
+    sig AS (
+      SELECT id, sh,
+             [list_min([md5(CAST(s AS VARCHAR) || ':' || x) for x in sh])
+              for s in range(0, 12)] AS sig
+      FROM sh
+    ),
+    banded AS (
+      SELECT id, b.b AS band,
+             sig[b.b*4+1] || '|' || sig[b.b*4+2] || '|' || sig[b.b*4+3] || '|' || sig[b.b*4+4] AS key
+      FROM sig, (SELECT unnest(range(0,3)) AS b) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON sa.id = c.id_a
+    JOIN sh sb ON sb.id = c.id_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / len(list_distinct(sa.sh || sb.sh)) >= 0.6
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (doc ↔ its 10-chars-dropped mutant):
+    6-shingles → 12 portable md5 minhashes → 3 bands × 4 rows → bucket
+    join → exact-Jaccard verify ≥ 0.6. Never materializes O(n²); the
+    DuckDB oracle replicates the identical hash family end-to-end."""
+    return minhash_near_dups(
+        _docs_with_mutants(spark, sf_dir),
+        k=6,
+        num_hashes=12,
+        bands=3,
+        threshold=0.6,
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text, lang, source
+        FROM documents
+    ),
+    g AS (
+      SELECT lang, source, doc_id AS id,
+             list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
+                            for i in range(1, greatest(len(toks)-1, 1)+1)]) AS grams
+      FROM (SELECT lang, source, doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM corpus)
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(a.grams || b.grams)) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard within (lang, source) blocks — the honest
+    quadratic path, bounded by the blocking key so pairs only form inside
+    one shuffle bucket (operators/dedup.py)."""
+    return ngram_jaccard_pairs(
+        _docs_with_mutants(spark, sf_dir),
+        block_cols=("lang", "source"),
+        n=2,
+        threshold=0.5,
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based — not portable; rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit block banding (Hamming ≤ 3).
+    Uses Spark's xxhash64 (no DuckDB equivalent) → rows-only oracle;
+    correctness pinned in tests/test_dedup.py instead."""
+    return simhash_near_dups(
+        _docs_with_mutants(spark, sf_dir), max_hamming=3, blocks=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search extension (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    s AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0),
+                   6) AS cosine
+      FROM q, embeddings e
+    ),
+    r AS (SELECT query_id, vec_id, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS "rank"
+          FROM s)
+    SELECT query_id, vec_id, cosine, "rank" FROM r WHERE "rank" <= 10
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 8 query vectors against the corpus:
+    broadcast queries, JVM-side zip_with/aggregate dot products, partitioned
+    window rank with deterministic (cosine, vec_id) tie-break."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, queries, k=10)
+
+
+@register("ann_lsh")  # approximate by design — rows-only; recall pinned in tests
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (8 planes, multiprobe 1) — the scale path:
+    bucket equi-join instead of full cross product. Approximate, so no SQL
+    oracle; recall vs brute force asserted in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, queries, k=10, num_planes=8, dim=64)
+
+
+@register(
+    "embedding_label_stats",
+    """
+    SELECT label,
+           COUNT(*) AS cnt,
+           ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+           ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column aggregation: per-label count and L2-norm extrema
+    (min/max are order-independent, so raw doubles are hash-safe)."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = embedding_norm("embedding")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal extension (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           'image' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS size_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: binary payload column
+    (utf-8 bytes standing in for image blobs) + metadata struct flattened.
+    The mapInPandas feature-extraction path is exercised in
+    tests/test_multimodal.py (deterministic fake kernel)."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import attach_media_meta
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    d = attach_media_meta(d, "payload", media_type="image")
+    return d.select(
+        "doc_id",
+        F.col("payload_meta.media_type").alias("media_type"),
+        F.col("payload_meta.size_bytes").alias("size_bytes"),
     )
