@@ -38,22 +38,68 @@ def shingles(text: str | Column, k: int = 4) -> Column:
     return F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
 
 
-def minhash_sig(shingle_arr: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: ``array<string>`` of ``num_hashes`` hex minima.
+MINHASH_P = (1 << 61) - 1  # Mersenne prime 2^61-1; keeps a*h+c < 2^63
 
-    Hash family h_s(x) = md5(s || ':' || x) for seed s — portable to the
-    DuckDB oracle verbatim (same md5, same lexicographic min over
-    fixed-width hex). Jaccard(A,B) ≈ fraction of matching signature slots.
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, c) pairs for the integer minhash family.
+
+    Fixed LCG so Spark and the DuckDB oracle interpolate the *same*
+    literals. ``a`` is odd and < 2^14, so a*h < 2^62 for 48-bit h (no
+    int64 overflow under ANSI mode); ``c`` < 2^61-1.
     """
-    def seeded(seed: int):
-        prefix = f"{seed}:"
-        # NB: single-arg lambda — a 2-arg lambda would make Spark pass the
-        # array index as the second argument.
-        return lambda x: F.md5(F.concat(F.lit(prefix), x))
+    x = 0x5DEECE66D
+    out = []
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((x >> 17) % 8191) * 2 + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        c = x % MINHASH_P
+        out.append((a, c))
+    return out
 
-    return F.array(
-        *[F.array_min(F.transform(shingle_arr, seeded(s))) for s in range(num_hashes)]
+
+def shingle_hash48(shingle_arr: Column) -> Column:
+    """``array<string>`` → ``array<long>``: one md5 per element, first 12
+    hex chars parsed as a 48-bit int. The ONLY md5 pass in the minhash
+    pipeline — signature slots derive from these ints arithmetically.
+    Portable: DuckDB mirrors with ``('0x' || substr(md5(x),1,12))::BIGINT``.
+    """
+    return F.transform(
+        shingle_arr,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("long"),
     )
+
+
+def minhash_sig(hash_arr: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: ``array<long>`` of ``num_hashes`` minima over the
+    universal-hash family h_i(v) = (a_i*v + c_i) mod 2^61-1 applied to
+    pre-hashed 48-bit shingle ints (:func:`shingle_hash48`).
+
+    One md5 pass total (vs one per slot in the naive family) — at 100 TB
+    the md5 over every shingle dominates; the integer slots are ~free.
+    Jaccard(A,B) ≈ fraction of matching signature slots.
+    """
+    def slot(hv: Column, a: int, c: int) -> Column:
+        # ((v*a) % P + c) % P: v*a < 2^62 and (v*a)%P + c < 2^62, so every
+        # intermediate fits int64 even under ANSI overflow checking.
+        return F.array_min(
+            F.transform(
+                hv,
+                lambda v: ((v * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P),
+            )
+        )
+
+    # Bind hash_arr as a lambda variable (transform over a 1-element array)
+    # so it is structurally evaluated ONCE for all slots. Plain column
+    # references get re-inlined by CollapseProject, and higher-order
+    # functions are interpreted (no codegen subexpression elimination) —
+    # without this the md5 pass runs num_hashes times.
+    coeffs = minhash_coeffs(num_hashes)
+    return F.transform(
+        F.array(hash_arr),
+        lambda hv: F.array(*[slot(hv, a, c) for a, c in coeffs]),
+    )[0]
 
 
 def portable_hash64(col: str | Column, bits: int = 60) -> Column:
@@ -83,7 +129,7 @@ def simhash64(token_arr: Column) -> Column:
     """
     # counters[b] += (hash(token) >> b) & 1 ? 1 : -1   (bit positions
     # unrolled with Python ints — shiftright/shiftleft take literal counts)
-    zero = F.array_repeat(F.lit(0), 64)
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)  # match BIGINT lambda
 
     def token_bits(tok):
         h = F.xxhash64(tok)
@@ -95,7 +141,7 @@ def simhash64(token_arr: Column) -> Column:
         lambda acc, tok: F.zip_with(
             acc,
             token_bits(tok),
-            lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
+            lambda a, bit: a + bit + bit - F.lit(1),  # branchless ±1
         ),
     )
     # fold sign bits into one long; disjoint bit values make + equal to OR

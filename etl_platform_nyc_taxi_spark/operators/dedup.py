@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from etl_platform_nyc_taxi_spark.functions.hashing import (
     hamming64,
     minhash_sig,
+    shingle_hash48,
     shingles,
     simhash64,
 )
@@ -68,16 +69,31 @@ def minhash_candidates(
     k: int = 4,
     num_hashes: int = 8,
     bands: int = 4,
+    partitions: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded MinHash signatures.
 
     rows/doc after explode = ``bands``; docs sharing ALL hashes of any band
     land in one bucket. Probability of candidacy rises steeply with
-    Jaccard (s-curve at ~(1/bands)^(bands/num_hashes))."""
+    Jaccard (s-curve at ~(1/bands)^(bands/num_hashes)).
+
+    ``partitions``: repartition the (id, text) projection before the
+    signature stage. The per-row compute (md5 over every shingle) dwarfs
+    the row size, so small inputs read as 1-2 file splits must be spread
+    across cores; on a real cluster the scan already yields many splits
+    and this can stay None."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_sig(F.array_distinct(shingles(text_col, k)), num_hashes).alias("__sig"),
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    if partitions:
+        base = base.repartition(partitions)
+    # minhash_sig binds its input as a lambda variable, so the whole
+    # shingle → md5 → slots chain evaluates once per row no matter how
+    # Catalyst rearranges projections.
+    sig = base.select(
+        "__id",
+        minhash_sig(
+            shingle_hash48(F.array_distinct(shingles(F.col("__t"), k))), num_hashes
+        ).alias("__sig"),
     )
     banded = sig.select(
         "__id",
@@ -123,12 +139,21 @@ def minhash_near_dups(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.6,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥
     threshold. Output: (id_a, id_b, jaccard). The verify join re-reads
     only candidate texts (semi-joined), so the quadratic step never
     materializes."""
-    cands = minhash_candidates(df, id_col, text_col, k, num_hashes, bands)
+    cands = minhash_candidates(df, id_col, text_col, k, num_hashes, bands, partitions)
+    if partitions:
+        # The exact-Jaccard verify is CPU-bound per pair while candidate
+        # rows are tiny in bytes, so AQE coalesces the candidate shuffle to
+        # one task. Repartition BEFORE the text joins: an explicit
+        # repartition is exempt from AQE coalescing, the (broadcast) joins
+        # preserve it, and the verify predicate cannot be pushed below the
+        # joins that produce its inputs — so the filter runs this wide.
+        cands = cands.repartition(partitions)
     texts = df.select(F.col(id_col), F.col(text_col))
     ta = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
     tb = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
@@ -147,10 +172,16 @@ def minhash_near_dups(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
 ) -> DataFrame:
     """64-bit SimHash per document over whitespace tokens."""
-    return df.select(
+    base = df.select(F.col(id_col), F.col(text_col))
+    if partitions:
+        base = base.repartition(partitions)
+    return base.select(
         F.col(id_col), simhash64(tokens_ws(text_col)).alias("simhash")
     )
 
@@ -161,6 +192,7 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via bit-block banding.
 
@@ -171,7 +203,7 @@ def simhash_near_dups(
     if blocks <= max_hamming:
         raise ValueError("need blocks > max_hamming for exact recall")
     width = 64 // blocks
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, partitions)
     banded = sigs.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -215,6 +247,7 @@ def ngram_jaccard_pairs(
     block_cols: tuple[str, ...] = (),
     n: int = 2,
     threshold: float = 0.5,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over all pairs WITHIN a blocking key.
 
@@ -227,18 +260,28 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(tokens_ws(text_col), i + 1, n)),
         )
     )
-    base = df.select(
+    src = df
+    if partitions:
+        src = src.repartition(partitions)
+    base = src.select(
         *[F.col(c) for c in block_cols], F.col(id_col).alias("__id"), grams.alias("__g")
-    )
+    ).withColumn("__n", F.size("__g"))
     a, b = base.alias("a"), base.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] or [F.lit(True)]
     cond = on[0]
     for c in on[1:]:
         cond = cond & c
+    # Sound size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
+    # whose gram counts differ by more than the threshold ratio can never
+    # reach it — prune BEFORE the O(|A|+|B|) intersect. Same result set.
+    size_ok = (
+        F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+        >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+    )
     inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g"))).cast("double")
     union = F.size(F.array_union(F.col("a.__g"), F.col("b.__g"))).cast("double")
     return (
-        a.join(b, cond & (F.col("a.__id") < F.col("b.__id")))
+        a.join(b, cond & (F.col("a.__id") < F.col("b.__id")) & size_ok)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),

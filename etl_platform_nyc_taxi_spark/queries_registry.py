@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_platform_nyc_taxi_spark.functions.hashing import MINHASH_P, minhash_coeffs
 from etl_platform_nyc_taxi_spark.operators.core import union_by_name
 from etl_platform_nyc_taxi_spark.operators.dedup import (
     exact_duplicate_groups,
@@ -597,6 +598,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicate_groups(corpus)
 
 
+# Integer minhash family mirrored into DuckDB: same (a, c) literals, same
+# md5-prefix 48-bit base hash (functions/hashing.py). 32 hashes / 8 bands
+# of 4 rows — candidate probability ~0.67 at J=0.6, ~1.0 at J≥0.9.
+_MH_N, _MH_BANDS, _MH_ROWS = 32, 8, 4
+_MH_SLOTS_SQL = ",\n              ".join(
+    f"list_min([((v*{a}) % {MINHASH_P} + {c}) % {MINHASH_P} for v in hv])"
+    for a, c in minhash_coeffs(_MH_N)
+)
+_MH_KEY_SQL = " || '|' || ".join(
+    f"CAST(sig[b.b*{_MH_ROWS}+{i+1}] AS VARCHAR)" for i in range(_MH_ROWS)
+)
+
+
 @register(
     "dedup_minhash_lsh",
     rf"""
@@ -607,16 +621,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for i in range(1, greatest(length(text)-5,1)+1)]) AS sh
       FROM corpus
     ),
+    hv AS (
+      SELECT id, sh,
+             [CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) for x in sh] AS hv
+      FROM sh
+    ),
     sig AS (
       SELECT id, sh,
-             [list_min([md5(CAST(s AS VARCHAR) || ':' || x) for x in sh])
-              for s in range(0, 12)] AS sig
-      FROM sh
+             [{_MH_SLOTS_SQL}] AS sig
+      FROM hv
     ),
     banded AS (
       SELECT id, b.b AS band,
-             sig[b.b*4+1] || '|' || sig[b.b*4+2] || '|' || sig[b.b*4+3] || '|' || sig[b.b*4+4] AS key
-      FROM sig, (SELECT unnest(range(0,3)) AS b) b
+             {_MH_KEY_SQL} AS key
+      FROM sig, (SELECT unnest(range(0,{_MH_BANDS})) AS b) b
     ),
     cands AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -634,15 +652,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (doc ↔ its 10-chars-dropped mutant):
-    6-shingles → 12 portable md5 minhashes → 3 bands × 4 rows → bucket
-    join → exact-Jaccard verify ≥ 0.6. Never materializes O(n²); the
-    DuckDB oracle replicates the identical hash family end-to-end."""
+    6-shingles → one md5/shingle → 32 integer minhash slots → 8 bands × 4
+    rows → bucket join → exact-Jaccard verify ≥ 0.6. Never materializes
+    O(n²); the DuckDB oracle replicates the identical hash family
+    end-to-end (same (a,c) literals via minhash_coeffs)."""
     return minhash_near_dups(
         _docs_with_mutants(spark, sf_dir),
         k=6,
-        num_hashes=12,
-        bands=3,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
         threshold=0.6,
+        partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -680,6 +700,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=("lang", "source"),
         n=2,
         threshold=0.5,
+        partitions=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -689,7 +710,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Uses Spark's xxhash64 (no DuckDB equivalent) → rows-only oracle;
     correctness pinned in tests/test_dedup.py instead."""
     return simhash_near_dups(
-        _docs_with_mutants(spark, sf_dir), max_hamming=3, blocks=4
+        _docs_with_mutants(spark, sf_dir),
+        max_hamming=3,
+        blocks=4,
+        partitions=spark.sparkContext.defaultParallelism,
     )
 
 
