@@ -99,41 +99,83 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    num_planes: int = 8,
+    num_planes: int = 6,
+    num_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane LSH buckets + exact
+    """Approximate cosine top-k: multi-table random-hyperplane LSH + exact
     rerank inside matching buckets.
 
-    ``multiprobe`` ≥ 1 also probes buckets at Hamming distance 1 from the
-    query's signature (flipping each of ``num_planes`` bits), trading
-    compute for recall. Output schema matches :func:`brute_force_topk`;
-    rows may be missing vs exact (that's the deal)."""
-    planes = _hyperplanes(dim, num_planes, seed)
-    c = corpus.withColumn("__bucket", _signature(F.col(vec_col), planes))
-    q = queries.withColumn("__sig", _signature(F.col(vec_col), planes))
-    if multiprobe:
-        probes = F.array(
-            F.col("__sig"),
-            *[
-                F.col("__sig").bitwiseXOR(F.lit(1 << i).cast("long"))
+    ``num_tables`` independent tables of ``num_planes`` bits each — the
+    classic recall lever: a neighbor is a candidate if ANY table buckets
+    it with the query (P = 1-(1-p^r)^L for per-bit agreement p), without
+    coarsening any single table. ``multiprobe`` ≥ 1 additionally probes
+    the Hamming-1 buckets of each table. Corpus rows explode to
+    ``num_tables`` (table, bucket) rows — at 100 TB that layout is
+    written once, partitioned by (table, bucket-prefix), and queries
+    touch only matching partitions. Output schema matches
+    :func:`brute_force_topk`; rows may be missing vs exact (that's the
+    deal — recall floor pinned in tests/test_similarity.py)."""
+    all_planes = _hyperplanes(dim, num_planes * num_tables, seed)
+    tables = [
+        all_planes[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)
+    ]
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _signature(F.col(vec_col), tables[t]).alias("b"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(
+        id_col, vec_col, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket")
+    )
+
+    def probes_for(t: int) -> list[Column]:
+        sig = _signature(F.col(vec_col), tables[t])
+        out = [F.struct(F.lit(t).alias("t"), sig.alias("b"))]
+        if multiprobe:
+            out += [
+                F.struct(
+                    F.lit(t).alias("t"),
+                    sig.bitwiseXOR(F.lit(1 << i).cast("long")).alias("b"),
+                )
                 for i in range(num_planes)
-            ],
-        )
-    else:
-        probes = F.array(F.col("__sig"))
-    q = q.select(
+            ]
+        return out
+
+    q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(probes).alias("__bucket"),
+        F.explode(
+            F.array(*[p for t in range(num_tables) for p in probes_for(t)])
+        ).alias("__tb"),
+    ).select(
+        query_id_col,
+        "__qvec",
+        F.col("__tb.t").alias("__table"),
+        F.col("__tb.b").alias("__bucket"),
     )
-    scored = c.join(F.broadcast(q), on="__bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6).alias("cosine"),
-    ).dropDuplicates([query_id_col, id_col])
+    scored = (
+        c.join(F.broadcast(q), on=["__table", "__bucket"])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
     return top_k_per_group(
         scored,
         group_by=[query_id_col],

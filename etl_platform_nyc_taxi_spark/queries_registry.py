@@ -754,14 +754,15 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_lsh")  # approximate by design — rows-only; recall pinned in tests
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (8 planes, multiprobe 1) — the scale path:
-    bucket equi-join instead of full cross product. Approximate, so no SQL
-    oracle; recall vs brute force asserted in tests/test_similarity.py."""
+    """Multi-table random-hyperplane LSH ANN (8 tables × 6 planes,
+    multiprobe 1) — the scale path: bucket equi-join instead of full cross
+    product. Approximate, so no SQL oracle; recall vs brute force asserted
+    in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, queries, k=10, num_planes=8, dim=64)
+    return lsh_topk(e, queries, k=10, num_planes=6, num_tables=8, dim=64)
 
 
 @register(

@@ -1,0 +1,126 @@
+"""Dedup operator semantics pinned on tiny inline corpora (SURVEY.md §5.2).
+
+The sf-fixture versions of these operators are oracle-checked by the
+driver; these tests pin the properties the oracle can't express —
+SimHash banding completeness (pigeonhole), LSH recall on known
+near-pairs, and blocking behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.functions.hashing import hamming64
+from etl_platform_nyc_taxi_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles hang on the wall and slowly count themselves to sleep"
+)
+
+
+@pytest.fixture
+def corpus(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE + " tonight", "en"),  # near-dup of 1
+        (3, "completely different content about spark shuffle partitions "
+            "and adaptive query execution plans at terabyte scale", "en"),
+        (4, BASE, "de"),  # exact dup of 1, other block
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_collapses_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    assert exact_dedup(df).count() == 2
+    groups = exact_duplicate_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["copies"] == 2 and groups[0]["min_doc_id"] == 1
+
+
+def test_minhash_finds_near_dup_and_skips_unrelated(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(
+            corpus, k=4, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8  # tiny suffix edit
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+    assert not any(3 in p for p in pairs)  # unrelated never pairs
+    assert all(a < b for a, b in pairs)  # canonical orientation, no dupes
+
+
+def test_minhash_jaccard_matches_exact_set_jaccard(spark):
+    # signature-based candidates, but the reported jaccard is EXACT
+    a = "abcdefgh"
+    b = "abcdefgh"  # identical: jaccard exactly 1.0
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = minhash_near_dups(df, k=4, num_hashes=16, bands=4, threshold=0.9).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 1.0
+
+
+def test_simhash_banding_is_complete_up_to_max_hamming(corpus, spark):
+    """Pigeonhole guarantee: banded equi-join finds EVERY pair with
+    Hamming ≤ max_hamming — compare against the brute-force cross join."""
+    sigs = simhash_signatures(corpus, "doc_id", "text")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    banded = simhash_near_dups(corpus, max_hamming=3, blocks=4)
+    assert sorted(map(tuple, brute.collect())) == sorted(map(tuple, banded.collect()))
+
+
+def test_simhash_identical_docs_have_zero_hamming(corpus):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(corpus, max_hamming=3, blocks=4).collect()
+    }
+    assert out[(1, 4)] == 0  # identical text, identical signature
+
+
+def test_simhash_rejects_unsound_block_count(corpus):
+    with pytest.raises(ValueError):
+        simhash_near_dups(corpus, max_hamming=4, blocks=4)
+
+
+def test_ngram_jaccard_respects_blocks_and_threshold(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, block_cols=("lang",), n=2, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs  # same block, high bigram overlap
+    # 1 and 4 are identical text but in DIFFERENT lang blocks: never compared
+    assert (1, 4) not in pairs
+    assert (1, 3) not in pairs  # same block but below threshold
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # bigrams("a b c d") = {ab, bc, cd}; bigrams("a b c e") = {ab, bc, ce}
+    # jaccard = 2/4 = 0.5
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    out = ngram_jaccard_pairs(df, n=2, threshold=0.4).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.5

@@ -1,0 +1,87 @@
+"""Similarity-search semantics: exact brute-force values on hand-built
+vectors, and LSH recall measured against the brute-force baseline on the
+driver's sf0.001 embeddings fixture (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_norm,
+    lsh_topk,
+)
+from etl_platform_nyc_taxi_spark.sources import load_fixture
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def tiny(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 1.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_exact_cosines_and_ranks(tiny):
+    queries = tiny.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {r["vec_id"]: r for r in brute_force_topk(tiny, queries, k=4).collect()}
+    assert out[1]["cosine"] == 1.0 and out[1]["rank"] == 1
+    assert out[3]["cosine"] == pytest.approx(0.707107) and out[3]["rank"] == 2
+    assert out[2]["cosine"] == 0.0 and out[2]["rank"] == 3
+    assert out[4]["cosine"] == -1.0 and out[4]["rank"] == 4
+
+
+def test_brute_force_k_cap_and_tiebreak(tiny):
+    queries = tiny.filter(F.col("vec_id") == 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(tiny, queries, k=2).collect()
+    assert len(out) == 2
+    # ties broken by vec_id asc: cosine(2,1) == cosine(2,4) == 0.0 but
+    # only rank-2 slot remains after vec_id 2 itself (cosine 1.0)
+    assert [r["rank"] for r in out] == [1, 2]
+
+
+def test_lsh_recall_against_brute_force(spark):
+    """Recall@10 of the multiprobe LSH path vs exact, on real fixture
+    embeddings. Approximation is the contract — but it must be a GOOD
+    approximation for nearby vectors."""
+    emb = load_fixture(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, k=10, num_planes=8, dim=64)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+    # every approx hit must carry the EXACT cosine (rerank is exact)
+    exact_cos = {
+        (r["query_id"], r["vec_id"]): r["cosine"] for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_cos:
+            assert r["cosine"] == exact_cos[key]
+
+
+def test_lsh_output_schema_matches_brute_force(tiny):
+    queries = tiny.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    assert (
+        lsh_topk(tiny, queries, k=2, num_planes=4, dim=2).columns
+        == brute_force_topk(tiny, queries, k=2).columns
+    )
+
+
+def test_embedding_norm(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], "vec_id long, embedding array<float>")
+    assert df.select(embedding_norm("embedding").alias("n")).first()["n"] == 5.0
