@@ -184,6 +184,47 @@ def lsh_topk(
     )
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_cols: tuple[str, ...] = (),
+    threshold: float = 0.99,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) within blocking-key groups — the vector twin of
+    ``dedup.ngram_jaccard_pairs``.
+
+    Blocked-exact is the oracle-checkable shape; at 100 TB swap the
+    blocking key for LSH buckets from :func:`lsh_topk`'s signature
+    (same join structure, data-dependent candidate count). The
+    size-prefilter trick has no analog here, so blocks must be kept
+    small by the caller."""
+    src = df
+    if partitions:
+        src = src.repartition(partitions)
+    base = src.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_norm(vec_col: str | Column = "embedding") -> Column:
     """L2 norm of an embedding column (re-export for registry use)."""
     from etl_platform_nyc_taxi_spark.functions.vectors import l2_norm

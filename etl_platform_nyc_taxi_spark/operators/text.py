@@ -100,3 +100,35 @@ def fingerprint(text_col: str | Column) -> Column:
     (md5 — portable to the DuckDB oracle; swap for xxhash64 when oracle
     portability doesn't matter)."""
     return F.md5(normalize_text(text_col))
+
+
+def winnow_fingerprints(
+    text_col: str | Column, k: int = 6, window: int = 4
+) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken): positional
+    k-gram hashes, minimum per sliding window of ``window`` hashes,
+    distinct minima as ``array<long>``.
+
+    The robust local fingerprint behind MOSS-style plagiarism/containment
+    detection: any shared substring of length ≥ k+window-1 guarantees a
+    shared fingerprint. Per-k-gram hashes come from the portable
+    md5-prefix family (functions/hashing.py), so the whole operator is
+    DuckDB-oracle-checkable; all array work is one pass, bound as a
+    lambda variable so the hash array evaluates once."""
+    from etl_platform_nyc_taxi_spark.functions.hashing import (
+        shingle_hash48,
+        shingles,
+    )
+
+    def winnow(hv: Column) -> Column:
+        n = F.greatest(F.size(hv) - F.lit(window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.array_min(F.slice(hv, i, window)),
+            )
+        )
+
+    return F.transform(
+        F.array(shingle_hash48(shingles(text_col, k))), winnow
+    )[0]

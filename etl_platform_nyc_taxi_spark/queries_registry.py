@@ -17,6 +17,7 @@ value-hash comparison exact:
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -817,4 +818,123 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("payload_meta.media_type").alias("media_type"),
         F.col("payload_meta.size_bytes").alias("size_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (SURVEY.md §7.2 step 6; streaming/daily_stream.py)
+# ---------------------------------------------------------------------------
+
+_STREAM_RUNS = itertools.count()
+
+
+@register(
+    "streaming_daily_counts",
+    """
+    SELECT CAST(ts AS DATE) AS transaction_date,
+           COUNT(*) AS total_transactions
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY transaction_date
+    """,
+)
+def q_streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sensor-gated daily batch as Structured Streaming
+    (SURVEY §2.10/S9): parquet file source → 1-day watermark → 1-day
+    tumbling window → count, driven once with Trigger.AvailableNow into a
+    memory sink. Batch-equivalent by construction, so it shares the
+    daily_transactions oracle — the streaming plan itself (watermark,
+    stateful window agg, checkpointing) is what's under test."""
+    import tempfile
+
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        daily_window_counts,
+        read_stream_auto,
+        run_available_now,
+    )
+
+    stream = read_stream_auto(spark, f"{sf_dir}/events.parquet")
+    agg = daily_window_counts(stream, ts_col="ts", watermark="1 day")
+    sink = f"stream_daily_counts_{next(_STREAM_RUNS)}"
+    run_available_now(agg, sink, tempfile.mkdtemp(prefix="ckpt_stream_daily_"))
+    return spark.table(sink)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH corpus AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, label,
+             [CAST(x*2.0 AS FLOAT) for x in embedding] AS embedding
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
+                 6) AS cosine
+    FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
+                6) >= 0.999
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (doc ↔ its direction-preserving 2×
+    scaled mutant) within label blocks — blocked-exact shape
+    (operators/similarity.py embedding_near_dups); swap blocks for LSH
+    buckets at scale."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    m = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return embedding_near_dups(
+        e.unionByName(m),
+        block_cols=("label",),
+        threshold=0.999,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "doc_winnow",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             [substr(text, CAST(i AS INT), 6)
+              for i in range(1, greatest(length(text)-5,1)+1)] AS sh
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             [CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) for x in sh] AS hv
+      FROM sh
+    ),
+    w AS (
+      SELECT doc_id,
+             list_distinct([list_min(hv[CAST(i AS INT):CAST(i AS INT)+3])
+                            for i in range(1, greatest(len(hv)-3,1)+1)]) AS fps
+      FROM hv
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling k-gram hash minima over a sliding
+    window — MOSS-style containment detection): (doc_id, fp) pairs, one
+    row per distinct window-min hash (operators/text.py
+    winnow_fingerprints)."""
+    from etl_platform_nyc_taxi_spark.operators.text import winnow_fingerprints
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=6, window=4)).alias("fp")
     )

@@ -104,12 +104,16 @@ def read_parquet_auto(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
-        df = df.withColumn(
-            c,
-            F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
-        )
+        # guard on the surfaced type: INT96 timestamps also read as ns in
+        # the pyarrow probe, but Spark loads them as proper TIMESTAMP and
+        # they need no restore
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
     return df
 
 

@@ -20,19 +20,67 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 
-def daily_counts_stream(
-    spark: SparkSession,
-    source_dir: str,
-    schema: T.StructType,
-    ts_col: str = "pickup_datetime",
-    watermark: str = "1 day",
-) -> DataFrame:
-    """Unbounded daily counts: file source → watermark → 1-day tumble.
+def read_stream_auto(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming parquet source tolerating TIMESTAMP(NANOS) columns — the
+    streaming twin of ``sources.parquet.read_parquet_auto`` (file sources
+    require an explicit schema; nanos columns surface as int64 under the
+    legacy conf and are restored to µs timestamps in a projection)."""
+    from etl_platform_nyc_taxi_spark.sources.parquet import _nanos_timestamp_cols
 
-    Returns the streaming DataFrame (caller picks the sink). Output columns
-    match the batch pipeline: (transaction_date, total_transactions).
-    """
-    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    probe_path = path
+    if not os.path.isdir(path):
+        # file-stream sources only accept directories: stream the parent
+        # dir with a glob filter selecting just this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    for c in _nanos_timestamp_cols(probe_path):
+        # same INT96 guard as read_parquet_auto: only restore columns that
+        # actually surfaced as int64 epoch-nanos
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
+                    "timestamp_ntz"
+                ),
+            )
+    return df
+
+
+def run_available_now(
+    agg: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "complete"
+) -> None:
+    """One-shot streaming run: process every file currently in the source
+    (Trigger.AvailableNow), land results in an in-memory sink table, stop.
+    Batch-parity harness for streaming pipelines — the driver/oracle can
+    then read ``spark.table(sink_table)`` like any batch result."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def daily_window_counts(
+    stream: DataFrame, ts_col: str, watermark: str = "1 day"
+) -> DataFrame:
+    """Watermark → 1-day tumbling window → count, on any streaming (or
+    batch) DataFrame. Output columns match the batch pipeline:
+    (transaction_date, total_transactions)."""
+    # Event-time ops (watermark/window) require TIMESTAMP (LTZ); fixture
+    # timestamps are NTZ. Session TZ is pinned UTC, so the cast preserves
+    # wall-clock values and window boundaries match the batch/oracle path.
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
@@ -43,6 +91,20 @@ def daily_counts_stream(
             F.col("total_transactions"),
         )
     )
+
+
+def daily_counts_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    ts_col: str = "pickup_datetime",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Unbounded daily counts: file source → watermark → 1-day tumble.
+
+    Returns the streaming DataFrame (caller picks the sink)."""
+    stream = spark.readStream.format("parquet").schema(schema).load(source_dir)
+    return daily_window_counts(stream, ts_col, watermark)
 
 
 def run_to_sink(
