@@ -184,6 +184,90 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans coarse quantizer + nprobe search.
+
+    Train ``nlist`` centroids (pyspark.ml KMeans on a bounded sample),
+    assign every corpus vector to its nearest centroid — the inverted
+    list — then search only the ``nprobe`` closest lists per query with
+    exact cosine rerank. Centroids are driver-side constants compiled
+    into the plan as literals (nlist × dim doubles), so assignment is
+    pure expression work: no UDF, no shuffle beyond the bucket join.
+
+    At 100 TB the assignment runs once at ingest and the corpus is
+    written partitioned by list id; a query then scans nprobe/nlist of
+    the data — the same plan shape as here with partition pruning doing
+    the list selection. Approximate like :func:`lsh_topk`; recall floor
+    pinned in tests/test_similarity.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if max_train_rows:
+        frac = min(1.0, max_train_rows / max(corpus.count(), 1))
+        if frac < 1.0:
+            train = train.sample(fraction=frac, seed=seed)
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def dist2(vec: Column, center: list[float]) -> Column:
+        clit = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(vec, clit, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        """ids of the n closest centroids, via sort of (dist, id) structs."""
+        d = F.array(
+            *[
+                F.struct(dist2(vec, c).alias("d"), F.lit(i).alias("i"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(d), lambda s: s["i"]), 1, n)
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        nearest_lists(F.col(vec_col), 1)[0].alias("__list"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("__list"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__list")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    return top_k_per_group(
+        scored,
+        group_by=[query_id_col],
+        order=[F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

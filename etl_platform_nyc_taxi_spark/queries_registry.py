@@ -938,3 +938,18 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", F.explode(winnow_fingerprints("text", k=6, window=4)).alias("fp")
     )
+
+
+@register("ann_ivf")  # KMeans training is iterative — rows-only check
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16-list KMeans coarse quantizer, nprobe 4) — inverted-file
+    search with exact cosine rerank inside probed lists. Approximate and
+    trained, so no SQL oracle; recall vs brute force asserted in
+    tests/test_similarity.py."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, queries, k=10, nlist=16, nprobe=4)

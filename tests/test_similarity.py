@@ -85,3 +85,22 @@ def test_lsh_output_schema_matches_brute_force(tiny):
 def test_embedding_norm(spark):
     df = spark.createDataFrame([(1, [3.0, 4.0])], "vec_id long, embedding array<float>")
     assert df.select(embedding_norm("embedding").alias("n")).first()["n"] == 5.0
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """IVF (KMeans + nprobe) recall vs exact top-10. With nprobe/nlist =
+    4/16 a quarter of the corpus is scanned — recall must beat that
+    fraction by a wide margin (the quantizer must be pulling neighbors
+    into probed lists, not sampling uniformly)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import ivf_topk
+
+    emb = load_fixture(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
