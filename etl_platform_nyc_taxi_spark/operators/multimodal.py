@@ -123,6 +123,70 @@ def image_features(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    target_bytes: int = 64,
+) -> DataFrame:
+    """Image-resize plumbing via ``mapInPandas``: (id, payload) →
+    (id, resized binary, orig_bytes, resized_bytes).
+
+    The Spark contract (Arrow batches, explicit schema, executor-side
+    per-blob work, batch memory bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) is production-real;
+    the kernel is a deterministic byte-stride downsample standing in for
+    PIL decode → resize → re-encode (`_HAVE_PIL` gate, same swap point as
+    :func:`image_features`)."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("resized", T.BinaryType(), False),
+            T.StructField("orig_bytes", T.LongType(), False),
+            T.StructField("resized_bytes", T.LongType(), False),
+        ]
+    )
+
+    def _fake_resize(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        stride = max(1, len(payload) // target_bytes)
+        return payload[::stride][:target_bytes]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(lambda b: b or b"")
+            resized = payloads.map(_fake_resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": resized,
+                    "orig_bytes": payloads.map(len).astype("int64"),
+                    "resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    if _HAVE_PIL:  # pragma: no cover - not installed in this image
+        raise NotImplementedError(
+            "real decoder path not wired yet; replace _fake_resize with "
+            "PIL decode → thumbnail → encode"
+        )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def audio_features_plan(df: DataFrame, payload_col: str, sample_rate: int) -> DataFrame:
+    """Audio feature-extraction STUB: real implementation decodes PCM and
+    computes spectral features inside mapInPandas (same contract as
+    image_features). Raises until an audio decoder (librosa/soundfile)
+    exists — the schema is the contract."""
+    raise NotImplementedError(
+        "audio decoding unavailable in this environment; "
+        "plumbing contract: mapInPandas over (id, payload) → "
+        "(id, duration_ms long, feat array<float>)"
+    )
+
+
 def frame_sample_plan(df: DataFrame, payload_col: str, every_ms: int) -> DataFrame:
     """Video frame-sampling STUB: real implementation decodes keyframes per
     ``every_ms`` inside mapInPandas (same contract as image_features).

@@ -22,6 +22,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,6 +106,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     multiprobe: int = 1,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH + exact
     rerank inside matching buckets.
@@ -119,51 +122,63 @@ def lsh_topk(
     :func:`brute_force_topk`; rows may be missing vs exact (that's the
     deal — recall floor pinned in tests/test_similarity.py)."""
     all_planes = _hyperplanes(dim, num_planes * num_tables, seed)
-    tables = [
-        all_planes[t * num_planes : (t + 1) * num_planes] for t in range(num_tables)
-    ]
+    plane_mat = np.array(all_planes)  # (num_tables*num_planes, dim)
+    bit_weights = 1 << np.arange(num_planes)
+
+    @F.pandas_udf("array<long>")
+    def _table_sigs(embs: pd.Series) -> pd.Series:
+        """All per-table bucket signatures in one Arrow batch: an (n, dim)
+        × (dim, T*r) matmul + sign + bit-pack. ~15× the interpreted
+        zip_with/aggregate path — this is the vectorized-UDF exception the
+        engine otherwise avoids (48 dot products/row is matmul work)."""
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(embs.to_numpy())
+        bits = (m @ plane_mat.T) >= 0  # (n, T*r)
+        buckets = (bits.reshape(len(m), num_tables, num_planes) * bit_weights).sum(
+            axis=2
+        )
+        return pd.Series(list(buckets.astype("int64")))
+
+    if partitions:
+        # signature + rerank compute dwarfs row bytes; small files read as
+        # 1-2 splits would serialize it (same rationale as dedup ops)
+        corpus = corpus.repartition(partitions)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _signature(F.col(vec_col), tables[t]).alias("b"),
-                    )
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("__tb"),
-    ).select(
-        id_col, vec_col, F.col("__tb.t").alias("__table"), F.col("__tb.b").alias("__bucket")
+        F.posexplode(_table_sigs(F.col(vec_col))).alias("__table", "__bucket"),
     )
 
-    def probes_for(t: int) -> list[Column]:
-        sig = _signature(F.col(vec_col), tables[t])
-        out = [F.struct(F.lit(t).alias("t"), sig.alias("b"))]
-        if multiprobe:
-            out += [
-                F.struct(
-                    F.lit(t).alias("t"),
-                    sig.bitwiseXOR(F.lit(1 << i).cast("long")).alias("b"),
+    flips = [0] + ([1 << i for i in range(num_planes)] if multiprobe else [])
+    q = (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            _table_sigs(F.col(vec_col)).alias("__s"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col("__s")[t].bitwiseXOR(F.lit(f).cast("long")).alias("b"),
+                        )
+                        for t in range(num_tables)
+                        for f in flips
+                    ]
                 )
-                for i in range(num_planes)
-            ]
-        return out
-
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(
-            F.array(*[p for t in range(num_tables) for p in probes_for(t)])
-        ).alias("__tb"),
-    ).select(
-        query_id_col,
-        "__qvec",
-        F.col("__tb.t").alias("__table"),
-        F.col("__tb.b").alias("__bucket"),
+            ).alias("__tb"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__tb.t").alias("__table"),
+            F.col("__tb.b").alias("__bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), on=["__table", "__bucket"])
@@ -195,6 +210,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    partitions: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans coarse quantizer + nprobe search.
 
@@ -220,6 +236,8 @@ def ivf_topk(
             train = train.sample(fraction=frac, seed=seed)
     model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    if partitions:
+        corpus = corpus.repartition(partitions)
 
     def dist2(vec: Column, center: list[float]) -> Column:
         clit = F.array(*[F.lit(x) for x in center])

@@ -763,7 +763,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(e, queries, k=10, num_planes=6, num_tables=8, dim=64)
+    return lsh_topk(
+        e,
+        queries,
+        k=10,
+        num_planes=6,
+        num_tables=8,
+        dim=64,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -952,4 +960,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(e, queries, k=10, nlist=16, nprobe=4)
+    return ivf_topk(
+        e,
+        queries,
+        k=10,
+        nlist=16,
+        nprobe=4,
+        partitions=spark.sparkContext.defaultParallelism,
+    )

@@ -63,3 +63,22 @@ def test_fake_kernel_is_pure():
 def test_frame_sample_stub_contract(blobs):
     with pytest.raises(NotImplementedError):
         frame_sample_plan(blobs, "payload", every_ms=1000)
+
+
+def test_resize_images_kernel(blobs):
+    from etl_platform_nyc_taxi_spark.operators.multimodal import resize_images
+
+    out = {r["doc_id"]: r for r in resize_images(blobs, target_bytes=2).collect()}
+    # stride = 4//2 = 2: bytes [10,20,30,40] -> [10,30]
+    assert bytes(out[1]["resized"]) == bytes([10, 30])
+    assert out[1]["orig_bytes"] == 4 and out[1]["resized_bytes"] == 2
+    assert bytes(out[2]["resized"]) == b"" and out[3]["resized_bytes"] == 0
+
+
+def test_audio_stub_contract(blobs):
+    import pytest as _pytest
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import audio_features_plan
+
+    with _pytest.raises(NotImplementedError):
+        audio_features_plan(blobs, "payload", sample_rate=16000)

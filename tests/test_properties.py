@@ -1,0 +1,67 @@
+"""Property-based tests (SURVEY.md §5.4): engine aggregates vs a pandas
+oracle on randomly generated inputs, and structural top-k invariants.
+
+max_examples is kept small — every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from etl_platform_nyc_taxi_spark.operators.windows import top_k_by_count
+from etl_platform_nyc_taxi_spark.plans.daily_transactions import daily_counts
+
+_TS = st.one_of(
+    st.none(),
+    st.datetimes(
+        min_value=dt.datetime(2024, 1, 1),
+        max_value=dt.datetime(2024, 1, 20),
+    ),
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(ts_list=st.lists(_TS, min_size=0, max_size=60))
+@settings(**_SETTINGS)
+def test_daily_counts_match_pandas(spark, ts_list):
+    df = spark.createDataFrame([(t,) for t in ts_list], "ts timestamp")
+    got = {
+        r["transaction_date"]: r["total_transactions"]
+        for r in daily_counts(df, ts_col="ts").collect()
+    }
+    s = pd.Series([t for t in ts_list if t is not None], dtype="datetime64[us]")
+    want = s.dt.date.value_counts().to_dict()
+    assert got == want
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=80))
+@settings(**_SETTINGS)
+def test_topk_invariants(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "zone long")
+    out = top_k_by_count(df, key="zone", k=3).collect()
+    counts = pd.Series(keys).value_counts().to_dict()
+    got = {r["zone"]: (r["cnt"], r["rank"]) for r in out}
+    # 1. reported counts are exact
+    assert all(counts[z] == c for z, (c, _) in got.items())
+    # 2. ranks are dense from 1 and non-increasing in count
+    by_rank = sorted(got.values(), key=lambda cr: cr[1])
+    assert [r for _, r in by_rank][0] == 1
+    assert set(r for _, r in by_rank) == set(range(1, max(r for _, r in by_rank) + 1))
+    assert all(
+        by_rank[i][0] >= by_rank[i + 1][0] for i in range(len(by_rank) - 1)
+    )
+    # 3. dense_rank tie semantics: every key whose count ties an included
+    # key is also included, and every excluded key counts strictly less
+    included_min = min(c for c, _ in got.values())
+    for z, c in counts.items():
+        if c > included_min:
+            assert z in got
+        if z not in got:
+            assert c < included_min
