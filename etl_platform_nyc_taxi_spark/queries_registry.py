@@ -968,3 +968,68 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=4,
         partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+@register(
+    "join_asof",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.value AS purchase_value,
+           r.ts AS p_ts_matched
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent prior (or
+    simultaneous) purchase — union + partitioned window, one shuffle on
+    user_id (operators/joins.py asof_join). DuckDB's native ASOF LEFT
+    JOIN is the oracle."""
+    from etl_platform_nyc_taxi_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="p_ts"
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, CAST(b.i AS BIGINT) AS band_id
+    FROM orders o
+    JOIN range(0, 600) b(i)
+      ON o.o_totalprice >= i * 1000.0 AND o.o_totalprice < (i + 1) * 1000.0
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketized equi-join bridge (operators/joins.py
+    range_join): each order lands in its price band without a
+    cross-product — Catalyst sees an equality key on the bucket. The
+    oracle is the naive BETWEEN join."""
+    from etl_platform_nyc_taxi_spark.operators.joins import range_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 600).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 1000.0).alias("lo"),
+        ((F.col("id") + 1) * 1000.0 - 0.01).alias("hi"),
+    )
+    out = range_join(
+        o,
+        bands,
+        left_value="o_totalprice",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=1000.0,
+    )
+    return out.select("o_orderkey", "o_totalprice", "band_id")

@@ -45,9 +45,7 @@ def read_stream_auto(spark: SparkSession, path: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(
                 c,
-                F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
-                    "timestamp_ntz"
-                ),
+                F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz"),
             )
     return df
 
