@@ -1033,3 +1033,47 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=1000.0,
     )
     return out.select("o_orderkey", "o_totalprice", "band_id")
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (operators/core.py aggregate,
+    mode=rollup): (flag, status), (flag), () levels with NULL markers —
+    one expand + one aggregate, still two-phase partial/final."""
+    from etl_platform_nyc_taxi_spark.operators.core import aggregate
+
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"cnt": F.count(F.lit(1)), "sum_qty": dsum("l_quantity")},
+        mode="rollup",
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via cube (operators/core.py
+    aggregate, mode=cube)."""
+    from etl_platform_nyc_taxi_spark.operators.core import aggregate
+
+    return aggregate(
+        _t(spark, sf_dir, "lineitem"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"cnt": F.count(F.lit(1))},
+        mode="cube",
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -113,6 +114,28 @@ def read_parquet_auto(spark: SparkSession, path: str) -> DataFrame:
                 F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz"),
             )
     return df
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Ingest-side layout fix for the reference's scan-everything defect
+    (SURVEY.md §4/§7.5): write hive-partitioned parquet so date-scoped
+    queries prune at the directory level instead of scanning all history.
+
+    One rewrite pays forever: the reference's job 1 scans every monthly
+    file to count one day; over a `pickup_date=...` layout the same query
+    touches one partition. ``maxRecordsPerFile`` caps file size so a hot
+    partition still splits across tasks.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
 
 
 def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

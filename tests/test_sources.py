@@ -87,3 +87,35 @@ def test_jdbc_config_options():
     opts = cfg.options()
     assert opts["driver"] == "org.postgresql.Driver"
     assert opts["batchsize"] == "10000"
+
+
+def test_write_partitioned_enables_partition_pruning(spark, tmp_path):
+    """The §7.5 layout fix: date-partitioned output + date filter ⇒ the
+    scan's PartitionFilters prune directories (no full-history scan)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import (
+        load_fixture,
+        write_partitioned,
+    )
+
+    src = load_fixture(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(src, out, ["event_date"])
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_date" in pf  # pruning predicate reached the scan
+    # and the data survives the round-trip exactly
+    want = src.filter(F.col("event_date") == "2024-01-05").count()
+    assert one_day.count() == want > 0
