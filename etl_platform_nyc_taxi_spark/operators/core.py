@@ -95,3 +95,32 @@ def limit_rows(df: DataFrame, n: int) -> DataFrame:
 def count_star(name: str = "cnt") -> Column:
     """P6: ``count(*)`` aliased (the only agg the reference uses)."""
     return F.count(F.lit(1)).alias(name)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Mapping[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-tolerant two-stage aggregation: group by (keys, salt) first so
+    a hot key's rows spread over ``salt_buckets`` reducers, then combine
+    partials by the real keys.
+
+    ``aggs`` maps output name → (partial_expr, final_expr-over-partial),
+    e.g. ``{"cnt": (F.count(F.lit(1)), F.sum("cnt"))}`` or
+    ``{"sum_v": (F.sum("v"), F.sum("sum_v"))}`` — the decomposition must
+    be algebraic (count/sum/min/max), which is also why the result is
+    EXACTLY the direct groupBy (oracle-identical). Use when one key holds
+    an outsized share of rows and AQE's skew handling can't help because
+    the skew is in the aggregate itself, not a join.
+    """
+    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[fin.alias(name) for name, (_, fin) in aggs.items()]
+    )

@@ -1077,3 +1077,34 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"cnt": F.count(F.lit(1))},
         mode="cube",
     )
+
+
+@register(
+    "agg_salted",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-tolerant two-stage aggregation (operators/core.py
+    salted_aggregate): only 5 distinct event_type keys means a plain
+    groupBy funnels everything through 5 reducers at 100 TB; salting
+    spreads each key over 16 buckets first. Algebraic decomposition makes
+    the result oracle-identical to the direct GROUP BY."""
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    return salted_aggregate(
+        _t(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={
+            "cnt": (F.count(F.lit(1)), F.sum("cnt").cast("long")),
+            "sum_value": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("sum_value").cast("double"),
+            ),
+        },
+        salt_buckets=16,
+    )
