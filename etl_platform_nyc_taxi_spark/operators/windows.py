@@ -145,3 +145,65 @@ def running_agg(
     c = F.col(value) if isinstance(value, str) else value
     fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "count": F.count}[agg]
     return df.withColumn(out, fn(c).over(w))
+
+
+def _epoch_s(col: Column) -> Column:
+    """Epoch seconds (truncated) for TIMESTAMP or TIMESTAMP_NTZ columns.
+
+    NTZ can't cast straight to long in Spark 4; routing through TIMESTAMP is
+    exact because the engine pins the session TZ to UTC (session.py D4 fix).
+    """
+    return col.cast("timestamp").cast("long")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak: Sequence[str | Column] = (),
+    session_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts whenever the time
+    since the user's previous event exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum construction — one shuffle on ``user_col``
+    shared by both window passes (same partitioning), no Python in the hot
+    path. Session ids are per-user ordinals (1, 2, ...), deterministic given
+    the (ts, tiebreak) total order. At 100 TB this scales with the number of
+    users (each user's history must sort within one partition); for
+    pathological single-user skew, split by (user, day) first and stitch
+    boundary sessions.
+
+    The streaming equivalent (arbitrary stateful processing instead of a
+    sort over history) is streaming/sessions.py.
+    """
+    order = [F.col(ts_col).asc(), *[F.col(c).asc() if isinstance(c, str) else c for c in tiebreak]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap = _epoch_s(F.col(ts_col)) - F.lag(_epoch_s(F.col(ts_col))).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak: Sequence[str | Column] = (),
+) -> DataFrame:
+    """Per-session aggregates (start, end, duration, event count) over
+    :func:`sessionize` output. Group-by reuses the sessionize shuffle
+    partitioning (user_col prefix), so AQE plans one exchange total."""
+    s = sessionize(df, user_col, ts_col, gap_seconds, tiebreak)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(_epoch_s(F.col(ts_col))) - F.min(_epoch_s(F.col(ts_col)))).alias(
+            "duration_s"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -47,6 +47,7 @@ from etl_platform_nyc_taxi_spark.operators.text import (
 from etl_platform_nyc_taxi_spark.operators.windows import (
     ranked,
     running_agg,
+    session_stats,
     top_k_by_count,
     top_k_per_group,
 )
@@ -1108,3 +1109,311 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         salt_buckets=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface + TPC-H-style analytics (engine completeness: the declarative
+# entry point and the multi-join plans the reference never exercised)
+# ---------------------------------------------------------------------------
+
+# One SQL string, two engines: Spark executes it via the registered temp
+# views (sql.py), DuckDB verbatim as the oracle. ANSI-only constructs.
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))
+                    * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_q1", _TPCH_Q1_SQL)
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary through the SQL entry point (sql.py): the
+    SAME ANSI string runs on Spark (temp views -> Catalyst) and on the
+    DuckDB oracle. Proves the declarative surface plans identically to the
+    DataFrame chain (same scan/partial-agg/exchange/final-agg shape as
+    agg_family). Decimal accumulation keeps double sums order-independent."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q1_SQL)
+
+
+@register(
+    "join_fact_fact",
+    """
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, "rank" FROM (
+        SELECT l_orderkey, revenue, o_orderdate, o_orderpriority,
+               CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS INT) AS "rank"
+        FROM (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate  > TIMESTAMP '1996-06-30'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+    ) WHERE "rank" <= 10
+    """,
+)
+def q_join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dimension into
+    orders (no fact shuffle), then a fact-fact equi-join to lineitem
+    (sort-merge / AQE's choice), aggregate revenue per order, global top-10
+    by revenue. The global window runs AFTER aggregation on the grouped set
+    with a deterministic (revenue desc, key asc) tie-break.
+    Ref (capability gap): SURVEY.md SS2.3 - the reference has zero joins."""
+    from etl_platform_nyc_taxi_spark.operators.joins import join_dim, join_facts
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter(o.o_orderdate < ts_lit(o, "o_orderdate", "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    li = li.filter(li.l_shipdate > ts_lit(li, "l_shipdate", "1996-06-30")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    co = join_dim(o, c, on=F.col("o_custkey") == F.col("c_custkey"))
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    agg = (
+        join_facts(li, co, on=F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev)
+    )
+    return top_k_per_group(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        group_by=[],
+        order=[F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        k=10,
+    )
+
+
+@register(
+    "join_snowflake",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS line_count
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_join_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table snowflake with the local-supplier
+    correlation (c_nationkey = s_nationkey). region/nation/supplier
+    broadcast; customer->orders->lineitem chain shuffles once per fact key.
+    Catalyst reorders the joins; AQE demotes to broadcast where runtime
+    sizes allow."""
+    from etl_platform_nyc_taxi_spark.operators.joins import join_dim, join_facts
+
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = join_dim(_t(spark, sf_dir, "nation"), r, on=F.col("n_regionkey") == F.col("r_regionkey"))
+    s = join_dim(_t(spark, sf_dir, "supplier"), n, on=F.col("s_nationkey") == F.col("n_nationkey"))
+    o = _t(spark, sf_dir, "orders")
+    o = o.filter(
+        (o.o_orderdate >= ts_lit(o, "o_orderdate", "1996-01-01"))
+        & (o.o_orderdate < ts_lit(o, "o_orderdate", "1998-01-01"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    co = join_facts(o, c, on=F.col("o_custkey") == F.col("c_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = join_facts(li, co, on=F.col("l_orderkey") == F.col("o_orderkey"))
+    j = join_dim(
+        j,
+        s.select("s_suppkey", "s_nationkey", "n_name"),
+        on=(F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    rev = (
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return j.groupBy("n_name").agg(rev, F.count(F.lit(1)).alias("line_count"))
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-flag and per-status
+    marginals in ONE pass (single expand + aggregate instead of two scans +
+    union). Same SQL runs on both engines via the SQL surface."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY d
+    """,
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): daily counts per event type as columns. The
+    explicit value list keeps it one pass (no extra distinct-values job) —
+    mandatory at 100 TB; missing cells coalesce to 0 to match conditional-
+    aggregation semantics."""
+    cats = ["click", "error", "purchase", "signup", "view"]
+    p = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", cats)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "d", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cats]
+    )
+
+
+@register(
+    "explode_tokens",
+    r"""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+    """,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest (wide -> long): one row per whitespace token.
+    Generator runs inside whole-stage codegen (no shuffle at all — output
+    partitioning inherits the scan); the multiset compare checks exact
+    per-token multiplicities."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens_ws("text")).alias("token")
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation — SQL PERCENTILE_CONT
+    semantics) per priority class. Exact quantiles need the group's values
+    together (single-reduce per group); the approximate path for wide
+    groups is agg_approx (KLL/GK-style sketch, mergeable map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+
+
+@register("agg_approx")  # sketch outputs are engine-specific — rows-only
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB path where exact is wasteful:
+    HyperLogLog++ distinct counts and quantile sketches, both mergeable
+    map-side (no value list ever assembles on one node). Sketch estimates
+    are engine-specific, so no SQL oracle; accuracy vs exact is pinned in
+    tests/test_plans.py (HLL rsd <= 5%, quantile within 1%)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT)
+               - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap): lag + cumulative
+    sum + per-session aggregates — ONE shuffle on user_id serves both
+    window passes and the final group-by (operators/windows.py sessionize).
+    The streaming twin (applyInPandasWithState) is streaming/sessions.py."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = session_stats(e, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak=["event_id"])
+    return out.withColumn("session_seq", F.col("session_seq").cast("long"))

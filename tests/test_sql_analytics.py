@@ -1,0 +1,219 @@
+"""Tests for the SQL surface, sessionization, pivot, percentiles, approx
+aggregates, and the TPC-H-style multi-join plans (queries_registry.py
+additions; oracle-differential coverage is in tools/verify_local.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import rows, ts
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def clickstream(spark):
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    schema = "user_id long, ts timestamp, event_id long"
+    data = [
+        # user 1: 3 events inside one 30-min-gap session, then a 31-min gap
+        (1, ts("2024-01-01 10:00:00"), 1),
+        (1, ts("2024-01-01 10:29:00"), 2),
+        (1, ts("2024-01-01 10:59:00"), 3),  # 30:00 gap exactly -> SAME session
+        (1, ts("2024-01-01 11:30:01"), 4),  # 31:01 gap -> new session
+        # user 2: single event
+        (2, ts("2024-01-01 09:00:00"), 5),
+        # user 3: two events with identical ts (tie-break on event_id)
+        (3, ts("2024-01-01 08:00:00"), 7),
+        (3, ts("2024-01-01 08:00:00"), 6),
+    ]
+    return rows_source(spark, data, schema)
+
+
+def test_sessionize_gap_boundaries(clickstream):
+    from etl_platform_nyc_taxi_spark.operators.windows import sessionize
+
+    out = sessionize(
+        clickstream, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    got = {r.event_id: r.session_seq for r in out.collect()}
+    # gap == gap_seconds stays in-session; only strictly-greater splits
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 2
+    assert got[5] == 1
+    assert got[6] == 1 and got[7] == 1
+
+
+def test_session_stats_aggregates(clickstream):
+    from etl_platform_nyc_taxi_spark.operators.windows import session_stats
+
+    out = session_stats(
+        clickstream, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    by_key = {(r.user_id, r.session_seq): r for r in out.collect()}
+    s11 = by_key[(1, 1)]
+    assert s11.n_events == 3
+    assert s11.duration_s == 59 * 60
+    assert s11.session_start == ts("2024-01-01 10:00:00")
+    assert s11.session_end == ts("2024-01-01 10:59:00")
+    s12 = by_key[(1, 2)]
+    assert s12.n_events == 1 and s12.duration_s == 0
+    assert (3, 1) in by_key and by_key[(3, 1)].n_events == 2
+
+
+def test_sessionize_single_shuffle_plan(clickstream):
+    """Both window passes and the final group-by must reuse ONE hash
+    partitioning on user_id — extra exchanges would be a scale bug."""
+    from etl_platform_nyc_taxi_spark.operators.windows import session_stats
+
+    plan = session_stats(clickstream, "user_id", "ts")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# SQL surface
+# ---------------------------------------------------------------------------
+
+
+def test_register_tables_idempotent(spark):
+    from etl_platform_nyc_taxi_spark.sql import register_tables, run_sql
+
+    register_tables(spark, SF)
+    register_tables(spark, SF)  # no-op second time
+    n = run_sql(spark, SF, "SELECT COUNT(*) AS n FROM region").collect()[0].n
+    assert n == 5
+
+
+def test_sql_matches_dataframe_plan_results(spark):
+    """The SQL surface and the DataFrame chain must agree exactly."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    via_sql = run_sql(
+        spark, SF, "SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag"
+    )
+    via_df = (
+        load_fixture(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert rows(via_sql) == rows(via_df)
+
+
+# ---------------------------------------------------------------------------
+# multi-join plans: broadcast audit
+# ---------------------------------------------------------------------------
+
+
+def test_join_fact_fact_broadcasts_customer(spark):
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    plan = QUERIES["join_fact_fact"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_join_snowflake_no_cartesian(spark):
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    plan = QUERIES["join_snowflake"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# pivot / explode / percentiles / approx
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_zero_fills_missing_cells(spark):
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(
+        spark,
+        [(ts("2024-01-01 10:00:00"), "click"), (ts("2024-01-01 11:00:00"), "view")],
+        "ts timestamp, event_type string",
+    )
+    cats = ["click", "view", "purchase"]
+    p = df.groupBy(F.to_date("ts").alias("d")).pivot("event_type", cats).agg(
+        F.count(F.lit(1))
+    )
+    out = p.select(
+        "d", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cats]
+    ).collect()[0]
+    assert (out.click, out.view, out.purchase) == (1, 1, 0)
+
+
+def test_explode_tokens_multiplicity(spark):
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    df = rows_source(spark, [(1, "a b a")], "doc_id long, text string")
+    out = df.select("doc_id", F.explode(tokens_ws("text")).alias("token")).collect()
+    assert sorted(r.token for r in out) == ["a", "a", "b"]
+
+
+def test_percentile_exact_interpolation(spark):
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(spark, [(float(v),) for v in (1, 2, 3, 4)], "v double")
+    got = df.agg(
+        F.percentile("v", 0.5).alias("p50"), F.percentile("v", 0.25).alias("p25")
+    ).collect()[0]
+    assert got.p50 == 2.5  # PERCENTILE_CONT linear interpolation
+    assert got.p25 == 1.75
+
+
+def test_approx_aggregates_accuracy(spark):
+    """agg_approx has no SQL oracle — pin sketch accuracy vs exact here."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    approx = {r.event_type: r for r in QUERIES["agg_approx"](spark, SF).collect()}
+    e = load_fixture(spark, SF, "events")
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.percentile("value", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        x = exact[et]
+        assert abs(a.approx_users - x.users) <= max(3, 0.05 * x.users), et
+        # percentile_approx with accuracy=10000 should sit within 1% of exact
+        assert abs(a.value_quantiles[0] - x.p50) <= max(0.01 * abs(x.p50), 1e-6), et
+
+
+# ---------------------------------------------------------------------------
+# grouping sets
+# ---------------------------------------------------------------------------
+
+
+def test_grouping_sets_marginals_match_separate_aggs(spark):
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    gs = run_sql(
+        spark,
+        SF,
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+           FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+    )
+    li = load_fixture(spark, SF, "lineitem")
+    per_flag = {r.l_returnflag: r.cnt for r in li.groupBy("l_returnflag").count().withColumnRenamed("count", "cnt").collect()}
+    got_flag = {
+        r.l_returnflag: r.cnt for r in gs.collect() if r.l_linestatus is None
+    }
+    assert got_flag == per_flag
