@@ -1417,3 +1417,31 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     out = session_stats(e, user_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak=["event_id"])
     return out.withColumn("session_seq", F.col("session_seq").cast("long"))
+
+
+@register("streaming_sessionize")  # stateful streaming — not SQL-expressible
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization via applyInPandasWithState
+    (streaming/sessions.py): per-user state extends/closes sessions across
+    micro-batches; event-time timeout flushes idle ones. Emits CLOSED
+    sessions only (append mode) — users' final sessions may stay open, so
+    no batch-SQL oracle; exact closed-session bounds vs the batch
+    sessionizer are pinned in tests/test_streaming.py."""
+    import tempfile
+
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.sessions import sessionize_stream
+
+    stream = read_stream_auto(spark, f"{sf_dir}/events.parquet")
+    out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+    sink = f"stream_sessions_{next(_STREAM_RUNS)}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sessions_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

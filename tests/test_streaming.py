@@ -57,3 +57,68 @@ def test_stream_single_file_glob(spark, tmp_path):
     run_available_now(agg, "t_stream_one", str(tmp_path / "ckpt2"))
     out = spark.table("t_stream_one").collect()
     assert len(out) == 1 and out[0]["transaction_date"] == dt.date(2024, 1, 1)
+
+
+def test_streaming_sessionize_closes_on_gap(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions followed by later
+    same-user activity MUST be emitted as closed; each user's final session
+    may stay open in state (it could still continue on a real stream)."""
+    from etl_platform_nyc_taxi_spark.operators.windows import session_stats
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.sessions import sessionize_stream
+
+    rows = [
+        # user 1: session A (2 events), 40-min gap, session B (1 event),
+        # then a far-future event so B also closes within the batch
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 10, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 50, 0)),
+        (1, dt.datetime(2024, 1, 2, 12, 0, 0)),
+        # user 2: one session only — may remain open (no later activity)
+        (2, dt.datetime(2024, 1, 1, 9, 0, 0)),
+        (2, dt.datetime(2024, 1, 1, 9, 5, 0)),
+    ]
+    src = str(tmp_path / "sess_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    out = sessionize_stream(read_stream_auto(spark, src), gap_seconds=1800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events): r
+        for r in spark.table("t_stream_sessions").collect()
+    }
+
+    # batch truth for comparison
+    batch = session_stats(
+        rows_source(spark, rows, "user_id long, ts timestamp"), "user_id", "ts"
+    ).collect()
+    last_start_per_user = {}
+    for r in batch:
+        k = last_start_per_user.get(r.user_id)
+        if k is None or r.session_start > k:
+            last_start_per_user[r.user_id] = r.session_start
+
+    for r in batch:
+        key = (r.user_id, r.session_start, r.n_events)
+        if r.session_start < last_start_per_user[r.user_id]:
+            # non-final session: must have closed, with identical bounds
+            assert key in got, f"missing closed session {key}"
+            assert got[key].session_end == r.session_end
+            assert got[key].duration_s == r.duration_s
+        elif key in got:
+            # final session emitted only via timeout — bounds still exact
+            assert got[key].session_end == r.session_end
+    # nothing emitted that batch doesn't know about
+    batch_keys = {(r.user_id, r.session_start, r.n_events) for r in batch}
+    assert set(got) <= batch_keys
