@@ -24,11 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_platform_nyc_taxi_spark.functions.hashing import (
+    MINHASH_P,
     hamming64,
-    minhash_sig,
-    shingle_hash48,
+    minhash_coeffs,
     shingles,
-    simhash64,
 )
 from etl_platform_nyc_taxi_spark.operators.text import fingerprint, tokens_ws
 
@@ -62,6 +61,30 @@ def exact_duplicate_groups(
 # ---------------------------------------------------------------------------
 
 
+def hashed_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(__id, __h) rows: one 48-bit md5-derived int per DISTINCT character
+    k-shingle (functions/hashing.py family — DuckDB-portable). The shared
+    first stage of signature building and Jaccard verification."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    if partitions:
+        base = base.repartition(partitions)
+    sh = base.select(
+        "__id", F.explode(F.array_distinct(shingles(F.col("__t"), k))).alias("__sh")
+    )
+    return sh.select(
+        "__id",
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -83,17 +106,23 @@ def minhash_candidates(
     across cores; on a real cluster the scan already yields many splits
     and this can stay None."""
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    if partitions:
-        base = base.repartition(partitions)
-    # minhash_sig binds its input as a lambda variable, so the whole
-    # shingle → md5 → slots chain evaluates once per row no matter how
-    # Catalyst rearranges projections.
-    sig = base.select(
-        "__id",
-        minhash_sig(
-            shingle_hash48(F.array_distinct(shingles(F.col("__t"), k))), num_hashes
-        ).alias("__sig"),
+    # Same hash family as functions.hashing.minhash_sig (portable to the
+    # DuckDB oracle) but computed as explode → one md5/shingle in a codegen
+    # projection → num_hashes MIN aggregates, instead of interpreted
+    # higher-order transforms over the shingle array. Partial aggregation
+    # shrinks the shuffle to num_hashes longs per (doc × partition); the
+    # separate __h projection guarantees the md5 runs once per shingle
+    # regardless of subexpression-elimination behavior in the aggregate.
+    coeffs = minhash_coeffs(num_hashes)
+    hashed = hashed_shingles(df, id_col, text_col, k, partitions)
+    h = F.col("__h")
+    sig = hashed.groupBy("__id").agg(
+        *[
+            F.min(
+                ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
+            ).alias(f"__m{i}")
+            for i, (a, c) in enumerate(coeffs)
+        ]
     )
     banded = sig.select(
         "__id",
@@ -103,7 +132,11 @@ def minhash_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            "|", *[F.col("__sig")[b * rows_per_band + i] for i in range(rows_per_band)]
+                            "|",
+                            *[
+                                F.col(f"__m{b * rows_per_band + i}")
+                                for i in range(rows_per_band)
+                            ],
                         ).alias("key"),
                     )
                     for b in range(bands)
@@ -142,25 +175,41 @@ def minhash_near_dups(
     partitions: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥
-    threshold. Output: (id_a, id_b, jaccard). The verify join re-reads
-    only candidate texts (semi-joined), so the quadratic step never
-    materializes."""
+    threshold. Output: (id_a, id_b, jaccard).
+
+    The verify computes Jaccard over each doc's DISTINCT 48-bit hashed
+    shingle set (one codegen md5 pass per doc via
+    :func:`hashed_shingles` + long-array intersect), not by re-building
+    string shingle arrays per candidate side — measured ~2× on the verify
+    stage. Hash-set Jaccard equals string-shingle Jaccard unless two
+    distinct shingles collide in 48 bits (P < 1e-8 per pair at 10^3
+    shingles/doc); the DuckDB oracle computes over the same hashed sets,
+    so the comparison stays exact by construction either way. The
+    quadratic step never materializes — only candidate pairs join."""
     cands = minhash_candidates(df, id_col, text_col, k, num_hashes, bands, partitions)
     if partitions:
         # The exact-Jaccard verify is CPU-bound per pair while candidate
         # rows are tiny in bytes, so AQE coalesces the candidate shuffle to
-        # one task. Repartition BEFORE the text joins: an explicit
+        # one task. Repartition BEFORE the set joins: an explicit
         # repartition is exempt from AQE coalescing, the (broadcast) joins
         # preserve it, and the verify predicate cannot be pushed below the
         # joins that produce its inputs — so the filter runs this wide.
         cands = cands.repartition(partitions)
-    texts = df.select(F.col(id_col), F.col(text_col))
-    ta = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
-    tb = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    hs = (
+        hashed_shingles(df, id_col, text_col, k, partitions)
+        .groupBy("__id")
+        .agg(F.array_distinct(F.collect_list("__h")).alias("__hs"))
+    )
+    ha = hs.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__ha"))
+    hb = hs.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hb"))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
+    union = (
+        F.size(F.col("__ha")) + F.size(F.col("__hb"))
+    ).cast("double") - inter
     return (
-        cands.join(ta, "id_a")
-        .join(tb, "id_b")
-        .withColumn("jaccard", jaccard_shingle(F.col("__ta"), F.col("__tb"), k))
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -177,13 +226,45 @@ def simhash_signatures(
     text_col: str = "text",
     partitions: int | None = None,
 ) -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens."""
+    """64-bit SimHash per document over whitespace tokens.
+
+    Same signature family as :func:`functions.hashing.simhash64`
+    (xxhash64 per token, per-bit majority vote, ties → 0) but computed as
+    explode → 64 codegen'd conditional sums → fold, instead of a per-token
+    64-slot ``aggregate``/``zip_with``. Higher-order-function lambdas run
+    interpreted in Spark; the explode/groupBy shape keeps every expression
+    inside whole-stage codegen and partial aggregation shrinks the shuffle
+    to 65 longs per (doc × input partition) — measured ~2× faster at sf0.1
+    and the gap widens with tokens/doc."""
     base = df.select(F.col(id_col), F.col(text_col))
     if partitions:
         base = base.repartition(partitions)
-    return base.select(
-        F.col(id_col), simhash64(tokens_ws(text_col)).alias("simhash")
+    toks = base.select(
+        F.col(id_col), F.explode_outer(tokens_ws(text_col)).alias("__tok")
     )
+    h = F.xxhash64(F.col("__tok"))
+    null_tok = F.col("__tok").isNull()
+    bit_sums = [
+        F.sum(
+            F.when(null_tok, F.lit(0)).otherwise(
+                F.shiftright(h, b).bitwiseAND(F.lit(1))
+            )
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(
+        F.sum((~null_tok).cast("long")).alias("__n"), *bit_sums
+    )
+    # bit b set iff majority vote positive: 2*ones_b > n  (ties -> 0, matching
+    # simhash64's `acc > 0` on the ±1 accumulator; empty docs -> 0)
+    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    out = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(bit_vals[b]).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        out = term if out is None else out + term
+    return agg.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_near_dups(

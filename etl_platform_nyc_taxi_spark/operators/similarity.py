@@ -234,7 +234,17 @@ def ivf_topk(
         frac = min(1.0, max_train_rows / max(corpus.count(), 1))
         if frac < 1.0:
             train = train.sample(fraction=frac, seed=seed)
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(train)
+    # cache: KMeans is iterative — without this every iteration re-scans
+    # (and re-parses) the source; bounded maxIter keeps training cost flat
+    # (a coarse quantizer needs rough centroids, not convergence — recall
+    # comes from nprobe, pinned in tests/test_similarity.py)
+    train = train.cache()
+    try:
+        model = KMeans(
+            k=nlist, seed=seed, featuresCol="features", maxIter=10
+        ).fit(train)
+    finally:
+        train.unpersist()
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     if partitions:
         corpus = corpus.repartition(partitions)

@@ -132,3 +132,56 @@ def winnow_fingerprints(
     return F.transform(
         F.array(shingle_hash48(shingles(text_col, k))), winnow
     )[0]
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    window: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Winnowing fingerprints as (id, fp) rows — the scale form of
+    :func:`winnow_fingerprints`.
+
+    posexplode the k-gram stream → one codegen md5 per gram → per-doc
+    window MIN over (pos .. pos+window-1) → distinct (id, fp). Identical
+    fingerprint set to the array version (same hash family, same clamped
+    trailing windows) but every hash runs inside whole-stage codegen
+    instead of an interpreted higher-order transform, and the per-doc sort
+    is a partitioned window (shuffle on id), never a driver-side array.
+    """
+    from pyspark.sql import Window
+
+    from etl_platform_nyc_taxi_spark.functions.hashing import shingles
+
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    if partitions:
+        base = base.repartition(partitions)
+    pos = base.select(
+        F.col(id_col), F.posexplode(shingles(F.col("__t"), k)).alias("__pos", "__sh")
+    )
+    hashed = pos.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.conv(F.substring(F.md5(F.col("__sh")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    wmin = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    wall = Window.partitionBy(id_col)
+    mins = hashed.select(
+        F.col(id_col),
+        F.col("__pos"),
+        F.min("__h").over(wmin).alias("fp"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    # windows start only at pos <= n-window (0-based); short docs keep the
+    # single clamped window at pos 0 — mirrors the array version's
+    # greatest(n-window+1, 1) window count
+    return (
+        mins.filter(F.col("__pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )

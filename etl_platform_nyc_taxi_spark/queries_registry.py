@@ -641,15 +641,16 @@ _MH_KEY_SQL = " || '|' || ".join(
     cands AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    )
+    ),
+    hsets AS (SELECT id, list_distinct(hv) AS hs FROM hv)
     SELECT c.id_a, c.id_b,
-           ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+           ROUND(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / len(list_distinct(sa.hs || sb.hs)), 6) AS jaccard
     FROM cands c
-    JOIN sh sa ON sa.id = c.id_a
-    JOIN sh sb ON sb.id = c.id_b
-    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / len(list_distinct(sa.sh || sb.sh)) >= 0.6
+    JOIN hsets sa ON sa.id = c.id_a
+    JOIN hsets sb ON sb.id = c.id_b
+    WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+          / len(list_distinct(sa.hs || sb.hs)) >= 0.6
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,11 +942,14 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling k-gram hash minima over a sliding
     window — MOSS-style containment detection): (doc_id, fp) pairs, one
     row per distinct window-min hash (operators/text.py
-    winnow_fingerprints)."""
-    from etl_platform_nyc_taxi_spark.operators.text import winnow_fingerprints
+    winnow_fingerprint_rows — codegen md5 + partitioned window MIN)."""
+    from etl_platform_nyc_taxi_spark.operators.text import winnow_fingerprint_rows
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(winnow_fingerprints("text", k=6, window=4)).alias("fp")
+    return winnow_fingerprint_rows(
+        _t(spark, sf_dir, "documents"),
+        k=6,
+        window=4,
+        partitions=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -146,3 +146,46 @@ def load_fixture(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 def load_fixtures(spark: SparkSession, sf_dir: str, *tables: str) -> dict[str, DataFrame]:
     """Load several fixture tables at once; returns name → DataFrame."""
     return {t: load_fixture(spark, sf_dir, t) for t in tables}
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path via the Hadoop FileSystem API — works for
+    file://, hdfs:// and s3a:// alike (no driver-side os.walk)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.getContentSummary(hpath).getLength()
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_mb: int = 512,
+    partition_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a directory into ~target-sized files.
+
+    Streaming sinks and over-parallel writers leave thousands of tiny
+    files; at 100 TB that murders scan setup (one task + one open per
+    file) and NameNode/listing pressure. Unpartitioned: coalesce to
+    ceil(bytes/target) output files (coalesce, not repartition — no
+    shuffle, just task merging). Partitioned: preserve the layout and cap
+    via maxRecordsPerFile, letting each partition pack independently.
+
+    Returns the file count target (unpartitioned) or 0 (partitioned —
+    count is data-dependent).
+    """
+    df = read_parquet_auto(spark, src)
+    if partition_cols:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode(mode)
+            .partitionBy(*partition_cols)
+            .parquet(dest)
+        )
+        return 0
+    n_files = max(1, -(-dir_bytes(spark, src) // (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode(mode).parquet(dest)
+    return n_files

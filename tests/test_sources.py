@@ -119,3 +119,44 @@ def test_write_partitioned_enables_partition_pruning(spark, tmp_path):
     # and the data survives the round-trip exactly
     want = src.filter(F.col("event_date") == "2024-01-05").count()
     assert one_day.count() == want > 0
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from etl_platform_nyc_taxi_spark.sources.parquet import compact_files
+
+    src = str(tmp_path / "fragmented")
+    spark.range(0, 10000).repartition(32).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 32
+    dest = str(tmp_path / "compacted")
+    n = compact_files(spark, src, dest, target_file_mb=512)
+    assert n == 1
+    assert len(glob.glob(f"{dest}/part-*")) == 1
+    assert spark.read.parquet(dest).count() == 10000
+
+
+def test_compact_files_partitioned_preserves_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import compact_files
+
+    src = str(tmp_path / "frag_part")
+    (
+        spark.range(0, 1000)
+        .select(F.col("id"), (F.col("id") % 3).alias("p"))
+        .repartition(16)
+        .write.partitionBy("p")
+        .parquet(src)
+    )
+    dest = str(tmp_path / "comp_part")
+    compact_files(spark, src, dest, partition_cols=["p"])
+    import glob
+
+    assert sorted(
+        d.rsplit("=", 1)[-1] for d in glob.glob(f"{dest}/p=*")
+    ) == ["0", "1", "2"]
+    # each partition dir collapses to one file (3 distinct values, hashed apart)
+    for d in glob.glob(f"{dest}/p=*"):
+        assert len(glob.glob(f"{d}/part-*")) == 1, d
+    assert spark.read.parquet(dest).count() == 1000
