@@ -20,6 +20,8 @@ oracle-checkable in DuckDB (functions/hashing.py).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -225,24 +227,34 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     partitions: int | None = None,
+    nbits: int = 64,
+    token_hash: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
-    """64-bit SimHash per document over whitespace tokens.
+    """``nbits``-bit SimHash per document over whitespace tokens.
 
     Same signature family as :func:`functions.hashing.simhash64`
-    (xxhash64 per token, per-bit majority vote, ties → 0) but computed as
-    explode → 64 codegen'd conditional sums → fold, instead of a per-token
-    64-slot ``aggregate``/``zip_with``. Higher-order-function lambdas run
-    interpreted in Spark; the explode/groupBy shape keeps every expression
-    inside whole-stage codegen and partial aggregation shrinks the shuffle
-    to 65 longs per (doc × input partition) — measured ~2× faster at sf0.1
-    and the gap widens with tokens/doc."""
+    (per-token hash, per-bit majority vote, ties → 0) but computed as
+    explode → ``nbits`` codegen'd conditional sums → fold, instead of a
+    per-token slot ``aggregate``/``zip_with``. Higher-order-function
+    lambdas run interpreted in Spark; the explode/groupBy shape keeps
+    every expression inside whole-stage codegen and partial aggregation
+    shrinks the shuffle to nbits+1 longs per (doc × input partition) —
+    measured ~2× faster at sf0.1 and the gap widens with tokens/doc.
+
+    ``token_hash`` defaults to xxhash64 (fast, Spark-only). Pass
+    ``lambda c: portable_hash64(c, 60)`` with ``nbits=60`` for the
+    md5-prefix family that the DuckDB oracle replicates bit-for-bit
+    (functions/hashing.py)."""
+    if not 1 <= nbits <= 64:
+        raise ValueError("nbits must be in [1, 64]")
     base = df.select(F.col(id_col), F.col(text_col))
     if partitions:
         base = base.repartition(partitions)
     toks = base.select(
         F.col(id_col), F.explode_outer(tokens_ws(text_col)).alias("__tok")
     )
-    h = F.xxhash64(F.col("__tok"))
+    hash_fn = token_hash or (lambda c: F.xxhash64(c))
+    h = hash_fn(F.col("__tok"))
     null_tok = F.col("__tok").isNull()
     bit_sums = [
         F.sum(
@@ -250,16 +262,17 @@ def simhash_signatures(
                 F.shiftright(h, b).bitwiseAND(F.lit(1))
             )
         ).alias(f"__b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = toks.groupBy(id_col).agg(
         F.sum((~null_tok).cast("long")).alias("__n"), *bit_sums
     )
     # bit b set iff majority vote positive: 2*ones_b > n  (ties -> 0, matching
-    # simhash64's `acc > 0` on the ±1 accumulator; empty docs -> 0)
-    bit_vals = [1 << b for b in range(63)] + [-(1 << 63)]
+    # simhash64's `acc > 0` on the ±1 accumulator; empty docs -> 0).
+    # Bit 63, when present, is the sign bit: its set-value is -(2^63).
+    bit_vals = [-(1 << 63) if b == 63 else 1 << b for b in range(nbits)]
     out = None
-    for b in range(64):
+    for b in range(nbits):
         term = F.when(
             F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(bit_vals[b]).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -274,17 +287,23 @@ def simhash_near_dups(
     max_hamming: int = 3,
     blocks: int = 4,
     partitions: int | None = None,
+    nbits: int = 64,
+    token_hash: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via bit-block banding.
 
-    Split the 64-bit signature into ``blocks`` 16-bit blocks; by
+    Split the ``nbits``-bit signature into ``blocks`` equal bit-blocks; by
     pigeonhole, any pair within Hamming ≤ blocks-1 shares ≥1 exact block —
     equi-join per block, then verify with bit_count. Needs
-    ``blocks > max_hamming`` for completeness."""
+    ``blocks > max_hamming`` for completeness. See
+    :func:`simhash_signatures` for the portable (oracle-checkable)
+    ``nbits=60`` + md5 token-hash configuration."""
     if blocks <= max_hamming:
         raise ValueError("need blocks > max_hamming for exact recall")
-    width = 64 // blocks
-    sigs = simhash_signatures(df, id_col, text_col, partitions)
+    if nbits % blocks:
+        raise ValueError("nbits must divide evenly into blocks")
+    width = nbits // blocks
+    sigs = simhash_signatures(df, id_col, text_col, partitions, nbits, token_hash)
     banded = sigs.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),

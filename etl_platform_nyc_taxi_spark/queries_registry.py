@@ -23,7 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_platform_nyc_taxi_spark.functions.hashing import MINHASH_P, minhash_coeffs
+from etl_platform_nyc_taxi_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_coeffs,
+    portable_hash64,
+)
 from etl_platform_nyc_taxi_spark.operators.core import union_by_name
 from etl_platform_nyc_taxi_spark.operators.dedup import (
     exact_duplicate_groups,
@@ -387,7 +391,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_running_sum",
     """
-    SELECT d, cnt, SUM(cnt) OVER (ORDER BY d) AS running_total
+    SELECT d, cnt, CAST(SUM(cnt) OVER (ORDER BY d) AS BIGINT) AS running_total
     FROM (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS cnt FROM events GROUP BY d)
     """,
 )
@@ -707,16 +711,65 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash")  # xxhash64-based — not portable; rows-only check
+# Portable SimHash mirrored into DuckDB: 60-bit signature (sign-bit-free in
+# both engines), md5-prefix token hash, per-bit majority vote, 4 blocks of
+# 15 bits (pigeonhole-complete for Hamming <= 3). SUMs are cast back from
+# DuckDB's HUGEINT; bit_count's TINYINT is cast to match Spark's INT.
+_SH_NBITS, _SH_BLOCKS, _SH_MAXHAM = 60, 4, 3
+_SH_WIDTH = _SH_NBITS // _SH_BLOCKS
+_SH_MASK = (1 << _SH_WIDTH) - 1
+_SH_BITSUMS_SQL = ",\n             ".join(
+    f"SUM((h >> {b}) & 1) AS b{b}" for b in range(_SH_NBITS)
+)
+_SH_FOLD_SQL = "\n               + ".join(
+    f"(CASE WHEN 2*b{b} > n THEN {1 << b} ELSE 0 END)" for b in range(_SH_NBITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    rf"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    toks AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM corpus
+    ),
+    th AS (
+      SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+    ),
+    bits AS (
+      SELECT id, COUNT(*) AS n,
+             {_SH_BITSUMS_SQL}
+      FROM th GROUP BY id
+    ),
+    sig AS (
+      SELECT id,
+             CAST({_SH_FOLD_SQL} AS BIGINT) AS simhash
+      FROM bits
+    ),
+    banded AS (
+      SELECT id, simhash, b.b AS block,
+             (simhash >> CAST(b.b * {_SH_WIDTH} AS INTEGER)) & {_SH_MASK} AS key
+      FROM sig, (SELECT unnest(range(0,{_SH_BLOCKS})) AS b) b
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM banded a JOIN banded b ON a.block = b.block AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_MAXHAM}
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit block banding (Hamming ≤ 3).
-    Uses Spark's xxhash64 (no DuckDB equivalent) → rows-only oracle;
-    correctness pinned in tests/test_dedup.py instead."""
+    """SimHash near-dup pairs via 15-bit block banding (Hamming ≤ 3) on a
+    60-bit md5-portable signature — the DuckDB oracle replicates the token
+    hash, majority vote, banding, and Hamming verify bit-for-bit
+    (functions/hashing.py portable family, as with MinHash)."""
     return simhash_near_dups(
         _docs_with_mutants(spark, sf_dir),
-        max_hamming=3,
-        blocks=4,
+        max_hamming=_SH_MAXHAM,
+        blocks=_SH_BLOCKS,
         partitions=spark.sparkContext.defaultParallelism,
+        nbits=_SH_NBITS,
+        token_hash=lambda c: portable_hash64(c, _SH_NBITS),
     )
 
 
@@ -1380,9 +1433,12 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     are engine-specific, so no SQL oracle; accuracy vs exact is pinned in
     tests/test_plans.py (HLL rsd <= 5%, quantile within 1%)."""
     e = _t(spark, sf_dir, "events")
+    q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("value_quantiles"),
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p90"),
+        F.element_at(q, 3).alias("p99"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

@@ -193,7 +193,7 @@ def test_approx_aggregates_accuracy(spark):
         x = exact[et]
         assert abs(a.approx_users - x.users) <= max(3, 0.05 * x.users), et
         # percentile_approx with accuracy=10000 should sit within 1% of exact
-        assert abs(a.value_quantiles[0] - x.p50) <= max(0.01 * abs(x.p50), 1e-6), et
+        assert abs(a.p50 - x.p50) <= max(0.01 * abs(x.p50), 1e-6), et
 
 
 # ---------------------------------------------------------------------------
