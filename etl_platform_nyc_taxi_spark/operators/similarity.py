@@ -199,6 +199,78 @@ def lsh_topk(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer ONCE (ingest-time, not query-time).
+
+    KMeans on a ``limit``-bounded slice — ``limit`` instead of
+    count-then-sample avoids an extra full pass over the corpus just to
+    compute a fraction (a coarse quantizer needs rough centroids from any
+    large-enough slice, not an unbiased sample; recall comes from nprobe,
+    pinned in tests/test_similarity.py). The slice is cached because
+    KMeans is iterative (~10 passes); bounded maxIter keeps cost flat.
+    Returns plain Python lists — persist them (they're nlist × dim
+    floats) and hand to :func:`ivf_topk` / :func:`assign_ivf_lists`.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if max_train_rows:
+        train = train.limit(max_train_rows)
+    train = train.cache()
+    try:
+        model = KMeans(
+            k=nlist, seed=seed, featuresCol="features", maxIter=10
+        ).fit(train)
+    finally:
+        train.unpersist()
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _dist2(vec: Column, center: list[float]) -> Column:
+    clit = F.array(*[F.lit(x) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, clit, lambda a, b: (a.cast("double") - b) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_lists(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """ids of the n closest centroids, via sort of (dist, id) structs —
+    pure expressions: centroids compile into the plan as literals."""
+    d = F.array(
+        *[
+            F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(d), lambda s: s["i"]), 1, n)
+
+
+def assign_ivf_lists(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Ingest-time inverted-list assignment: nearest-centroid id per row.
+
+    At 100 TB run this once and write the corpus partitioned by
+    ``list_col`` (sources/parquet.write_partitioned) — queries then scan
+    nprobe/nlist of the data with partition pruning doing the list
+    selection. Pure projection: no UDF, no shuffle, stays in codegen."""
+    return corpus.withColumn(
+        list_col, _nearest_lists(F.col(vec_col), centroids, 1)[0]
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -211,71 +283,31 @@ def ivf_topk(
     seed: int = 42,
     max_train_rows: int = 100_000,
     partitions: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans coarse quantizer + nprobe search.
 
-    Train ``nlist`` centroids (pyspark.ml KMeans on a bounded sample),
-    assign every corpus vector to its nearest centroid — the inverted
-    list — then search only the ``nprobe`` closest lists per query with
-    exact cosine rerank. Centroids are driver-side constants compiled
-    into the plan as literals (nlist × dim doubles), so assignment is
-    pure expression work: no UDF, no shuffle beyond the bucket join.
-
-    At 100 TB the assignment runs once at ingest and the corpus is
-    written partitioned by list id; a query then scans nprobe/nlist of
-    the data — the same plan shape as here with partition pruning doing
-    the list selection. Approximate like :func:`lsh_topk`; recall floor
-    pinned in tests/test_similarity.py."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    if max_train_rows:
-        frac = min(1.0, max_train_rows / max(corpus.count(), 1))
-        if frac < 1.0:
-            train = train.sample(fraction=frac, seed=seed)
-    # cache: KMeans is iterative — without this every iteration re-scans
-    # (and re-parses) the source; bounded maxIter keeps training cost flat
-    # (a coarse quantizer needs rough centroids, not convergence — recall
-    # comes from nprobe, pinned in tests/test_similarity.py)
-    train = train.cache()
-    try:
-        model = KMeans(
-            k=nlist, seed=seed, featuresCol="features", maxIter=10
-        ).fit(train)
-    finally:
-        train.unpersist()
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    Pass ``centroids`` from :func:`fit_ivf_centroids` (the ingest-time
+    path — the query plan then contains no action besides the final one);
+    omitting them self-trains as a convenience. Every corpus vector is
+    assigned to its nearest centroid — the inverted list — then only the
+    ``nprobe`` closest lists per query are searched with exact cosine
+    rerank. Centroids are driver-side constants compiled into the plan as
+    literals (nlist × dim doubles), so assignment is pure expression
+    work: no UDF, no shuffle beyond the bucket join. Approximate like
+    :func:`lsh_topk`; recall floor pinned in tests/test_similarity.py."""
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, vec_col, nlist, seed, max_train_rows)
     if partitions:
         corpus = corpus.repartition(partitions)
 
-    def dist2(vec: Column, center: list[float]) -> Column:
-        clit = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(vec, clit, lambda a, b: (a.cast("double") - b) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def nearest_lists(vec: Column, n: int) -> Column:
-        """ids of the n closest centroids, via sort of (dist, id) structs."""
-        d = F.array(
-            *[
-                F.struct(dist2(vec, c).alias("d"), F.lit(i).alias("i"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.transform(F.array_sort(d), lambda s: s["i"]), 1, n)
-
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        nearest_lists(F.col(vec_col), 1)[0].alias("__list"),
+    c = assign_ivf_lists(corpus, centroids, vec_col, "__list").select(
+        F.col(id_col), F.col(vec_col), F.col("__list")
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("__list"),
+        F.explode(_nearest_lists(F.col(vec_col), centroids, nprobe)).alias("__list"),
     )
     scored = (
         c.join(F.broadcast(q), on="__list")
