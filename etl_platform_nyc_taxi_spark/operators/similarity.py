@@ -94,6 +94,33 @@ def _signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def table_signatures_udf(
+    num_planes: int, num_tables: int, dim: int, seed: int = 42
+):
+    """Vectorized signature stage shared by :func:`lsh_topk` and
+    :func:`embedding_near_dups_lsh`: all per-table bucket signatures in
+    one Arrow batch — an (n, dim) × (dim, T·r) matmul + sign + bit-pack.
+    ~15× the interpreted zip_with/aggregate path; this is the
+    vectorized-UDF exception the engine otherwise avoids (T·r dot
+    products/row is matmul work)."""
+    all_planes = _hyperplanes(dim, num_planes * num_tables, seed)
+    plane_mat = np.array(all_planes)  # (num_tables*num_planes, dim)
+    bit_weights = 1 << np.arange(num_planes)
+
+    @F.pandas_udf("array<long>")
+    def _table_sigs(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(embs.to_numpy())
+        bits = (m @ plane_mat.T) >= 0  # (n, T*r)
+        buckets = (bits.reshape(len(m), num_tables, num_planes) * bit_weights).sum(
+            axis=2
+        )
+        return pd.Series(list(buckets.astype("int64")))
+
+    return _table_sigs
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,24 +148,7 @@ def lsh_topk(
     touch only matching partitions. Output schema matches
     :func:`brute_force_topk`; rows may be missing vs exact (that's the
     deal — recall floor pinned in tests/test_similarity.py)."""
-    all_planes = _hyperplanes(dim, num_planes * num_tables, seed)
-    plane_mat = np.array(all_planes)  # (num_tables*num_planes, dim)
-    bit_weights = 1 << np.arange(num_planes)
-
-    @F.pandas_udf("array<long>")
-    def _table_sigs(embs: pd.Series) -> pd.Series:
-        """All per-table bucket signatures in one Arrow batch: an (n, dim)
-        × (dim, T*r) matmul + sign + bit-pack. ~15× the interpreted
-        zip_with/aggregate path — this is the vectorized-UDF exception the
-        engine otherwise avoids (48 dot products/row is matmul work)."""
-        if len(embs) == 0:
-            return pd.Series([], dtype=object)
-        m = np.stack(embs.to_numpy())
-        bits = (m @ plane_mat.T) >= 0  # (n, T*r)
-        buckets = (bits.reshape(len(m), num_tables, num_planes) * bit_weights).sum(
-            axis=2
-        )
-        return pd.Series(list(buckets.astype("int64")))
+    _table_sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
 
     if partitions:
         # signature + rerank compute dwarfs row bytes; small files read as
@@ -366,6 +376,50 @@ def embedding_near_dups(
             F.round(cos, 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB path that
+    :func:`embedding_near_dups`'s blocked-exact shape points to.
+
+    Candidates form ONLY inside matching (table, bucket) cells of the
+    multi-table hyperplane signature (:func:`table_signatures_udf`), so
+    no all-pairs join ever appears in the plan; the exact cosine verify
+    runs on candidates alone. For a pair at cosine ≥ t the per-plane
+    split probability is arccos(t)/π, so recall ≈
+    1-(1-(1-θ/π)^planes)^tables — at t=0.999 with 8×6 that is ≈1-2e-6;
+    the floor is pinned vs blocked-exact in tests/test_similarity.py.
+    Output matches :func:`embedding_near_dups`: (id_a, id_b, cosine)."""
+    sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
+    src = df.repartition(partitions) if partitions else df
+    base = src.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(b, on=["__table", "__bucket"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -987,6 +987,36 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_embedding_lsh")  # LSH-bucketed — approximate recall, rows-only
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via multi-table hyperplane LSH buckets —
+    the scale path of dedup_embedding_cosine: candidates only inside
+    matching (table, bucket) cells, never all-pairs. Recall ≈ 1-2e-6 at
+    cosine ≥ 0.999 with 8 planes × 6 tables (analysis in
+    operators/similarity.py); floor vs blocked-exact pinned in
+    tests/test_similarity.py. No blocking columns needed — the signature
+    IS the block."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return embedding_near_dups_lsh(
+        e.unionByName(m),
+        threshold=0.999,
+        num_planes=8,
+        num_tables=6,
+        dim=64,
+        partitions=_spread(spark, sf_dir, "embeddings"),
+    )
+
+
 @register(
     "doc_winnow",
     """

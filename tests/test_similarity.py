@@ -87,6 +87,42 @@ def test_embedding_norm(spark):
     assert df.select(embedding_norm("embedding").alias("n")).first()["n"] == 5.0
 
 
+def test_embedding_lsh_near_dups_vs_exact(spark):
+    """LSH-bucketed near-dup (the 100 TB path) vs the all-pairs exact
+    result on fixture embeddings + scaled mutants. Precision must be
+    perfect (the verify step computes exact cosine); recall floor is high
+    because cosine≥0.999 pairs split per-plane with P≈arccos(.999)/π."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    emb = load_fixture(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    mut = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(mut)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(corpus, threshold=0.999).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_lsh(
+            corpus, threshold=0.999, num_planes=8, num_tables=6, dim=64
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs (each vec + its mutant)"
+    # precision: every LSH pair is a true pair with the exact cosine
+    for pair, cos in approx.items():
+        assert pair in exact and cos == exact[pair]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.95, f"LSH near-dup recall {recall:.3f} below floor"
+
+
 def test_ivf_recall_against_brute_force(spark):
     """IVF (KMeans + nprobe) recall vs exact top-10. With nprobe/nlist =
     4/16 a quarter of the corpus is scanned — recall must beat that
