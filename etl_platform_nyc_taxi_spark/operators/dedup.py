@@ -188,7 +188,57 @@ def minhash_near_dups(
     shingles/doc); the DuckDB oracle computes over the same hashed sets,
     so the comparison stays exact by construction either way. The
     quadratic step never materializes — only candidate pairs join."""
-    cands = minhash_candidates(df, id_col, text_col, k, num_hashes, bands, partitions)
+    # ONE md5 pass for the whole pipeline: the per-doc hash-SET aggregate
+    # is the only relation that touches raw shingles. Signatures re-derive
+    # from it by explode → codegen MIN aggregates (pure integer work, no
+    # md5), and the verify joins it directly — every consumer sits on the
+    # same shuffle exchange, which Spark's ReuseExchange computes once.
+    hashed = hashed_shingles(df, id_col, text_col, k, partitions)
+    hs = hashed.groupBy("__id").agg(
+        F.array_distinct(F.collect_list("__h")).alias("__hs")
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    rows_per_band = num_hashes // bands
+    h = F.col("__h")
+    sig = (
+        hs.select("__id", F.explode("__hs").alias("__h"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.min(
+                    ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
+                ).alias(f"__m{i}")
+                for i, (a, c) in enumerate(coeffs)
+            ]
+        )
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"__m{b * rows_per_band + i}")
+                                for i in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cands = (
+        ba.join(bb, on=["band", "key"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
     if partitions:
         # The exact-Jaccard verify is CPU-bound per pair while candidate
         # rows are tiny in bytes, so AQE coalesces the candidate shuffle to
@@ -197,11 +247,6 @@ def minhash_near_dups(
         # preserve it, and the verify predicate cannot be pushed below the
         # joins that produce its inputs — so the filter runs this wide.
         cands = cands.repartition(partitions)
-    hs = (
-        hashed_shingles(df, id_col, text_col, k, partitions)
-        .groupBy("__id")
-        .agg(F.array_distinct(F.collect_list("__h")).alias("__hs"))
-    )
     ha = hs.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__ha"))
     hb = hs.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hb"))
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
