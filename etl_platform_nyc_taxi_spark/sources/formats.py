@@ -121,11 +121,22 @@ def quarantine_split(
 
     Spark refuses queries that prune a raw JSON/CSV scan down to only the
     corrupt column (SPARK-23271): a count/select on the bad side straight
-    off the file scan throws ``QUERY_ONLY_CORRUPT_RECORD_COLUMN``. Pass
-    ``materialize=True`` to cache the parsed batch first (fine for daily
-    increments); for a full 100 TB backfill, land the parse output to
-    parquet once (``ingest_to_parquet``) and split from there instead —
-    one pass, no cache pressure.
+    off the file scan throws ``QUERY_ONLY_CORRUPT_RECORD_COLUMN``.
+
+    Cache contract: ``materialize=True`` caches a DataFrame this function
+    owns and returns no handle to, so the cached batch pins executor
+    memory until the session ends — acceptable only for short-lived jobs
+    on daily-increment-sized batches. Long-lived sessions should manage
+    the cache themselves and leave ``materialize`` False::
+
+        df = raw.cache()
+        clean, bad = quarantine_split(df)
+        ...                     # consume both sides
+        df.unpersist()
+
+    For a full 100 TB backfill, land the parse output to parquet once
+    (``ingest_to_parquet``) and split from there instead — one pass, no
+    cache pressure.
     """
     from pyspark.sql import functions as F
 

@@ -15,6 +15,8 @@ the operator modules applies unchanged here.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
@@ -33,7 +35,12 @@ FIXTURE_TABLES = (
     "embeddings",
 )
 
-_REGISTERED: set[tuple[int, str]] = set()
+# Session -> registered sf_dir. Weak keys: a dead session's entry vanishes
+# with it (id()-keying would let CPython recycle the id for a NEW session
+# and silently skip its registration, and stale entries would accumulate).
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_tables(
@@ -45,14 +52,11 @@ def register_tables(
     ``sf_dir`` replaces the views (last registration wins, like a catalog
     ``USE``).
     """
-    key = (id(spark), sf_dir)
-    if key in _REGISTERED:
+    if _REGISTERED.get(spark) == sf_dir:
         return
     for t in tables:
         load_fixture(spark, sf_dir, t).createOrReplaceTempView(t)
-    # Invalidate prior registrations of this session against other dirs.
-    _REGISTERED.difference_update({k for k in _REGISTERED if k[0] == id(spark)})
-    _REGISTERED.add(key)
+    _REGISTERED[spark] = sf_dir
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

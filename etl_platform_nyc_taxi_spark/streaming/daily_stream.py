@@ -20,11 +20,14 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 
-def read_stream_auto(spark: SparkSession, path: str) -> DataFrame:
+def read_stream_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Streaming parquet source tolerating TIMESTAMP(NANOS) columns — the
     streaming twin of ``sources.parquet.read_parquet_auto`` (file sources
     require an explicit schema; nanos columns surface as int64 under the
-    legacy conf and are restored to µs timestamps in a projection)."""
+    legacy conf and are restored to µs timestamps in a projection).
+
+    ``options`` pass through to the reader (e.g. ``maxFilesPerTrigger="1"``
+    to bound micro-batch size / replay a directory file-by-file)."""
     from etl_platform_nyc_taxi_spark.sources.parquet import _nanos_timestamp_cols
 
     import os
@@ -32,6 +35,8 @@ def read_stream_auto(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
+    if options:
+        reader = reader.options(**options)
     probe_path = path
     if not os.path.isdir(path):
         # file-stream sources only accept directories: stream the parent

@@ -66,6 +66,11 @@ def _make_session_fn(gap_seconds: int):
                     closed.append(tuple(cur))
                     cur = [t, t, 1]
                 else:
+                    # late-but-accepted events (above watermark, within the
+                    # gap, possibly earlier than the open session's start —
+                    # cross-micro-batch reordering) extend the session in
+                    # BOTH directions, matching the batch twin's semantics
+                    cur[0] = min(cur[0], t)
                     cur[1] = max(cur[1], t)
                     cur[2] += 1
             if cur is not None:

@@ -136,6 +136,19 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(dest).count() == 10000
 
 
+def test_compact_files_refuses_in_place(spark, tmp_path):
+    """dest == src would delete the lazily-read input mid-job."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import compact_files
+
+    src = str(tmp_path / "inplace")
+    spark.range(0, 10).write.parquet(src)
+    with pytest.raises(ValueError, match="dest must differ"):
+        compact_files(spark, src, str(tmp_path / "inplace"))
+    assert spark.read.parquet(src).count() == 10  # source untouched
+
+
 def test_compact_files_partitioned_preserves_layout(spark, tmp_path):
     from pyspark.sql import functions as F
 

@@ -59,6 +59,79 @@ def test_stream_single_file_glob(spark, tmp_path):
     assert len(out) == 1 and out[0]["transaction_date"] == dt.date(2024, 1, 1)
 
 
+def test_streaming_sessionize_multibatch_matches_single(spark, tmp_path):
+    """The same events replayed across 2+ micro-batches (one source file
+    per trigger) must close the same sessions as the one-batch run — this
+    exercises the cross-batch state path explicitly, including a late but
+    above-watermark event that extends an open session BACKWARDS (it is
+    earlier than the session's recorded start)."""
+    import glob
+    import os
+    import shutil
+
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.sessions import sessionize_stream
+
+    f1 = [
+        (1, dt.datetime(2024, 1, 1, 10, 10)),
+        (1, dt.datetime(2024, 1, 1, 10, 20)),
+        (2, dt.datetime(2024, 1, 1, 9, 0)),
+    ]
+    f2 = [
+        (1, dt.datetime(2024, 1, 1, 10, 0)),  # late, in-gap, BEFORE start
+        (1, dt.datetime(2024, 1, 1, 11, 30)),  # >gap after 10:20 → closes A
+        (1, dt.datetime(2024, 1, 2, 12, 0)),  # >gap after 11:30 → closes B
+        (2, dt.datetime(2024, 1, 1, 9, 5)),
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for i, rows in enumerate([f1, f2]):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dest = src / f"f{i}.parquet"
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], dest)
+        # file-stream source orders by modification time: pin the replay order
+        os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    def run(name, **opts):
+        out = sessionize_stream(
+            read_stream_auto(spark, str(src), **opts), gap_seconds=1800
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.session_start, r.session_end, r.duration_s, r.n_events)
+            for r in spark.table(name).collect()
+            if r.user_id == 1  # user 2's 9:05 event is sub-watermark in the
+            # replay (legitimate streaming-vs-batch divergence); user 1's
+            # rows must agree exactly
+        }
+
+    single = run("t_sess_single")
+    multi = run("t_sess_multi", maxFilesPerTrigger="1")
+    assert multi == single
+    # pin the backwards extension: session A starts at the LATE 10:00 event
+    a = {r for r in multi if r[4] == 3}
+    assert a == {
+        (
+            1,
+            dt.datetime(2024, 1, 1, 10, 0),
+            dt.datetime(2024, 1, 1, 10, 20),
+            1200,
+            3,
+        )
+    }
+
+
 def test_streaming_sessionize_closes_on_gap(spark, tmp_path):
     """applyInPandasWithState sessionization: sessions followed by later
     same-user activity MUST be emitted as closed; each user's final session
