@@ -78,8 +78,9 @@ def read_jdbc(
 
 def _writer(df: DataFrame, cfg: JdbcConfig, table: str):
     # Cap write concurrency so a wide cluster can't stampede the database.
-    if df.rdd.getNumPartitions() > cfg.num_partitions:
-        df = df.coalesce(cfg.num_partitions)
+    # coalesce is a plan-only cap: a no-op when the frame already has
+    # at-or-below this many partitions (no RDD materialization to check).
+    df = df.coalesce(cfg.num_partitions)
     return df.write.format("jdbc").options(dbtable=table, **cfg.options())
 
 
@@ -142,3 +143,28 @@ def create_table_sql(table: str, columns_ddl: str) -> str:
     """S8: CREATE TABLE IF NOT EXISTS (the reference runs this from Airflow;
     the engine can run it in-band via :func:`execute_statement`)."""
     return f"CREATE TABLE IF NOT EXISTS {table} ({columns_ddl})"
+
+
+def table_exists(spark: SparkSession, cfg: JdbcConfig, table: str) -> bool:
+    """Probe for a table with a zero-row SELECT (portable — information
+    schema layouts differ per database; a failed prepare does not)."""
+    try:
+        execute_statement(spark, cfg, f"SELECT 1 FROM {table} WHERE 1=0")
+        return True
+    except Exception:
+        return False
+
+
+def ensure_table(
+    spark: SparkSession, cfg: JdbcConfig, table: str, columns_ddl: str
+) -> None:
+    """Dialect-portable CREATE-IF-ABSENT: plain ``CREATE TABLE`` and, on
+    failure, accept the state only if the table exists (``IF NOT EXISTS``
+    is not universal — Derby, used by the in-sandbox e2e tests, lacks it).
+    Quote column names in ``columns_ddl`` so case-sensitive dialects match
+    Spark's quoted-identifier INSERTs."""
+    try:
+        execute_statement(spark, cfg, f"CREATE TABLE {table} ({columns_ddl})")
+    except Exception:
+        if not table_exists(spark, cfg, table):
+            raise

@@ -1,0 +1,113 @@
+"""JDBC sinks exercised END-TO-END against an embedded Derby database
+(ships on Spark's classpath — no network service needed): append,
+truncate-preserving overwrite, and the D2 upsert's retry convergence.
+SURVEY.md §2.1 S6-S8; reference behavior at
+dags/spark_jobs/calculate_daily_transactions.py:65-78."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from etl_platform_nyc_taxi_spark.sources.jdbc import (
+    JdbcConfig,
+    ensure_table,
+    execute_statement,
+    read_jdbc,
+    table_exists,
+    write_jdbc_append,
+    write_jdbc_overwrite,
+    write_jdbc_upsert,
+)
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+DAILY_DDL = (
+    '"transaction_date" DATE PRIMARY KEY, '
+    '"total_transactions" INTEGER, '
+    '"calculated_at" TIMESTAMP'
+)
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    return JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/db;create=true", driver=DERBY_DRIVER
+    )
+
+
+def _row(spark, day, n):
+    return spark.createDataFrame(
+        [(day, n, dt.datetime(2024, 6, 1, 12, 0))],
+        "transaction_date date, total_transactions int, calculated_at timestamp",
+    )
+
+
+def test_ensure_table_idempotent_and_probe(spark, cfg):
+    assert not table_exists(spark, cfg, "daily_transaction")
+    ensure_table(spark, cfg, "daily_transaction", DAILY_DDL)
+    assert table_exists(spark, cfg, "daily_transaction")
+    ensure_table(spark, cfg, "daily_transaction", DAILY_DDL)  # second: no-op
+    # a genuinely broken DDL on a MISSING table must still raise
+    with pytest.raises(Exception):
+        ensure_table(spark, cfg, "broken_table", '"x" NOT_A_TYPE')
+
+
+def test_append_and_read_roundtrip(spark, cfg):
+    ensure_table(spark, cfg, "daily_transaction", DAILY_DDL)
+    write_jdbc_append(_row(spark, dt.date(2024, 6, 1), 5), cfg, "daily_transaction")
+    write_jdbc_append(_row(spark, dt.date(2024, 6, 2), 7), cfg, "daily_transaction")
+    got = {
+        r["transaction_date"]: r["total_transactions"]
+        for r in read_jdbc(spark, cfg, "daily_transaction").collect()
+    }
+    assert got == {dt.date(2024, 6, 1): 5, dt.date(2024, 6, 2): 7}
+
+
+def test_append_retry_violates_pk_but_upsert_converges(spark, cfg):
+    """The reference defect D2 reproduced against a real PK, then fixed:
+    a retried bare append violates the primary key; the keyed upsert
+    retries to the SAME final state."""
+    ensure_table(spark, cfg, "daily_transaction", DAILY_DDL)
+    day = dt.date(2024, 6, 1)
+    write_jdbc_append(_row(spark, day, 5), cfg, "daily_transaction")
+    with pytest.raises(Exception):  # duplicate key on replay — D2
+        write_jdbc_append(_row(spark, day, 5), cfg, "daily_transaction")
+
+    pred = "\"transaction_date\" = CAST('2024-06-01' AS DATE)"
+    write_jdbc_upsert(_row(spark, day, 9), cfg, "daily_transaction", pred)
+    write_jdbc_upsert(_row(spark, day, 9), cfg, "daily_transaction", pred)  # replay
+    got = read_jdbc(spark, cfg, "daily_transaction").collect()
+    assert len(got) == 1 and got[0]["total_transactions"] == 9
+
+
+def test_overwrite_truncate_preserves_ddl(spark, cfg):
+    """S7: truncate-mode overwrite keeps the out-of-band DDL (the PK) —
+    proven by D2 still firing on a duplicate append afterwards."""
+    ensure_table(spark, cfg, "daily_transaction", DAILY_DDL)
+    write_jdbc_append(_row(spark, dt.date(2024, 6, 1), 5), cfg, "daily_transaction")
+    write_jdbc_overwrite(
+        _row(spark, dt.date(2024, 6, 2), 7), cfg, "daily_transaction"
+    )
+    got = read_jdbc(spark, cfg, "daily_transaction").collect()
+    assert len(got) == 1 and got[0]["transaction_date"] == dt.date(2024, 6, 2)
+    # PK survival (DDL preserved) is pinned in the next test via the raise
+
+
+def test_overwrite_truncate_pk_still_enforced(spark, cfg):
+    ensure_table(spark, cfg, "daily_transaction", DAILY_DDL)
+    write_jdbc_overwrite(
+        _row(spark, dt.date(2024, 6, 2), 7), cfg, "daily_transaction"
+    )
+    with pytest.raises(Exception):
+        write_jdbc_append(
+            _row(spark, dt.date(2024, 6, 2), 7), cfg, "daily_transaction"
+        )
+
+
+def test_ddl_statement_roundtrip(spark, cfg):
+    """S8: arbitrary DDL/DML through execute_statement."""
+    execute_statement(spark, cfg, 'CREATE TABLE t8 ("x" INTEGER)')
+    execute_statement(spark, cfg, "INSERT INTO t8 VALUES (42)")
+    got = read_jdbc(spark, cfg, "t8").collect()
+    assert [r["x"] for r in got] == [42]
