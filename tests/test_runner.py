@@ -70,3 +70,23 @@ def test_pipeline_failure_callback():
     with pytest.raises(ZeroDivisionError):
         p.run()
     assert seen == [("p", "ZeroDivisionError")]
+
+
+def test_airflow_adapter_specs_preserve_retry_policy():
+    """G1 adapter: Step → operator mapping carries each step's own retry
+    config (reference parity: daily_transactions_dag.py:30-31). Pure-data
+    path — Airflow itself is not installed in this environment."""
+    from etl_platform_nyc_taxi_spark.plans.airflow_adapter import (
+        airflow_task_specs,
+    )
+
+    p = Pipeline(
+        "adapted",
+        steps=[
+            Step("sense", lambda: True, retries=0, retry_delay_s=1.0),
+            Step("compute", lambda: 42, retries=1, retry_delay_s=300.0),
+        ],
+    )
+    specs = airflow_task_specs(p)
+    assert [s.task_id for s in specs] == ["sense", "compute"]
+    assert specs[1].retries == 1 and specs[1].retry_delay_s == 300.0
