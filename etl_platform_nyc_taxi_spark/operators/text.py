@@ -9,6 +9,8 @@ an exact DuckDB-SQL oracle. Designed for the ``documents`` fixture
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +75,148 @@ def with_text_stats(
             f"{p}alpha_ratio": n_alpha.cast("double") / n_chars,
         }
     )
+
+
+@dataclass(frozen=True)
+class QualityRules:
+    """Thresholds for rule-based document filtering — the C4/Gopher-style
+    gate every LLM-data pipeline runs before anything expensive. Defaults
+    are in the published ballpark (Gopher: mean word length 3-10, ≥80%
+    alpha words; C4: English-word density) but every corpus re-tunes them.
+    """
+
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    min_avg_token_len: float = 2.0
+    max_avg_token_len: float = 12.0
+    min_stopword_ratio: float = 0.0
+    min_alpha_ratio: float = 0.6
+    max_symbol_ratio: float = 0.1
+
+
+def quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: QualityRules = QualityRules(),
+    prefix: str = "q_",
+) -> DataFrame:
+    """Per-rule boolean columns + a ``keep`` conjunction — the audit view
+    of quality filtering (downstream dashboards need WHY a doc dropped,
+    not just that it did). Pure expressions at scan speed; one pass."""
+    toks = tokens_ws(text_col)
+    c = F.col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    avg_len = (
+        F.length(F.regexp_replace(c, r"\s", "")).cast("double") / n_tok
+    )
+    stop_ratio = stopword_hits(toks).cast("double") / n_tok
+    alpha_ratio = (
+        F.length(F.regexp_replace(c, r"[^a-zA-Z]", "")).cast("double") / n_chars
+    )
+    symbol_ratio = (
+        F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")).cast("double") / n_chars
+    )
+    p = prefix
+    flags = {
+        f"{p}len_ok": (n_tok >= rules.min_tokens) & (n_tok <= rules.max_tokens),
+        f"{p}token_len_ok": (avg_len >= rules.min_avg_token_len)
+        & (avg_len <= rules.max_avg_token_len),
+        f"{p}stopwords_ok": stop_ratio >= rules.min_stopword_ratio,
+        f"{p}alpha_ok": alpha_ratio >= rules.min_alpha_ratio,
+        f"{p}symbols_ok": symbol_ratio <= rules.max_symbol_ratio,
+    }
+    out = df.withColumns(flags)
+    keep = None
+    for name in flags:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", rules: QualityRules = QualityRules()
+) -> DataFrame:
+    """Docs passing every rule, flag columns dropped — the pipeline form
+    (filter early, filter cheap: this gate runs before any shuffle)."""
+    flagged = quality_flags(df, text_col, rules)
+    drop = [c for c in flagged.columns if c.startswith("q_")] + ["keep"]
+    return flagged.filter(F.col("keep")).drop(*drop)
+
+
+def word_ngrams(text_col: str | Column, n: int = 2) -> Column:
+    """All word n-grams (NON-distinct — repetition analysis needs the
+    multiset) as array<string>; docs shorter than n yield one clamped
+    gram, mirroring dedup.ngram_jaccard_pairs."""
+    toks = tokens_ws(text_col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Within-document repetition features (the Gopher repetition gate):
+    per doc, over word n-grams — ``dup_gram_ratio`` (1 − distinct/total)
+    and ``top_gram_ratio`` (most frequent gram's share). Degenerate
+    machine-generated or template text scores high on both.
+
+    Shape: explode → (doc, gram) count → per-doc aggregate. Both
+    aggregations combine map-side, so the shuffle carries counts, not
+    grams — the scale-safe form vs per-doc interpreted array counting
+    (O(grams²) per row)."""
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    if partitions:
+        base = base.repartition(partitions)
+    g = base.select(
+        F.col(id_col), F.explode(word_ngrams(F.col("__t"), n)).alias("__gram")
+    )
+    per = g.groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
+    total = F.sum("__c")
+    distinct = F.count(F.lit(1))
+    return per.groupBy(id_col).agg(
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+        F.round(F.lit(1.0) - distinct.cast("double") / total, 6).alias(
+            "dup_gram_ratio"
+        ),
+        F.round(F.max("__c").cast("double") / total, 6).alias("top_gram_ratio"),
+    )
+
+
+#: PII patterns chosen for cross-engine (Java regex ↔ RE2) identical
+#: semantics: no backrefs, no lookaround; \b and (?:...) work in both.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    kinds: tuple[str, ...] = ("email", "phone", "ipv4"),
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4s, emitting the redacted text
+    plus per-kind match counts (counts from the ORIGINAL text; replacement
+    applied in ``kinds`` order — emails first so their host part is not
+    half-eaten by the IP rule). Pure regexp expressions: scan-speed, no
+    UDF, and exactly replicable in the DuckDB oracle."""
+    c = F.col(text_col)
+    red = c
+    counts = {}
+    for kind in kinds:
+        pat, token = PII_PATTERNS[kind]
+        counts[f"n_{kind}"] = F.regexp_count(c, F.lit(pat))
+        red = F.regexp_replace(red, pat, token.replace("$", r"\$"))
+    return df.withColumns({out_col: red, **counts})
 
 
 def language_id(

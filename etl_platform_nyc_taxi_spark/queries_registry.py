@@ -42,8 +42,12 @@ from etl_platform_nyc_taxi_spark.operators.similarity import (
     lsh_topk,
 )
 from etl_platform_nyc_taxi_spark.operators.text import (
+    QualityRules,
     language_id,
     fingerprint,
+    quality_flags,
+    redact_pii,
+    repetition_stats,
     tokens_bpe,
     tokens_ws,
     stopword_hits,
@@ -590,6 +594,131 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", fingerprint("text").alias("fp")
     )
+
+
+@register(
+    "text_quality_filter",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS avg_len,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tok >= 40 AND n_tok <= 100000 AS q_len_ok,
+           avg_len >= 2.0 AND avg_len <= 12.0 AS q_token_len_ok,
+           stop_ratio >= 0.05 AS q_stopwords_ok,
+           alpha_ratio >= 0.6 AS q_alpha_ok,
+           symbol_ratio <= 0.1 AS q_symbols_ok,
+           (n_tok >= 40 AND n_tok <= 100000)
+             AND (avg_len >= 2.0 AND avg_len <= 12.0)
+             AND stop_ratio >= 0.05
+             AND alpha_ratio >= 0.6
+             AND symbol_ratio <= 0.1 AS keep
+    FROM f
+    """,
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate: per-rule boolean flags + keep for
+    every document (operators/text.quality_flags) — the audit view a
+    training-data pipeline dashboards. All expressions, scan speed; the
+    oracle recomputes every threshold comparison bit-for-bit (integer
+    lengths → double divisions are IEEE-identical across engines)."""
+    rules = QualityRules(min_tokens=40, min_stopword_ratio=0.05)
+    return quality_flags(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), rules=rules
+    ).drop("text")
+
+
+@register(
+    "text_repetition",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
+                     for i in range(1, greatest(len(toks)-1, 1)+1)]) AS gram
+      FROM toks
+    ),
+    per AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           COUNT(*) AS n_distinct_grams,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_gram_ratio,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_gram_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gate: per-doc duplicate-bigram fraction and
+    most-frequent-bigram share (operators/text.repetition_stats). Explode
+    → two map-side-combining aggregations — the shuffle carries counts,
+    never gram text."""
+    return repetition_stats(
+        _t(spark, sf_dir, "documents"),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
+@register(
+    "text_pii_redact",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ph 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST(doc_id % 100 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ipv4
+    FROM corpus
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.redact_pii) over documents with
+    deterministic synthetic PII appended (the fixture corpus is clean
+    word-soup; both engines build the identical corpus). The value hash
+    covers the ENTIRE redacted text plus per-kind counts — the strongest
+    possible oracle for a regex pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    return redact_pii(d.select("doc_id", pii.alias("text"))).drop("text")
 
 
 # ---------------------------------------------------------------------------

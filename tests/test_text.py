@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_platform_nyc_taxi_spark.operators.text import (
@@ -59,3 +60,62 @@ def test_fingerprint_normalizes_case_and_whitespace(spark):
     assert fps[0] == fps[1] != fps[2]
     norm = df.select(normalize_text("text").alias("n")).first()["n"]
     assert norm == "hello world"
+
+
+def test_quality_flags_and_filter(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        QualityRules,
+        quality_filter,
+        quality_flags,
+    )
+
+    rules = QualityRules(min_tokens=3, min_stopword_ratio=0.1, max_symbol_ratio=0.2)
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat today"),  # passes everything
+            (2, "xy zz"),  # too few tokens, no stopwords
+            (3, "the #### $$$$ %%%% &&&& ****"),  # symbol ratio too high
+        ],
+        "doc_id long, text string",
+    )
+    flags = {r["doc_id"]: r for r in quality_flags(df, rules=rules).collect()}
+    assert flags[1]["keep"] is True
+    assert flags[2]["q_len_ok"] is False and flags[2]["q_stopwords_ok"] is False
+    assert flags[3]["q_symbols_ok"] is False and flags[3]["keep"] is False
+    kept = quality_filter(df, rules=rules)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    assert kept.columns == ["doc_id", "text"]  # flags dropped in pipeline form
+
+
+def test_repetition_stats_hand_checked(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "u v w x"),  # bigrams: uv vw wx -> all unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct_grams"] == 2
+    assert out[1]["dup_gram_ratio"] == 0.6  # 1 - 2/5
+    assert out[1]["top_gram_ratio"] == 0.6  # "a b" appears 3/5
+    assert out[2]["dup_gram_ratio"] == 0.0 and out[2]["top_gram_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or 555-123-4567; host 10.0.0.1 end"),
+            (2, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 1
+    assert out[1]["redacted"] == "mail [EMAIL] or [PHONE]; host [IP] end"
+    assert out[2]["redacted"] == out[2]["text"]
+    assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_ipv4"] == 0
