@@ -1,0 +1,114 @@
+"""Deterministic sampling / dataset assembly for training-data pipelines.
+
+Three operations every LLM-corpus build needs, all expressed as pure
+hash-bucket expressions (no ``rand()``, no shuffle, no state):
+
+* **hash_split** — train/val/test assignment by content-stable hash of the
+  document id. Reproducible across runs/engines/cluster layouts, stable
+  under re-partitioning (``rand()`` is none of those), and joins never
+  split a document across sets.
+* **weighted_sample** — per-stratum keep-rates (the "data mixing" knob:
+  upweight books, downsample web) via the same bucket trick.
+* **bernoulli_sample** — a single global rate.
+
+All use the md5-portable hash family (functions/hashing.py), so every
+assignment is replicable in the DuckDB correctness oracle — and, more
+importantly, in any OTHER engine a team migrates to later: the split is a
+property of the data, not of Spark.
+
+Scale: the hash is a scan-speed projection; filters on it push into the
+scan stage. Nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.functions.hashing import portable_hash64
+
+#: Bucket granularity: weights resolve to 1/10000ths.
+BUCKETS = 10_000
+
+
+def _bucket(id_col: str | Column, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS): md5-prefix hash of
+    ``salt:id``. Different salts give independent assignments from the
+    same ids (split vs sample vs mix must not correlate)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return portable_hash64(F.concat(F.lit(salt + ":"), c.cast("string")), 60) % BUCKETS
+
+
+def split_column(
+    id_col: str | Column,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Split-label expression from cumulative weight thresholds.
+
+    ``weights`` maps label → fraction (must sum to ≤ 1; any remainder
+    falls into the LAST label, so exact coverage is typical:
+    ``{"train": .9, "val": .05, "test": .05}``)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    b = _bucket(id_col, salt)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        acc += w
+        cond = b < int(round(acc * BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic train/val/test column (default 90/5/5)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(out_col, split_column(id_col, weights, salt))
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate — the corpus-mixing knob.
+
+    A row survives iff ``bucket(id) < rate(stratum) * BUCKETS``; with a
+    content-stable id the SAME documents survive on every run and every
+    engine. Per-stratum sampled sizes are binomial around rate·n (this is
+    per-row Bernoulli, not exact-count stratified sampling — see
+    ``exact_stratified_counts`` in the tests for the audit query shape)."""
+    b = _bucket(id_col, salt)
+    s = F.col(stratum_col)
+    # thresholds resolve to integer literals driver-side — float→int cast
+    # semantics differ across engines (truncate vs round), integers don't
+    thr = None
+    for k, v in rates.items():
+        cond = s == F.lit(k)
+        t = F.lit(int(round(v * BUCKETS)))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = F.lit(int(round(default_rate * BUCKETS)))
+    thr = default_t if thr is None else thr.otherwise(default_t)
+    return df.filter(b < thr)
+
+
+def bernoulli_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Deterministic global sample: keep iff bucket(id) < rate·BUCKETS."""
+    return df.filter(_bucket(id_col, salt) < int(round(rate * BUCKETS)))

@@ -721,6 +721,54 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(d.select("doc_id", pii.alias("text"))).drop("text")
 
 
+@register(
+    "dataset_split",
+    r"""
+    SELECT doc_id,
+           CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 < 9000 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket of the
+    doc id (operators/sampling.hash_split) — reproducible across runs,
+    engines, and cluster layouts, unlike rand(); the oracle recomputes
+    every assignment from the same portable hash family."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
+@register(
+    "dataset_mix",
+    r"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 10000
+          < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                      WHEN 'fr' THEN 5000 WHEN 'es' THEN 2500
+                      WHEN 'zh' THEN 1000 ELSE 10000 END
+    """,
+)
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-language keep-rates (keep all English, half
+    de/fr, quarter es, 10% zh) via deterministic hash buckets
+    (operators/sampling.weighted_sample) — the data-mixing knob of an LLM
+    corpus build, join-free and exactly replayable."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        rates={"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1},
+        stratum_col="lang",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup extension (operators/dedup.py)
 # ---------------------------------------------------------------------------

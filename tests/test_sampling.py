@@ -1,0 +1,83 @@
+"""Deterministic sampling/split semantics: reproducibility is the entire
+point of the hash-bucket design, so every test re-runs the operator and
+requires IDENTICAL row sets — then checks proportions are sane."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.operators.sampling import (
+    bernoulli_sample,
+    hash_split,
+    split_column,
+    weighted_sample,
+)
+from etl_platform_nyc_taxi_spark.sources import load_fixture
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id")
+    a = {(r["doc_id"], r["split"]) for r in hash_split(d).collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in hash_split(d.repartition(7)).collect()
+    }
+    assert a == b  # layout must not affect assignment (rand() fails this)
+    assert {s for _, s in a} == {"train", "val", "test"}
+
+
+def test_hash_split_proportions(spark):
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id")
+    n = d.count()
+    by = {
+        r["split"]: r["c"]
+        for r in hash_split(d).groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert by["train"] / n == pytest.approx(0.9, abs=0.05)
+    assert (by.get("val", 0) + by.get("test", 0)) / n == pytest.approx(0.1, abs=0.05)
+
+
+def test_split_weights_validation(spark):
+    with pytest.raises(ValueError):
+        split_column("doc_id", {})
+    with pytest.raises(ValueError):
+        split_column("doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id", "lang")
+    rates = {"en": 1.0, "zh": 0.0}
+    out = weighted_sample(d, rates, stratum_col="lang", default_rate=0.5)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {r["doc_id"] for r in out.collect()}  # replay-identical
+    by = {r["lang"]: r["c"] for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    base = {r["lang"]: r["c"] for r in d.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert by["en"] == base["en"]  # rate 1.0 keeps everything
+    assert "zh" not in by  # rate 0.0 keeps nothing
+    for lang in ("de", "fr", "es"):  # default 0.5 within binomial slack
+        assert by[lang] / base[lang] == pytest.approx(0.5, abs=0.2)
+
+
+def test_sample_salts_are_independent(spark):
+    """split and mix salts must decorrelate: the test split must not be
+    systematically over/under-sampled by the mixing pass."""
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id")
+    n = d.count()
+    split = hash_split(d)
+    sampled = bernoulli_sample(split, 0.5)
+    frac_overall = sampled.count() / n
+    test_rows = split.filter(F.col("split") == "test")
+    frac_test = bernoulli_sample(test_rows, 0.5).count() / test_rows.count()
+    assert frac_overall == pytest.approx(0.5, abs=0.1)
+    assert frac_test == pytest.approx(frac_overall, abs=0.25)
+
+
+def test_bernoulli_sample_subset_and_rate(spark):
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id")
+    half = {r["doc_id"] for r in bernoulli_sample(d, 0.5).collect()}
+    tenth = {r["doc_id"] for r in bernoulli_sample(d, 0.1).collect()}
+    assert tenth <= half  # nested thresholds on the same salt
+    assert len(half) / d.count() == pytest.approx(0.5, abs=0.1)
