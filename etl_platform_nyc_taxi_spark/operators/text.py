@@ -189,6 +189,49 @@ def repetition_stats(
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: training docs sharing any word
+    ``n``-gram with the eval set, with per-doc overlap counts — the
+    decontamination gate run before every LLM training dump.
+
+    Shape: distinct n-grams per train doc (explode) ⋈ the eval set's
+    distinct n-gram relation, count per doc, join back the per-doc totals.
+    One shuffle per aggregation, all combining map-side. Grams join as
+    STRINGS so the oracle comparison is exact; at 100 TB hash them first
+    (functions/hashing.portable_hash64) and accept the ~2^-48 collision
+    odds, or keep strings — n-grams are short. Output: (id, n_overlap,
+    n_grams, overlap_ratio) for contaminated docs only."""
+    t = train.select(F.col(id_col), F.col(text_col).alias("__t"))
+    if partitions:
+        t = t.repartition(partitions)
+    grams = F.array_distinct(word_ngrams(F.col("__t"), n))
+    tg = t.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    eg = (
+        eval_df.select(F.col(text_col).alias("__t"))
+        .select(F.explode(grams).alias("__gram"))
+        .distinct()
+    )
+    overlap = tg.join(eg, "__gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    totals = t.select(F.col(id_col), F.size(grams).alias("n_grams"))
+    return overlap.join(totals, id_col).select(
+        F.col(id_col),
+        "n_overlap",
+        "n_grams",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_grams"), 6).alias(
+            "overlap_ratio"
+        ),
+    )
+
+
 #: PII patterns chosen for cross-engine (Java regex ↔ RE2) identical
 #: semantics: no backrefs, no lookaround; \b and (?:...) work in both.
 PII_PATTERNS: dict[str, tuple[str, str]] = {

@@ -51,6 +51,7 @@ from etl_platform_nyc_taxi_spark.operators.text import (
     tokens_bpe,
     tokens_ws,
     stopword_hits,
+    word_ngrams,
 )
 from etl_platform_nyc_taxi_spark.operators.windows import (
     ranked,
@@ -719,6 +720,90 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 100).cast("string"),
     )
     return redact_pii(d.select("doc_id", pii.alias("text"))).drop("text")
+
+
+@register(
+    "corpus_top_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
+                     for i in range(1, greatest(len(toks)-1, 1)+1)]) AS gram
+      FROM toks
+    ),
+    c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+    SELECT gram, cnt, "rank" FROM (
+      SELECT gram, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS "rank"
+      FROM c
+    ) WHERE "rank" <= 20
+    """,
+)
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary statistics: global top-20 word bigrams.
+    Explode → two-phase count (map-side combine) → row_number over the
+    AGGREGATE only (the engine's global-window scale rule), deterministic
+    (cnt desc, gram asc) total order."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(F.explode(word_ngrams("text", 2)).alias("gram"))
+    counted = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return ranked(
+        counted,
+        order=[F.col("cnt").desc(), F.col("gram").asc()],
+        method="row_number",
+    ).filter(F.col("rank") <= 20)
+
+
+@register(
+    "contamination_check",
+    r"""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    ev AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM tr)
+    ),
+    eg AS (
+      SELECT DISTINCT
+             unnest(list_distinct(
+               [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM ev)
+    ),
+    ov AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM tg t JOIN eg e ON t.gram = e.gram GROUP BY t.doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(
+               [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                for i in range(1, greatest(len(toks)-2, 1)+1)])) AS INTEGER) AS n_grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM tr)
+    )
+    SELECT o.doc_id, o.n_overlap, t.n_grams,
+           ROUND(CAST(o.n_overlap AS DOUBLE) / t.n_grams, 6) AS overlap_ratio
+    FROM ov o JOIN tot t ON o.doc_id = t.doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 20 ≠ 0) sharing
+    word trigrams with the held-out eval slice (doc_id % 20 = 0), with
+    per-doc overlap ratios (operators/text.contamination_check). The gate
+    every LLM data dump runs before training."""
+    from etl_platform_nyc_taxi_spark.operators.text import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
 
 
 @register(

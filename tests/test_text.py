@@ -119,3 +119,32 @@ def test_redact_pii_counts_and_replacement(spark):
     assert out[1]["redacted"] == "mail [EMAIL] or [PHONE]; host [IP] end"
     assert out[2]["redacted"] == out[2]["text"]
     assert out[2]["n_email"] == out[2]["n_phone"] == out[2]["n_ipv4"] == 0
+
+
+def test_contamination_check_hand_built(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import contamination_check
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # shares "alpha beta gamma"
+            (2, "zeta eta theta iota"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in contamination_check(train, eval_df).collect()}
+    assert set(out) == {1}  # only the contaminated doc reports
+    # train doc 1 trigrams: {abg, bgd}; eval: {abg, bge} -> 1 of 2 overlap
+    assert out[1]["n_overlap"] == 1 and out[1]["n_grams"] == 2
+    assert out[1]["overlap_ratio"] == 0.5
+
+
+def test_word_ngrams_clamp_short_docs(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame([(1, "only"), (2, "two words here")], "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()}
+    assert got[1] == ["only"]  # shorter than n: one clamped gram
+    assert got[2] == ["two words here"]
