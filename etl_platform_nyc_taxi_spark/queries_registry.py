@@ -1203,6 +1203,47 @@ def q_streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    r"""
+    SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+           COUNT(*) AS copies,
+           MIN(doc_id) AS min_doc_id
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents)
+    GROUP BY fingerprint
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup as Structured Streaming (streaming/dedup.py):
+    the dedup_exact corpus (every doc duplicated) flows through a
+    streaming duplicate-groups aggregate under Trigger.AvailableNow —
+    batch-equivalent by construction, so it shares dedup_exact's oracle
+    verbatim. The stateful plan (fingerprint-keyed agg, checkpointing) is
+    what's under test; the first-seen/watermarked drop variants are pinned
+    against batch in tests/test_streaming.py."""
+    import tempfile
+
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+        run_available_now,
+    )
+    from etl_platform_nyc_taxi_spark.streaming.dedup import duplicate_groups_stream
+
+    base = read_stream_auto(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mutants = read_stream_auto(spark, f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    agg = duplicate_groups_stream(base.unionByName(mutants))
+    sink = f"stream_dedup_{next(_STREAM_RUNS)}"
+    run_available_now(agg, sink, tempfile.mkdtemp(prefix="ckpt_stream_dedup_"))
+    return spark.table(sink)
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH corpus AS (

@@ -195,3 +195,119 @@ def test_streaming_sessionize_closes_on_gap(spark, tmp_path):
     # nothing emitted that batch doesn't know about
     batch_keys = {(r.user_id, r.session_start, r.n_events) for r in batch}
     assert set(got) <= batch_keys
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """fingerprint_dedup_stream: a duplicate arriving in a LATER
+    micro-batch is dropped (cross-batch state), and exactly one copy of
+    each distinct text survives."""
+    import glob
+    import os
+    import shutil
+
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.dedup import fingerprint_dedup_stream
+
+    f1 = [(1, "alpha beta"), (2, "gamma delta")]
+    f2 = [(3, "Alpha   Beta"), (4, "epsilon zeta")]  # 3 == 1 normalized
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    for i, rows in enumerate([f1, f2]):
+        stage = tmp_path / f"stage{i}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dest = src / f"f{i}.parquet"
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], dest)
+        os.utime(dest, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    out = fingerprint_dedup_stream(
+        read_stream_auto(spark, str(src), maxFilesPerTrigger="1")
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup_fs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_stream_dedup_fs").collect()
+    assert sorted(r.doc_id for r in got) == [1, 2, 4]  # 3 deduped vs batch 1
+
+
+def test_streaming_dedup_watermarked_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate within the lateness
+    window drops; one far past it (state evicted) re-emits."""
+    import datetime as dt
+
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.dedup import (
+        fingerprint_dedup_stream_watermarked,
+    )
+
+    rows = [
+        (1, "same text", dt.datetime(2024, 1, 1, 10, 0)),
+        (2, "same text", dt.datetime(2024, 1, 1, 10, 30)),  # in window: drop
+        (3, "other", dt.datetime(2024, 1, 1, 10, 5)),
+    ]
+    src = str(tmp_path / "wm_src")
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src)
+    out = fingerprint_dedup_stream_watermarked(
+        read_stream_auto(spark, src), ts_col="ts", delay="1 hour"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.doc_id for r in spark.table("t_stream_dedup_wm").collect())
+    # exactly ONE copy of "same text" survives (which one is arrival-order
+    # dependent — dropDuplicates keeps the first encountered) plus doc 3
+    assert len(got) == 2 and 3 in got
+    assert (1 in got) != (2 in got)
+
+
+def test_streaming_duplicate_groups_matches_batch(spark, tmp_path):
+    """Complete-mode duplicate-groups aggregate == batch operator output
+    on the same corpus (the oracle-sharing contract of streaming_dedup)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import exact_duplicate_groups
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.dedup import duplicate_groups_stream
+
+    rows = [
+        (1, "aa bb"), (2, "aa  bb"), (3, "cc dd"), (4, "unique here"),
+    ]
+    src = str(tmp_path / "grp_src")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    agg = duplicate_groups_stream(read_stream_auto(spark, src))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_stream_dup_groups")
+        .option("checkpointLocation", str(tmp_path / "ckpt_grp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_rows = {
+        (r.fingerprint, r.copies, r.min_doc_id)
+        for r in spark.table("t_stream_dup_groups").collect()
+    }
+    batch_rows = {
+        (r.fingerprint, r.copies, r.min_doc_id)
+        for r in exact_duplicate_groups(
+            rows_source(spark, rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) == 1
