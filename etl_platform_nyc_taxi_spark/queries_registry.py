@@ -1137,6 +1137,68 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize",
+    r"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS m,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, m,
+             [CASE WHEN m = 0 THEN 0
+                   ELSE CAST(round(CAST(x AS DOUBLE) * 127.0 / m) AS INTEGER)
+              END for x in embedding] AS qv,
+             [CASE WHEN nrm = 0 THEN CAST(x AS DOUBLE)
+                   ELSE CAST(x AS DOUBLE) / nrm END for x in embedding] AS nv
+      FROM base
+    )
+    SELECT vec_id,
+           ROUND(m / 127.0, 9) AS scale,
+           CAST(list_min(qv) AS INTEGER) AS q_min,
+           CAST(list_max(qv) AS INTEGER) AS q_max,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum([CAST(x * x AS BIGINT) for x in qv]) AS BIGINT) AS q_sumsq,
+           ROUND(list_sum(nv), 6) AS n_sum,
+           ROUND(sqrt(list_dot_product(nv, nv)), 6) AS n_norm
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side embedding prep (functions/vectors.py): L2-normalize
+    (cosine → plain dot downstream) and symmetric int8 quantization (4×
+    storage/bandwidth cut for billion-vector corpora). Arrays flatten to
+    scalar digests — per-vector scale, int8 extrema, sum and sum-of-
+    squares over ALL quantized elements, normalized-vector sum and norm —
+    so the driver can canonicalize while still pinning every element."""
+    from etl_platform_nyc_taxi_spark.functions.vectors import (
+        l2_normalize,
+        quantize_int8,
+        quantize_scale,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(F.col("embedding"))
+    nv = l2_normalize(F.col("embedding"))
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id",
+        F.round(quantize_scale(F.col("embedding")), 9).alias("scale"),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+        F.aggregate(q, zero, lambda acc, x: acc + x.cast("long")).alias("q_sum"),
+        F.aggregate(
+            q, zero, lambda acc, x: acc + x.cast("long") * x.cast("long")
+        ).alias("q_sumsq"),
+        F.round(
+            F.aggregate(nv, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("n_sum"),
+        F.round(embedding_norm(nv), 6).alias("n_norm"),
+    )
+
+
+@register(
     "multimodal_meta",
     """
     SELECT doc_id,

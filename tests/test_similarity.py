@@ -140,3 +140,38 @@ def test_ivf_recall_against_brute_force(spark):
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+
+
+def test_l2_normalize_and_quantize(spark):
+    from etl_platform_nyc_taxi_spark.functions.vectors import (
+        l2_norm,
+        l2_normalize,
+        quantize_int8,
+        quantize_scale,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in df.select(
+            "vec_id",
+            l2_normalize(F.col("embedding")).alias("nv"),
+            l2_norm(l2_normalize(F.col("embedding"))).alias("nn"),
+            quantize_int8(F.col("embedding")).alias("q"),
+            quantize_scale(F.col("embedding")).alias("s"),
+        ).collect()
+    }
+    assert out[1]["nv"] == pytest.approx([0.6, 0.8])
+    assert out[1]["nn"] == pytest.approx(1.0)
+    assert out[2]["nv"] == [0.0, 0.0]  # zero vector passes through, no NULL
+    assert out[2]["q"] == [0, 0]
+    # q = round(x * 127 / max|x|): [3,4] -> [round(95.25), 127]
+    assert out[1]["q"] == [95, 127]
+    assert out[1]["s"] == pytest.approx(4.0 / 127.0)
+    # dequantized reconstruction error bounded by scale/2 per element
+    s = out[3]["s"]
+    for orig, q in zip([-1.0, 2.0], out[3]["q"]):
+        assert abs(orig - q * s) <= s / 2 + 1e-9
