@@ -149,3 +149,56 @@ def asof_join(
     out = merged.withColumns(fill).filter(F.col("__side") == 1)
     keep = [c for c in left.columns] + payload + ["__match_ts"]
     return out.select(*keep).withColumnRenamed("__match_ts", f"{right_ts}_matched")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_col: str | Column,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the fact side, replicate the dim side.
+
+    A hot key (one zone, one power user) funnels every matching fact row
+    through ONE reduce task in a plain shuffle join; AQE's skew-join split
+    handles sort-merge cases, but salting is the explicit, always-works
+    form. Each fact row gets ``__salt = salt_col % buckets`` (pass any
+    well-distributed DETERMINISTIC column — an event id, a row hash;
+    rand() would break retry idempotence); the dim side is exploded
+    ``buckets``× so every (key, salt) pair finds its match. Result equals
+    the unsalted join exactly — pinned by the DuckDB oracle, which runs
+    the PLAIN join.
+
+    Dim-side cost: buckets× replication, so keep buckets ≈ the skew
+    factor, not the cluster size; broadcast-able dims should use
+    :func:`join_dim` instead (no salt needed — no shuffle at all)."""
+    sc = F.col(salt_col) if isinstance(salt_col, str) else salt_col
+    f = fact.withColumn("__salt", F.pmod(sc, F.lit(buckets)).cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return f.join(d, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order: Sequence[Column],
+    keep: int = 1,
+) -> DataFrame:
+    """CDC-style latest-state materialization: the newest row per key
+    under a DETERMINISTIC total order (always include a unique tiebreak —
+    e.g. ``[ts.desc(), event_id.desc()]`` — or replayed upserts flap).
+
+    The workhorse of change-data-capture compaction: a stream of upserts
+    reduces to current state with one shuffle on the key and a partitioned
+    window (never a global sort). ``keep > 1`` retains per-key history
+    depth instead."""
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .drop("__rn")
+    )

@@ -112,3 +112,48 @@ def bernoulli_sample(
 ) -> DataFrame:
     """Deterministic global sample: keep iff bucket(id) < rate·BUCKETS."""
     return df.filter(_bucket(id_col, salt) < int(round(rate * BUCKETS)))
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col,
+    capacity: int = 512,
+    group_cols: tuple[str, ...] = (),
+    order_cols: tuple[str, ...] = ("doc_id",),
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Concat-and-cut sequence packing: assign each document to the
+    training chunk its START offset falls in when the (deterministically
+    ordered) group is concatenated and cut every ``capacity`` tokens —
+    the GPT-style packing that wastes no pad tokens; boundary documents
+    simply span the cut.
+
+    ``token_count_col`` may be a column name or expression (e.g.
+    ``operators.text.token_count("text")``). The running offset is a
+    window cumsum over ``order_cols`` WITHIN ``group_cols`` — packing
+    whole corpora through one global window would serialize at scale, so
+    group by a partition-grained key (language, source, shard) and pack
+    each group independently; chunk ids are then (group, chunk_id) pairs.
+    Deterministic by construction: same data → same chunks, any cluster
+    layout."""
+    from pyspark.sql import Window
+
+    tc = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    )
+    w = (
+        Window.partitionBy(*group_cols).orderBy(*order_cols)
+        if group_cols
+        else Window.orderBy(*order_cols)
+    )
+    cum_end = F.sum(tc).over(w)  # inclusive cumsum: offset AFTER this doc
+    start = (cum_end - tc).cast("long")
+    return df.withColumns(
+        {
+            "n_tokens": tc.cast("long"),
+            "start_offset": start,
+            chunk_col: (start / F.lit(capacity)).cast("long"),
+        }
+    )

@@ -807,6 +807,103 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted",
+    """
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted join (operators/joins.salted_join): orders salt
+    on o_orderkey % 8, customer replicated 8× — a hot customer's rows
+    spread over 8 reduce tasks instead of one. The oracle runs the PLAIN
+    join: salting must be invisible in the result."""
+    from etl_platform_nyc_taxi_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_join(o, c, key="o_custkey", salt_col="o_orderkey", buckets=8)
+    return joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "cdc_latest_state",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (operators/joins.latest_per_key): each user's
+    newest event under a deterministic (ts, event_id) total order — the
+    upsert-stream → current-state materialization, one shuffle on the
+    key, partitioned window (never a global sort)."""
+    from etl_platform_nyc_taxi_spark.operators.joins import latest_per_key
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return latest_per_key(
+        e,
+        key_cols=["user_id"],
+        order=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+
+
+@register(
+    "pack_sequences",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // 512 AS chunk_id
+    FROM o
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/sampling.pack_sequences):
+    concatenate each language's docs in deterministic doc_id order, cut
+    every 512 tokens, assign each doc the chunk its start offset falls in
+    — zero pad-token waste. The window cumsum is partitioned by lang (the
+    scale rule: pack per partition-grained group, never one global
+    window)."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import pack_sequences
+
+    from etl_platform_nyc_taxi_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return pack_sequences(
+        d,
+        token_count("text"),
+        capacity=512,
+        group_cols=("lang",),
+        order_cols=("doc_id",),
+    ).drop("text")
+
+
+@register(
     "dataset_split",
     r"""
     SELECT doc_id,

@@ -78,3 +78,57 @@ def test_asof_join_forward(spark):
     out = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts", direction="forward")
     got = {(r["tts"].hour, r["px"]) for r in out.collect()}
     assert got == {(9, 11.0), (11, None)}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from etl_platform_nyc_taxi_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)],
+        "row_id long, k long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, name string"
+    )
+    salted = salted_join(fact, dim, key="k", salt_col="row_id", buckets=4)
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert "__salt" not in salted.columns
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from etl_platform_nyc_taxi_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10), (2, 99)], "row_id long, k long")
+    dim = spark.createDataFrame([(10, "x")], "k long, name string")
+    out = salted_join(fact, dim, key="k", salt_col="row_id", buckets=3, how="left")
+    got = {r["k"]: r["name"] for r in out.collect()}
+    assert got == {10: "x", 99: None}
+
+
+def test_latest_per_key_deterministic_tiebreak(spark):
+    import datetime as dt
+
+    from etl_platform_nyc_taxi_spark.operators.joins import latest_per_key
+
+    t = dt.datetime(2024, 1, 1, 12)
+    df = spark.createDataFrame(
+        [
+            (1, 100, t, "old"),
+            (2, 100, t, "tie-higher-id-wins"),  # same ts: event_id breaks tie
+            (3, 200, dt.datetime(2024, 1, 2), "newest"),
+            (4, 200, dt.datetime(2024, 1, 1), "older"),
+        ],
+        "event_id long, user_id long, ts timestamp, tag string",
+    )
+    out = {
+        r["user_id"]: r["tag"]
+        for r in latest_per_key(
+            df, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+        ).collect()
+    }
+    assert out == {100: "tie-higher-id-wins", 200: "newest"}
+    hist = latest_per_key(
+        df, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()], keep=2
+    )
+    assert hist.count() == 4

@@ -81,3 +81,26 @@ def test_bernoulli_sample_subset_and_rate(spark):
     tenth = {r["doc_id"] for r in bernoulli_sample(d, 0.1).collect()}
     assert tenth <= half  # nested thresholds on the same salt
     assert len(half) / d.count() == pytest.approx(0.5, abs=0.1)
+
+
+def test_pack_sequences_chunks_and_offsets(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "g", 300),
+            (2, "g", 300),  # starts at 300 -> chunk 0 (spans the cut)
+            (3, "g", 300),  # starts at 600 -> chunk 1
+            (4, "h", 10),  # other group packs independently from offset 0
+        ],
+        "doc_id long, lang string, n long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "n", capacity=512, group_cols=("lang",), order_cols=("doc_id",)
+        ).collect()
+    }
+    assert [out[i]["start_offset"] for i in (1, 2, 3)] == [0, 300, 600]
+    assert [out[i]["chunk_id"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert out[4]["start_offset"] == 0 and out[4]["chunk_id"] == 0
