@@ -299,8 +299,17 @@ def simhash_signatures(
         F.col(id_col), F.explode_outer(tokens_ws(text_col)).alias("__tok")
     )
     hash_fn = token_hash or (lambda c: F.xxhash64(c))
-    h = hash_fn(F.col("__tok"))
-    null_tok = F.col("__tok").isNull()
+    # Materialize the token hash in its own projection: each of the nbits
+    # aggregate expressions below references it, and aggregate-update
+    # expressions don't reliably get subexpression elimination — inlined,
+    # an md5-family hash would run nbits× per token (measured ~3× on the
+    # whole query at sf0.1).
+    hashed = toks.select(
+        F.col(id_col), hash_fn(F.col("__tok")).alias("__h"),
+        F.col("__tok").isNull().alias("__null"),
+    )
+    h = F.col("__h")
+    null_tok = F.col("__null")
     bit_sums = [
         F.sum(
             F.when(null_tok, F.lit(0)).otherwise(
@@ -309,7 +318,7 @@ def simhash_signatures(
         ).alias(f"__b{b}")
         for b in range(nbits)
     ]
-    agg = toks.groupBy(id_col).agg(
+    agg = hashed.groupBy(id_col).agg(
         F.sum((~null_tok).cast("long")).alias("__n"), *bit_sums
     )
     # bit b set iff majority vote positive: 2*ones_b > n  (ties -> 0, matching
