@@ -121,6 +121,51 @@ def table_signatures_udf(
     return _table_sigs
 
 
+def _lsh_query_probes(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    table_sigs,
+    num_planes: int,
+    num_tables: int,
+    multiprobe: int,
+) -> DataFrame:
+    """(query_id, __qvec, __table, __bucket) probe rows: each query's
+    per-table signature plus, with ``multiprobe`` ≥ 1, every Hamming-1
+    neighbor bucket. Shared by the in-memory and materialized-index serve
+    paths so both probe identical cells."""
+    flips = [0] + ([1 << i for i in range(num_planes)] if multiprobe else [])
+    return (
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            table_sigs(F.col(vec_col)).alias("__s"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.col("__s")[t].bitwiseXOR(F.lit(f).cast("long")).alias("b"),
+                        )
+                        for t in range(num_tables)
+                        for f in flips
+                    ]
+                )
+            ).alias("__tb"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.col("__tb.t").alias("__table"),
+            F.col("__tb.b").alias("__bucket"),
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -160,35 +205,9 @@ def lsh_topk(
         F.posexplode(_table_sigs(F.col(vec_col))).alias("__table", "__bucket"),
     )
 
-    flips = [0] + ([1 << i for i in range(num_planes)] if multiprobe else [])
-    q = (
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            _table_sigs(F.col(vec_col)).alias("__s"),
-        )
-        .select(
-            query_id_col,
-            "__qvec",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("t"),
-                            F.col("__s")[t].bitwiseXOR(F.lit(f).cast("long")).alias("b"),
-                        )
-                        for t in range(num_tables)
-                        for f in flips
-                    ]
-                )
-            ).alias("__tb"),
-        )
-        .select(
-            query_id_col,
-            "__qvec",
-            F.col("__tb.t").alias("__table"),
-            F.col("__tb.b").alias("__bucket"),
-        )
+    q = _lsh_query_probes(
+        queries, query_id_col, vec_col, _table_sigs, num_planes, num_tables,
+        multiprobe,
     )
     scored = (
         c.join(F.broadcast(q), on=["__table", "__bucket"])
@@ -420,6 +439,171 @@ def embedding_near_dups_lsh(
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the LSH layout ONCE at ingest: the corpus exploded to
+    (table, bucket) rows, hive-partitioned by both — the 100 TB serving
+    path :func:`lsh_topk`'s docstring describes. A query then reads
+    ONLY its probe cells via partition pruning
+    (:func:`lsh_topk_from_index`); everything else never leaves disk.
+
+    Directory count = num_tables × 2^num_planes (8 × 64 = 512 here) —
+    size num_planes so that stays filesystem-friendly; beyond ~10 bits
+    partition on a bucket PREFIX and filter the remainder in-file."""
+    sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
+    (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(sigs(F.col(vec_col))).alias("lsh_table", "lsh_bucket"),
+        )
+        .write.mode(mode)
+        .partitionBy("lsh_table", "lsh_bucket")
+        .parquet(path)
+    )
+
+
+def lsh_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_planes: int = 6,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Serve ANN from a :func:`write_lsh_index` layout with STATIC
+    partition pruning: the query set's probe cells (small by definition
+    at serve time) are collected driver-side and compiled into a
+    partition-column predicate, so the scan touches only matching
+    directories — the corpus itself is never collected, shuffled, or
+    re-signed. Same hyperplane params as the writer or buckets won't
+    match; result parity with :func:`lsh_topk` is pinned in
+    tests/test_similarity.py."""
+    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+    sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
+    q = _lsh_query_probes(
+        queries, query_id_col, vec_col, sigs, num_planes, num_tables, multiprobe
+    )
+    probes = q.select("__table", "__bucket").distinct().collect()
+    idx = read_parquet_auto(spark, index_path)
+    cells = None
+    for r in probes:
+        cell = (F.col("lsh_table") == r["__table"]) & (
+            F.col("lsh_bucket") == r["__bucket"]
+        )
+        cells = cell if cells is None else cells | cell
+    pruned = idx.filter(cells if cells is not None else F.lit(False))
+    scored = (
+        pruned.join(
+            F.broadcast(
+                q.withColumnsRenamed(
+                    {"__table": "lsh_table", "__bucket": "lsh_bucket"}
+                )
+            ),
+            on=["lsh_table", "lsh_bucket"],
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    return top_k_per_group(
+        scored,
+        group_by=[query_id_col],
+        order=[F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF inverted lists at ingest: corpus partitioned by
+    nearest-centroid id (:func:`assign_ivf_lists`). With nprobe/nlist
+    probing, a query scans nprobe/nlist of the data via partition pruning
+    (:func:`ivf_topk_from_index`)."""
+    (
+        assign_ivf_lists(corpus, centroids, vec_col, "ivf_list")
+        .write.mode(mode)
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve IVF ANN from a :func:`write_ivf_index` layout: the union of
+    the query set's nprobe lists compiles into a static partition filter
+    (driver-side collect of the QUERY side only), the scan prunes to
+    those directories, and the exact cosine rerank runs inside them.
+    Result parity with :func:`ivf_topk` (same centroids) is pinned in
+    tests/test_similarity.py."""
+    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_nearest_lists(F.col(vec_col), centroids, nprobe)).alias(
+            "ivf_list"
+        ),
+    )
+    lists = [r["ivf_list"] for r in q.select("ivf_list").distinct().collect()]
+    idx = read_parquet_auto(spark, index_path)
+    pruned = idx.filter(
+        F.col("ivf_list").isin(lists) if lists else F.lit(False)
+    )
+    scored = (
+        pruned.join(F.broadcast(q), on="ivf_list")
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine_similarity(F.col("__qvec"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    return top_k_per_group(
+        scored,
+        group_by=[query_id_col],
+        order=[F.col("cosine").desc(), F.col(id_col).asc()],
+        k=k,
     )
 
 

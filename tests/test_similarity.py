@@ -175,3 +175,73 @@ def test_l2_normalize_and_quantize(spark):
     s = out[3]["s"]
     for orig, q in zip([-1.0, 2.0], out[3]["q"]):
         assert abs(orig - q * s) <= s / 2 + 1e-9
+
+
+def test_lsh_index_serving_matches_inmemory_and_prunes(spark, tmp_path):
+    """write_lsh_index + lsh_topk_from_index == lsh_topk, and the serve
+    scan must touch only the probed (table, bucket) partitions."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        lsh_topk_from_index,
+        write_lsh_index,
+    )
+
+    emb = load_fixture(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, num_planes=6, num_tables=8, dim=64)
+
+    served = lsh_topk_from_index(
+        spark, path, queries, k=10, num_planes=6, num_tables=8, dim=64
+    )
+    in_mem = lsh_topk(emb, queries, k=10, num_planes=6, num_tables=8, dim=64)
+    s = {(r["query_id"], r["vec_id"], r["cosine"]) for r in served.collect()}
+    m = {(r["query_id"], r["vec_id"], r["cosine"]) for r in in_mem.collect()}
+    assert s == m and s
+
+    # the probe predicate must land in the scan's PartitionFilters
+    # (inputFiles() lists the relation BEFORE pruning, so assert the plan;
+    # long OR-chains truncate in the plan string, so check non-emptiness)
+    assert _nonempty_partition_filters(served), "no pruning on the index scan"
+
+
+def _nonempty_partition_filters(df) -> list[str]:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    lines = [l for l in buf.getvalue().splitlines() if "PartitionFilters: [" in l]
+    assert lines, "no FileScan with PartitionFilters in plan"
+    filters = [l.split("PartitionFilters: ", 1)[1] for l in lines]
+    return [f for f in filters if not f.startswith("[]")]
+
+
+def test_ivf_index_serving_matches_inmemory_and_prunes(spark, tmp_path):
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_fixture(spark, SF_DIR, "embeddings")
+    centroids = fit_ivf_centroids(emb, nlist=16, seed=42)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, centroids, path)
+
+    served = ivf_topk_from_index(
+        spark, path, queries, centroids, k=10, nprobe=4
+    )
+    in_mem = ivf_topk(emb, queries, k=10, nprobe=4, centroids=centroids)
+    s = {(r["query_id"], r["vec_id"], r["cosine"]) for r in served.collect()}
+    m = {(r["query_id"], r["vec_id"], r["cosine"]) for r in in_mem.collect()}
+    assert s == m and s
+
+    pf = _nonempty_partition_filters(served)
+    assert pf and any("ivf_list" in f for f in pf), pf
