@@ -311,3 +311,101 @@ def test_streaming_duplicate_groups_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) == 1
+
+
+def _stage_file(spark, tmp_path, src, name, rows, schema, mtime):
+    import glob
+    import os
+    import shutil
+
+    stage = tmp_path / f"stage_{name}"
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    dest = src / f"{name}.parquet"
+    shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], dest)
+    os.utime(dest, (mtime, mtime))
+
+
+def _run_collecting(out, ckpt):
+    """Drive one availableNow run through foreachBatch (the memory sink
+    refuses checkpoint recovery; foreachBatch is the recoverable path —
+    same as production's run_to_sink). Returns rows emitted THIS run."""
+    collected = []
+
+    def writer(df, _epoch):
+        collected.extend(df.collect())
+
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected
+
+
+def test_sessionize_state_survives_restart(spark, tmp_path):
+    """Stop-and-resume on the SAME checkpoint: a session opened before the
+    restart must close correctly after it — only possible if the state
+    store recovered (offsets alone would lose the open session)."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "resume_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_resume")
+    schema = "user_id long, ts timestamp"
+
+    _stage_file(
+        spark, tmp_path, src, "f0",
+        [(1, dt.datetime(2024, 1, 1, 10, 0)), (1, dt.datetime(2024, 1, 1, 10, 10))],
+        schema, 1_700_000_000,
+    )
+    out = sessionize_stream(read_stream_auto(spark, str(src)), gap_seconds=1800)
+    run1 = _run_collecting(out, ckpt)
+    assert run1 == []  # session still open
+
+    # restart: new file closes the pre-restart session
+    _stage_file(
+        spark, tmp_path, src, "f1",
+        [(1, dt.datetime(2024, 1, 1, 12, 0))],
+        schema, 1_700_000_100,
+    )
+    out2 = sessionize_stream(read_stream_auto(spark, str(src)), gap_seconds=1800)
+    got = _run_collecting(out2, ckpt)
+    assert len(got) == 1
+    r = got[0]
+    assert r.session_start == dt.datetime(2024, 1, 1, 10, 0)
+    assert r.session_end == dt.datetime(2024, 1, 1, 10, 10)
+    assert r.n_events == 2  # both pre-restart events recovered from state
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """A duplicate arriving AFTER a restart is still dropped: the
+    fingerprint set recovered from the checkpointed state store."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.dedup import fingerprint_dedup_stream
+
+    src = tmp_path / "dresume_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dresume")
+    schema = "doc_id long, text string"
+
+    _stage_file(spark, tmp_path, src, "f0", [(1, "same text")], schema, 1_700_000_000)
+    run1 = _run_collecting(
+        fingerprint_dedup_stream(read_stream_auto(spark, str(src))), ckpt
+    )
+    assert [r.doc_id for r in run1] == [1]
+
+    _stage_file(
+        spark, tmp_path, src, "f1",
+        [(2, "same  TEXT"), (3, "fresh content")], schema, 1_700_000_100,
+    )
+    run2 = _run_collecting(
+        fingerprint_dedup_stream(read_stream_auto(spark, str(src))), ckpt
+    )
+    # doc 2 normalizes to doc 1's fingerprint -> dropped via recovered state
+    assert [r.doc_id for r in run2] == [3]
