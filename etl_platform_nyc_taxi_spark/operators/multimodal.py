@@ -175,24 +175,132 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
-def audio_features_plan(df: DataFrame, payload_col: str, sample_rate: int) -> DataFrame:
-    """Audio feature-extraction STUB: real implementation decodes PCM and
-    computes spectral features inside mapInPandas (same contract as
-    image_features). Raises until an audio decoder (librosa/soundfile)
-    exists — the schema is the contract."""
-    raise NotImplementedError(
-        "audio decoding unavailable in this environment; "
-        "plumbing contract: mapInPandas over (id, payload) → "
-        "(id, duration_ms long, feat array<float>)"
+try:  # audio decoders intentionally absent in this image
+    import soundfile  # noqa: F401
+
+    _HAVE_AUDIO = True
+except ImportError:
+    _HAVE_AUDIO = False
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    sample_rate: int = 16_000,
+    bands: int = 8,
+) -> DataFrame:
+    """Audio feature-extraction via ``mapInPandas``: (id, payload) →
+    (doc_id, duration_ms, feat array<float>).
+
+    The Spark contract is production-real (Arrow batches, explicit
+    schema, executor-side per-blob work); the kernel is a deterministic
+    stand-in treating the payload as 16-bit mono PCM at ``sample_rate``
+    — duration from sample count, per-band mean |amplitude| as features.
+    Swap the kernel body for soundfile/librosa decode + spectral features
+    when decoders exist (`_HAVE_AUDIO` gate); nothing else moves."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("feat", T.ArrayType(T.FloatType()), False),
+        ]
     )
+
+    def _fake_audio(payload: bytes) -> tuple[int, list[float]]:
+        if not payload or len(payload) < 2:
+            return 0, [0.0] * bands
+        pcm = np.frombuffer(
+            payload[: len(payload) - (len(payload) % 2)], dtype="<i2"
+        ).astype("float64")
+        duration_ms = int(len(pcm) * 1000 // sample_rate)
+        chunks = np.array_split(np.abs(pcm), bands)
+        feat = [round(float(c.mean()), 6) if len(c) else 0.0 for c in chunks]
+        return duration_ms, feat
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf[payload_col].map(lambda b: _fake_audio(b or b""))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "duration_ms": decoded.map(lambda d: d[0]).astype("int64"),
+                    "feat": decoded.map(lambda d: d[1]),
+                }
+            )
+
+    if _HAVE_AUDIO:  # pragma: no cover - not installed in this image
+        raise NotImplementedError(
+            "real decoder path not wired yet; replace _fake_audio with "
+            "soundfile decode → spectral features"
+        )
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+#: Stand-in video geometry: fixed-size pseudo-frames at a fixed fake fps.
+_FAKE_FRAME_BYTES = 256
+_FAKE_FRAME_MS = 40  # 25 fps
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling via ``mapInPandas``: (id, payload) → one row
+    PER SAMPLED FRAME (doc_id, frame_idx, frame_ms, frame binary) — the
+    row-expanding shape a real keyframe extractor produces.
+
+    Deterministic stand-in geometry: the payload is treated as a 25 fps
+    stream of 256-byte frames; every ``every_ms`` the corresponding frame
+    slice is emitted. Swap the slicing for ffmpeg keyframe decode when a
+    video decoder exists — the schema, the 1→N row expansion, and the
+    Arrow batching are the production contract."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ms", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+    step = max(1, every_ms // _FAKE_FRAME_MS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, frames = [], [], [], []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                payload = payload or b""
+                n_frames = len(payload) // _FAKE_FRAME_BYTES
+                for i in range(0, n_frames, step):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    mss.append(i * _FAKE_FRAME_MS)
+                    frames.append(
+                        payload[i * _FAKE_FRAME_BYTES : (i + 1) * _FAKE_FRAME_BYTES]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ms": pd.Series(mss, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def audio_features_plan(df: DataFrame, payload_col: str, sample_rate: int) -> DataFrame:
+    """Back-compat alias for :func:`audio_features` (the former stub)."""
+    return audio_features(df, payload_col, sample_rate=sample_rate)
 
 
 def frame_sample_plan(df: DataFrame, payload_col: str, every_ms: int) -> DataFrame:
-    """Video frame-sampling STUB: real implementation decodes keyframes per
-    ``every_ms`` inside mapInPandas (same contract as image_features).
-    Raises until a video decoder exists — the schema is the contract."""
-    raise NotImplementedError(
-        "video decoding unavailable in this environment; "
-        "plumbing contract: mapInPandas over (id, payload) → "
-        "(id, frame_idx, frame_ms, frame_png binary)"
-    )
+    """Back-compat alias for :func:`frame_sample` (the former stub)."""
+    return frame_sample(df, payload_col, every_ms=every_ms)

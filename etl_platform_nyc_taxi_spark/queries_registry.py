@@ -1234,6 +1234,43 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    r"""
+    WITH p AS (
+      SELECT doc_id, text, length(text) // 256 AS nf FROM documents
+    ),
+    i AS (
+      SELECT doc_id, text, unnest(range(0, nf, 25)) AS fi FROM p
+    )
+    SELECT doc_id,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(fi * 40 AS BIGINT) AS frame_ms,
+           md5(substring(text, CAST(fi * 256 + 1 AS INTEGER), 256)) AS frame_md5
+    FROM i
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing, oracle-checked end-to-end: document
+    text UTF-8-encoded as the binary payload (ASCII corpus → byte slicing
+    equals char slicing, so DuckDB can replicate with substr+md5), pushed
+    through the REAL mapInPandas frame sampler
+    (operators/multimodal.frame_sample: 256-byte pseudo-frames, 25 fps,
+    1000 ms sampling), each emitted frame fingerprinted. Proves the 1→N
+    Arrow row-expansion contract, not just the schema."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return frame_sample(d, every_ms=1000).select(
+        "doc_id",
+        "frame_idx",
+        F.col("frame_ms"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
     "embedding_quantize",
     r"""
     WITH base AS (

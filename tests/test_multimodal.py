@@ -60,9 +60,27 @@ def test_fake_kernel_is_pure():
     assert _fake_image_features(b"", 3) == [0.0, 0.0, 0.0]
 
 
-def test_frame_sample_stub_contract(blobs):
-    with pytest.raises(NotImplementedError):
-        frame_sample_plan(blobs, "payload", every_ms=1000)
+def test_frame_sample_rows_and_geometry(spark):
+    """1→N row expansion: 25 fake fps, 256-byte pseudo-frames, sampled
+    every every_ms; short/empty payloads produce no rows, never a crash."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, bytes(range(256)) * 50),  # 50 frames -> 2 samples at 1000ms step
+        (2, b"tiny"),  # < one frame: no rows
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = frame_sample(df, every_ms=1000).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1}
+    # step = 1000ms / 40ms = 25 frames: indices 0 and 25 of 50
+    got = sorted((r["frame_idx"], r["frame_ms"]) for r in by_doc[1])
+    assert got == [(0, 0), (25, 1000)]
+    for r in by_doc[1]:
+        assert len(bytes(r["frame"])) == 256
 
 
 def test_resize_images_kernel(blobs):
@@ -75,10 +93,27 @@ def test_resize_images_kernel(blobs):
     assert bytes(out[2]["resized"]) == b"" and out[3]["resized_bytes"] == 0
 
 
-def test_audio_stub_contract(blobs):
-    import pytest as _pytest
+def test_audio_features_duration_and_bands(spark):
+    """16-bit-PCM stand-in kernel: duration from sample count at the given
+    rate; per-band mean |amplitude| features; degenerate payloads -> zeros."""
+    import struct
 
+    from etl_platform_nyc_taxi_spark.operators.multimodal import audio_features
+
+    # 16000 samples @ 16 kHz = 1000 ms; constant amplitude 1000
+    pcm = struct.pack("<16000h", *([1000] * 16000))
+    rows = [(1, pcm), (2, b"x"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in audio_features(df, bands=4).collect()}
+    assert out[1]["duration_ms"] == 1000
+    assert out[1]["feat"] == [1000.0] * 4
+    assert out[2]["duration_ms"] == 0 and out[2]["feat"] == [0.0] * 4
+    assert out[3]["duration_ms"] == 0 and out[3]["feat"] == [0.0] * 4
+
+
+def test_audio_plan_alias_back_compat(spark):
     from etl_platform_nyc_taxi_spark.operators.multimodal import audio_features_plan
 
-    with _pytest.raises(NotImplementedError):
-        audio_features_plan(blobs, "payload", sample_rate=16000)
+    df = spark.createDataFrame([(1, b"\x00\x01" * 8)], "doc_id long, payload binary")
+    out = audio_features_plan(df, "payload", sample_rate=16)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "duration_ms", "feat"]
