@@ -82,3 +82,53 @@ def test_no_rowwise_python_udf_anywhere(spark, name):
     but no registry query needs it either.)"""
     s = fmt(QR.QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in s
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    """Packing must never serialize the corpus through one partition: the
+    cumsum window partitions by the group key (no SinglePartition
+    exchange anywhere in the plan)."""
+    s = fmt(QR.QUERIES["pack_sequences"](spark, SF))
+    assert "Window" in s
+    assert "SinglePartition" not in s
+
+
+def test_cdc_latest_state_window_is_partitioned(spark):
+    s = fmt(QR.QUERIES["cdc_latest_state"](spark, SF))
+    assert "SinglePartition" not in s
+    # partial per-partition top-1 below the exchange: only each task's
+    # candidate row shuffles, not every event
+    assert "WindowGroupLimit" in s
+
+
+def test_join_salted_no_cartesian_and_prunes_columns(spark):
+    s = fmt(QR.QUERIES["join_salted"](spark, SF))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    orders = [l for l in read if "o_custkey" in l]
+    assert orders and all("o_comment" not in l for l in orders)
+
+
+def test_corpus_top_ngrams_window_above_aggregate(spark):
+    """Global row_number ranks the per-gram AGGREGATE (≤ |vocab²| rows),
+    never the exploded gram stream."""
+    import re
+
+    s = fmt(QR.QUERIES["corpus_top_ngrams"](spark, SF))
+    nodes = dict()
+    for num, name in re.findall(r"^\((\d+)\) (\w+)", s, re.M):
+        nodes.setdefault(name, int(num))
+    assert nodes["HashAggregate"] < nodes["Window"]
+
+
+def test_contamination_check_prunes_documents_scan(spark):
+    s = fmt(QR.QUERIES["contamination_check"](spark, SF))
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all("lang" not in l and "source" not in l for l in read)
+
+
+def test_quality_filter_single_scan_no_shuffle(spark):
+    """Flags are pure per-row expressions: the plan must contain no
+    exchange at all — it runs at scan speed."""
+    s = fmt(QR.QUERIES["text_quality_filter"](spark, SF))
+    assert "Exchange" not in s
