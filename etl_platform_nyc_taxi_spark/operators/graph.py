@@ -1,0 +1,107 @@
+"""Graph operators for dedup pipelines: connected components over
+near-duplicate pair sets.
+
+Pair generation (MinHash-LSH, SimHash, embedding-LSH) leaves a graph:
+doc A ~ doc B, B ~ C. Keeping "one per pair" double-drops B; what every
+production dedup pipeline actually does is CLUSTER the pairs into
+connected components and keep one canonical doc per component. This
+module provides that step as iterative min-label propagation on
+DataFrames — the textbook MapReduce-CC shape (cf. Kiveris et al.,
+"Connected Components in MapReduce and Beyond"): every node repeatedly
+adopts the smallest label in its closed neighborhood until fixpoint.
+
+Scale notes:
+* per iteration: one join (edges ⋈ labels) + one min-aggregate — both
+  shuffle on the node key, both combine map-side;
+* iteration count is bounded by the component DIAMETER, not size — near-
+  dup components are short chains (mutant ↔ original), so 3-5 rounds
+  close real corpora; ``max_iter`` guards degenerate graphs;
+* each round ``localCheckpoint``s the label relation: iterative loops
+  otherwise re-execute the whole lineage per action and the plan tree
+  grows without bound (the same pattern pyspark.ml uses internally);
+* convergence is detected with a count of changed labels — one action
+  per round, on a relation already materialized by the checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = smallest
+    node id reachable from the node (undirected). Deterministic.
+
+    ``partitions`` right-sizes the iteration relations: the edge set of a
+    near-dup graph is typically orders of magnitude smaller than the
+    corpus that produced it, and every loop round pays per-task overhead
+    × partition count — coalesce to match the EDGE volume, not the
+    upstream scan's width."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    if partitions:
+        sym = sym.repartition(partitions, "v")
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_labels = sym.join(
+            labels, sym["v"] == labels["node"], "inner"
+        ).select(F.col("u").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Cluster near-dup pairs and pick one canonical doc per cluster.
+
+    Output: (doc_id, component, is_canonical) — ``is_canonical`` marks
+    the cluster's minimum id (the standard keep-the-first policy; swap
+    the ordering upstream for quality-based selection). With ``all_ids``
+    given, singleton docs (no near-dup) appear as their own component —
+    the full keep/drop decision for the corpus in one relation."""
+    comp = connected_components(pairs, src, dst, max_iter, partitions)
+    if all_ids is not None:
+        ids = all_ids.select(F.col(id_col).alias("node")).distinct()
+        comp = ids.join(comp, "node", "left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    return comp.select(
+        F.col("node").alias(id_col),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

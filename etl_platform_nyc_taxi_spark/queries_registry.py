@@ -993,9 +993,9 @@ _MH_KEY_SQL = " || '|' || ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    rf"""
+#: Full MinHash-LSH pair pipeline in DuckDB SQL — shared by the pair query
+#: and the clustering query built on top of it.
+_MINHASH_PAIRS_SQL = rf"""
     WITH corpus AS ({_DOCS_MUTANTS_SQL}),
     sh AS (
       SELECT doc_id AS id,
@@ -1031,8 +1031,10 @@ _MH_KEY_SQL = " || '|' || ".join(
     JOIN hsets sb ON sb.id = c.id_b
     WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
           / len(list_distinct(sa.hs || sb.hs)) >= 0.6
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (doc ↔ its 10-chars-dropped mutant):
     6-shingles → one md5/shingle → 32 integer minhash slots → 8 bands × 4
@@ -1085,6 +1087,57 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         partitions=spark.sparkContext.defaultParallelism,
     )
+
+
+@register(
+    "dedup_clusters",
+    rf"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL}) p
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    allids AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id FROM documents
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+    SELECT a.doc_id,
+           COALESCE(c.component, a.doc_id) AS component,
+           a.doc_id = COALESCE(c.component, a.doc_id) AS is_canonical
+    FROM allids a LEFT JOIN comp c ON c.node = a.doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after pair generation in every real dedup pipeline:
+    cluster MinHash near-dup PAIRS into connected components (iterative
+    min-label propagation, operators/graph.py) and mark one canonical
+    doc per component — keep/drop for the whole corpus in one relation.
+    The oracle recomputes the identical clustering with a recursive CTE
+    over the identical pair pipeline; the Spark loop's localCheckpoint
+    lineage truncation and diameter-bounded convergence are the 100 TB
+    story (SimHash/embedding pair sets plug into the same operator)."""
+    from etl_platform_nyc_taxi_spark.operators.graph import dedup_clusters
+
+    corpus = _docs_with_mutants(spark, sf_dir)
+    pairs = minhash_near_dups(
+        corpus,
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.6,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+    return dedup_clusters(pairs, all_ids=corpus, id_col="doc_id", partitions=8)
 
 
 # Portable SimHash mirrored into DuckDB: 60-bit signature (sign-bit-free in

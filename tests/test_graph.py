@@ -1,0 +1,58 @@
+"""Connected-components semantics on hand-built graphs: chains (diameter
+> 1 forces real iteration), multiple components, singletons, canonical
+selection."""
+
+from __future__ import annotations
+
+from etl_platform_nyc_taxi_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_chain_collapses_to_min_label(spark):
+    # 5-4-3-2-1 chain: diameter 4 — label 1 must propagate the whole way
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_multiple_components_stay_separate(spark):
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)])
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_canonical_and_singletons(spark):
+    pairs = _edges(spark, [(1, 2), (2, 3)])
+    all_ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 99)], "doc_id long")
+    out = {
+        r["doc_id"]: (r["component"], r["is_canonical"])
+        for r in dedup_clusters(pairs, all_ids=all_ids).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False)
+    assert out[99] == (99, True)  # singleton: own component, kept
+    # exactly one canonical per component
+    assert sum(1 for c, canon in out.values() if canon) == 2
+
+
+def test_max_iter_guard_returns_partial_labels(spark):
+    # with max_iter=1 a long chain cannot fully converge — the operator
+    # must still return a complete (node -> label) relation, no crash
+    out = connected_components(
+        _edges(spark, [(5, 4), (4, 3), (3, 2), (2, 1)]), max_iter=1
+    )
+    assert out.count() == 5
