@@ -189,6 +189,41 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding prep step:
+    one row per (doc, window) with ``size`` tokens every ``stride``
+    (overlap = size − stride keeps context across cuts). Output:
+    (id, chunk_idx, n_chunk_tokens, chunk_text); every doc yields ≥ 1
+    chunk. Pure explode + array-slice expressions: scan-speed, shuffle-
+    free, and the 1→N expansion is plain Generate (codegen), not a UDF."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    if partitions:
+        src = src.repartition(partitions)
+    toks = tokens_ws(F.col("__t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = src.select(
+        F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__start") / F.lit(stride)).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def contamination_check(
     train: DataFrame,
     eval_df: DataFrame,

@@ -904,6 +904,67 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INTEGER) AS chunk_idx,
+           CAST(len(toks[CAST(start + 1 AS INTEGER):CAST(start + 64 AS INTEGER)])
+                AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[CAST(start + 1 AS INTEGER):CAST(start + 64 AS INTEGER)],
+                           ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep sliding-window chunking (operators/text.chunk_documents):
+    64-token windows every 48 tokens (16-token overlap), one row per
+    chunk, full chunk text value-hashed against the oracle's list-slice
+    replica. Generate-based 1→N expansion — codegen, no UDF, no shuffle."""
+    from etl_platform_nyc_taxi_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), size=64, stride=48
+    )
+
+
+@register(
+    "corpus_stats",
+    r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition summary per language — the dashboard numbers
+    every dataset card starts with. One combining aggregation at scan
+    speed."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens_ws("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.sum(n_tok).cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
     "dataset_split",
     r"""
     SELECT doc_id,

@@ -148,3 +148,33 @@ def test_word_ngrams_clamp_short_docs(spark):
     got = {r["doc_id"]: r["g"] for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()}
     assert got[1] == ["only"]  # shorter than n: one clamped gram
     assert got[2] == ["two words here"]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, size=4, stride=3).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(out[1], key=lambda r: r["chunk_idx"])
+    # 10 tokens, size 4 / stride 3: starts 0,3,6,9
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
+    assert c1[3]["chunk_text"] == "w9" and c1[3]["n_chunk_tokens"] == 1
+    # doc shorter than one window: exactly one clamped chunk
+    assert len(out[2]) == 1 and out[2][0]["chunk_text"] == "short doc"
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest as _pytest
+
+    from etl_platform_nyc_taxi_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, stride=0)
