@@ -1384,6 +1384,41 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_image")  # mapInPandas feature kernel — rows-only check
+def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline composition: binary image payloads →
+    Arrow-batched feature extraction (operators/multimodal.image_features,
+    the deterministic stand-in kernel) → LSH-bucketed near-dup over the
+    feature vectors (operators/similarity.embedding_near_dups_lsh, no
+    all-pairs join). The corpus duplicates every payload (id + 1M), so
+    every doc pairs with its copy at cosine 1.0. The feature kernel is a
+    mapInPandas Python stage (no SQL oracle — rows-only); the composition
+    semantics are pinned in tests/test_multimodal.py."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import image_features
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "payload")
+    )
+    feats = image_features(corpus, dim=16).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("feat").alias("embedding"),
+    )
+    return embedding_near_dups_lsh(
+        feats,
+        threshold=1.0,
+        num_planes=8,
+        num_tables=4,
+        dim=16,
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 @register(
     "embedding_quantize",
     r"""

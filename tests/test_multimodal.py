@@ -117,3 +117,29 @@ def test_audio_plan_alias_back_compat(spark):
     df = spark.createDataFrame([(1, b"\x00\x01" * 8)], "doc_id long, payload binary")
     out = audio_features_plan(df, "payload", sample_rate=16)
     assert [f.name for f in out.schema.fields] == ["doc_id", "duration_ms", "feat"]
+
+
+def test_image_feature_near_dup_composition(spark):
+    """image_features → embedding_near_dups_lsh end-to-end: identical
+    payloads pair at cosine 1.0; clearly different payloads don't."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import image_features
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    rows = [
+        (1, bytes(range(200)) * 3),
+        (2, bytes(range(200)) * 3),  # exact copy of 1
+        (3, bytes([7, 250, 3, 128] * 100)),  # different distribution
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    feats = image_features(df, dim=16).select(
+        F.col("doc_id").alias("vec_id"), F.col("feat").alias("embedding")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_lsh(
+            feats, threshold=1.0, num_planes=8, num_tables=4, dim=16
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
