@@ -56,6 +56,30 @@ def l2_normalize(a: Column) -> Column:
     )[0]
 
 
+def mean_center(a: Column) -> Column:
+    """a - mean(a) elementwise, as array<double>.
+
+    Removes the per-vector DC component. This is the standard prep before
+    direction-based (hyperplane) LSH on feature families whose vectors all
+    share a large common offset — e.g. byte histograms of natural text,
+    which otherwise all point in nearly the same direction, collapse into
+    ONE bucket per table, and turn the bucket self-join into the all-pairs
+    product LSH exists to avoid. The mean binds via a 1-element transform
+    so it evaluates once per row (same idiom as :func:`l2_normalize`)."""
+    mean = (
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(a)
+    )
+    return F.transform(
+        F.array(mean),
+        lambda m: F.transform(a, lambda x: x.cast("double") - m),
+    )[0]
+
+
 def quantize_int8(a: Column, out_scale: str | None = None) -> Column:
     """Symmetric per-vector int8 quantization: round(x · 127 / max|x|) as
     array<tinyint> — 4× smaller than float32 (the storage/bandwidth lever

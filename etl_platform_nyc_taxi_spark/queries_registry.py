@@ -36,6 +36,7 @@ from etl_platform_nyc_taxi_spark.operators.dedup import (
     simhash_near_dups,
 )
 from etl_platform_nyc_taxi_spark.operators.joins import anti_join, join_dim
+from etl_platform_nyc_taxi_spark.functions.vectors import mean_center
 from etl_platform_nyc_taxi_spark.operators.similarity import (
     brute_force_topk,
     embedding_norm,
@@ -1298,12 +1299,86 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, queries, k=10)
 
 
-@register("ann_lsh")  # approximate by design — rows-only; recall pinned in tests
+def _plane_values_sql(
+    num_planes: int, num_tables: int, dim: int, seed: int
+) -> str:
+    """SQL VALUES rows `(pid, plane DOUBLE[])` for the deterministic
+    hyperplane family shared by every LSH operator — `repr(float)`
+    round-trips, so DuckDB parses bit-identical doubles."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, num_planes * num_tables, seed)
+    return ",\n      ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ",".join(repr(x) for x in p))
+        for i, p in enumerate(planes)
+    )
+
+
+def _lsh_oracle_sql(
+    num_planes: int = 6,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`operators.similarity.lsh_topk`. "Approximate"
+    ANN is still DETERMINISTIC given fixed hyperplanes, and the planes are
+    seeded driver-side constants (`similarity._hyperplanes`), so they embed
+    as SQL literals and the whole pipeline — per-table bit signatures,
+    bucket equi-join, Hamming-1 multiprobe, candidate-only cosine rerank —
+    replays exactly. Both sides compute dot products in float64 (numpy
+    promotes the float32 embeddings; the oracle casts to DOUBLE[]), so the
+    sign of each plane dot agrees except within ~1e-13 of zero — vanishing
+    for random data. Same trick as the DuckDB-mirrored MinHash family."""
+    plane_rows = _plane_values_sql(num_planes, num_tables, dim, seed)
+    flips = ",".join(
+        "(%d)" % f for f in [0] + [1 << i for i in range(num_planes)]
+    )
+    return f"""
+    WITH planes(pid, plane) AS (VALUES
+      {plane_rows}),
+    sig AS (
+      SELECT e.vec_id, p.pid // {num_planes} AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+                           THEN 1 << (p.pid % {num_planes}) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.pid // {num_planes}
+    ),
+    probes AS (
+      SELECT s.vec_id AS query_id, s.tbl, xor(s.bucket, CAST(f.f AS BIGINT)) AS bucket
+      FROM sig s CROSS JOIN (VALUES {flips}) f(f)
+      WHERE s.vec_id < 8
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, c.vec_id
+      FROM probes p JOIN sig c ON c.tbl = p.tbl AND c.bucket = p.bucket
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])), 0),
+                   6) AS cosine
+      FROM cand
+      JOIN embeddings e ON e.vec_id = cand.vec_id
+      JOIN embeddings q ON q.vec_id = cand.query_id
+    ),
+    r AS (SELECT query_id, vec_id, cosine,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS INT) AS "rank"
+          FROM scored)
+    SELECT query_id, vec_id, cosine, "rank" FROM r WHERE "rank" <= {k}
+    """
+
+
+@register("ann_lsh", _lsh_oracle_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN (8 tables × 6 planes,
     multiprobe 1) — the scale path: bucket equi-join instead of full cross
-    product. Approximate, so no SQL oracle; recall vs brute force asserted
-    in tests/test_similarity.py."""
+    product. Fully oracle-checked despite being "approximate": the seeded
+    hyperplanes make the candidate set deterministic, and
+    :func:`_lsh_oracle_sql` replays it in DuckDB. Recall vs brute force
+    additionally asserted in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -1384,16 +1459,89 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_image")  # mapInPandas feature kernel — rows-only check
+def _image_pairs_oracle_sql(
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 16,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of the full dedup_image composition — byte-histogram
+    feature kernel (multimodal._fake_image_features: per-byte hex
+    extraction replicates acc[i % dim] += byte, then round(sum/n, 6) as
+    float32), mean-centered (functions/vectors.mean_center — see the
+    bucket-collapse note there), feeding the deterministic-hyperplane
+    pair pipeline of :func:`_lsh_pairs_oracle_sql`. Threshold 1.0 makes
+    the check robust:
+    identical payloads yield identical feature vectors independently on
+    each side, so duplicate pairs collide in every table and score
+    cosine = 1.0 regardless of last-ulp kernel differences."""
+    plane_rows = _plane_values_sql(num_planes, num_tables, dim, seed)
+    return f"""
+    WITH d AS (SELECT doc_id, encode(text) AS payload FROM documents),
+    corpus AS (SELECT doc_id, hex(payload) AS h, octet_length(payload) AS n
+               FROM (SELECT doc_id, payload FROM d
+                     UNION ALL SELECT doc_id + 1000000, payload FROM d)),
+    bytes AS (SELECT doc_id, n, unnest(range(n)) AS i, h FROM corpus),
+    sums AS (
+      SELECT doc_id, CAST(i % {dim} AS INT) AS j,
+             SUM(CAST(('0x' || substr(h, CAST(2*i+1 AS INT), 2)) AS INT)) AS s
+      FROM bytes GROUP BY doc_id, CAST(i % {dim} AS INT)
+    ),
+    grid AS (SELECT c.doc_id, c.n, t.j FROM corpus c CROSS JOIN range({dim}) t(j)),
+    feat AS (
+      SELECT g.doc_id,
+             array_agg(CASE WHEN g.n = 0 THEN CAST(0.0 AS FLOAT)
+                            ELSE CAST(ROUND(CAST(COALESCE(s.s, 0) AS DOUBLE) / g.n, 6) AS FLOAT)
+                       END ORDER BY g.j) AS embedding
+      FROM grid g LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.j = g.j
+      GROUP BY g.doc_id
+    ),
+    centered AS (
+      SELECT doc_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x - list_aggregate(embedding::DOUBLE[], 'sum') / {dim})
+               AS embedding
+      FROM feat
+    ),
+    planes(pid, plane) AS (VALUES
+      {plane_rows}),
+    sig AS (
+      SELECT f.doc_id, p.pid // {num_planes} AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(f.embedding, p.plane) >= 0
+                           THEN 1 << (p.pid % {num_planes}) ELSE 0 END) AS BIGINT) AS bucket
+      FROM centered f CROSS JOIN planes p
+      GROUP BY f.doc_id, p.pid // {num_planes}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(list_dot_product(x.embedding, y.embedding)
+                   / NULLIF(sqrt(list_dot_product(x.embedding, x.embedding))
+                            * sqrt(list_dot_product(y.embedding, y.embedding)), 0),
+                   6) AS cosine
+      FROM pairs p
+      JOIN centered x ON x.doc_id = p.id_a
+      JOIN centered y ON y.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 1.0
+    """
+
+
+@register("dedup_image", _image_pairs_oracle_sql())
 def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal pipeline composition: binary image payloads →
     Arrow-batched feature extraction (operators/multimodal.image_features,
     the deterministic stand-in kernel) → LSH-bucketed near-dup over the
     feature vectors (operators/similarity.embedding_near_dups_lsh, no
     all-pairs join). The corpus duplicates every payload (id + 1M), so
-    every doc pairs with its copy at cosine 1.0. The feature kernel is a
-    mapInPandas Python stage (no SQL oracle — rows-only); the composition
-    semantics are pinned in tests/test_multimodal.py."""
+    every doc pairs with its copy at cosine 1.0. Fully oracle-checked:
+    the byte-histogram kernel and the seeded hyperplanes both replay in
+    DuckDB (:func:`_image_pairs_oracle_sql`); composition semantics also
+    pinned in tests/test_multimodal.py."""
     from etl_platform_nyc_taxi_spark.operators.multimodal import image_features
     from etl_platform_nyc_taxi_spark.operators.similarity import (
         embedding_near_dups_lsh,
@@ -1407,7 +1555,11 @@ def q_dedup_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = image_features(corpus, dim=16).select(
         F.col("doc_id").alias("vec_id"),
-        F.col("feat").alias("embedding"),
+        # Mean-center before hyperplane LSH: raw byte histograms of text
+        # all share a huge DC component, so every doc would land in the
+        # same bucket and the pair join would degenerate to all-pairs
+        # (measured: 71 s at sf0.1 vs ~1 s centered).
+        mean_center(F.col("feat")).alias("embedding"),
     )
     return embedding_near_dups_lsh(
         feats,
@@ -1635,7 +1787,56 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_lsh")  # LSH-bucketed — approximate recall, rows-only
+def _lsh_pairs_oracle_sql(
+    num_planes: int = 8,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.999,
+) -> str:
+    """DuckDB mirror of :func:`operators.similarity.embedding_near_dups_lsh`
+    on corpus ∪ ×2-scaled mutants: deterministic seeded hyperplanes embed
+    as literals (see :func:`_lsh_oracle_sql`), pairs form only inside
+    matching (table, bucket) cells, exact cosine verify on candidates.
+    The ×2 mutant embeddings are exact in binary FP on both sides."""
+    plane_rows = _plane_values_sql(num_planes, num_tables, dim, seed)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+      FROM embeddings
+    ),
+    planes(pid, plane) AS (VALUES
+      {plane_rows}),
+    sig AS (
+      SELECT b.vec_id, p.pid // {num_planes} AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(b.embedding::DOUBLE[], p.plane) >= 0
+                           THEN 1 << (p.pid % {num_planes}) ELSE 0 END) AS BIGINT) AS bucket
+      FROM base b CROSS JOIN planes p
+      GROUP BY b.vec_id, p.pid // {num_planes}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                            AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             ROUND(list_dot_product(x.embedding::DOUBLE[], y.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(y.embedding::DOUBLE[], y.embedding::DOUBLE[])), 0),
+                   6) AS cosine
+      FROM pairs p
+      JOIN base x ON x.vec_id = p.id_a
+      JOIN base y ON y.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@register("dedup_embedding_lsh", _lsh_pairs_oracle_sql())
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via multi-table hyperplane LSH buckets —
     the scale path of dedup_embedding_cosine: candidates only inside
@@ -1643,7 +1844,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.999 with 8 planes × 6 tables (analysis in
     operators/similarity.py); floor vs blocked-exact pinned in
     tests/test_similarity.py. No blocking columns needed — the signature
-    IS the block."""
+    IS the block. Fully oracle-checked: the seeded hyperplanes make the
+    candidate set deterministic and :func:`_lsh_pairs_oracle_sql` replays
+    it in DuckDB."""
     from etl_platform_nyc_taxi_spark.operators.similarity import (
         embedding_near_dups_lsh,
     )

@@ -177,6 +177,27 @@ def test_l2_normalize_and_quantize(spark):
         assert abs(orig - q * s) <= s / 2 + 1e-9
 
 
+def test_mean_center(spark):
+    """mean_center removes the DC component elementwise; identical inputs
+    stay identical (the property dedup_image's threshold-1.0 check rests
+    on); direction of near-constant vectors spreads (bucket-collapse fix)."""
+    from etl_platform_nyc_taxi_spark.functions.vectors import mean_center
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 6.0]), (2, [1.0, 2.0, 3.0, 6.0]), (3, [5.0, 5.0, 5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", mean_center(F.col("embedding")).alias("c")
+        ).collect()
+    }
+    assert out[1] == pytest.approx([-2.0, -1.0, 0.0, 3.0])
+    assert out[1] == out[2]  # identical in -> identical out, exactly
+    assert out[3] == pytest.approx([0.0, 0.0, 0.0, 0.0])  # constant -> zero
+
+
 def test_lsh_index_serving_matches_inmemory_and_prunes(spark, tmp_path):
     """write_lsh_index + lsh_topk_from_index == lsh_topk, and the serve
     scan must touch only the probed (table, bucket) partitions."""
