@@ -114,6 +114,61 @@ def bernoulli_sample(
     return df.filter(_bucket(id_col, salt) < int(round(rate * BUCKETS)))
 
 
+def shard_shuffle(
+    df: DataFrame,
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos_in_shard",
+) -> DataFrame:
+    """Deterministic global shuffle into ``num_shards`` training shards.
+
+    The scale-correct form of "shuffle a 100 TB corpus before training":
+    a single global ``ORDER BY rand()`` serializes in one partition and
+    isn't reproducible; instead each row gets ``shard = hash(id) %
+    num_shards`` (scan-speed projection — this IS the random permutation
+    across shards) and ``pos_in_shard`` from a PARTITIONED window over the
+    hash order, so the sort parallelizes per shard. Writers then emit one
+    file per shard, already in read order. Same md5-portable family as
+    :func:`hash_split`: the permutation is a property of the data, not of
+    the engine, so it replays in the oracle and any future engine."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = portable_hash64(F.concat(F.lit(salt + ":"), c.cast("string")), 60)
+    out = df.withColumn("__h", h).withColumn(
+        shard_col, (F.col("__h") % num_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h").asc(), c.asc())
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("__h")
+
+
+def stratified_cap(
+    df: DataFrame,
+    cap: int,
+    stratum_cols: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``cap`` rows per stratum, chosen by deterministic hash
+    order — exact-count stratified downsampling (the rebalancing knob
+    when one source/language dwarfs the rest; Bernoulli rates only hit
+    quotas in expectation). Partitioned window, so each stratum sorts in
+    parallel; skewed strata sort ``cap`` winners out of their partition
+    rather than collapsing to the driver."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = portable_hash64(F.concat(F.lit(salt + ":"), c.cast("string")), 60)
+    w = Window.partitionBy(*stratum_cols).orderBy(h.asc(), c.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col,

@@ -808,6 +808,133 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_prepare",
+    r"""
+    WITH tr AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 20 <> 0),
+    ev AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+    q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS avg_len,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM tr
+    ),
+    kept AS (
+      SELECT t.doc_id, t.text, t.lang, t.source FROM tr t
+      WHERE t.doc_id IN (
+        SELECT doc_id FROM q
+        WHERE n_tok >= 40 AND n_tok <= 100000
+          AND avg_len >= 2.0 AND avg_len <= 12.0
+          AND stop_ratio >= 0.05 AND alpha_ratio >= 0.6 AND symbol_ratio <= 0.1
+      )
+    ),
+    fp AS (
+      SELECT doc_id, text, lang, source,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM kept
+    ),
+    dedup AS (
+      SELECT doc_id, text, lang, source FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp
+      ) WHERE rn = 1
+    ),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM dedup)
+    ),
+    eg AS (
+      SELECT DISTINCT
+             unnest(list_distinct(
+               [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM ev)
+    ),
+    ov AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM tg t JOIN eg e ON t.gram = e.gram GROUP BY t.doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(
+               [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                for i in range(1, greatest(len(toks)-2, 1)+1)])) AS INTEGER) AS n_grams
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM dedup)
+    ),
+    bad AS (
+      SELECT o.doc_id FROM ov o JOIN tot t ON o.doc_id = t.doc_id
+      WHERE ROUND(CAST(o.n_overlap AS DOUBLE) / t.n_grams, 6) > 0.05
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN CAST('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 < 9000 THEN 'train'
+                WHEN CAST('0x' || substr(md5('split:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-corpus build — the composition every
+    LLM data dump runs, as ONE declarative plan Catalyst optimizes whole:
+
+      quality gate (operators/text.quality_flags, scan-speed expressions)
+      → exact dedup keeping the lowest doc_id per content fingerprint
+        (deterministic, unlike dropDuplicates — partitioned window on the
+        md5 key, groups are tiny so no skew)
+      → benchmark decontamination (operators/text.contamination_check
+        vs the held-out eval slice, drop overlap_ratio > 5%)
+      → deterministic 90/5/5 hash split (operators/sampling.hash_split).
+
+    Every stage uses the portable hash family, so the whole four-stage
+    pipeline value-hash-checks against DuckDB. Anti-join for the
+    decontamination drop (no row duplication); broadcast is automatic for
+    the tiny bad-doc side under AQE."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import hash_split
+    from etl_platform_nyc_taxi_spark.operators.text import contamination_check
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    train = d.filter(F.col("doc_id") % 20 != 0)
+    eval_slice = d.filter(F.col("doc_id") % 20 == 0)
+
+    rules = QualityRules(min_tokens=40, min_stopword_ratio=0.05)
+    kept = (
+        quality_flags(train, rules=rules)
+        .filter(F.col("keep"))
+        .select("doc_id", "text", "lang", "source")
+    )
+
+    deduped = top_k_per_group(
+        kept.withColumn("__fp", fingerprint("text")),
+        group_by=["__fp"],
+        order=[F.col("doc_id").asc()],
+        k=1,
+    ).drop("rank", "__fp")
+
+    bad = (
+        contamination_check(
+            deduped,
+            eval_slice,
+            partitions=_spread(spark, sf_dir, "documents"),
+        )
+        .filter(F.col("overlap_ratio") > 0.05)
+        .select("doc_id")
+    )
+    clean = deduped.join(bad, "doc_id", "left_anti")
+    return hash_split(clean).select("doc_id", "lang", "source", "split")
+
+
+@register(
     "join_salted",
     """
     SELECT c.c_nationkey AS nationkey,
@@ -985,6 +1112,62 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_platform_nyc_taxi_spark.operators.sampling import hash_split
 
     return hash_split(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
+@register(
+    "corpus_shuffle",
+    r"""
+    SELECT doc_id,
+           CAST(h % 64 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) AS INT)
+             AS pos_in_shard
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    )
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pre-training shuffle into 64 shards
+    (operators/sampling.shard_shuffle): hash-assigned shard + partitioned
+    window position — no global sort, no rand(), replayable in the
+    oracle. The shape that shuffles 100 TB without a single-partition
+    bottleneck."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import shard_shuffle
+
+    return shard_shuffle(
+        _t(spark, sf_dir, "documents").select("doc_id"), num_shards=64
+    )
+
+
+@register(
+    "dataset_stratified",
+    r"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 100
+    """,
+)
+def q_dataset_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified downsampling: at most 100 docs per
+    (lang, source) stratum chosen by deterministic hash order
+    (operators/sampling.stratified_cap) — the rebalancing knob Bernoulli
+    rates can't express (quotas only in expectation). Partitioned window;
+    every stratum sorts in parallel."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import stratified_cap
+
+    return stratified_cap(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source"),
+        cap=100,
+        stratum_cols=("lang", "source"),
+    )
 
 
 @register(

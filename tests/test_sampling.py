@@ -104,3 +104,35 @@ def test_pack_sequences_chunks_and_offsets(spark):
     assert [out[i]["start_offset"] for i in (1, 2, 3)] == [0, 300, 600]
     assert [out[i]["chunk_id"] for i in (1, 2, 3)] == [0, 0, 1]
     assert out[4]["start_offset"] == 0 and out[4]["chunk_id"] == 0
+
+
+def test_shard_shuffle_deterministic_and_partition_invariant(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import shard_shuffle
+
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id").limit(200)
+    a = sorted(map(tuple, shard_shuffle(d, num_shards=8).collect()))
+    b = sorted(map(tuple, shard_shuffle(d.repartition(7), num_shards=8).collect()))
+    assert a == b  # layout-invariant permutation
+    rows = shard_shuffle(d, num_shards=8).collect()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    # positions are 1..n_in_shard, dense, no duplicates
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_stratified_cap_exact_counts(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import stratified_cap
+
+    d = load_fixture(spark, SF_DIR, "documents").select("doc_id", "lang", "source")
+    out = stratified_cap(d, cap=5, stratum_cols=("lang",))
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, full[lang])  # exact quota, not in-expectation
+    # deterministic: same winners both runs
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_cap(d.repartition(5), cap=5, stratum_cols=("lang",)).collect())
+    assert a == b
