@@ -311,6 +311,56 @@ def language_id(
     return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword-extraction
+    / salient-term op over a corpus: (doc, term, score, rank).
+
+    Smooth idf (sklearn convention): ``ln((N+1)/(df+1)) + 1``. Shapes for
+    scale: explode → two-phase (doc, term) count with map-side combine;
+    document frequency is a second aggregate OVER the tf relation (no
+    re-scan of the text); corpus size N joins in as a broadcast 1-row
+    relation (no driver action — the whole thing is one plan); final
+    rank is a window partitioned by doc over the rounded score, never a
+    global sort. Scores round to 6 decimals BEFORE ranking so the
+    (score desc, term asc) order is a deterministic total order the
+    DuckDB oracle replays."""
+    from etl_platform_nyc_taxi_spark.operators.windows import top_k_per_group
+
+    toks = df.select(F.col(id_col), F.explode(tokens_ws(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfc, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        group_by=[id_col],
+        order=[F.col("score").desc(), F.col("term").asc()],
+        k=k,
+    )
+
+
 def normalize_text(text_col: str | Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

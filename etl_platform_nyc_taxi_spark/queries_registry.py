@@ -1115,6 +1115,41 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfc ON tf.term = dfc.term CROSS JOIN n
+    )
+    SELECT doc_id, term, score, "rank" FROM (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS INT) AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 5
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (operators/text.tfidf_top_terms):
+    smooth-idf scoring, two-phase counts, broadcast corpus size, doc-
+    partitioned rank over PRE-ROUNDED scores for a deterministic total
+    order both engines replay."""
+    from etl_platform_nyc_taxi_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), k=5
+    )
+
+
+@register(
     "corpus_shuffle",
     r"""
     SELECT doc_id,

@@ -178,3 +178,32 @@ def test_chunk_documents_validates_params(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+def test_tfidf_top_terms_hand_built(spark):
+    """Rare terms outrank ubiquitous ones; scores follow smooth idf."""
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common boring"),
+            (3, "common boring"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # equal tf=1 in doc 1: "rare" (df 1, idf ln2+1) outranks "common"
+    # (df 3, idf ln(4/4)+1 = 1)
+    assert top1[1] == "rare"
+    rare = next(r for r in out if r["doc_id"] == 1 and r["term"] == "rare")
+    assert rare["score"] == round(1 * (math.log(4.0 / 2.0) + 1.0), 6)
+    # every doc gets at most k rows, ranks dense from 1
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
