@@ -311,6 +311,37 @@ def language_id(
     return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
 
 
+def length_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Power-of-2 token-length buckets with padding-waste accounting —
+    the batching-efficiency audit of a training pipeline (docs batched by
+    nearest power-of-2 length minimize pad tokens; this measures what
+    that costs per bucket).
+
+    The bucket is computed in INTEGER arithmetic — ``2^len(bin(n-1))`` =
+    smallest power of two ≥ n — never via float ``log2``, whose last-ulp
+    rounding at exact powers of two would flip buckets differently per
+    engine. One scan, one aggregate; group count is bounded by
+    log2(max_len), so the shuffle is trivially small at any scale."""
+    n_tok = F.size(tokens_ws(text_col))
+    bucket = F.when(n_tok <= 1, F.lit(1)).otherwise(
+        F.pow(F.lit(2), F.length(F.conv((n_tok - 1).cast("string"), 10, 2))).cast(
+            "long"
+        )
+    )
+    return (
+        df.select(n_tok.alias("__n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("__n")).alias("pad_waste"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1115,6 +1115,36 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "length_buckets",
+    r"""
+    WITH n AS (
+      SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents
+    ),
+    b AS (
+      SELECT n_tok,
+             CASE WHEN n_tok <= 1 THEN 1
+                  ELSE CAST(power(2, length(bin(n_tok - 1))) AS BIGINT) END AS bucket
+      FROM n
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-2 length-bucket histogram with padding-waste accounting
+    (operators/text.length_bucket_stats) — the batching-efficiency audit
+    run before packing/padding decisions. Integer-only bucket math
+    (2^len(bin(n-1))), so the oracle is bit-exact."""
+    from etl_platform_nyc_taxi_spark.operators.text import length_bucket_stats
+
+    return length_bucket_stats(
+        _t(spark, sf_dir, "documents").select("text")
+    )
+
+
+@register(
     "tfidf_terms",
     r"""
     WITH toks AS (

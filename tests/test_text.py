@@ -207,3 +207,22 @@ def test_tfidf_top_terms_hand_built(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["rank"])
     for ranks in by_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)) and len(ranks) <= 2
+
+
+def test_length_bucket_stats_integer_boundaries(spark):
+    """Bucket = smallest power of two >= n_tok, exact at boundaries."""
+    from etl_platform_nyc_taxi_spark.operators.text import length_bucket_stats
+
+    docs = [
+        (1, "w"),                    # 1 token  -> bucket 1
+        (2, "w w"),                  # 2        -> 2
+        (3, "w w w"),                # 3        -> 4
+        (4, " ".join(["w"] * 8)),    # 8        -> 8 (exact power stays)
+        (5, " ".join(["w"] * 9)),    # 9        -> 16
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["bucket"]: r for r in length_bucket_stats(df).collect()}
+    assert set(out) == {1, 2, 4, 8, 16}
+    assert out[4]["n_docs"] == 1 and out[4]["pad_waste"] == 1
+    assert out[8]["pad_waste"] == 0  # exact power of two wastes nothing
+    assert out[16]["total_tokens"] == 9 and out[16]["pad_waste"] == 7
