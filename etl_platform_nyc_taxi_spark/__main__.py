@@ -117,7 +117,9 @@ def build_pipeline(args: argparse.Namespace, spark: SparkSession):
         return df.count()
 
     return Pipeline(
-        name=f"{args.job}@{args.ds}",
+        # '_' not '@': pipeline.name doubles as the Airflow dag_id via
+        # plans/airflow_adapter.to_airflow_dag, and dag_id charset is [\w.-]
+        name=f"{args.job}_{args.ds}",
         steps=[
             Step(
                 "sense_input",

@@ -173,7 +173,18 @@ def salted_join(
 
     Dim-side cost: buckets× replication, so keep buckets ≈ the skew
     factor, not the cluster size; broadcast-able dims should use
-    :func:`join_dim` instead (no salt needed — no shuffle at all)."""
+    :func:`join_dim` instead (no salt needed — no shuffle at all).
+
+    Only ``inner``/``left``/``left_semi`` are supported: the dim side is
+    replicated ``buckets``-fold, so right/full outer variants would emit
+    each unmatched dim row ``buckets`` times — not equal to the unsalted
+    join. Rejected explicitly rather than silently wrong."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi only (dim side is "
+            f"replicated {buckets}x; outer variants would duplicate unmatched "
+            f"dim rows), got how={how!r}"
+        )
     sc = F.col(salt_col) if isinstance(salt_col, str) else salt_col
     f = fact.withColumn("__salt", F.pmod(sc, F.lit(buckets)).cast("int"))
     d = dim.withColumn(

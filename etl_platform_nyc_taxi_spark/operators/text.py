@@ -94,6 +94,19 @@ class QualityRules:
     max_symbol_ratio: float = 0.1
 
 
+def quality_flag_names(prefix: str = "q_") -> list[str]:
+    """The exact flag columns :func:`quality_flags` adds for ``prefix``
+    (plus ``keep``). Lets :func:`quality_filter` drop only its own columns
+    instead of anything merely sharing the prefix."""
+    return [
+        f"{prefix}len_ok",
+        f"{prefix}token_len_ok",
+        f"{prefix}stopwords_ok",
+        f"{prefix}alpha_ok",
+        f"{prefix}symbols_ok",
+    ]
+
+
 def quality_flags(
     df: DataFrame,
     text_col: str = "text",
@@ -134,13 +147,19 @@ def quality_flags(
 
 
 def quality_filter(
-    df: DataFrame, text_col: str = "text", rules: QualityRules = QualityRules()
+    df: DataFrame,
+    text_col: str = "text",
+    rules: QualityRules = QualityRules(),
+    prefix: str = "q_",
 ) -> DataFrame:
     """Docs passing every rule, flag columns dropped — the pipeline form
-    (filter early, filter cheap: this gate runs before any shuffle)."""
-    flagged = quality_flags(df, text_col, rules)
-    drop = [c for c in flagged.columns if c.startswith("q_")] + ["keep"]
-    return flagged.filter(F.col("keep")).drop(*drop)
+    (filter early, filter cheap: this gate runs before any shuffle).
+
+    Drops ONLY the flag columns it added (``quality_flag_names(prefix)``
+    + ``keep``), so pre-existing user columns that happen to share the
+    prefix (e.g. ``q_score``) survive."""
+    flagged = quality_flags(df, text_col, rules, prefix)
+    return flagged.filter(F.col("keep")).drop(*quality_flag_names(prefix), "keep")
 
 
 def word_ngrams(text_col: str | Column, n: int = 2) -> Column:

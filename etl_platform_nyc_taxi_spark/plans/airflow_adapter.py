@@ -21,6 +21,7 @@ translation as pure data for environments without Airflow installed.
 from __future__ import annotations
 
 import datetime as dt
+import re
 from dataclasses import dataclass
 
 from etl_platform_nyc_taxi_spark.plans.runner import Pipeline
@@ -65,7 +66,9 @@ def to_airflow_dag(
     from airflow.operators.python import PythonOperator
 
     dag = DAG(
-        dag_id=pipeline.name,
+        # Airflow restricts dag_id to [\w.-]; sanitize so any Pipeline name
+        # (e.g. user-supplied job tags) composes without raising
+        dag_id=re.sub(r"[^\w.-]", "_", pipeline.name),
         schedule=schedule,
         start_date=start_date or dt.datetime(2024, 1, 1),
         catchup=False,

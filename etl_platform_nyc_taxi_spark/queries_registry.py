@@ -17,7 +17,6 @@ value-hash comparison exact:
 
 from __future__ import annotations
 
-import itertools
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -1912,9 +1911,6 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Structured Streaming (SURVEY.md §7.2 step 6; streaming/daily_stream.py)
 # ---------------------------------------------------------------------------
 
-_STREAM_RUNS = itertools.count()
-
-
 @register(
     "streaming_daily_counts",
     """
@@ -1932,8 +1928,6 @@ def q_streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink. Batch-equivalent by construction, so it shares the
     daily_transactions oracle — the streaming plan itself (watermark,
     stateful window agg, checkpointing) is what's under test."""
-    import tempfile
-
     from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
         daily_window_counts,
         read_stream_auto,
@@ -1942,8 +1936,8 @@ def q_streaming_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_stream_auto(spark, f"{sf_dir}/events.parquet")
     agg = daily_window_counts(stream, ts_col="ts", watermark="1 day")
-    sink = f"stream_daily_counts_{next(_STREAM_RUNS)}"
-    run_available_now(agg, sink, tempfile.mkdtemp(prefix="ckpt_stream_daily_"))
+    sink = "stream_daily_counts"
+    run_available_now(agg, sink)  # temp checkpoint, auto-cleaned; view replaced per run
     return spark.table(sink)
 
 
@@ -1968,8 +1962,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim. The stateful plan (fingerprint-keyed agg, checkpointing) is
     what's under test; the first-seen/watermarked drop variants are pinned
     against batch in tests/test_streaming.py."""
-    import tempfile
-
     from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
         read_stream_auto,
         run_available_now,
@@ -1983,8 +1975,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
     )
     agg = duplicate_groups_stream(base.unionByName(mutants))
-    sink = f"stream_dedup_{next(_STREAM_RUNS)}"
-    run_available_now(agg, sink, tempfile.mkdtemp(prefix="ckpt_stream_dedup_"))
+    sink = "stream_dedup"
+    run_available_now(agg, sink)  # temp checkpoint, auto-cleaned; view replaced per run
     return spark.table(sink)
 
 
@@ -2649,21 +2641,14 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions only (append mode) — users' final sessions may stay open, so
     no batch-SQL oracle; exact closed-session bounds vs the batch
     sessionizer are pinned in tests/test_streaming.py."""
-    import tempfile
-
-    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+        run_available_now,
+    )
     from etl_platform_nyc_taxi_spark.streaming.sessions import sessionize_stream
 
     stream = read_stream_auto(spark, f"{sf_dir}/events.parquet")
     out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
-    sink = f"stream_sessions_{next(_STREAM_RUNS)}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sessions_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink = "stream_sessions"
+    run_available_now(out, sink, output_mode="append")
     return spark.table(sink)

@@ -56,21 +56,39 @@ def read_stream_auto(spark: SparkSession, path: str, **options: str) -> DataFram
 
 
 def run_available_now(
-    agg: DataFrame, sink_table: str, checkpoint_dir: str, output_mode: str = "complete"
+    agg: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "complete",
 ) -> None:
     """One-shot streaming run: process every file currently in the source
     (Trigger.AvailableNow), land results in an in-memory sink table, stop.
     Batch-parity harness for streaming pipelines — the driver/oracle can
-    then read ``spark.table(sink_table)`` like any batch result."""
-    q = (
-        agg.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(sink_table)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    then read ``spark.table(sink_table)`` like any batch result.
+
+    With ``checkpoint_dir=None`` a temp checkpoint is created and deleted
+    after the run terminates — one-shot runs don't resume, so keeping the
+    checkpoint only leaks disk across repeated invocations in a long-lived
+    session. Re-running with the same ``sink_table`` replaces the memory
+    sink's temp view, so catalog entries don't accumulate either."""
+    import shutil
+    import tempfile
+
+    owned = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{sink_table}_")
+    try:
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(sink_table)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if owned:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def daily_window_counts(

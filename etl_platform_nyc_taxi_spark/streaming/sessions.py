@@ -65,6 +65,12 @@ def _make_session_fn(gap_seconds: int):
                 elif t - cur[1] > gap_us:
                     closed.append(tuple(cur))
                     cur = [t, t, 1]
+                elif cur[0] - t > gap_us:
+                    # late-but-above-watermark event more than one gap BEFORE
+                    # the open session's start (possible when watermark delay
+                    # > gap): the batch twin, sorting globally, would emit it
+                    # as its own session — do the same instead of merging
+                    closed.append((t, t, 1))
                 else:
                     # late-but-accepted events (above watermark, within the
                     # gap, possibly earlier than the open session's start —

@@ -132,3 +132,17 @@ def test_latest_per_key_deterministic_tiebreak(spark):
         df, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()], keep=2
     )
     assert hist.count() == 4
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    # ADVICE r2: the dim side is replicated buckets-fold, so right/full
+    # outer would emit each unmatched dim row `buckets` times — rejected.
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a", 7)], "row_id long, k string, v long")
+    dim = spark.createDataFrame([("a", 1), ("b", 2)], "k string, d long")
+    for how in ("right", "full", "outer", "full_outer", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(fact, dim, key="k", salt_col="row_id", buckets=4, how=how)

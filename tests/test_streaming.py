@@ -409,3 +409,57 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     )
     # doc 2 normalizes to doc 1's fingerprint -> dropped via recovered state
     assert [r.doc_id for r in run2] == [3]
+
+
+def test_session_fn_splits_far_backward_late_event():
+    # ADVICE r2: a late-but-above-watermark event more than one gap BEFORE
+    # the open session's start must become its own session (what the
+    # globally-sorting batch twin would emit), not merge backward.
+    import pandas as pd
+
+    from etl_platform_nyc_taxi_spark.streaming.sessions import _make_session_fn
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    gap_s = 60
+    us = 1_000_000
+    # open session starts at t=1000s; late event at t=100s (900s before
+    # start, gap only 60s) arrives in the next micro-batch
+    state = FakeState(value=(1000 * us, 1010 * us, 2))
+    fn = _make_session_fn(gap_s)
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(100 * us, unit="us")]})
+    out = list(fn((7,), [pdf], state))
+    assert len(out) == 1
+    emitted = out[0]
+    assert len(emitted) == 1  # the late event emitted as its own session
+    assert emitted["session_start"].iloc[0] == pd.Timestamp(100 * us, unit="us")
+    assert emitted["session_end"].iloc[0] == pd.Timestamp(100 * us, unit="us")
+    assert emitted["n_events"].iloc[0] == 1
+    # the open session is untouched in state
+    assert state.get == (1000 * us, 1010 * us, 2)
+
+    # within-gap backward reorder still extends the open session
+    state2 = FakeState(value=(1000 * us, 1010 * us, 2))
+    pdf2 = pd.DataFrame({"ts": [pd.Timestamp(990 * us, unit="us")]})
+    assert list(_make_session_fn(gap_s)((7,), [pdf2], state2)) == []
+    assert state2.get == (990 * us, 1010 * us, 3)

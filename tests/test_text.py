@@ -226,3 +226,26 @@ def test_length_bucket_stats_integer_boundaries(spark):
     assert out[4]["n_docs"] == 1 and out[4]["pad_waste"] == 1
     assert out[8]["pad_waste"] == 0  # exact power of two wastes nothing
     assert out[16]["total_tokens"] == 9 and out[16]["pad_waste"] == 7
+
+
+def test_quality_filter_preserves_user_prefixed_columns(spark):
+    # ADVICE r2: a pre-existing user column sharing the flag prefix (e.g.
+    # q_score) must survive quality_filter — only the filter's OWN flag
+    # columns are dropped.
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        QualityRules,
+        quality_filter,
+    )
+
+    rules = QualityRules(min_tokens=3, min_stopword_ratio=0.1, max_symbol_ratio=0.2)
+    df = spark.createDataFrame(
+        [(1, "the cat sat on a mat today", 0.9), (2, "xy zz", 0.1)],
+        "doc_id long, text string, q_score double",
+    )
+    kept = quality_filter(df, rules=rules)
+    assert kept.columns == ["doc_id", "text", "q_score"]
+    assert kept.collect()[0]["q_score"] == 0.9
+
+    # custom prefix is forwarded end-to-end
+    kept2 = quality_filter(df, rules=rules, prefix="flag_")
+    assert kept2.columns == ["doc_id", "text", "q_score"]
