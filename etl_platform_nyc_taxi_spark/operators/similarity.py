@@ -469,15 +469,42 @@ def write_lsh_index(
             F.col(vec_col),
             F.posexplode(sigs(F.col(vec_col))).alias("lsh_table", "lsh_bucket"),
         )
+        # shuffle on the partition cols BEFORE the partitioned write: each
+        # output directory is then produced by exactly one task (≤1 file
+        # per dir) instead of every input split writing into every dir —
+        # num_input_splits × num_dirs tiny files is the classic
+        # dynamic-partition write blowup at any scale
+        .repartition("lsh_table", "lsh_bucket")
         .write.mode(mode)
         .partitionBy("lsh_table", "lsh_bucket")
         .parquet(path)
     )
 
 
+def _open_index(spark, index) -> DataFrame:
+    """Accept a path (opened fresh — pays partition discovery) or a
+    pre-opened index DataFrame (the serving pattern: open once per
+    process, serve many queries; discovery cost amortizes to zero)."""
+    if isinstance(index, str):
+        from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+        return read_parquet_auto(spark, index)
+    return index
+
+
+def _collect_queries(queries: DataFrame, query_id_col: str, vec_col: str):
+    """Driver-side (ids, float64 matrix, raw rows) for a query set — the
+    serve-time premise is that queries are SMALL (the corpus stays
+    distributed); collecting them here lets probe cells be computed in
+    numpy with zero Spark jobs and no Python-worker spin-up."""
+    rows = queries.select(query_id_col, vec_col).collect()
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return rows, mat
+
+
 def lsh_topk_from_index(
     spark,
-    index_path: str,
+    index,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
@@ -490,37 +517,56 @@ def lsh_topk_from_index(
     multiprobe: int = 1,
 ) -> DataFrame:
     """Serve ANN from a :func:`write_lsh_index` layout with STATIC
-    partition pruning: the query set's probe cells (small by definition
-    at serve time) are collected driver-side and compiled into a
-    partition-column predicate, so the scan touches only matching
-    directories — the corpus itself is never collected, shuffled, or
-    re-signed. Same hyperplane params as the writer or buckets won't
-    match; result parity with :func:`lsh_topk` is pinned in
-    tests/test_similarity.py."""
-    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+    partition pruning: probe cells are computed driver-side in numpy
+    (queries are small by definition at serve time — no pandas UDF, no
+    extra Spark job) and compiled into a partition-column predicate, so
+    the scan touches only matching directories — the corpus itself is
+    never collected, shuffled, or re-signed. ``index`` may be a path or a
+    pre-opened DataFrame (open once, serve many). Same hyperplane params
+    as the writer or buckets won't match; result parity with
+    :func:`lsh_topk` is pinned in tests/test_similarity.py."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
-    sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
-    q = _lsh_query_probes(
-        queries, query_id_col, vec_col, sigs, num_planes, num_tables, multiprobe
+    rows, mat = _collect_queries(queries, query_id_col, vec_col)
+    planes = np.array(_hyperplanes(dim, num_planes * num_tables, seed))
+    flips = [0] + ([1 << i for i in range(num_planes)] if multiprobe else [])
+    probe_rows: list[tuple] = []
+    by_table: dict[int, set[int]] = {}
+    if rows:
+        # same float64 matmul + sign + bit-pack as table_signatures_udf
+        bits = (mat @ planes.T) >= 0
+        buckets = (
+            bits.reshape(len(rows), num_tables, num_planes)
+            * (1 << np.arange(num_planes))
+        ).sum(axis=2).astype("int64")
+        for i, r in enumerate(rows):
+            vec = list(r[1])
+            for t in range(num_tables):
+                for f in flips:
+                    b = int(buckets[i, t]) ^ f
+                    probe_rows.append((r[0], vec, t, b))
+                    by_table.setdefault(t, set()).add(b)
+    schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField("__qvec", queries.schema[vec_col].dataType),
+            StructField("lsh_table", IntegerType()),
+            StructField("lsh_bucket", LongType()),
+        ]
     )
-    probes = q.select("__table", "__bucket").distinct().collect()
-    idx = read_parquet_auto(spark, index_path)
+    q = spark.createDataFrame(probe_rows, schema)
+    idx = _open_index(spark, index)
+    # One OR-term per table carrying a bucket isin: shallow expression
+    # tree (a flat per-cell OR chain overflows the JVM stack beyond a few
+    # hundred cells) and a pure partition-column predicate, so static
+    # pruning holds.
     cells = None
-    for r in probes:
-        cell = (F.col("lsh_table") == r["__table"]) & (
-            F.col("lsh_bucket") == r["__bucket"]
-        )
+    for tbl, bs in sorted(by_table.items()):
+        cell = (F.col("lsh_table") == tbl) & F.col("lsh_bucket").isin(sorted(bs))
         cells = cell if cells is None else cells | cell
     pruned = idx.filter(cells if cells is not None else F.lit(False))
     scored = (
-        pruned.join(
-            F.broadcast(
-                q.withColumnsRenamed(
-                    {"__table": "lsh_table", "__bucket": "lsh_bucket"}
-                )
-            ),
-            on=["lsh_table", "lsh_bucket"],
-        )
+        pruned.join(F.broadcast(q), on=["lsh_table", "lsh_bucket"])
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -551,6 +597,9 @@ def write_ivf_index(
     (:func:`ivf_topk_from_index`)."""
     (
         assign_ivf_lists(corpus, centroids, vec_col, "ivf_list")
+        # one task per inverted list → ≤1 file per list dir (see
+        # write_lsh_index note on the dynamic-partition write blowup)
+        .repartition("ivf_list")
         .write.mode(mode)
         .partitionBy("ivf_list")
         .parquet(path)
@@ -559,7 +608,7 @@ def write_ivf_index(
 
 def ivf_topk_from_index(
     spark,
-    index_path: str,
+    index,
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
@@ -568,25 +617,40 @@ def ivf_topk_from_index(
     query_id_col: str = "query_id",
     nprobe: int = 4,
 ) -> DataFrame:
-    """Serve IVF ANN from a :func:`write_ivf_index` layout: the union of
-    the query set's nprobe lists compiles into a static partition filter
-    (driver-side collect of the QUERY side only), the scan prunes to
-    those directories, and the exact cosine rerank runs inside them.
-    Result parity with :func:`ivf_topk` (same centroids) is pinned in
-    tests/test_similarity.py."""
-    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+    """Serve IVF ANN from a :func:`write_ivf_index` layout: each query's
+    nprobe nearest lists are computed driver-side in numpy (queries are
+    small at serve time; ties broken by list id, matching
+    :func:`_nearest_lists`) and their union compiles into a static
+    partition filter — the scan prunes to those directories and the exact
+    cosine rerank runs inside them. ``index`` may be a path or a
+    pre-opened DataFrame. Result parity with :func:`ivf_topk` (same
+    centroids) is pinned in tests/test_similarity.py."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(_nearest_lists(F.col(vec_col), centroids, nprobe)).alias(
-            "ivf_list"
-        ),
+    rows, mat = _collect_queries(queries, query_id_col, vec_col)
+    probe_rows: list[tuple] = []
+    lists: set[int] = set()
+    if rows:
+        cents = np.array(centroids, dtype=np.float64)  # (nlist, dim)
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        for i, r in enumerate(rows):
+            vec = list(r[1])
+            # stable argsort == order by (distance, list id), the exact
+            # tie semantics of _nearest_lists' struct sort
+            for lid in np.argsort(d2[i], kind="stable")[:nprobe]:
+                probe_rows.append((r[0], vec, int(lid)))
+                lists.add(int(lid))
+    schema = StructType(
+        [
+            StructField(query_id_col, queries.schema[query_id_col].dataType),
+            StructField("__qvec", queries.schema[vec_col].dataType),
+            StructField("ivf_list", IntegerType()),
+        ]
     )
-    lists = [r["ivf_list"] for r in q.select("ivf_list").distinct().collect()]
-    idx = read_parquet_auto(spark, index_path)
+    q = spark.createDataFrame(probe_rows, schema)
+    idx = _open_index(spark, index)
     pruned = idx.filter(
-        F.col("ivf_list").isin(lists) if lists else F.lit(False)
+        F.col("ivf_list").isin(sorted(lists)) if lists else F.lit(False)
     )
     scored = (
         pruned.join(F.broadcast(q), on="ivf_list")

@@ -2182,6 +2182,97 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Materialized-index cache: index layouts are ingest-time artifacts
+#: (written once, OPENED once, served many); the cached value is the
+#: opened DataFrame, so repeated invocations — and the bench's warm pass —
+#: pay neither the build nor partition discovery, only the pruned read.
+_SERVED_INDEXES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _served_index(kind: str, sf_dir: str, spark: SparkSession, build) -> DataFrame:
+    """Build-once, open-once handle for a materialized ANN index."""
+    key = (kind, sf_dir)
+    if key not in _SERVED_INDEXES:
+        import tempfile
+
+        from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+        path = tempfile.mkdtemp(prefix=f"{kind}_index_")
+        build(path)
+        _SERVED_INDEXES[key] = read_parquet_auto(spark, path)
+    return _SERVED_INDEXES[key]
+
+
+@register("ann_lsh_served", _lsh_oracle_sql())
+def q_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ANN SERVING path: LSH layout materialized once at ingest
+    (write_lsh_index — corpus exploded to (table, bucket), hive-partitioned
+    by both), queries answered via static partition pruning
+    (lsh_topk_from_index) — only the probe cells are ever read; the corpus
+    is never re-signed, shuffled, or collected. Same hyperplane family and
+    multiprobe as ann_lsh, so it shares :func:`_lsh_oracle_sql` verbatim —
+    identical results from a different physical plan."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        lsh_topk_from_index,
+        write_lsh_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = _served_index(
+        "lsh",
+        sf_dir,
+        spark,
+        lambda p: write_lsh_index(
+            e, p, num_planes=6, num_tables=8, dim=64, seed=42
+        ),
+    )
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk_from_index(
+        spark,
+        idx,
+        queries,
+        k=10,
+        num_planes=6,
+        num_tables=8,
+        dim=64,
+        seed=42,
+        multiprobe=1,
+    )
+
+
+@register("ann_ivf_served")  # trained quantizer — rows-only, parity in tests
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving from materialized inverted lists: corpus partitioned by
+    nearest-centroid id at ingest (write_ivf_index), a query's nprobe lists
+    compile into a static partition filter and the exact cosine rerank runs
+    only inside them (ivf_topk_from_index) — nprobe/nlist of the data read,
+    nothing else touched. Shares ann_ivf's cached quantizer so neither
+    query ever re-trains; exact parity with ivf_topk is pinned in
+    tests/test_similarity.py."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 16, 42)
+    if ckey not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[ckey] = fit_ivf_centroids(e, nlist=16, seed=42)
+    centroids = _IVF_CENTROIDS[ckey]
+    idx = _served_index(
+        "ivf", sf_dir, spark, lambda p: write_ivf_index(e, centroids, p)
+    )
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk_from_index(
+        spark, idx, queries, centroids=centroids, k=10, nprobe=4
+    )
+
+
 @register(
     "join_asof",
     """
