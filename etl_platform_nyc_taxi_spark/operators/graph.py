@@ -25,8 +25,19 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: Rounds the last :func:`connected_components` call took to converge —
+#: observability hook (also logged): iteration count is bounded by the
+#: component DIAMETER, so a deep-chain corpus shows up here first. If real
+#: corpora exceed ~5 rounds, switch to the Kiveris large-star/small-star
+#: variant (round count drops to O(log diameter)).
+LAST_CC_ROUNDS: int = 0
 
 
 def connected_components(
@@ -56,6 +67,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    global LAST_CC_ROUNDS
+    rounds = 0
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels, sym["v"] == labels["node"], "inner"
@@ -73,8 +86,11 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
+    LAST_CC_ROUNDS = rounds
+    logger.info("connected_components converged in %d round(s)", rounds)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
