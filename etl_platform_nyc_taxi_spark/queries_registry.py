@@ -2729,9 +2729,13 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-sessionization via applyInPandasWithState
     (streaming/sessions.py): per-user state extends/closes sessions across
     micro-batches; event-time timeout flushes idle ones. Emits CLOSED
-    sessions only (append mode) — users' final sessions may stay open, so
-    no batch-SQL oracle; exact closed-session bounds vs the batch
-    sessionizer are pinned in tests/test_streaming.py."""
+    sessions only (append mode), so the row count deterministically
+    undershoots the batch sessionizer by the OPEN TAIL: exactly the batch
+    sessions with session_end + gap > max(ts) − watermark_delay (they
+    could still be extended on an unbounded stream). That set equality —
+    not just the count — is pinned in tests/test_streaming.py
+    (test_streaming_sessionize_open_tail_is_the_watermark_invariant);
+    rows-only driver check because the operator is stateful-streaming."""
     from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
         read_stream_auto,
         run_available_now,
