@@ -139,6 +139,39 @@ def write_jdbc_upsert(
     write_jdbc_append(df, cfg, table)
 
 
+def upsert_sql_postgres(
+    table: str, key_cols: list[str], cols: list[str]
+) -> str:
+    """PostgreSQL-dialect single-statement upsert template:
+    ``INSERT ... ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col``.
+
+    The engine's default upsert (:func:`write_jdbc_upsert`) is the
+    dialect-portable delete-then-append — proven e2e against embedded
+    Derby in tests/test_jdbc_e2e.py. Against Postgres ≥ 9.5 (the
+    reference runs Postgres 13 — docker-compose.yml:17-30) this
+    per-batch statement does the same idempotent write in one round trip
+    per row batch with no delete window; pass it to a JDBC batch
+    executor with positional parameters. Generated SQL is validated
+    statement-level in tests/test_jdbc_dialect.py (executed under a
+    PG-grammar engine, not just string-compared)."""
+    if not key_cols or not cols:
+        raise ValueError("key_cols and cols must be non-empty")
+    missing = [k for k in key_cols if k not in cols]
+    if missing:
+        raise ValueError(f"key_cols not in cols: {missing}")
+    collist = ", ".join(f'"{c}"' for c in cols)
+    params = ", ".join("?" for _ in cols)
+    keylist = ", ".join(f'"{k}"' for k in key_cols)
+    updates = ", ".join(
+        f'"{c}" = EXCLUDED."{c}"' for c in cols if c not in key_cols
+    )
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
+    return (
+        f"INSERT INTO {table} ({collist}) VALUES ({params}) "
+        f"ON CONFLICT ({keylist}) {action}"
+    )
+
+
 def create_table_sql(table: str, columns_ddl: str) -> str:
     """S8: CREATE TABLE IF NOT EXISTS (the reference runs this from Airflow;
     the engine can run it in-band via :func:`execute_statement`)."""
