@@ -1,0 +1,168 @@
+"""Scaling proof for the heavy dedup/ANN family (VERDICT r2 task 2).
+
+sf0.1 cannot distinguish bucketed-linear from blocked-quadratic; this tool
+synthesizes a ~FACTOR× corpus from sf0.1 and times the heavy family at both
+scales, reporting the per-query scaling ratio. An LSH/bucketed path must
+scale ~linearly with the data (ratio ≈ FACTOR, tolerance for fixed
+overheads); a blowup flags a bucket-size distribution problem (the
+dedup_image mean-centering lesson).
+
+Synthesis (deterministic, no RNG):
+* documents: FACTOR replicas; replica 0 is the original text, replica r>0
+  suffixes every whitespace token with ``r`` — same token counts and
+  near-identical byte volume, but disjoint shingle/n-gram vocabulary, so
+  replicas are NOT near-dups of each other and the dup structure the
+  queries create internally (base ↔ mutant) scales proportionally instead
+  of quadratically.
+* embeddings: FACTOR replicas; replica r rotates the vector by r positions
+  — preserves norms and coordinate distribution, decorrelates replicas so
+  LSH bucket occupancy grows linearly.
+* ids offset by r × 10_000_000 (clear of the +1_000_000 mutant offset the
+  queries use internally).
+* every other fixture table is symlinked from the base sf dir.
+
+Usage: python tools/scale_bench.py [factor] [base_sf_dir] [out_json]
+Timing mirrors bench.py: per query, one warm noop-sink run (builds any
+session-cached index/quantizer), then the timed noop-sink run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_image",
+    "dedup_embedding_lsh",
+    "ann_lsh",
+    "ann_lsh_served",
+    "ann_ivf",
+    "ann_ivf_served",
+    "corpus_top_ngrams",
+    "corpus_prepare",
+]
+
+REPLICA_STRIDE = 10_000_000
+
+
+def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_fixture(spark, base_dir, "documents")
+    doc_parts = []
+    for r in range(factor):
+        d = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(r * REPLICA_STRIDE)
+        )
+        if r > 0:
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(str(r))),
+                    ),
+                    " ",
+                ),
+            )
+        doc_parts.append(d)
+    out = doc_parts[0]
+    for p in doc_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    emb = load_fixture(spark, base_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    emb_parts = []
+    for r in range(factor):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * REPLICA_STRIDE))
+        rot = r % dim
+        if rot:
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), rot + 1, dim - rot),
+                    F.slice(F.col("embedding"), 1, rot),
+                ),
+            )
+        emb_parts.append(e)
+    out = emb_parts[0]
+    for p in emb_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{base_dir}/{t}.parquet", dst)
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    out: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {out[name]}s", flush=True)
+    return out
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "SCALE_BENCH.json"
+    scaled_dir = f"/tmp/spark_graft_scale/x{factor}"
+
+    from etl_platform_nyc_taxi_spark.session import get_spark
+
+    spark = get_spark("scale_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if os.path.exists(scaled_dir):
+        shutil.rmtree(scaled_dir)
+    t0 = time.perf_counter()
+    synthesize(spark, base, scaled_dir, factor)
+    print(f"synthesized {factor}x corpus in {time.perf_counter()-t0:.1f}s")
+
+    print(f"base ({base}):")
+    base_times = time_queries(spark, base, HEAVY)
+    print(f"scaled ({scaled_dir}, {factor}x):")
+    scaled_times = time_queries(spark, scaled_dir, HEAVY)
+
+    report = {
+        "factor": factor,
+        "base_sf_dir": base,
+        "queries": {
+            n: {
+                "base_s": base_times[n],
+                "scaled_s": scaled_times[n],
+                "ratio": round(scaled_times[n] / max(base_times[n], 1e-9), 2),
+            }
+            for n in HEAVY
+        },
+    }
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
