@@ -2747,3 +2747,54 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = "stream_sessions"
     run_available_now(out, sink, output_mode="append")
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Driver-verification window rotation (round 4).
+#
+# The correctness driver oracles the FIRST 50 registered queries (dict
+# insertion order).  Rounds 1-3 therefore never checked the 20 queries
+# registered last — including three with no driver row in any round
+# (dedup_embedding_lsh, ann_lsh_served, ann_ivf_served) and three whose
+# last driver word was a round-1 FAIL (agg_approx, ann_ivf,
+# streaming_sessionize).  Rebuild both registries with those 20 first,
+# followed by the remaining 50 triple-green queries in their original
+# relative order, so CORRECTNESS_r04 converts the outstanding
+# verification debt (VERDICT.md round 3, task 1).
+# ---------------------------------------------------------------------------
+_VERIFY_FIRST = [
+    "dedup_embedding_lsh",
+    "ann_lsh_served",
+    "ann_ivf_served",
+    "agg_approx",
+    "ann_ivf",
+    "streaming_sessionize",
+    "join_asof",
+    "join_range",
+    "join_fact_fact",
+    "join_snowflake",
+    "agg_rollup",
+    "agg_cube",
+    "agg_salted",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "pivot_event_counts",
+    "explode_tokens",
+    "sessionize_events",
+    "sql_tpch_q1",
+    "doc_winnow",
+]
+
+
+def _rotate_registry() -> None:
+    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    if missing:  # fail loudly at import: a typo here would silently
+        raise KeyError(f"_VERIFY_FIRST names not registered: {missing}")
+    order = _VERIFY_FIRST + [n for n in QUERIES if n not in _VERIFY_FIRST]
+    for registry in (QUERIES, ORACLE_SQL):
+        reordered = {n: registry[n] for n in order if n in registry}
+        registry.clear()
+        registry.update(reordered)
+
+
+_rotate_registry()
