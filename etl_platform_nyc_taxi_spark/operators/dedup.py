@@ -59,6 +59,60 @@ def exact_duplicate_groups(
 
 
 # ---------------------------------------------------------------------------
+# Hot-bucket guard (shared by every banded self-join in this family)
+# ---------------------------------------------------------------------------
+
+
+def salt_hot_buckets(
+    banded: DataFrame,
+    bucket_cols: tuple[str, ...],
+    salt_src: Column,
+    cap: int,
+) -> DataFrame:
+    """Append a ``__salt`` column that splits any bucket with more than
+    ``cap`` members into ``ceil(count/cap)`` sub-buckets, so a banded
+    self-join on ``bucket_cols + ("__salt",)`` never degenerates to
+    all-pairs inside one hot bucket (pair work per bucket drops from
+    O(c²) to O(c·cap)).
+
+    ``salt_src`` must be a deterministic function of the ROW'S CONTENT
+    (full signature / feature vector), not of its id: rows with identical
+    content hash to the same salt in every bucket, so exact duplicates are
+    NEVER separated regardless of cap. Near-threshold pairs inside a hot
+    bucket CAN land in different salts and be lost — measured recall
+    loss, which is the contract: dedup is approximate, and a capped
+    bucket loses a little recall where a quadratic bucket loses the whole
+    job (SCALE_BENCH r3: dedup_image 69.5× at ×10 data from exactly this
+    blow-up).
+
+    Plan shape: per-bucket counts are a partial-aggregated groupBy
+    (shuffles only the key + a long), filtered to the over-cap buckets —
+    by definition few — and broadcast back; the big banded relation is
+    never re-shuffled to learn its salt."""
+    if cap < 2:
+        raise ValueError("cap must be >= 2")
+    over = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > cap)
+        .select(
+            *bucket_cols,
+            F.ceil(F.col("__c") / F.lit(cap)).cast("int").alias("__splits"),
+        )
+    )
+    return (
+        banded.join(F.broadcast(over), on=list(bucket_cols), how="left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__splits").isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(salt_src), F.col("__splits")))
+            .cast("int"),
+        )
+        .drop("__splits")
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
@@ -95,6 +149,7 @@ def minhash_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     partitions: int | None = None,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) from banded MinHash signatures.
 
@@ -106,8 +161,14 @@ def minhash_candidates(
     signature stage. The per-row compute (md5 over every shingle) dwarfs
     the row size, so small inputs read as 1-2 file splits must be spread
     across cores; on a real cluster the scan already yields many splits
-    and this can stay None."""
-    rows_per_band = num_hashes // bands
+    and this can stay None.
+
+    ``max_bucket``: hot-bucket guard (:func:`salt_hot_buckets`) — band
+    buckets over this occupancy are salt-split by a hash of the FULL
+    signature, capping per-bucket pair generation at O(c·max_bucket).
+    Identical signatures always share a salt, so exact/very-high-Jaccard
+    pairs survive any cap; near-threshold pairs inside a hot bucket may
+    be lost. ``None`` disables."""
     # Same hash family as functions.hashing.minhash_sig (portable to the
     # DuckDB oracle) but computed as explode → one md5/shingle in a codegen
     # projection → num_hashes MIN aggregates, instead of interpreted
@@ -126,8 +187,33 @@ def minhash_candidates(
             for i, (a, c) in enumerate(coeffs)
         ]
     )
-    banded = sig.select(
+    banded = _banded_signature(sig, num_hashes, bands)
+    join_keys = ["band", "key"]
+    if max_bucket is not None:
+        banded = salt_hot_buckets(
+            banded, ("band", "key"), F.col("__sig"), max_bucket
+        )
+        join_keys.append("__salt")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=join_keys, how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded_signature(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a (__id, __m0..__m{n-1}) signature relation to one
+    (__id, band, key, __sig) row per band; ``__sig`` is the full
+    concatenated signature, the content hash the hot-bucket guard salts
+    by (identical docs ⇒ identical __sig ⇒ same salt in every band)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
         "__id",
+        F.concat_ws("|", *[F.col(f"__m{i}") for i in range(num_hashes)]).alias(
+            "__sig"
+        ),
         F.explode(
             F.array(
                 *[
@@ -145,13 +231,11 @@ def minhash_candidates(
                 ]
             )
         ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(b, on=["band", "key"], how="inner")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+    ).select(
+        "__id",
+        "__sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
     )
 
 
@@ -175,9 +259,12 @@ def minhash_near_dups(
     bands: int = 4,
     threshold: float = 0.6,
     partitions: int | None = None,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥
     threshold. Output: (id_a, id_b, jaccard).
+
+    ``max_bucket``: hot-bucket guard — see :func:`minhash_candidates`.
 
     The verify computes Jaccard over each doc's DISTINCT 48-bit hashed
     shingle set (one codegen md5 pass per doc via
@@ -198,7 +285,6 @@ def minhash_near_dups(
         F.array_distinct(F.collect_list("__h")).alias("__hs")
     )
     coeffs = minhash_coeffs(num_hashes)
-    rows_per_band = num_hashes // bands
     h = F.col("__h")
     sig = (
         hs.select("__id", F.explode("__hs").alias("__h"))
@@ -212,29 +298,16 @@ def minhash_near_dups(
             ]
         )
     )
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"__m{b * rows_per_band + i}")
-                                for i in range(rows_per_band)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded_signature(sig, num_hashes, bands)
+    join_keys = ["band", "key"]
+    if max_bucket is not None:
+        banded = salt_hot_buckets(
+            banded, ("band", "key"), F.col("__sig"), max_bucket
+        )
+        join_keys.append("__salt")
     ba, bb = banded.alias("a"), banded.alias("b")
     cands = (
-        ba.join(bb, on=["band", "key"], how="inner")
+        ba.join(bb, on=join_keys, how="inner")
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -402,12 +475,21 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     partitions: int | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over all pairs WITHIN a blocking key.
 
     The blocking key bounds the quadratic blow-up (pairs only form inside
     one shuffle bucket). With no block_cols this is a full cross-pair —
-    only acceptable on provably small inputs."""
+    O(n²) in both candidate generation AND the array-intersect verify, so
+    the caller must opt in explicitly with ``allow_unblocked=True``
+    (provably small inputs only); otherwise an empty ``block_cols``
+    raises rather than silently planning a cross-join."""
+    if not block_cols and not allow_unblocked:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_cols is a full cross-pair; "
+            "pass allow_unblocked=True to opt in on provably small inputs"
+        )
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(tokens_ws(text_col)) - n, F.lit(0))),

@@ -77,23 +77,6 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
     return planes
 
 
-def _signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Bit-signature: sign of ⟨v, plane_i⟩ packed into a long."""
-    bits = []
-    for i, plane in enumerate(planes):
-        lit = F.array(*[F.lit(x) for x in plane])
-        d = F.aggregate(
-            F.zip_with(vec_col, lit, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseXOR(b)  # disjoint bits: XOR == OR == sum
-    return out
-
-
 def table_signatures_udf(
     num_planes: int, num_tables: int, dim: int, seed: int = 42
 ):
@@ -408,6 +391,7 @@ def embedding_near_dups_lsh(
     dim: int = 64,
     seed: int = 42,
     partitions: int | None = None,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs — the 100 TB path that
     :func:`embedding_near_dups`'s blocked-exact shape points to.
@@ -419,7 +403,19 @@ def embedding_near_dups_lsh(
     split probability is arccos(t)/π, so recall ≈
     1-(1-(1-θ/π)^planes)^tables — at t=0.999 with 8×6 that is ≈1-2e-6;
     the floor is pinned vs blocked-exact in tests/test_similarity.py.
-    Output matches :func:`embedding_near_dups`: (id_a, id_b, cosine)."""
+    Output matches :func:`embedding_near_dups`: (id_a, id_b, cosine).
+
+    ``max_bucket``: hot-bucket guard (operators/dedup.salt_hot_buckets) —
+    the signature space is FIXED (num_tables × 2^num_planes cells), so at
+    a growing corpus the average cell grows linearly and within-cell pair
+    generation quadratically (SCALE_BENCH r3: dedup_image 69.5× at ×10
+    data). Cells over this occupancy are salt-split by a hash of the
+    FEATURE VECTOR itself: identical vectors share a salt in every
+    table, so exact duplicates (the cosine=1.0 contract of dedup_image)
+    are never separated; sub-threshold-distinct near-dups inside a hot
+    cell may be lost. ``None`` disables."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import salt_hot_buckets
+
     sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
     src = df.repartition(partitions) if partitions else df
     base = src.select(
@@ -427,10 +423,16 @@ def embedding_near_dups_lsh(
         F.col(vec_col).alias("__v"),
         F.posexplode(sigs(F.col(vec_col))).alias("__table", "__bucket"),
     )
+    join_keys = ["__table", "__bucket"]
+    if max_bucket is not None:
+        base = salt_hot_buckets(
+            base, ("__table", "__bucket"), F.col("__v"), max_bucket
+        )
+        join_keys.append("__salt")
     a, b = base.alias("a"), base.alias("b")
     cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
     return (
-        a.join(b, on=["__table", "__bucket"])
+        a.join(b, on=join_keys)
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(
             F.col("a.__id").alias("id_a"),

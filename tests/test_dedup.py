@@ -15,8 +15,10 @@ from etl_platform_nyc_taxi_spark.functions.hashing import hamming64
 from etl_platform_nyc_taxi_spark.operators.dedup import (
     exact_dedup,
     exact_duplicate_groups,
+    minhash_candidates,
     minhash_near_dups,
     ngram_jaccard_pairs,
+    salt_hot_buckets,
     simhash_near_dups,
     simhash_signatures,
 )
@@ -122,5 +124,98 @@ def test_ngram_jaccard_exact_value(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
     )
-    out = ngram_jaccard_pairs(df, n=2, threshold=0.4).collect()
+    out = ngram_jaccard_pairs(df, n=2, threshold=0.4, allow_unblocked=True).collect()
     assert len(out) == 1 and out[0]["jaccard"] == 0.5
+
+
+def test_ngram_jaccard_refuses_silent_cross_join(spark):
+    # No blocking key = full cross-pair; must be an explicit opt-in, not a
+    # silently-planned O(n^2) join.
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="allow_unblocked"):
+        ngram_jaccard_pairs(df, n=2, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket guard (salt_hot_buckets + max_bucket plumbing)
+# ---------------------------------------------------------------------------
+
+
+def test_salt_hot_buckets_splits_only_oversized(spark):
+    # One hot bucket (100 distinct members), one small bucket (3 members).
+    rows = [(i, "hot", f"c{i}") for i in range(100)]
+    rows += [(1000 + i, "cold", f"d{i}") for i in range(3)]
+    banded = spark.createDataFrame(rows, "__id long, key string, content string")
+    out = salt_hot_buckets(banded, ("key",), F.col("content"), cap=10)
+    per = {
+        (r["key"], r["__salt"]): r["c"]
+        for r in out.groupBy("key", "__salt").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    cold = [(k, s) for (k, s) in per if k == "cold"]
+    assert cold == [("cold", 0)]  # under-cap bucket untouched, salt 0
+    hot_sizes = [c for (k, _), c in per.items() if k == "hot"]
+    assert sum(hot_sizes) == 100  # no rows dropped
+    assert len(hot_sizes) > 1  # the hot bucket WAS split
+    # xxhash64 spreads ~uniformly over ceil(100/10)=10 salts: no sub-bucket
+    # should retain a quadratic share of the original.
+    assert max(hot_sizes) <= 40
+
+
+def test_salt_hot_buckets_identical_content_shares_salt(spark):
+    # 50 copies of the same content in one hot bucket: content-derived salt
+    # must keep every copy together (exact dups are never separated).
+    rows = [(i, "hot", "same-bytes") for i in range(50)]
+    rows += [(100 + i, "hot", f"filler{i}") for i in range(50)]
+    banded = spark.createDataFrame(rows, "__id long, key string, content string")
+    out = salt_hot_buckets(banded, ("key",), F.col("content"), cap=8)
+    salts = {
+        r["__salt"] for r in out.filter(F.col("content") == "same-bytes").collect()
+    }
+    assert len(salts) == 1
+
+
+def test_salt_hot_buckets_rejects_degenerate_cap(spark):
+    df = spark.createDataFrame([(1, "k", "x")], "__id long, key string, content string")
+    with pytest.raises(ValueError):
+        salt_hot_buckets(df, ("key",), F.col("content"), cap=1)
+
+
+def test_minhash_max_bucket_caps_candidates_but_keeps_exact_dups(spark):
+    # 40 documents that all share every band (identical text => identical
+    # signature) would generate 780 candidate pairs unguarded. With
+    # identical signatures the salt CANNOT separate them (content hash is
+    # the salt source), so the guard must leave exact dups intact...
+    rows = [(i, BASE) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_candidates(df, k=4, num_hashes=8, bands=4, max_bucket=8)
+    assert pairs.count() == 40 * 39 // 2
+    # ...while docs with DIFFERENT signatures crowding one band-bucket are
+    # split: doc<->its own exact copy must still pair under a tiny cap.
+    rows = [(i, BASE + f" variant token {i}") for i in range(30)]
+    rows += [(1000, BASE), (2000, BASE)]  # the exact-dup pair to preserve
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dups(
+            df, k=4, num_hashes=8, bands=4, threshold=0.99, max_bucket=4
+        ).collect()
+    }
+    assert (1000, 2000) in found
+
+
+def test_embedding_lsh_max_bucket_preserves_identical_vectors(spark):
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_near_dups_lsh,
+    )
+
+    dim = 8
+    # 60 near-collinear vectors crowd the same LSH cells; ids 1/2 are
+    # bit-identical and must survive any cap at threshold 1.0.
+    rows = [(1, [1.0] * dim), (2, [1.0] * dim)]
+    rows += [(10 + i, [1.0] * (dim - 1) + [1.0 + (i + 1) / 100.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dups_lsh(
+        df, threshold=1.0, num_planes=4, num_tables=2, dim=dim, max_bucket=5
+    )
+    found = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in found
