@@ -2679,11 +2679,14 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py (HLL rsd <= 5%, quantile within 1%)."""
     e = _t(spark, sf_dir, "events")
     q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    # Scalar columns only, quantized to 4dp: the driver's rows-only check
+    # hashes the result set, and both an array column (the r1 crash) and
+    # last-ulp drift would make that hash unstable across runs.
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.element_at(q, 1).alias("p50"),
-        F.element_at(q, 2).alias("p90"),
-        F.element_at(q, 3).alias("p99"),
+        F.round(F.element_at(q, 1), 4).alias("p50"),
+        F.round(F.element_at(q, 2), 4).alias("p90"),
+        F.round(F.element_at(q, 3), 4).alias("p99"),
         F.count(F.lit(1)).alias("cnt"),
     )
 

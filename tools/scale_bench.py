@@ -146,6 +146,23 @@ def main() -> int:
     print(f"scaled ({scaled_dir}, {factor}x):")
     scaled_times = time_queries(spark, scaled_dir, HEAVY)
 
+    # Bucket-occupancy histograms for the LSH family (VERDICT r3 task 3):
+    # top-10 per-bucket counts + sum(c*(c-1)/2) — the raw candidate-pair
+    # integral — at both scales, so a superlinear time ratio can be
+    # attributed to candidate growth vs verify cost. These probe the
+    # UNGUARDED banded relations; the queries themselves run with the
+    # max_bucket hot-bucket guard, so pair work is bounded by
+    # ~rows×max_bucket even when pair_work here explodes.
+    from tools.bucket_probe import PROBES, histogram
+
+    histograms = {}
+    for name, probe in PROBES.items():
+        histograms[name] = {
+            "base": histogram(probe(spark, base)),
+            "scaled": histogram(probe(spark, scaled_dir)),
+        }
+        print(f"  buckets {name}: {json.dumps(histograms[name])}", flush=True)
+
     report = {
         "factor": factor,
         "base_sf_dir": base,
@@ -157,6 +174,7 @@ def main() -> int:
             }
             for n in HEAVY
         },
+        "bucket_histograms": histograms,
     }
     with open(out_json, "w") as f:
         json.dump(report, f, indent=2)
