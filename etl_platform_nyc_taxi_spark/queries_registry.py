@@ -2660,11 +2660,15 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) per priority class. Exact quantiles need the group's values
     together (single-reduce per group); the approximate path for wide
     groups is agg_approx (KLL/GK-style sketch, mergeable map-side)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    # One Percentile buffer for all three points (array form) — three
+    # scalar F.percentile calls would each assemble their own copy of the
+    # group's value list; this collects once and interpolates thrice.
+    p = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
-        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+        F.round(F.element_at(p, 1), 4).alias("p50"),
+        F.round(F.element_at(p, 2), 4).alias("p90"),
+        F.round(F.element_at(p, 3), 4).alias("p99"),
         F.round(F.min("o_totalprice"), 4).alias("min_price"),
         F.round(F.max("o_totalprice"), 4).alias("max_price"),
     )
