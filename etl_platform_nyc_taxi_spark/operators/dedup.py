@@ -58,6 +58,29 @@ def exact_duplicate_groups(
     )
 
 
+def prefix_duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_tokens: int = 32,
+) -> DataFrame:
+    """Duplicate groups keyed on the first ``n_tokens`` whitespace tokens:
+    (prefix_fp, copies, min_doc_id) for every prefix shared by >1 doc.
+
+    The boilerplate/mirror-page case exact dedup misses: scraped corpora
+    are full of documents identical up front (headers, licence blocks,
+    templated intros) that diverge in the tail. Same scale shape as
+    :func:`exact_duplicate_groups` — one hash-groupBy on a 32-byte md5 of
+    the prefix, single shuffle, no pairwise anything."""
+    pref = F.md5(F.concat_ws(" ", F.slice(tokens_ws(text_col), 1, n_tokens)))
+    return (
+        df.select(pref.alias("prefix_fp"), F.col(id_col))
+        .groupBy("prefix_fp")
+        .agg(F.count(F.lit(1)).alias("copies"), F.min(id_col).alias("min_doc_id"))
+        .filter(F.col("copies") > 1)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hot-bucket guard (shared by every banded self-join in this family)
 # ---------------------------------------------------------------------------

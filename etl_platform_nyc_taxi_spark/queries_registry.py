@@ -2756,6 +2756,161 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "event_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS tprev FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS tprev FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.tprev
+      GROUP BY e.user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS tprev FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.tprev
+      GROUP BY e.user_id
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage, COUNT(*) AS n_users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'click', COUNT(*) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', COUNT(*) FROM s2
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → purchase
+    (operators/windows.funnel_stages): stage i counts users whose first
+    stage-i event at-or-after their stage-(i-1) entry exists. K chained
+    hash-aggregates all keyed on user_id (exchange partitioning reused),
+    stage filters pushed to the scan — no window, no event-log sort, no
+    per-user collection, so cost at 100 TB is K filtered aggregates over
+    a monotonically shrinking user set."""
+    from etl_platform_nyc_taxi_spark.operators.windows import funnel_stages
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_stages(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "scd2_history",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM c WHERE chg = 1
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           LEAD(valid_from) OVER w2 IS NULL AS is_current
+    FROM f
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build (operators/windows.scd2_intervals): each
+    user's event_type stream collapsed to state runs with
+    (valid_from, valid_to, is_current) validity intervals — the full-
+    history twin of cdc_latest_state's compaction. One shuffle on the
+    key serves both window passes; the lead pass sees only the collapsed
+    run-start relation. Deterministic under ts ties via event_id."""
+    from etl_platform_nyc_taxi_spark.operators.windows import scd2_intervals
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_intervals(
+        e,
+        key_cols=["user_id"],
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak=["event_id"],
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                AS BIGINT) AS k_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type, k_bucket
+    """,
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column (get_json_object — codegen JsonPath, JVM-side, no UDF) and
+    aggregate on the extracted value. The 100 TB shape: extraction is a
+    narrow per-row projection fused into the scan stage; only the
+    (event_type, k_bucket) aggregate shuffles. For repeated multi-key
+    extraction, from_json to a struct amortizes one parse across keys —
+    single-path get_json_object is the cheaper plan here."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type", (F.col("__k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__k").alias("sum_k"))
+    )
+
+
+@register(
+    "dedup_doc_prefix",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               (string_split_regex(trim(text), '\s+'))[1:32], ' ')
+               || ' tailvariant' AS text
+      FROM documents
+    )
+    SELECT md5(array_to_string(
+             (string_split_regex(trim(text), '\s+'))[1:32], ' ')) AS prefix_fp,
+           COUNT(*) AS copies,
+           MIN(doc_id) AS min_doc_id
+    FROM corpus
+    GROUP BY prefix_fp
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup (operators/dedup.prefix_duplicate_groups)
+    over a corpus where every doc gets a tail-divergent twin (same first
+    32 tokens, mutated tail — the boilerplate/mirror-page case exact
+    dedup misses). Hash-groupBy on a 32-byte md5 of the token prefix:
+    one shuffle, no pairwise work, same scale posture as dedup_exact."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        prefix_duplicate_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mutant = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(tokens_ws("text"), 1, 32)),
+            F.lit(" tailvariant"),
+        ).alias("text"),
+    )
+    return prefix_duplicate_groups(d.unionByName(mutant), n_tokens=32)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
@@ -2790,6 +2945,12 @@ _VERIFY_FIRST = [
     "sessionize_events",
     "sql_tpch_q1",
     "doc_winnow",
+    # New in round 4 — registered inside the window so their first driver
+    # check happens the same round they land:
+    "event_funnel",
+    "scd2_history",
+    "json_extract_props",
+    "dedup_doc_prefix",
 ]
 
 

@@ -219,3 +219,40 @@ def test_embedding_lsh_max_bucket_preserves_identical_vectors(spark):
     )
     found = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in found
+
+
+# ---------------------------------------------------------------------------
+# Prefix duplicate groups
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_duplicate_groups_matches_shared_prefix_only(spark):
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        prefix_duplicate_groups,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    shared_prefix_other_tail = " ".join(f"tok{i}" for i in range(32)) + " DIFFERENT tail here"
+    diverges_at_31 = " ".join(f"tok{i}" for i in range(31)) + " other rest of text"
+    df = spark.createDataFrame(
+        [(1, base), (2, shared_prefix_other_tail), (3, diverges_at_31), (4, "unrelated text")],
+        "doc_id long, text string",
+    )
+    out = prefix_duplicate_groups(df, n_tokens=32).collect()
+    assert len(out) == 1
+    assert out[0]["copies"] == 2
+    assert out[0]["min_doc_id"] == 1
+
+
+def test_prefix_duplicate_groups_short_docs_group_on_whole_text(spark):
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        prefix_duplicate_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b"), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {r["min_doc_id"]: r["copies"] for r in prefix_duplicate_groups(df, n_tokens=32).collect()}
+    # docs 1/2 identical (and < 32 tokens): one group; 3 and 4 are distinct prefixes
+    assert out == {1: 2}

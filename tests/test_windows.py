@@ -65,3 +65,100 @@ def test_running_sum(spark):
     df = spark.createDataFrame([("a", 1, 10), ("a", 2, 5), ("a", 3, 1)], "g string, t int, v int")
     out = running_agg(df, "v", ["g"], [F.col("t")], agg="sum", out="run")
     assert [r["run"] for r in out.orderBy("t").collect()] == [10, 15, 16]
+
+
+# ---------------------------------------------------------------------------
+# Funnel
+# ---------------------------------------------------------------------------
+
+
+def _funnel_dict(df):
+    from etl_platform_nyc_taxi_spark.operators.windows import funnel_stages
+
+    out = funnel_stages(df, "u", "ts", "et", ["a", "b", "c"])
+    return {r["stage"]: r["n_users"] for r in out.collect()}
+
+
+def test_funnel_strict_order(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows_ = [
+        # u1 completes a -> b -> c in order
+        (1, t(1), "a"), (1, t(2), "b"), (1, t(3), "c"),
+        # u2 has b BEFORE its first a and no b after -> stops at a
+        (2, t(5), "b"), (2, t(6), "a"), (2, t(7), "c"),
+        # u3 never does a -> appears nowhere
+        (3, t(1), "b"), (3, t(2), "c"),
+    ]
+    df = spark.createDataFrame(rows_, "u int, ts timestamp, et string")
+    got = _funnel_dict(df)
+    assert got == {"a": 2, "b": 1, "c": 1}
+
+
+def test_funnel_same_timestamp_counts_as_after(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, "a"), (1, t0, "b"), (1, t0, "c")],
+        "u int, ts timestamp, et string",
+    )
+    assert _funnel_dict(df) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_funnel_monotone_nonincreasing(spark):
+    df = spark.range(0, 200).selectExpr(
+        "id % 40 AS u",
+        "timestamp(date_add(date'2024-01-01', CAST(id % 17 AS INT))) AS ts",
+        "element_at(array('a','b','c','x'), CAST(id % 4 + 1 AS INT)) AS et",
+    )
+    got = _funnel_dict(df)
+    assert got["a"] >= got["b"] >= got["c"]
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_runs_and_sets_intervals(spark):
+    import datetime as dt
+
+    from etl_platform_nyc_taxi_spark.operators.windows import scd2_intervals
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows_ = [
+        (1, t(1), 1, "new"),
+        (1, t(2), 2, "new"),       # same state -> collapsed into run 1
+        (1, t(3), 3, "active"),
+        (1, t(4), 4, "closed"),
+        (2, t(1), 5, "active"),
+    ]
+    df = spark.createDataFrame(rows_, "u int, ts timestamp, eid int, st string")
+    out = scd2_intervals(df, ["u"], "ts", "st", tiebreak=["eid"])
+    got = {
+        (r["u"], r["state"]): (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    }
+    assert got[(1, "new")] == (t(1), t(3), False)
+    assert got[(1, "active")] == (t(3), t(4), False)
+    assert got[(1, "closed")] == (t(4), None, True)
+    assert got[(2, "active")] == (t(1), None, True)
+    # intervals tile: each valid_to equals the next run's valid_from
+    assert len(got) == 4
+
+
+def test_scd2_ts_tie_is_deterministic_by_tiebreak(spark):
+    import datetime as dt
+
+    from etl_platform_nyc_taxi_spark.operators.windows import scd2_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 2, "b"), (1, t0, 1, "a")], "u int, ts timestamp, eid int, st string"
+    )
+    out = scd2_intervals(df, ["u"], "ts", "st", tiebreak=["eid"]).collect()
+    by_state = {r["state"]: r for r in out}
+    assert by_state["a"]["is_current"] is False  # eid 1 ordered first
+    assert by_state["b"]["is_current"] is True
