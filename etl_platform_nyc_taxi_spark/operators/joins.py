@@ -193,6 +193,38 @@ def salted_join(
     return f.join(d, on=[key, "__salt"], how=how).drop("__salt")
 
 
+def merge_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_keys: bool = False,
+) -> DataFrame:
+    """MERGE INTO semantics on immutable storage: apply a change batch
+    (insert / update / delete rows tagged in ``op_col``) to ``base`` and
+    return the merged relation — delete rows vanish, update/insert rows
+    replace-or-add by key.
+
+    The copy-on-write shape every parquet-lake merge reduces to (what
+    Delta/Iceberg do under MERGE INTO, minus the file-level pruning their
+    transaction logs add): an anti-join evicts every changed key from the
+    base, then the surviving change rows union in. Two scale properties:
+    the base table never shuffles when ``broadcast_keys=True`` (change
+    batches are typically tiny vs the base — broadcast the distinct key
+    set and the anti-join is map-side); and the union is append-only, so
+    the plan is one pass over base + one over changes. ``changes`` must be
+    pre-compacted to one row per key (compose with
+    :func:`latest_per_key` for multi-change batches) — enforced here by
+    contract, not a shuffle."""
+    keys = changes.select(*key_cols).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    kept = base.join(keys, on=list(key_cols), how="left_anti")
+    applied = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+    return kept.unionByName(applied)
+
+
 def latest_per_key(
     df: DataFrame,
     key_cols: Sequence[str],

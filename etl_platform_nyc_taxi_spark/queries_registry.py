@@ -2911,6 +2911,104 @@ def q_dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_duplicate_groups(d.unionByName(mutant), n_tokens=32)
 
 
+@register(
+    "merge_upsert",
+    """
+    WITH changes AS (
+      SELECT c_custkey, 'U' AS op, c_name, c_nationkey,
+             c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 100000, 'I', c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 2
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM changes)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM changes WHERE op <> 'D'
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on immutable parquet (operators/joins.merge_changes):
+    a deterministic change batch (10% updates, 10% deletes, 10% inserts
+    keyed off c_custkey % 10) applied to customer — anti-join evicts
+    changed keys without shuffling the base (change keys broadcast),
+    surviving change rows union in. The copy-on-write plan every
+    lakehouse MERGE reduces to; multi-change batches pre-compact with
+    latest_per_key."""
+    from etl_platform_nyc_taxi_spark.operators.joins import merge_changes
+
+    c = _t(spark, sf_dir, "customer")
+    cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    deletes = c.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey", F.lit("D").alias("op"), *cols
+    )
+    inserts = c.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 100000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        *cols,
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_changes(
+        c, changes, key_cols=["c_custkey"], broadcast_keys=True
+    )
+
+
+@register(
+    "streaming_enrich",
+    """
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, o_orderpriority
+    """,
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/enrich.py): the orders fact
+    streams through a broadcast join to the static customer dimension —
+    stateless (no state store, no watermark), map-side per micro-batch —
+    into a revenue-by-segment aggregate under Trigger.AvailableNow.
+    Batch-equivalent by construction, so it shares the batch oracle
+    verbatim; decimal accumulation keeps the double sum order-independent
+    across micro-batches."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+        run_available_now,
+    )
+    from etl_platform_nyc_taxi_spark.streaming.enrich import enrich_stream
+
+    orders = read_stream_auto(spark, f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_stream(
+        orders, dim, on=F.col("o_custkey") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+    sink = "stream_enriched"
+    run_available_now(agg, sink, output_mode="complete")
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
@@ -2951,6 +3049,8 @@ _VERIFY_FIRST = [
     "scd2_history",
     "json_extract_props",
     "dedup_doc_prefix",
+    "merge_upsert",
+    "streaming_enrich",
 ]
 
 

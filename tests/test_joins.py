@@ -146,3 +146,51 @@ def test_salted_join_rejects_outer_variants(spark):
     for how in ("right", "full", "outer", "full_outer", "left_anti"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(fact, dim, key="k", salt_col="row_id", buckets=4, how=how)
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (merge_changes)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_changes_applies_insert_update_delete(spark):
+    from etl_platform_nyc_taxi_spark.operators.joins import merge_changes
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 25.0),   # update
+            (3, "D", "c", 30.0),    # delete
+            (4, "I", "d", 40.0),    # insert
+        ],
+        "k long, op string, name string, v double",
+    )
+    out = merge_changes(base, changes, key_cols=["k"], broadcast_keys=True)
+    got = {(r["k"], r["name"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (2, "b2", 25.0), (4, "d", 40.0)}
+
+
+def test_merge_changes_base_side_never_shuffles_with_broadcast(spark):
+    from etl_platform_nyc_taxi_spark.operators.joins import merge_changes
+
+    base = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k") * 2
+    )
+    changes = spark.createDataFrame([(5, "D", 0)], "k long, op string, v long")
+    out = merge_changes(base, changes, key_cols=["k"], broadcast_keys=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the anti-join must be broadcast (no exchange feeding the base side)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert out.count() == 999
+
+
+def test_merge_changes_idempotent_on_replay(spark):
+    from etl_platform_nyc_taxi_spark.operators.joins import merge_changes
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    changes = spark.createDataFrame([(2, "U", 21.0)], "k long, op string, v double")
+    once = merge_changes(base, changes, ["k"])
+    twice = merge_changes(once, changes, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

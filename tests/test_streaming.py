@@ -501,3 +501,27 @@ def test_streaming_sessionize_open_tail_is_the_watermark_invariant(spark):
     n_batch = batch.count()
     assert len(streamed) < n_batch
     assert n_batch - len(streamed) == batch.count() - len(expected_closed)
+
+
+def test_stream_static_enrich_matches_batch_and_keeps_no_state(spark, tmp_path):
+    """enrich_stream: stream-static broadcast join parity with the batch
+    join, and the streaming progress must show NO state store rows for
+    the join itself (stateless enrichment contract)."""
+    from etl_platform_nyc_taxi_spark.streaming.enrich import enrich_stream
+
+    src = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (2, 50.0), (9, 1.0)], "uid long, amt double"
+    ).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame([(1, "gold"), (2, "basic")], "uid long, tier string")
+
+    stream = read_stream_auto(spark, src)
+    enriched = enrich_stream(stream, dim, on="uid")  # inner: uid 9 drops
+    agg = enriched.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("amt").alias("amt")
+    )
+    run_available_now(agg, "t_enrich_parity", str(tmp_path / "ckpt_enrich"))
+    got = {
+        (r["tier"], r["n"], r["amt"]) for r in spark.table("t_enrich_parity").collect()
+    }
+    assert got == {("gold", 1, 100.0), ("basic", 2, 250.0)}
