@@ -3009,6 +3009,114 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@register(
+    "window_time_range",
+    """
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, rolling 1-hour event count and
+    value sum — frame bounds are VALUE offsets on event time (every row
+    whose ts is within 3600 s), not row counts, so co-timed bursts are
+    all in frame regardless of row order. One shuffle on user_id, sort
+    within partitions; range frames advance two pointers over the sorted
+    run (no per-row rescan). Decimal accumulation keeps the double sum
+    frame-order-independent."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_1h"),
+    )
+
+
+@register(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 8) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window family — ntile / percent_rank / cume_dist per
+    priority class, deterministic under price ties via the o_orderkey
+    tiebreak. Partitioned windows only (shuffle-parallel); the rounding
+    makes the rational-valued ranks hash-stable across engines."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+    )
+
+
+@register(
+    "rollup_cascade",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sv
+      FROM events GROUP BY h, event_type
+    )
+    SELECT CAST(h AS DATE) AS day, event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value
+    FROM hourly
+    GROUP BY day, event_type
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (the hypertable-rollup pattern):
+    daily totals computed FROM the hourly partial aggregate, not from raw
+    events — counts and decimal sums are mergeable, so each resolution
+    reaggregates the previous one. At 100 TB this is the difference
+    between scanning the fact table once per resolution and once total;
+    the hourly relation is what an incremental materialization would
+    store, and the daily pass shuffles only |hours × types| rows."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    return hourly.groupBy(
+        F.col("h").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("sum_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
@@ -3051,6 +3159,9 @@ _VERIFY_FIRST = [
     "dedup_doc_prefix",
     "merge_upsert",
     "streaming_enrich",
+    "window_time_range",
+    "window_distribution",
+    "rollup_cascade",
 ]
 
 

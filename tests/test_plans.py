@@ -132,3 +132,47 @@ def test_quality_filter_single_scan_no_shuffle(spark):
     exchange at all — it runs at scan speed."""
     s = fmt(QR.QUERIES["text_quality_filter"](spark, SF))
     assert "Exchange" not in s
+
+
+def test_event_funnel_single_exchange_for_all_stages(spark):
+    """All K stage windows AND the per-user aggregate share one user_id
+    exchange (unordered partition windows + groupBy on the same key);
+    only the final count crosses a second (single-partition) exchange."""
+    s = fmt(QR.QUERIES["event_funnel"](spark, SF))
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", s, re.M)
+    assert len(exchanges) <= 2, s
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "value" not in read  # pruned
+
+
+def test_json_extract_props_prunes_scan_and_stays_jvm(spark):
+    s = fmt(QR.QUERIES["json_extract_props"](spark, SF))
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" in read and "event_type" in read
+    assert "value" not in read and "user_id" not in read
+    assert "BatchEvalPython" not in s
+
+
+def test_window_time_range_is_partitioned_single_sort(spark):
+    """RANGE frame runs inside the user_id partitioning: one exchange,
+    one sort, no single-partition window."""
+    import re
+
+    s = fmt(QR.QUERIES["window_time_range"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Sort", s, re.M)) == 1
+    assert "SinglePartition" not in s
+
+
+def test_rollup_cascade_daily_consumes_hourly_aggregate(spark):
+    """The daily aggregate's input is the hourly HashAggregate, not the
+    raw scan — mergeable-partial reaggregation (one fact-table pass)."""
+    import re
+
+    s = fmt(QR.QUERIES["rollup_cascade"](spark, SF))
+    scans = re.findall(r"^\(\d+\) Scan parquet", s, re.M)
+    assert len(scans) == 1
+    aggs = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", s, re.M)]
+    assert len(aggs) == 4  # partial+final hourly, partial+final daily
