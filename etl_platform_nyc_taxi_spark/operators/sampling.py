@@ -212,3 +212,40 @@ def pack_sequences(
             chunk_col: (start / F.lit(capacity)).cast("long"),
         }
     )
+
+
+def assign_range_shards(
+    df: DataFrame,
+    value_col: str,
+    k: int = 8,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Range-shard assignment by explicit quantile cut points — the
+    scale-safe form of "write the corpus sorted/clustered by X": a global
+    ``orderBy`` serializes through a range exchange whose sampled
+    boundaries are nondeterministic run-to-run, while this computes k−1
+    EXACT percentile cuts on the aggregate (one reduce over a single
+    column), broadcasts that one row, and assigns each row its shard with
+    a pure projection (shard = #cuts strictly below the value). Output
+    shards are the range partitions; rows never shuffle to get their
+    label, and the same data always yields the same layout.
+
+    Cuts are rounded to 4 dp so the shard boundaries are reproducible
+    across engines (the DuckDB oracle replays the same quantile_cont +
+    round). Interior shards hold ~n/k rows; heavy duplicate mass at a cut
+    value lands in one shard (ties don't split)."""
+    ps = [i / k for i in range(1, k)]
+    cuts = df.agg(
+        F.transform(
+            F.percentile(value_col, F.array(*[F.lit(p) for p in ps])),
+            lambda x: F.round(x, 4),
+        ).alias("__cuts")
+    )
+    shard = F.size(
+        F.filter("__cuts", lambda c: c < F.col(value_col))
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(shard_col, shard)
+        .drop("__cuts")
+    )

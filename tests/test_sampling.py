@@ -136,3 +136,40 @@ def test_stratified_cap_exact_counts(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in stratified_cap(d.repartition(5), cap=5, stratum_cols=("lang",)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Range sharding
+# ---------------------------------------------------------------------------
+
+
+def test_assign_range_shards_balances_and_is_deterministic(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        assign_range_shards,
+    )
+
+    df = spark.range(0, 800).withColumn("v", (F.col("id") * 7919) % 1000)
+    a = assign_range_shards(df, "v", k=8)
+    b = assign_range_shards(df, "v", k=8)
+    ca = {r["shard_id"]: r["n"] for r in a.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cb = {r["shard_id"]: r["n"] for r in b.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert ca == cb                                   # deterministic
+    assert set(ca) == set(range(8))                   # every shard occupied
+    assert max(ca.values()) <= 2 * min(ca.values())   # roughly balanced
+    # shards are ranges: max(shard i) <= min(shard i+1)
+    bounds = {
+        r["shard_id"]: (r["lo"], r["hi"])
+        for r in a.groupBy("shard_id").agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+    }
+    for i in range(7):
+        assert bounds[i][1] <= bounds[i + 1][0]
+
+
+def test_assign_range_shards_ties_stay_together(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        assign_range_shards,
+    )
+
+    df = spark.createDataFrame([(i, 5) for i in range(100)], "id long, v long")
+    out = assign_range_shards(df, "v", k=4)
+    assert out.select("shard_id").distinct().count() == 1  # ties never split

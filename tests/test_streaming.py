@@ -525,3 +525,57 @@ def test_stream_static_enrich_matches_batch_and_keeps_no_state(spark, tmp_path):
         (r["tier"], r["n"], r["amt"]) for r in spark.table("t_enrich_parity").collect()
     }
     assert got == {("gold", 1, 100.0), ("basic", 2, 250.0)}
+
+
+def test_stream_stream_interval_join_multibatch_matches_batch(spark, tmp_path):
+    """Cross-micro-batch matching: clicks land in file 1, purchases in
+    file 2 (maxFilesPerTrigger=1 forces separate batches) — the join's
+    state store must hold batch-1 clicks until batch-2 purchases arrive.
+    Result must equal the batch interval join."""
+    import pandas as pd
+
+    from etl_platform_nyc_taxi_spark.streaming.stream_join import (
+        interval_join_streams,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    pd.DataFrame(
+        {"uid": [1, 2], "et": ["click", "click"], "ts": [t0, t0]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame(
+        {
+            "uid": [1, 1, 2],
+            "et": ["purchase", "purchase", "purchase"],
+            # in-window, out-of-window (>1h), in-window
+            "ts": [t0 + pd.Timedelta("30min"), t0 + pd.Timedelta("2h"), t0 + pd.Timedelta("59min")],
+        }
+    ).to_parquet(src / "b2.parquet")
+
+    def streams():
+        base = read_stream_auto(spark, str(src), maxFilesPerTrigger="1")
+        clicks = base.filter(F.col("et") == "click").select(
+            F.col("uid").alias("c_uid"), F.col("ts").alias("c_ts")
+        )
+        base2 = read_stream_auto(spark, str(src), maxFilesPerTrigger="1")
+        purchases = base2.filter(F.col("et") == "purchase").select(
+            F.col("uid").alias("p_uid"), F.col("ts").alias("p_ts")
+        )
+        return clicks, purchases
+
+    clicks, purchases = streams()
+    pairs = interval_join_streams(
+        clicks, purchases, key=("c_uid", "p_uid"), ts=("c_ts", "p_ts"),
+        max_delay_seconds=3600,
+    )
+    run_available_now(
+        pairs, "t_ss_join", str(tmp_path / "ckpt_ssj"), output_mode="append"
+    )
+    got = {
+        (r["c_uid"], r["p_ts"]) for r in spark.table("t_ss_join").collect()
+    }
+    assert got == {
+        (1, (t0 + pd.Timedelta("30min")).to_pydatetime()),
+        (2, (t0 + pd.Timedelta("59min")).to_pydatetime()),
+    }
