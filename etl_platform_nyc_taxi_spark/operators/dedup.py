@@ -111,9 +111,19 @@ def salt_hot_buckets(
     Plan shape: per-bucket counts are a partial-aggregated groupBy
     (shuffles only the key + a long), filtered to the over-cap buckets —
     by definition few — and broadcast back; the big banded relation is
-    never re-shuffled to learn its salt."""
+    never re-shuffled to learn its salt.
+
+    The input is materialized once (non-eager ``localCheckpoint``) before
+    branching: the count subtree cannot reuse the self-join's exchange
+    (different partial aggregate), so without materialization the
+    upstream signature pipeline — the dominant CPU cost of every LSH
+    family — executes twice per action (measured 2× on dedup_minhash_lsh
+    at sf0.1). The checkpointed relation is band keys + ids, orders of
+    magnitude smaller than the raw text it derives from, and is exactly
+    what an ingest-time pipeline would persist anyway."""
     if cap < 2:
         raise ValueError("cap must be >= 2")
+    banded = banded.localCheckpoint(eager=False)
     over = (
         banded.groupBy(*bucket_cols)
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -55,6 +55,12 @@ def connected_components(
     corpus that produced it, and every loop round pays per-task overhead
     × partition count — coalesce to match the EDGE volume, not the
     upstream scan's width."""
+    # Materialize the edge relation before symmetrizing: the union's two
+    # branches otherwise re-execute the whole upstream pair-generation
+    # pipeline (LSH signatures + verify joins) once each — the edges are
+    # tiny relative to what produces them, so checkpoint first, fan out
+    # second.
+    edges = edges.localCheckpoint(eager=False)
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
@@ -70,22 +76,29 @@ def connected_components(
     global LAST_CC_ROUNDS
     rounds = 0
     for _ in range(max_iter):
+        # Tag the sources so the aggregate yields BOTH the new label
+        # (min over the closed neighborhood) and the old one (min over
+        # the labels-sourced rows only — exactly one per node): change
+        # detection reads the aggregate itself instead of joining against
+        # the previous labels, and the non-eager checkpoint makes the
+        # change-count THE materializing action — one Spark job per round
+        # (the per-round fixed cost is what dominates small graphs),
+        # still with full lineage truncation.
         neighbor_labels = sym.join(
             labels, sym["v"] == labels["node"], "inner"
-        ).select(F.col("u").alias("node"), F.col("label"))
+        ).select(F.col("u").alias("node"), F.col("label"), F.lit(0).alias("__own"))
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            labels.withColumn("__own", F.lit(1))
+            .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__own") == 1, F.col("label"))).alias("__old"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
         rounds += 1
         if changed == 0:
             break
