@@ -18,6 +18,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _gc_sweep(spark) -> None:
+    """Per-query isolation: drop Python refs and force one JVM GC so
+    ContextCleaner releases dead localCheckpoint blocks (LSH banded
+    relations, CC round state) from earlier queries — otherwise later
+    timings measure the storage-pool thrash of their predecessors
+    instead of their own plan. Runs OUTSIDE the timed section."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from etl_platform_nyc_taxi_spark.session import get_spark
@@ -32,6 +45,8 @@ def main() -> None:
     for name, fn in queries.items():
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm: plan + code paths
+        del df
+        _gc_sweep(spark)  # measure this query, not its predecessors' debris
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -36,6 +36,14 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.parquet.mergeSchema": "true",
     # Arrow for pandas UDF / applyInPandas / createDataFrame interchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The iterative/materializing operators (connected-components rounds,
+    # the LSH hot-bucket guard) pin localCheckpoint blocks until their
+    # RDDs are garbage-collected; the default ContextCleaner periodic GC
+    # (30 min) lets a long-lived session accumulate gigabytes of dead
+    # blocks and thrash the storage pool (measured: 36 s → 124 s for
+    # dedup_clusters at ×10 data in a session that had run the LSH
+    # family first). A 1-minute periodic GC keeps dead blocks bounded.
+    "spark.cleaner.periodicGC.interval": "1min",
 }
 
 
@@ -71,7 +79,11 @@ def get_spark(
     confs = dict(BUILD_CONFS)
     confs.update(RUNTIME_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
-    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    # Sized for the local harness (32 cores against a 128 GiB box): the
+    # storage pool must hold the largest materialized banded relation at
+    # the biggest locally-tested scale with room for shuffle; on a real
+    # cluster spark-submit owns this.
+    confs.setdefault("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

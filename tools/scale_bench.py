@@ -111,20 +111,55 @@ def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
 
 
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
-    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+    """One fresh JVM per query: the heavy dedup/ANN family materializes
+    localCheckpoint blocks (banded relations, CC round state) whose
+    cleanup is asynchronous, so successive queries in one session measure
+    their predecessors' storage-pool debris, not their own plan —
+    observed swings of 3-4× on the ×10 corpus (dedup_image 12 s isolated
+    vs 52 s late in a shared session) that neither forced JVM GC nor a
+    bigger heap removed. A production job runs one query per application;
+    per-query measurement gets the same isolation. Warm + timed runs
+    happen inside the subprocess; JVM startup is not counted."""
+    import subprocess
 
     out: dict[str, float] = {}
     for name in names:
-        fn = QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--one", name, sf_dir],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[name] = float(proc.stdout.strip().splitlines()[-1])
         print(f"  {name}: {out[name]}s", flush=True)
     return out
 
 
+def time_one(name: str, sf_dir: str) -> float:
+    """1 warm + 2 timed runs, report the MIN of the timed pair: the
+    sandboxed host shows multi-× run-to-run swings on the heavy scaled
+    queries (same deterministic plan, same fresh JVM — IO/CPU contention
+    outside the guest), and the minimum is the standard estimator of
+    intrinsic cost under external noise."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+    from etl_platform_nyc_taxi_spark.session import get_spark
+
+    spark = get_spark(f"scale_one_{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = QUERIES[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        print(time_one(sys.argv[2], sys.argv[3]))
+        return 0
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_json = sys.argv[3] if len(sys.argv) > 3 else "SCALE_BENCH.json"
