@@ -559,3 +559,78 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def fuzzy_pairs_edit1(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 64,
+) -> DataFrame:
+    """Approximate string self-join: pairs within Levenshtein distance 1,
+    without an all-pairs comparison — deletion-neighborhood blocking.
+
+    Every string generates len+1 keys: itself plus each single-character
+    deletion. Two strings at edit distance ≤1 (one substitution,
+    insertion, or deletion) are GUARANTEED to share a key — deleting the
+    edited position on whichever side carries it lands both on the same
+    variant — so an equi-join on the variant key finds every true pair
+    and the exact ``levenshtein`` check discards the false ones (strings
+    that share a deletion variant can be at distance 2). This is the
+    classic SymSpell/FastSS decomposition.
+
+    Scale shape: row explosion is len+1 per string — built for SHORT
+    strings (titles, names, URLs, codes); ``max_len`` guards against a
+    long-text caller turning the explode into the corpus × text-length.
+    One shuffle on the variant key; candidate multiplicity is bounded by
+    alphabet statistics, and the verify is O(len²) per candidate pair
+    only. For distance ≤ 1 the neighborhood is exact — no recall loss,
+    unlike MinHash/SimHash which trade recall for bigger distances.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ 1, distinct.
+    """
+    s = F.col("__s")
+    variants = F.array_union(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(
+                F.substr(s, F.lit(1), i - 1),
+                F.substr(s, i + 1, F.length(s) - i),
+            ),
+        ),
+    )
+    # Execution-time guard, not an eager pre-scan: the operator stays
+    # lazy, and a long-text caller fails loudly instead of exploding the
+    # corpus by its text length.
+    checked = F.when(
+        F.length(s) > max_len,
+        F.raise_error(
+            F.format_string(
+                "fuzzy_pairs_edit1 is a short-string operator: row length "
+                "%d exceeds max_len "
+                f"{max_len}; raise max_len only if the len+1-per-row "
+                "explode cost is understood",
+                F.length(s),
+            )
+        ),
+    ).otherwise(s)
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
+        .withColumn("__s", checked)
+        .withColumn("__var", F.explode(variants))
+        .select("__id", "__s", "__var")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dist = F.levenshtein(F.col("a.__s"), F.col("b.__s"))
+    return (
+        a.join(b, on="__var")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .dropDuplicates(["id_a", "id_b"])
+    )

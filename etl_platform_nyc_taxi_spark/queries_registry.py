@@ -3234,6 +3234,52 @@ def q_range_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_title_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string((string_split_regex(trim(text), '\s+'))[1:4],
+                             ' ') AS title
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, title FROM t
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(title, 1, 2) || substr(title, 4) AS title
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INT) AS dist
+    FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 1
+    """,
+)
+def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join (operators/dedup.fuzzy_pairs_edit1): doc
+    titles (first 4 tokens) paired with their single-char-deleted twins
+    at Levenshtein ≤ 1 via deletion-neighborhood blocking — len+1 variant
+    keys per string, equi-join on variants, exact levenshtein verify on
+    candidates only; recall-exact for distance 1 (SymSpell/FastSS
+    decomposition), never all-pairs. The oracle runs the NAIVE quadratic
+    join — same result set, the plan difference IS the operator."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import fuzzy_pairs_edit1
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", F.slice(tokens_ws("text"), 1, 4)).alias("title")
+    )
+    mutants = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 2), F.expr("substring(title, 4)")
+        ).alias("title"),
+    )
+    return fuzzy_pairs_edit1(
+        d.unionByName(mutants), id_col="doc_id", text_col="title"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
@@ -3281,6 +3327,7 @@ _VERIFY_FIRST = [
     "rollup_cascade",
     "streaming_stream_join",
     "range_shard_stats",
+    "fuzzy_title_pairs",
 ]
 
 

@@ -256,3 +256,55 @@ def test_prefix_duplicate_groups_short_docs_group_on_whole_text(spark):
     out = {r["min_doc_id"]: r["copies"] for r in prefix_duplicate_groups(df, n_tokens=32).collect()}
     # docs 1/2 identical (and < 32 tokens): one group; 3 and 4 are distinct prefixes
     assert out == {1: 2}
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string join (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_pairs_edit1_matches_naive_quadratic(spark):
+    from etl_platform_nyc_taxi_spark.operators.dedup import fuzzy_pairs_edit1
+
+    rows = [
+        (1, "spark"), (2, "spars"),   # substitution  -> dist 1
+        (3, "spak"),                  # deletion of r -> dist 1 to spark
+        (4, "sparks"),                # insertion     -> dist 1 to spark
+        (5, "scala"),                 # far from all
+        (6, "spark"),                 # exact dup of 1 -> dist 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs_edit1(df, text_col="title").collect()
+    }
+    # naive oracle
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {
+        (ia, ib, lev(ta, tb))
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2)
+        if lev(ta, tb) <= 1
+    }
+    assert got == want
+    assert (1, 6, 0) in got and (1, 2, 1) in got and (1, 3, 1) in got and (1, 4, 1) in got
+    assert not any({a, b} == {1, 5} for a, b, _ in got)
+
+
+def test_fuzzy_pairs_edit1_rejects_long_text_at_execution(spark):
+    import pytest as _pytest
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import fuzzy_pairs_edit1
+
+    df = spark.createDataFrame([(1, "x" * 100), (2, "y")], "doc_id long, title string")
+    out = fuzzy_pairs_edit1(df, text_col="title", max_len=64)
+    with _pytest.raises(Exception, match="short-string operator"):
+        out.collect()
