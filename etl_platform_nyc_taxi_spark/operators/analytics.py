@@ -1,0 +1,313 @@
+"""Warehouse-analytics operators the reference's users reach for next:
+cohort retention, outlier detection, time-series gap-fill, sweep-line
+concurrency, column profiling, and exact heavy hitters.
+
+Every operator here is built for the 100 TB posture first:
+
+* aggregations are expressed so Catalyst plans map-side partial
+  aggregation (shuffle carries counts/sums, never raw rows);
+* windows run only over pre-aggregated or per-key-bounded relations —
+  the one unavoidable long scan (the concurrency sweep) is parallelized
+  as a two-phase sharded prefix sum instead of a single-partition window;
+* per-group statistics join back via broadcast (group cardinality is
+  the small side by construction);
+* double-typed outputs are derived from exact DECIMAL sums so results
+  are order-independent and bit-identical across engines.
+
+Ref (capability gap): the reference computes daily counts only
+(dags/spark_jobs/calculate_daily_transactions.py); none of these exist
+there. They are the §7 "what a production user needs next" extensions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of their
+    first event; for each (cohort_week, week_offset), how many of them
+    were active that week.
+
+    Plan shape (three hash shuffles, all on ``user_col``, so the exchange
+    is reused between first-event and activity aggregation): min-ts per
+    user → distinct active (user, week) → co-partitioned join → count per
+    (cohort, offset). No windows, no skew risk beyond user-key hashing.
+    """
+    e = df.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t")).filter(
+        F.col("t").isNotNull()
+    )
+    firsts = e.groupBy("u").agg(
+        F.date_trunc("week", F.min("t")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "u", F.date_trunc("week", F.col("t")).cast("date").alias("active_week")
+    ).distinct()
+    j = active.join(firsts, "u")
+    offset = F.floor(F.datediff("active_week", "cohort_week") / 7).cast("int")
+    return (
+        j.select("cohort_week", offset.alias("week_offset"), "u")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+def group_zscore_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    id_cols: Sequence[str],
+    threshold: float = 3.0,
+    min_group: int = 30,
+) -> DataFrame:
+    """Per-group z-score outliers with exact, engine-portable arithmetic.
+
+    Group mean/variance are derived from exact DECIMAL ``SUM(x)`` and
+    ``SUM(x*x)`` (order-independent), converted to DOUBLE only for the
+    final ``(x - mean)/stddev`` — the identical IEEE expression replays
+    bit-for-bit on any engine, so the result is value-hash stable.
+
+    Plan: one grouped aggregate (map-side combined), then the per-group
+    stats — the SMALL side by construction — broadcast back onto the fact
+    rows; no window, no second fact shuffle.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(*key_cols).agg(
+        F.count(v).alias("__n"),
+        F.sum(v.cast("decimal(18,4)")).alias("__s1"),
+        F.sum(v.cast("decimal(18,4)") * v.cast("decimal(18,4)")).alias("__s2"),
+    )
+    mean = F.col("__s1").cast("double") / F.col("__n")
+    ex2 = F.col("__s2").cast("double") / F.col("__n")
+    stats = (
+        stats.filter(F.col("__n") >= min_group)
+        .withColumn("__mean", mean)
+        .withColumn("__var", ex2 - F.col("__mean") * F.col("__mean"))
+        .filter(F.col("__var") > 1e-18)
+        .withColumn("__std", F.sqrt("__var"))
+    )
+    z = (v - F.col("__mean")) / F.col("__std")
+    return (
+        df.join(F.broadcast(stats), list(key_cols))
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= threshold)
+        .select(*id_cols, *key_cols, value_col, "zscore")
+    )
+
+
+def gapfill_forward(
+    daily: DataFrame,
+    key_cols: Sequence[str],
+    date_col: str,
+    value_col: str,
+    out_col: str = "value_filled",
+    gap_col: str = "was_gap",
+) -> DataFrame:
+    """Regularize a per-key daily series to a dense date spine and
+    forward-fill missing days (standard time-series resample/ffill).
+
+    ``daily`` must already be aggregated to one row per (key, day) — the
+    spine explode and the fill window then run on the AGGREGATE, whose
+    size is |keys| × day-span, not the fact row count; this is the
+    engine's scale rule for windows. The spine is generated per key from
+    that key's own [min, max] day bounds (``sequence`` + ``explode``), so
+    no global calendar table and no cross join against the fact.
+    """
+    keys = [F.col(k) for k in key_cols]
+    bounds = daily.groupBy(*keys).agg(
+        F.min(date_col).alias("__d0"), F.max(date_col).alias("__d1")
+    )
+    spine = bounds.select(
+        *keys, F.explode(F.sequence("__d0", "__d1")).alias(date_col)
+    )
+    j = spine.join(daily, [*key_cols, date_col], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        *keys,
+        F.col(date_col),
+        F.last(value_col, ignorenulls=True).over(w).alias(out_col),
+        F.col(value_col).isNull().alias(gap_col),
+    )
+
+
+def sweep_max_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    cohort_col: str = "day",
+    shard_trunc: str = "hour",
+) -> DataFrame:
+    """Max concurrent intervals per cohort via a SHARDED sweep line —
+    the scale-safe replacement for both the O(n²) interval self-join and
+    the single-partition running-sum window.
+
+    Classic sweep: emit (+1 at start, −1 at end), order by time, running
+    sum, take the max. The running sum is a prefix scan, so it
+    parallelizes exactly like one: (1) within each (cohort, time-shard)
+    compute the local running sum and the shard total; (2) cumulate the
+    shard totals per cohort — a relation with one row per shard, tiny —
+    into carry-in offsets; (3) local max + carry-in, then max per cohort.
+    No partition ever sees more than one shard's deltas, and the only
+    full-data operations are hash aggregations with map-side combine.
+
+    Tie semantics: at equal timestamps ends sort before starts
+    (``delta`` ascending), i.e. half-open [start, end) intervals. Equal
+    rows commute inside the prefix sum, so the per-cohort max is
+    deterministic regardless of physical order.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    starts = intervals.select(
+        F.col(cohort_col), s.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = intervals.select(
+        F.col(cohort_col), e.alias("t"), F.lit(-1).alias("delta")
+    )
+    deltas = starts.unionAll(ends).withColumn(
+        # Truncated-timestamp shards sort identically to t itself, so the
+        # shard boundary respects the sweep order (and works for both
+        # TIMESTAMP and TIMESTAMP_NTZ, unlike epoch arithmetic).
+        "__shard", F.date_trunc(shard_trunc, F.col("t"))
+    )
+    in_shard = (
+        Window.partitionBy(cohort_col, "__shard")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("__run", F.sum("delta").over(in_shard))
+    local_max = local.groupBy(cohort_col, "__shard").agg(
+        F.max("__run").alias("__lmax"), F.sum("delta").alias("__ltot")
+    )
+    # Carry-in = sum of totals of all STRICTLY EARLIER shards. One row per
+    # shard — cumulating this with a window is windows-on-aggregates.
+    shard_w = (
+        Window.partitionBy(cohort_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = local_max.withColumn(
+        "__carry", F.coalesce(F.sum("__ltot").over(shard_w), F.lit(0))
+    )
+    return offs.groupBy(cohort_col).agg(
+        F.max(F.col("__lmax") + F.col("__carry")).cast("int").alias("max_concurrent")
+    )
+
+
+#: profile_columns type normalizers: native min/max rendered to a single
+#: portable string per type family (doubles via DECIMAL(18,2) so the
+#: text form is engine-independent; timestamps via an explicit pattern).
+_REPR = {
+    "long": lambda c: c.cast("string"),
+    "int": lambda c: c.cast("string"),
+    "string": lambda c: c,
+    "double": lambda c: c.cast("decimal(18,2)").cast("string"),
+    "timestamp": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+}
+
+
+def profile_columns(
+    df: DataFrame, cols: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Column-level profile (the warehouse ``DESCRIBE ANALYZE``): per
+    column — row count, null count, exact distinct count, min/max
+    rendered portably per type family.
+
+    One aggregate pass over the relation; the multi-column DISTINCT
+    aggregates plan through Catalyst's Expand (cost ≈ n_cols × scan —
+    the honest price of EXACT ndv; the approximate twin is
+    ``approx_count_distinct`` under agg_approx). The 1×(6·n_cols) result
+    row is unpivoted driver-free with ``stack``.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for name, kind in cols:
+        c = F.col(name)
+        aggs.append(F.count(c).alias(f"__nn_{name}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{name}"))
+        # min/max on the NATIVE type (string min of a formatted double
+        # would compare lexicographically); rendering happens after.
+        aggs.append(F.min(c).alias(f"__rawmin_{name}"))
+        aggs.append(F.max(c).alias(f"__rawmax_{name}"))
+    one = df.agg(*aggs)
+    renders = [
+        _REPR[kind](F.col(f"__raw{mm}_{name}")).alias(f"__{mm}_{name}")
+        for name, kind in cols
+        for mm in ("min", "max")
+    ]
+    one = one.select("*", *renders)
+    stack_args: list[str] = []
+    for name, _ in cols:
+        stack_args.append(f"'{name}', __rows, __rows - __nn_{name}, __nd_{name}, __min_{name}, __max_{name}")
+    expr = (
+        f"stack({len(cols)}, "
+        + ", ".join(stack_args)
+        + ") as (col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
+    )
+    return one.selectExpr(expr)
+
+
+def heavy_hitters(
+    tokens: DataFrame,
+    token_col: str,
+    total_count: int,
+    threshold: int,
+    max_capacity: int = 1_000_000,
+) -> DataFrame:
+    """EXACT frequent items above an absolute ``threshold`` without ever
+    shuffling the full token stream: per-partition Misra–Gries candidate
+    generation, then an exact recount of the (tiny) candidate set.
+
+    Guarantee: with k = N // T + 1 counters per partition, the batched
+    decrement (subtract the k-th largest count, drop non-positives)
+    removes ≥ k·cut mass per trigger, so any item's undercount is
+    ≤ n_p/k and every item with local count > n_p/k survives its
+    partition's sketch. By pigeonhole over partition totals, an item
+    with global count C ≥ T > N/k exceeds n_p/k in at least one
+    partition. False positives are harmless (the
+    recount filters them); false negatives are impossible. The shuffle
+    after candidate generation carries ≤ partitions × k rows; the
+    recount semi-joins the stream against the BROADCAST candidate set
+    and aggregates with map-side combine — at 100 TB the full-token
+    groupBy this replaces is the dominant shuffle of any corpus job.
+    """
+    import pandas as pd
+
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    k = total_count // threshold + 1
+    if k > max_capacity:
+        raise ValueError(
+            f"Misra-Gries capacity {k} (= N/T + 1) exceeds max_capacity "
+            f"{max_capacity}; raise the threshold or the cap"
+        )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf[token_col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > k:
+                # MG decrement step, batched: subtract the (len-k)-th
+                # largest count from everything and drop the non-positive.
+                cut = sorted(counters.values(), reverse=True)[k - 1]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame({token_col: list(counters.keys())})
+
+    candidates = tokens.mapInPandas(mg, schema=f"{token_col} string").distinct()
+    return (
+        tokens.join(F.broadcast(candidates), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

@@ -1,0 +1,197 @@
+"""operators/analytics.py: cohort retention, z-score outliers, gap-fill,
+sweep-line concurrency, column profiling, Misra-Gries heavy hitters.
+
+Oracles here are brute-force recomputations in plain Python over tiny
+fixtures — independent of both Spark's plan and the registry's DuckDB
+SQL (which the driver gate covers separately at sf0.01)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_platform_nyc_taxi_spark.operators.analytics import (
+    cohort_retention,
+    gapfill_forward,
+    group_zscore_outliers,
+    heavy_hitters,
+    profile_columns,
+    sweep_max_concurrency,
+)
+from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+from tests.conftest import rows, ts
+
+
+def test_cohort_retention_matrix(spark):
+    # u1 first in week of Mon 2024-01-01; active weeks 0 and 2.
+    # u2 first in week 0 too (different day), active week 0 only.
+    # u3 first in week 1, active weeks 1 and 2 (offsets 0, 1).
+    data = [
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-03 10:00:00")),  # same week, counted once
+        (1, ts("2024-01-15 10:00:00")),
+        (2, ts("2024-01-05 10:00:00")),
+        (3, ts("2024-01-08 10:00:00")),
+        (3, ts("2024-01-16 10:00:00")),
+        (3, None),  # null ts ignored
+    ]
+    df = rows_source(spark, data, "user_id long, ts timestamp")
+    out = rows(cohort_retention(df, "user_id", "ts"))
+    w0 = dt.date(2024, 1, 1)
+    w1 = dt.date(2024, 1, 8)
+    assert out == sorted(
+        [(w0, 0, 2), (w0, 2, 1), (w1, 0, 1), (w1, 1, 1)], key=repr
+    )
+
+
+def test_zscore_outliers_flags_the_planted_spike(spark):
+    base = [(i, "a", 10.0) for i in range(40)]
+    spike = [(99, "a", 1000.0)]
+    small = [(200 + i, "b", float(i)) for i in range(5)]  # < min_group
+    df = rows_source(
+        spark, base + spike + small, "event_id long, grp string, v double"
+    )
+    out = group_zscore_outliers(
+        df, ["grp"], "v", ["event_id"], threshold=3.0, min_group=30
+    )
+    got = rows(out.select("event_id", "zscore"))
+    assert [r[0] for r in got] == [99]
+    assert got[0][1] > 3.0
+
+
+def test_zscore_constant_group_produces_no_rows(spark):
+    df = rows_source(
+        spark, [(i, "c", 5.0) for i in range(50)], "event_id long, grp string, v double"
+    )
+    out = group_zscore_outliers(df, ["grp"], "v", ["event_id"])
+    assert out.count() == 0  # zero variance filtered, no div-by-zero NaNs
+
+
+def test_gapfill_forward_fills_and_flags(spark):
+    d0, d2, d4 = dt.date(2024, 3, 1), dt.date(2024, 3, 3), dt.date(2024, 3, 5)
+    df = rows_source(
+        spark,
+        [("k", d0, 1.0), ("k", d2, 3.0), ("k", d4, 5.0), ("m", d2, 9.0)],
+        "key string, day date, v double",
+    )
+    out = rows(gapfill_forward(df, ["key"], "day", "v"))
+    expect = [
+        ("k", dt.date(2024, 3, 1), 1.0, False),
+        ("k", dt.date(2024, 3, 2), 1.0, True),
+        ("k", dt.date(2024, 3, 3), 3.0, False),
+        ("k", dt.date(2024, 3, 4), 3.0, True),
+        ("k", dt.date(2024, 3, 5), 5.0, False),
+        ("m", dt.date(2024, 3, 3), 9.0, False),
+    ]
+    assert out == sorted(expect, key=repr)
+
+
+def _naive_max_concurrency(intervals):
+    best = {}
+    for day, s, e in intervals:
+        peak = 0
+        for t in [x[1] for x in intervals if x[0] == day]:
+            # concurrency at each start instant (half-open intervals)
+            c = sum(1 for d2, s2, e2 in intervals if d2 == day and s2 <= t < e2)
+            peak = max(peak, c)
+        best[day] = peak
+    return best
+
+
+def test_sweep_matches_naive_oracle(spark):
+    rng = random.Random(7)
+    day = dt.date(2024, 5, 1)
+    ivs = []
+    for i in range(200):
+        start = dt.datetime(2024, 5, 1 + i % 2, rng.randrange(24), rng.randrange(60))
+        ivs.append((start.date(), start, start + dt.timedelta(minutes=rng.randrange(1, 90))))
+    df = rows_source(spark, ivs, "day date, s timestamp, e timestamp")
+    got = dict(rows(sweep_max_concurrency(df, "s", "e", "day", "hour")))
+    assert got == _naive_max_concurrency(ivs)
+    assert day in got and got[day] >= 1
+
+
+def test_sweep_half_open_touching_intervals_dont_overlap(spark):
+    day = dt.date(2024, 5, 1)
+    a = (day, ts("2024-05-01 10:00:00"), ts("2024-05-01 11:00:00"))
+    b = (day, ts("2024-05-01 11:00:00"), ts("2024-05-01 12:00:00"))
+    df = rows_source(spark, [a, b], "day date, s timestamp, e timestamp")
+    assert rows(sweep_max_concurrency(df, "s", "e", "day")) == [(day, 1)]
+
+
+def test_profile_columns_exact_counts_and_portable_repr(spark):
+    df = rows_source(
+        spark,
+        [
+            (1, "x", 1.5, ts("2024-01-01 06:30:00")),
+            (2, "y", 10.25, ts("2024-02-01 00:00:00")),
+            (3, None, None, None),
+            (4, "x", 2.0, ts("2024-01-15 12:00:00")),
+        ],
+        "k long, s string, d double, t timestamp",
+    )
+    out = {
+        r[0]: r[1:]
+        for r in rows(
+            profile_columns(
+                df,
+                [("k", "long"), ("s", "string"), ("d", "double"), ("t", "timestamp")],
+            )
+        )
+    }
+    assert out["k"] == (4, 0, 4, "1", "4")
+    assert out["s"] == (4, 1, 2, "x", "y")
+    assert out["d"] == (4, 1, 3, "1.50", "10.25")
+    assert out["t"] == (4, 1, 3, "2024-01-01 06:30:00", "2024-02-01 00:00:00")
+
+
+def test_heavy_hitters_exact_above_threshold(spark):
+    # zipf-ish stream: token_i appears (50 - i) times
+    stream = [(f"tok{i}",) for i in range(50) for _ in range(50 - i)]
+    random.Random(3).shuffle(stream)
+    df = rows_source(spark, stream, "token string").repartition(4)
+    n = len(stream)
+    t = 40  # exact answer: tok0..tok10 (counts 50..40)
+    got = dict(rows(heavy_hitters(df, "token", n, t)))
+    assert got == {f"tok{i}": 50 - i for i in range(11)}
+
+
+def test_heavy_hitters_adversarial_uniform_tail(spark):
+    # A heavy token hidden in a large uniform tail across partitions —
+    # the distribution MG sketches find hardest.
+    heavy = [("HH",)] * 120
+    tail = [(f"t{i}",) for i in range(2000)]
+    stream = heavy + tail
+    random.Random(11).shuffle(stream)
+    df = rows_source(spark, stream, "token string").repartition(8)
+    got = dict(rows(heavy_hitters(df, "token", len(stream), 100)))
+    assert got == {"HH": 120}
+
+
+def test_heavy_hitters_capacity_guard():
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(None, "token", 10**9, 2, max_capacity=1000)
+
+
+def test_sweep_plan_has_no_global_window(spark):
+    """The sweep must never plan a single-partition window over the
+    deltas — partitioning is (cohort, shard) then (cohort)."""
+    day = dt.date(2024, 5, 1)
+    df = rows_source(
+        spark,
+        [(day, ts("2024-05-01 10:00:00"), ts("2024-05-01 10:30:00"))],
+        "day date, s timestamp, e timestamp",
+    )
+    import re
+
+    plan = (
+        sweep_max_concurrency(df, "s", "e", "day")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:  # every window is partitioned by at least the cohort
+        assert "day#" in spec, plan
