@@ -99,11 +99,48 @@ def sniff_image_header(
     return (None, None, None)
 
 
+def sniff_audio_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None]:
+    """(format, duration_ms) from a real WAV/RIFF container header — pure
+    Python, no decoder libs, and NOT a stub: it walks the actual RIFF
+    chunk layout. Unrecognized or truncated payloads → (None, None).
+
+    WAV: ``RIFF``<u32le size>``WAVE``, then a chunk walk; the ``fmt ``
+    chunk carries byte_rate (u32le at chunk offset 8) and the ``data``
+    chunk's declared size over byte_rate is the duration. Only the
+    header window is inspected (callers pass the first 4 KB), so a
+    truncated *payload* still yields the true duration — the data size
+    is a declared field, not a measured one.
+    """
+    if not payload or len(payload) < 12:
+        return (None, None)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return (None, None)
+    byte_rate: int | None = None
+    data_size: int | None = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 16 <= n:
+            byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = clen
+        if byte_rate and data_size is not None:
+            break
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if byte_rate and data_size is not None:
+        return ("wav", data_size * 1000 // byte_rate)
+    return ("wav", None)
+
+
 _HEADER_SCHEMA = T.StructType(
     [
         T.StructField("format", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
     ]
 )
 
@@ -113,10 +150,16 @@ def _sniff_headers_udf():
 
     @pandas_udf(_HEADER_SCHEMA)
     def sniff(payloads: pd.Series) -> pd.DataFrame:
-        rows = [sniff_image_header(p) for p in payloads]
-        return pd.DataFrame(rows, columns=["format", "width", "height"]).astype(
-            {"width": "Int32", "height": "Int32"}
-        )
+        out = []
+        for p in payloads:
+            fmt, w, h = sniff_image_header(p)
+            dur = None
+            if fmt is None:
+                fmt, dur = sniff_audio_header(p)
+            out.append((fmt, w, h, dur))
+        return pd.DataFrame(
+            out, columns=["format", "width", "height", "duration_ms"]
+        ).astype({"width": "Int32", "height": "Int32", "duration_ms": "Int64"})
 
     return sniff
 
@@ -130,17 +173,18 @@ def attach_media_meta(
 ) -> DataFrame:
     """Wrap a binary column with its metadata struct.
 
-    ``probe_headers`` (default: on for images) fills format/width/height
-    from REAL container headers via :func:`sniff_image_header` — an
+    ``probe_headers`` (default: on for images and audio) fills
+    format/width/height from REAL container headers via
+    :func:`sniff_image_header`, and format/duration_ms from WAV/RIFF
+    headers via :func:`sniff_audio_header` — an
     Arrow-batched pandas UDF over only the first 4 KB of each payload
     (``substring`` before the UDF bounds the transfer, so blob size never
     hits the Python worker). Payloads that aren't recognizable containers
     keep the caller-supplied ``fmt`` and NULL dims, which is why this is
     safe as a default. ``probe_headers=False`` is the original
-    expression-only (pure-codegen) path; duration_ms always stays NULL
-    until a real decode pass."""
+    expression-only (pure-codegen) path with all probed fields NULL."""
     if probe_headers is None:
-        probe_headers = media_type == "image"
+        probe_headers = media_type in ("image", "audio")
     if not probe_headers:
         return df.withColumn(
             f"{payload_col}_meta",
@@ -165,7 +209,7 @@ def attach_media_meta(
             F.octet_length(F.col(payload_col)).cast("long").alias("size_bytes"),
             F.col("__hdr.width").alias("width"),
             F.col("__hdr.height").alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
+            F.col("__hdr.duration_ms").alias("duration_ms"),
         ),
     ).drop("__hdr")
 

@@ -221,3 +221,54 @@ def test_attach_media_meta_fills_dims_from_real_headers(spark):
         ("raw", None, None),
     ]
     assert out[0]["media_type"] == "image" and out[0]["duration_ms"] is None
+
+
+def _wav_bytes(seconds: float, rate: int = 8000, channels: int = 1) -> bytes:
+    """A REAL wav container via the stdlib wave module (genuine RIFF)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * int(rate * seconds) * channels)
+    return buf.getvalue()
+
+
+def test_sniff_audio_header_parses_real_wav():
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_audio_header
+
+    assert sniff_audio_header(_wav_bytes(2.0)) == ("wav", 2000)
+    assert sniff_audio_header(_wav_bytes(0.5, rate=44100, channels=2)) == ("wav", 500)
+    assert sniff_audio_header(b"RIFF\x00\x00\x00\x00WAVE") == ("wav", None)
+    assert sniff_audio_header(b"not audio") == (None, None)
+    assert sniff_audio_header(None) == (None, None)
+
+
+def test_sniff_audio_header_from_header_window_only():
+    """Duration comes from the DECLARED data size, so a 4 KB prefix of a
+    long file still yields the full duration (the serving contract:
+    attach_media_meta substrings before the UDF)."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_audio_header
+
+    full = _wav_bytes(10.0)
+    assert sniff_audio_header(full[:4096]) == ("wav", 10000)
+
+
+def test_attach_media_meta_fills_audio_duration(spark):
+    rows = [(1, _wav_bytes(1.5)), (2, b"opaque"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = (
+        attach_media_meta(df, "payload", media_type="audio", fmt="pcm")
+        .select("doc_id", "payload_meta.*")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["format"], r["duration_ms"]) for r in out] == [
+        ("wav", 1500),
+        ("pcm", None),
+        ("pcm", None),
+    ]
+    assert out[0]["media_type"] == "audio" and out[0]["width"] is None
