@@ -19,14 +19,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _gc_sweep(spark) -> None:
-    """Per-query isolation: drop Python refs and force one JVM GC so
-    ContextCleaner releases dead localCheckpoint blocks (LSH banded
-    relations, CC round state) from earlier queries — otherwise later
-    timings measure the storage-pool thrash of their predecessors
-    instead of their own plan. Runs OUTSIDE the timed section."""
+    """Per-query isolation, OUTSIDE the timed section: synchronously
+    unpersist every leftover persistent RDD (localCheckpoint blocks from
+    the LSH banded relations and CC round state), clear the SQL cache,
+    then one explicit JVM GC. Deterministic teardown beats both async
+    ContextCleaner draining and a periodic GC timer — the timer fires
+    full-heap pauses INSIDE other queries' timed sections (measured:
+    doc_winnow 0.8 s → 4.3 s in-suite with periodicGC=1min)."""
     import gc
 
     gc.collect()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)  # blocking: blocks are gone now
+    spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
     time.sleep(0.5)
 
@@ -41,19 +48,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # Session recycle cadence: a long-lived local session accumulates
-    # storage-pool debris (materialized LSH relations, CC round
-    # checkpoints) faster than ContextCleaner's async teardown drains it,
-    # so queries late in the suite time their predecessors' GC thrash
-    # (measured: dedup_ngram_jaccard 22.8 s in-suite at position ~70 vs
-    # 4.0 s median in a fresh session). Restarting the session every K
-    # queries bounds cross-query contamination; the restart itself runs
-    # OUTSIDE the timed sections.
-    recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "8"))
+    # Optional session recycling (SPARK_GRAFT_BENCH_RECYCLE=K restarts
+    # the session every K queries). Default OFF: measured on this suite,
+    # in-process restarts degrade the shared JVM monotonically (class /
+    # code-cache churn across 88 sessions drove dedup_minhash_lsh from
+    # ~4 s isolated to 51 s by suite end at K=1). The deterministic
+    # unpersist sweep in _gc_sweep is the supported hygiene mechanism.
+    recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "0"))
 
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):
-        if i and i % recycle_every == 0:
+        if recycle_every and i and i % recycle_every == 0:
             spark.stop()
             spark = get_spark("bench")
             spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,123 @@
+"""Distributed linear algebra over embedding columns: PCA via moment
+aggregation.
+
+The 100 TB shape for PCA on an ``array<float>`` column is the classic
+two-stage split:
+
+1. **Fit** — one pass computing the Gram moments ``(n, Σx, ΣxᵀX)`` as
+   per-partition numpy partials (``mapInPandas``: each Arrow batch is a
+   dense matrix, the partial is one d + d² row — matmul is the right
+   Pandas-UDF exception, exactly like similarity.table_signatures_udf).
+   The driver combines P tiny partials (P × (d²+d+1) doubles — for
+   d=64 that's ~33 KB per partition) and runs the d×d eigensolve
+   locally: the data never shuffles, only sketches move.
+2. **Project** — the fitted mean/components embed as PLAIN ARRAY
+   LITERALS in the projection expression (``zip_with`` + ``aggregate``
+   fold, JVM codegen) — the serving pass is a pure map, broadcast-free,
+   UDF-free, and partition-prunable, mirroring the IVF centroids-as-
+   literals design (similarity.py).
+
+Caveat vs iterative SVD: forming covariance from moments squares the
+condition number — fine for feature-reduction over unit-scale
+embeddings (this use), wrong for ill-conditioned data; the fix at that
+point is power iteration on the same partial-aggregation skeleton.
+
+Ref (capability gap): the reference has no vector analytics at all
+(SURVEY.md §2 has zero array operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str, k: int = 2
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One-pass distributed PCA fit: returns ``(mean[d], components[k,d],
+    explained_variance[k])``. Components are rows, unit-norm, ordered by
+    descending eigenvalue, sign-canonicalized (largest-|coef| entry
+    positive) so the fit is deterministic across partitionings."""
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n, s, xtx = 0, None, None
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            xtx = g if xtx is None else xtx + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, partial_schema).collect()
+    if not rows:
+        raise ValueError("fit_pca: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["xtx"]).reshape(d, d) for r in rows], axis=0)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # canonical sign: the largest-magnitude coefficient is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+def _dot_lit(vec: Column, weights: np.ndarray) -> Column:
+    arr = F.array(*[F.lit(float(w)) for w in weights])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def project_pca(
+    df: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    components: np.ndarray,
+    prefix: str = "pc",
+) -> DataFrame:
+    """Append principal-component scores ``pc1..pck``. The fitted
+    vectors are expression LITERALS — whole-stage-codegen arithmetic,
+    no UDF, no broadcast variable, no Python on the serving path.
+    ``x·c − mean·c`` (the scalar ``mean·c`` folds to a constant) rather
+    than ``(x−mean)·c`` keeps one array op per component."""
+    v = F.col(vec_col).cast("array<double>")
+    out = df
+    for i, c in enumerate(components):
+        shift = float(np.dot(mean, c))
+        out = out.withColumn(f"{prefix}{i + 1}", _dot_lit(v, c) - F.lit(shift))
+    return out
+
+
+def pca_embed(df: DataFrame, vec_col: str, k: int = 2) -> DataFrame:
+    """Fit + project in one call (fit is an action over sketches only)."""
+    mean, comps, _ = fit_pca(df, vec_col, k)
+    return project_pca(df, vec_col, mean, comps)

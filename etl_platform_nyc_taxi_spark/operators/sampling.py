@@ -249,3 +249,55 @@ def assign_range_shards(
         .withColumn(shard_col, shard)
         .drop("__cuts")
     )
+
+
+def assign_zorder_cells(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 4,
+    cell_col: str = "z_cell",
+) -> DataFrame:
+    """Z-order (Morton) cell assignment over two columns — the
+    multi-column generalization of :func:`assign_range_shards` for
+    data-skipping layouts: writing files clustered by ``z_cell`` gives
+    every file a tight min/max envelope on BOTH dimensions, so scans
+    filtered on either column (or both) prune files, which a one-column
+    sort can only do for its leading column.
+
+    Same scale shape as range sharding: each dimension reduces to
+    ``2^bits − 1`` exact quantile cuts (one aggregate over two columns),
+    the cut row broadcasts, and the cell id is a pure projection —
+    bucket each value (#cuts strictly below), then interleave the
+    bucket bits with shift/or arithmetic (whole-stage codegen; x takes
+    even bit positions, y odd). Quantile bucketing makes cells
+    equi-populated regardless of each column's distribution — Z-order
+    on raw values degenerates when one dimension is skewed.
+
+    Cuts round to 4 dp for cross-engine reproducibility (the oracle
+    replays quantile_cont + round + the same bit arithmetic)."""
+    n_cuts = (1 << bits) - 1
+    ps = [i / (1 << bits) for i in range(1, n_cuts + 1)]
+    p_arr = F.array(*[F.lit(p) for p in ps])
+    cuts = df.agg(
+        F.transform(F.percentile(col_x, p_arr), lambda v: F.round(v, 4)).alias("__cx"),
+        F.transform(F.percentile(col_y, p_arr), lambda v: F.round(v, 4)).alias("__cy"),
+    )
+    bx = F.size(F.filter("__cx", lambda c: c < F.col(col_x)))
+    by = F.size(F.filter("__cy", lambda c: c < F.col(col_y)))
+    out = (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("__bx", bx)
+        .withColumn("__by", by)
+    )
+    z = F.lit(0)
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright("__bx", b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright("__by", b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return (
+        out.withColumn(cell_col, z.cast("int"))
+        .drop("__cx", "__cy", "__bx", "__by")
+    )

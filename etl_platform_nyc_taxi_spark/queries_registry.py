@@ -3488,6 +3488,98 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zorder_layout",
+    """
+    WITH c AS (
+      SELECT list_transform(quantile_cont(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+               v -> round(v, 4)) AS cx,
+             list_transform(quantile_cont(o_custkey,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+               v -> round(v, 4)) AS cy
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(len(list_filter(c.cx, v -> v < o.o_totalprice)) AS INT) AS bx,
+             CAST(len(list_filter(c.cy, v -> v < o.o_custkey)) AS INT) AS by_,
+             o_totalprice, o_custkey
+      FROM orders o CROSS JOIN c
+    )
+    SELECT CAST(((bx & 1) << 0) | ((by_ & 1) << 1)
+              | (((bx >> 1) & 1) << 2) | (((by_ >> 1) & 1) << 3)
+              | (((bx >> 2) & 1) << 4) | (((by_ >> 2) & 1) << 5) AS INT) AS z_cell,
+           COUNT(*) AS n_rows,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+    FROM b
+    GROUP BY z_cell
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering cells over (o_totalprice, o_custkey)
+    with per-cell occupancy and min/max envelopes — the data-skipping
+    layout stat: every cell bounds BOTH dimensions tightly, so files
+    written clustered by z_cell prune on either predicate
+    (operators/sampling.assign_zorder_cells: quantile-bucketed per dim —
+    one two-column aggregate, broadcast cuts, bit-interleave projection,
+    no shuffle to label rows)."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import assign_zorder_cells
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_custkey")
+    return (
+        assign_zorder_cells(o, "o_totalprice", "o_custkey", bits=3)
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+        )
+    )
+
+
+_TPCH_Q18_SQL = """
+    SELECT c_name, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+"""
+
+
+@register("sql_tpch_q18", _TPCH_Q18_SQL)
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) through the SQL entry point:
+    IN-subquery over a grouped HAVING — Catalyst rewrites it to a
+    left-semi join against the aggregate, so the fact scans twice but
+    never squares; the same ANSI string is the oracle. Proves subquery
+    decorrelation, the one SQL-surface shape Q1 doesn't cover."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q18_SQL)
+
+
+@register("embedding_pca")
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/linalg.py): Gram-moment partials per
+    partition (data never shuffles, only d²-sized sketches), driver
+    eigensolve, then projection as pure codegen literals. Rows-only by
+    declaration — an eigendecomposition isn't SQL-replicable — with
+    numpy-differential parity pinned in tests/test_linalg.py."""
+    from etl_platform_nyc_taxi_spark.operators.linalg import pca_embed
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_embed(e, "embedding", k=2).select("vec_id", "label", "pc1", "pc2")
+
+
+@register(
     "heavy_hitter_tokens",
     r"""
     WITH toks AS (
@@ -3571,6 +3663,9 @@ _VERIFY_FIRST = [
     "concurrent_intervals",
     "profile_orders",
     "heavy_hitter_tokens",
+    "sql_tpch_q18",
+    "embedding_pca",
+    "zorder_layout",
 ]
 
 

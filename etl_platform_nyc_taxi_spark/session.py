@@ -36,13 +36,22 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.parquet.mergeSchema": "true",
     # Arrow for pandas UDF / applyInPandas / createDataFrame interchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # The iterative/materializing operators (connected-components rounds,
-    # the LSH hot-bucket guard) pin localCheckpoint blocks until their
-    # RDDs are garbage-collected; the default ContextCleaner periodic GC
-    # (30 min) lets a long-lived session accumulate gigabytes of dead
-    # blocks and thrash the storage pool (measured: 36 s → 124 s for
-    # dedup_clusters at ×10 data in a session that had run the LSH
-    # family first). A 1-minute periodic GC keeps dead blocks bounded.
+}
+
+#: Extra confs for LONG-LIVED sessions that run the materializing
+#: operators back-to-back (scale_bench's ×10 soak): the iterative
+#: operators (CC rounds, the LSH hot-bucket guard) pin localCheckpoint
+#: blocks until their RDDs are garbage-collected, and the default
+#: ContextCleaner periodic GC (30 min) lets such a session accumulate
+#: gigabytes of dead blocks (measured: 36 s → 124 s for dedup_clusters
+#: at ×10 data after the LSH family). A 1-minute periodic GC bounds
+#: that — but it is NOT a default: a full GC on a 20 GiB heap pauses
+#: seconds, and firing it on a timer lands those pauses inside other
+#: queries' timed sections (measured in-suite: doc_winnow 0.8 s → 4.3 s
+#: with this conf global). Benchmarks that need per-query hygiene do an
+#: explicit collect-and-unpersist sweep OUTSIDE timed sections instead
+#: (bench._gc_sweep).
+SOAK_CONFS: dict[str, str] = {
     "spark.cleaner.periodicGC.interval": "1min",
 }
 

@@ -1,0 +1,97 @@
+"""operators/linalg.py: distributed PCA — numpy-differential parity,
+partition invariance, and the no-UDF serving-path plan contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_platform_nyc_taxi_spark.operators.linalg import (
+    fit_pca,
+    pca_embed,
+    project_pca,
+)
+
+
+def _toy(spark, n=200, d=8, parts=4, seed=0):
+    rng = np.random.default_rng(seed)
+    # anisotropic cloud: two dominant directions the fit must find
+    base = rng.normal(size=(n, d)) * np.array([5.0, 3.0] + [0.3] * (d - 2))
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        .repartition(parts),
+        base,
+    )
+
+
+def _numpy_pca(x, k):
+    mean = x.mean(axis=0)
+    cov = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def test_fit_matches_numpy_oracle(spark):
+    df, x = _toy(spark)
+    # float32 storage quantizes the input; compare against numpy over the
+    # same quantized values.
+    x32 = x.astype("float32").astype("float64")
+    mean, comps, ev = fit_pca(df, "embedding", k=2)
+    nmean, ncomps, nev = _numpy_pca(x32, 2)
+    np.testing.assert_allclose(mean, nmean, atol=1e-6)
+    np.testing.assert_allclose(ev, nev, rtol=1e-6)
+    np.testing.assert_allclose(comps, ncomps, atol=1e-6)
+
+
+def test_fit_invariant_to_partitioning(spark):
+    df1, _ = _toy(spark, parts=1)
+    df8, _ = _toy(spark, parts=8)
+    m1, c1, e1 = fit_pca(df1, "embedding", k=2)
+    m8, c8, e8 = fit_pca(df8, "embedding", k=2)
+    np.testing.assert_allclose(m1, m8, atol=1e-9)
+    np.testing.assert_allclose(c1, c8, atol=1e-9)
+    np.testing.assert_allclose(e1, e8, atol=1e-9)
+
+
+def test_projection_scores_match_numpy(spark):
+    df, x = _toy(spark, n=100)
+    x32 = x.astype("float32").astype("float64")
+    mean, comps, _ = fit_pca(df, "embedding", k=2)
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in project_pca(df, "embedding", mean, comps).collect()
+    }
+    want = (x32 - mean) @ comps.T
+    for i in range(100):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-5)
+
+
+def test_projection_explained_variance_ordering(spark):
+    df, _ = _toy(spark, n=500)
+    out = pca_embed(df, "embedding", k=2).select("pc1", "pc2").collect()
+    p1 = np.var([r["pc1"] for r in out])
+    p2 = np.var([r["pc2"] for r in out])
+    assert p1 > p2 > 0  # dominant direction first
+
+
+def test_projection_plan_is_udf_free(spark):
+    df, _ = _toy(spark, n=50)
+    mean, comps, _ = fit_pca(df, "embedding", k=2)
+    plan = (
+        project_pca(df, "embedding", mean, comps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_fit_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        fit_pca(df, "embedding")

@@ -173,3 +173,65 @@ def test_assign_range_shards_ties_stay_together(spark):
     df = spark.createDataFrame([(i, 5) for i in range(100)], "id long, v long")
     out = assign_range_shards(df, "v", k=4)
     assert out.select("shard_id").distinct().count() == 1  # ties never split
+
+
+def _z_interleave(bx: int, by: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((bx >> b) & 1) << (2 * b)
+        z |= ((by >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_cells_match_python_reference(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import assign_zorder_cells
+
+    rows_in = [(float(i % 37), float((i * 7) % 53)) for i in range(300)]
+    df = spark.createDataFrame(rows_in, "x double, y double")
+    out = assign_zorder_cells(df, "x", "y", bits=3).collect()
+
+    xs = sorted(r[0] for r in rows_in)
+    ys = sorted(r[1] for r in rows_in)
+
+    def cuts(vals):
+        import numpy as np
+
+        return [round(float(np.quantile(vals, p, method="linear")), 4)
+                for p in [i / 8 for i in range(1, 8)]]
+
+    cx, cy = cuts(xs), cuts(ys)
+    for r in out:
+        bx = sum(1 for c in cx if c < r["x"])
+        by = sum(1 for c in cy if c < r["y"])
+        assert r["z_cell"] == _z_interleave(bx, by, 3), (r, bx, by)
+
+
+def test_zorder_cells_bound_both_dimensions(spark):
+    """The data-skipping property: each cell's min/max envelope spans at
+    most one quantile bucket per dimension (files clustered by z_cell
+    prune on either column)."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import assign_zorder_cells
+
+    import random
+
+    rng = random.Random(5)
+    data = [(rng.uniform(0, 1000), rng.uniform(-50, 50)) for _ in range(2000)]
+    df = spark.createDataFrame(data, "x double, y double")
+    cells = (
+        assign_zorder_cells(df, "x", "y", bits=3)
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x0"), F.max("x").alias("x1"),
+            F.min("y").alias("y0"), F.max("y").alias("y1"),
+        )
+        .collect()
+    )
+    assert len(cells) == 64  # all 8x8 cells populated on smooth data
+    # equi-population: quantile bucketing keeps cells balanced
+    ns = [c["n"] for c in cells]
+    assert max(ns) <= 3 * min(ns), ns
+    # envelope tightness: each cell spans ≤ ~1/8 of each dimension's range
+    for c in cells:
+        assert c["x1"] - c["x0"] <= 1000 / 8 * 1.8, c
+        assert c["y1"] - c["y0"] <= 100 / 8 * 1.8, c

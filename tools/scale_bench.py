@@ -144,7 +144,9 @@ def time_one(name: str, sf_dir: str) -> float:
     from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
     from etl_platform_nyc_taxi_spark.session import get_spark
 
-    spark = get_spark(f"scale_one_{name}")
+    from etl_platform_nyc_taxi_spark.session import SOAK_CONFS
+
+    spark = get_spark(f"scale_one_{name}", extra_confs=SOAK_CONFS)
     spark.sparkContext.setLogLevel("ERROR")
     fn = QUERIES[name]
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -167,7 +169,9 @@ def main() -> int:
 
     from etl_platform_nyc_taxi_spark.session import get_spark
 
-    spark = get_spark("scale_bench")
+    from etl_platform_nyc_taxi_spark.session import SOAK_CONFS
+
+    spark = get_spark("scale_bench", extra_confs=SOAK_CONFS)
     spark.sparkContext.setLogLevel("ERROR")
 
     if os.path.exists(scaled_dir):
