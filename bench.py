@@ -66,9 +66,17 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()  # warm: plan + code paths
         del df
         _gc_sweep(spark)  # measure this query, not its predecessors' debris
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # Min of two timed runs: the sandboxed host shows multi-× load
+        # spikes from OUTSIDE the guest (observed: loadavg 13+ with zero
+        # local processes; an entire suite tail inflated 10-20× in one
+        # run and not the next). The minimum is the standard estimator
+        # of intrinsic cost under external noise.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

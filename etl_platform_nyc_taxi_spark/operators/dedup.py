@@ -368,6 +368,81 @@ def minhash_near_dups(
     )
 
 
+def minhash_probe_new(
+    df: DataFrame,
+    is_new: Callable[[Column], Column],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: which incoming docs (rows whose id
+    satisfies ``is_new``, a callable id-Column → boolean-Column)
+    duplicate the existing corpus (the rest)? Output: (new_id, n_matches,
+    max_jaccard) for every new doc with ≥1 corpus match at ``threshold``.
+
+    This is the ingest-time shape that matters at 100 TB: the corpus is
+    NEVER re-deduped against itself — one shared signature pipeline runs
+    over the union (the corpus side of it is exactly the banded relation
+    an ingest pipeline materializes as its index, cf. write_lsh_index),
+    and the candidate join is batch-banded × corpus-banded only, so pair
+    work scales with |batch| × bucket-occupancy, not |corpus|². The
+    batch×batch and corpus×corpus quadrants never form.
+
+    No hot-bucket salt here: an asymmetric probe join would need probe
+    rows REPLICATED across a hot bucket's salt shards to keep recall
+    (cheap — the batch side is small by definition) — wire
+    :func:`salt_hot_buckets` that way if corpus buckets ever run hot;
+    for now a hot corpus bucket degrades probe cost linearly, not
+    quadratically, because the batch side stays small."""
+    hashed = hashed_shingles(df, id_col, text_col, k, partitions)
+    hs = hashed.groupBy("__id").agg(
+        F.array_distinct(F.collect_list("__h")).alias("__hs")
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    h = F.col("__h")
+    sig = (
+        hs.select("__id", F.explode("__hs").alias("__h"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.min(
+                    ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
+                ).alias(f"__m{i}")
+                for i, (a, c) in enumerate(coeffs)
+            ]
+        )
+    )
+    banded = _banded_signature(sig, num_hashes, bands)
+    new_side = banded.filter(is_new(F.col("__id"))).alias("a")
+    old_side = banded.filter(~is_new(F.col("__id"))).alias("b")
+    cands = (
+        new_side.join(old_side, on=["band", "key"], how="inner")
+        .select(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"))
+        .distinct()
+    )
+    if partitions:
+        cands = cands.repartition(partitions)
+    ha = hs.select(F.col("__id").alias("new_id"), F.col("__hs").alias("__ha"))
+    hb = hs.select(F.col("__id").alias("old_id"), F.col("__hs").alias("__hb"))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
+    union = (F.size(F.col("__ha")) + F.size(F.col("__hb"))).cast("double") - inter
+    return (
+        cands.join(ha, "new_id")
+        .join(hb, "old_id")
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -3487,6 +3487,72 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_PROBE_SQL = rf"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(text, CAST(i AS INT), 6)
+                            for i in range(1, greatest(length(text)-5,1)+1)]) AS sh
+      FROM corpus
+    ),
+    hv AS (
+      SELECT id,
+             [CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) for x in sh] AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT id,
+             [{_MH_SLOTS_SQL}] AS sig
+      FROM hv
+    ),
+    banded AS (
+      SELECT id, b.b AS band,
+             {_MH_KEY_SQL} AS key
+      FROM sig, (SELECT unnest(range(0,{_MH_BANDS})) AS b) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS old_id
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.id >= 1000000 AND b.id < 1000000
+    ),
+    hsets AS (SELECT id, list_distinct(hv) AS hs FROM hv),
+    j AS (
+      SELECT c.new_id,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                 / len(list_distinct(sa.hs || sb.hs)) AS jac
+      FROM cands c
+      JOIN hsets sa ON sa.id = c.new_id
+      JOIN hsets sb ON sb.id = c.old_id
+      WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(sa.hs || sb.hs)) >= 0.6
+    )
+    SELECT new_id, COUNT(*) AS n_matches, ROUND(MAX(jac), 6) AS max_jaccard
+    FROM j GROUP BY new_id
+    """
+
+
+@register("dedup_incremental", _MINHASH_PROBE_SQL)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest-time dedup (operators/dedup.minhash_probe_new):
+    the mutant batch (ids ≥ 1e6) probes the existing corpus through the
+    SHARED banded-signature relation — the candidate join is strictly
+    batch-banded × corpus-banded, so the corpus is never re-deduped
+    against itself and pair work scales with |batch|, not |corpus|².
+    Same md5-portable hash family as dedup_minhash_lsh; the oracle
+    replays the full pipeline with the quadrant restriction."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import minhash_probe_new
+
+    return minhash_probe_new(
+        _docs_with_mutants(spark, sf_dir),
+        is_new=lambda c: c >= F.lit(1_000_000),
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.6,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 @register(
     "zorder_layout",
     """
@@ -3666,6 +3732,7 @@ _VERIFY_FIRST = [
     "sql_tpch_q18",
     "embedding_pca",
     "zorder_layout",
+    "dedup_incremental",
 ]
 
 

@@ -308,3 +308,60 @@ def test_fuzzy_pairs_edit1_rejects_long_text_at_execution(spark):
     out = fuzzy_pairs_edit1(df, text_col="title", max_len=64)
     with _pytest.raises(Exception, match="short-string operator"):
         out.collect()
+
+
+def test_minhash_probe_new_only_batch_corpus_quadrant(spark):
+    from etl_platform_nyc_taxi_spark.operators.dedup import minhash_probe_new
+
+    rows = [
+        # corpus (ids < 100)
+        (1, BASE),
+        (2, "completely different content about spark shuffle partitions "
+            "and adaptive query execution plans at terabyte scale"),
+        # batch (ids >= 100)
+        (101, BASE + " tonight"),          # near-dup of corpus 1
+        (102, BASE + " tonight"),          # identical to 101: batch-batch
+                                           # pair must NOT surface
+        (103, "entirely novel text with no relatives in sight regarding "
+              "astronomy telescopes and galaxy cluster surveys"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["new_id"]: (r["n_matches"], r["max_jaccard"])
+        for r in minhash_probe_new(
+            df, is_new=lambda c: c >= 100, k=4, num_hashes=32, bands=8,
+            threshold=0.5,
+        ).collect()
+    }
+    assert set(out) == {101, 102}  # 103 is new; batch-batch dup ignored
+    assert out[101] == out[102]
+    assert out[101][0] == 1 and out[101][1] > 0.8
+
+
+def test_minhash_probe_new_agrees_with_pairwise_pipeline(spark):
+    """Differential: probe results must equal the full pair pipeline
+    restricted to the batch×corpus quadrant (no guard on either side)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import minhash_probe_new
+
+    docs = [(i, f"shared boilerplate prefix block number {i % 7} with "
+                f"some trailing words {i}") for i in range(40)]
+    batch = [(1000 + i, t) for i, t in docs[::3]]
+    df = spark.createDataFrame(docs + batch, "doc_id long, text string")
+    probe = {
+        (r["new_id"], r["n_matches"], r["max_jaccard"])
+        for r in minhash_probe_new(
+            df, is_new=lambda c: c >= 1000, k=4, num_hashes=32, bands=8,
+            threshold=0.5,
+        ).collect()
+    }
+    pairs = minhash_near_dups(
+        df, k=4, num_hashes=32, bands=8, threshold=0.5, max_bucket=None
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for r in pairs:  # id_a < id_b so batch ids are always id_b
+        if r["id_b"] >= 1000 and r["id_a"] < 1000:
+            agg[r["id_b"]].append(r["jaccard"])
+    want = {(k, len(v), round(max(v), 6)) for k, v in agg.items()}
+    assert probe == want
