@@ -48,6 +48,7 @@ HEAVY = [
     "ann_ivf_served",
     "corpus_top_ngrams",
     "corpus_prepare",
+    "heavy_hitter_tokens",
 ]
 
 REPLICA_STRIDE = 10_000_000
