@@ -135,6 +135,67 @@ def sniff_audio_header(
     return ("wav", None)
 
 
+def sniff_video_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """(format, width, height, duration_ms) from a real MP4 / ISO-BMFF
+    container header — pure Python box walk, no decoder libs.
+
+    Layout: top-level boxes are [u32be size][4cc type]; an ``ftyp`` box
+    first marks the file as ISO-BMFF. Duration lives in
+    ``moov``→``mvhd`` (version 0: u32be timescale at box offset 20 and
+    u32be duration at 24; version 1: u64be pair at 28). Width/height
+    live in ``moov``→``trak``→``tkhd`` as 16.16 fixed-point at the box
+    tail. Only the probe window is walked, so a ``moov``-at-end (the
+    common streaming-unfriendly layout) yields ("mp4", None, None,
+    None) — format known, metadata unknown, exactly what a 4 KB header
+    probe can honestly claim."""
+    if not payload or len(payload) < 12:
+        return (None, None, None, None)
+    if payload[4:8] != b"ftyp":
+        return (None, None, None, None)
+
+    dur_ms: int | None = None
+    width: int | None = None
+    height: int | None = None
+
+    def walk(start: int, end: int, depth: int = 0) -> None:
+        nonlocal dur_ms, width, height
+        i = start
+        while i + 8 <= min(end, len(payload)) and depth < 6:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            if size < 8:  # size==1 (64-bit largesize) unsupported in probe
+                return
+            body, nxt = i + 8, i + size
+            if typ in (b"moov", b"trak"):
+                walk(body, min(nxt, len(payload)), depth + 1)
+            elif typ == b"mvhd" and body + 4 <= len(payload):
+                ver = payload[body]
+                if ver == 0 and body + 20 <= len(payload):
+                    ts = int.from_bytes(payload[body + 12 : body + 16], "big")
+                    d = int.from_bytes(payload[body + 16 : body + 20], "big")
+                elif ver == 1 and body + 32 <= len(payload):
+                    ts = int.from_bytes(payload[body + 20 : body + 24], "big")
+                    d = int.from_bytes(payload[body + 24 : body + 32], "big")
+                else:
+                    ts, d = 0, 0
+                if ts:
+                    dur_ms = d * 1000 // ts
+            elif typ == b"tkhd":
+                # width/height: 16.16 fixed at the last 8 bytes of the box
+                tail = i + size
+                if tail <= len(payload) and size >= 16:
+                    w = int.from_bytes(payload[tail - 8 : tail - 4], "big") >> 16
+                    h = int.from_bytes(payload[tail - 4 : tail], "big") >> 16
+                    if w and h and width is None:
+                        width, height = w, h
+            i = nxt
+
+    walk(0, len(payload))
+    return ("mp4", width, height, dur_ms)
+
+
 _HEADER_SCHEMA = T.StructType(
     [
         T.StructField("format", T.StringType(), True),
@@ -156,6 +217,8 @@ def _sniff_headers_udf():
             dur = None
             if fmt is None:
                 fmt, dur = sniff_audio_header(p)
+            if fmt is None:
+                fmt, w, h, dur = sniff_video_header(p)
             out.append((fmt, w, h, dur))
         return pd.DataFrame(
             out, columns=["format", "width", "height", "duration_ms"]
@@ -184,7 +247,7 @@ def attach_media_meta(
     safe as a default. ``probe_headers=False`` is the original
     expression-only (pure-codegen) path with all probed fields NULL."""
     if probe_headers is None:
-        probe_headers = media_type in ("image", "audio")
+        probe_headers = media_type in ("image", "audio", "video")
     if not probe_headers:
         return df.withColumn(
             f"{payload_col}_meta",

@@ -3487,6 +3487,79 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_ops_user_churn",
+    """
+    WITH d1 AS (SELECT DISTINCT user_id FROM events
+                WHERE CAST(ts AS DATE) = DATE '2024-01-10'),
+    d2 AS (SELECT DISTINCT user_id FROM events
+           WHERE CAST(ts AS DATE) = DATE '2024-01-11')
+    SELECT 'retained' AS segment, COUNT(*) AS n_users
+    FROM (SELECT user_id FROM d1 INTERSECT SELECT user_id FROM d2)
+    UNION ALL
+    SELECT 'churned', COUNT(*)
+    FROM (SELECT user_id FROM d1 EXCEPT SELECT user_id FROM d2)
+    UNION ALL
+    SELECT 'new', COUNT(*)
+    FROM (SELECT user_id FROM d2 EXCEPT SELECT user_id FROM d1)
+    """,
+)
+def q_set_ops_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator family (INTERSECT / EXCEPT, distinct semantics):
+    day-over-day active-user segmentation. Spark's intersect/subtract
+    plan as left-semi/left-anti over hash-distinct inputs — same
+    shuffle count as the joins they sugar."""
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    d1 = e.filter(day == F.lit("2024-01-10").cast("date")).select("user_id").distinct()
+    d2 = e.filter(day == F.lit("2024-01-11").cast("date")).select("user_id").distinct()
+
+    def seg(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("segment"), F.count(F.lit(1)).alias("n_users")
+        ).select("segment", "n_users")
+
+    return (
+        seg("retained", d1.intersect(d2))
+        .unionAll(seg("churned", d1.subtract(d2)))
+        .unionAll(seg("new", d2.subtract(d1)))
+    )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    WITH wide AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, metric, metric_value
+    FROM wide
+    UNPIVOT (metric_value FOR metric IN (n_events, sum_value, n_users))
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long): per-type metrics unpivoted to
+    (event_type, metric, metric_value) with Spark's native ``unpivot``
+    (Expand node — no shuffle beyond the feeding aggregate; the long
+    relation is |groups| × |metrics|)."""
+    e = _t(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        dsum("value").alias("sum_value"),
+        F.count_distinct("user_id").cast("double").alias("n_users"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["n_events", "sum_value", "n_users"],
+        "metric",
+        "metric_value",
+    )
+
+
 _MINHASH_PROBE_SQL = rf"""
     WITH corpus AS ({_DOCS_MUTANTS_SQL}),
     sh AS (
@@ -3733,6 +3806,8 @@ _VERIFY_FIRST = [
     "embedding_pca",
     "zorder_layout",
     "dedup_incremental",
+    "set_ops_user_churn",
+    "unpivot_metrics",
 ]
 
 

@@ -272,3 +272,61 @@ def test_attach_media_meta_fills_audio_duration(spark):
         ("pcm", None),
     ]
     assert out[0]["media_type"] == "audio" and out[0]["width"] is None
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def _mp4_bytes(seconds: float, w: int, h: int, timescale: int = 600) -> bytes:
+    """A minimal REAL ISO-BMFF layout: ftyp + moov(mvhd v0 + trak(tkhd))."""
+    import struct
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, int(seconds * timescale))
+        + b"\x00" * 80,
+    )
+    # tkhd: version/flags + ctime/mtime/track/reserved/duration... then
+    # width/height as 16.16 fixed in the LAST 8 bytes of the box.
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_sniff_video_header_parses_real_mp4_layout():
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_video_header
+
+    assert sniff_video_header(_mp4_bytes(3.0, 1280, 720)) == ("mp4", 1280, 720, 3000)
+    assert sniff_video_header(_mp4_bytes(0.5, 320, 240, timescale=90000)) == (
+        "mp4", 320, 240, 500,
+    )
+    # moov-at-end beyond the probe window: format known, metadata unknown
+    ftyp_only = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    assert sniff_video_header(ftyp_only) == ("mp4", None, None, None)
+    assert sniff_video_header(b"not a video") == (None, None, None, None)
+    assert sniff_video_header(None) == (None, None, None, None)
+
+
+def test_attach_media_meta_fills_video_dims_and_duration(spark):
+    rows = [(1, _mp4_bytes(2.0, 640, 360)), (2, b"opaque"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = (
+        attach_media_meta(df, "payload", media_type="video", fmt="raw")
+        .select("doc_id", "payload_meta.*")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r["format"], r["width"], r["height"], r["duration_ms"]) for r in out] == [
+        ("mp4", 640, 360, 2000),
+        ("raw", None, None, None),
+        ("raw", None, None, None),
+    ]
