@@ -47,3 +47,51 @@ def zero_fill_date(df: DataFrame, date_col: str, count_col: str, day: dt.date) -
         anchor.join(F.broadcast(df), on=date_col, how="left")
         .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0).cast("long")))
     )
+
+
+def quality_report(
+    df: DataFrame,
+    rules: "dict[str, F.Column]",
+    ref_checks: "dict[str, tuple[DataFrame, str, str]] | None" = None,
+) -> DataFrame:
+    """Declarative expectation suite → one violation-count row per rule
+    (the dbt-test / Great-Expectations shape, engine-side).
+
+    ``rules`` maps rule name → a BOOLEAN expectation column (true = row
+    passes); all rules evaluate in ONE scan as conditional-sum aggregates
+    (no per-rule pass, no collect). ``ref_checks`` adds referential
+    integrity: rule name → (dimension_df, fact_key, dim_key), counted as
+    fact rows whose key has no match — a broadcast anti-join per check,
+    the standard FK-violation plan.
+
+    Output: (rule, n_violations) — violations, not passes, so an empty
+    report section means healthy, and the relation is |rules|-sized
+    regardless of input width."""
+    # NULL expectations count as VIOLATIONS (SQL three-valued logic would
+    # silently pass them: NOT NULL = NULL = not counted) — an expectation
+    # that cannot evaluate is a data problem, not a pass.
+    aggs = [
+        F.sum(F.when(F.coalesce(expect, F.lit(False)), 0).otherwise(1))
+        .cast("long")
+        .alias(name)
+        for name, expect in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "stack({}, {}) as (rule, n_violations)".format(
+            len(rules), ", ".join(f"'{n}', {n}" for n in rules)
+        )
+    )
+    out = stacked
+    for name, (dim, fact_key, dim_key) in (ref_checks or {}).items():
+        missing = (
+            df.join(
+                F.broadcast(dim.select(F.col(dim_key).alias(fact_key)).distinct()),
+                on=fact_key,
+                how="left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("rule"), "n_violations")
+        )
+        out = out.unionByName(missing)
+    return out

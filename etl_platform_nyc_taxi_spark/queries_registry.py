@@ -3488,6 +3488,93 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_triangles",
+    """
+    WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                      JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: triangle count over the high-volume co-supplier
+    graph (suppliers sharing an order at l_quantity ≥ 48). Edge build is
+    a bounded per-order self-join (order size caps pair fan-out); the
+    count is operators/graph.count_triangles — ordered wedge join +
+    closing-edge join, each triangle once, nothing collected."""
+    from etl_platform_nyc_taxi_spark.operators.graph import count_triangles
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return count_triangles(edges)
+
+
+@register(
+    "dq_report",
+    """
+    SELECT 'price_positive' AS rule,
+           SUM(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'date_before_1997',
+           SUM(CASE WHEN coalesce(o_orderdate < TIMESTAMP '1997-01-01', false) THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'status_known',
+           SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_format',
+           SUM(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 0 ELSE 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_in_customer', COUNT(*)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite
+    (plans/quality.quality_report): four row-level rules evaluated in ONE
+    scan as conditional-sum aggregates (NULL expectation = violation, not
+    a three-valued-logic silent pass) + an FK check as a broadcast
+    anti-join. The dbt-test / expectation-suite shape, |rules|-sized
+    output."""
+    from etl_platform_nyc_taxi_spark.plans.quality import quality_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return quality_report(
+        o,
+        rules={
+            "price_positive": F.col("o_totalprice") > 0,
+            "date_before_1997": o.o_orderdate < ts_lit(o, "o_orderdate", "1997-01-01"),
+            "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+        },
+        ref_checks={"custkey_in_customer": (c, "o_custkey", "c_custkey")},
+    )
+
+
+@register(
     "set_ops_user_churn",
     """
     WITH d1 AS (SELECT DISTINCT user_id FROM events
@@ -3808,6 +3895,8 @@ _VERIFY_FIRST = [
     "dedup_incremental",
     "set_ops_user_churn",
     "unpivot_metrics",
+    "dq_report",
+    "graph_triangles",
 ]
 
 

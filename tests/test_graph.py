@@ -92,3 +92,22 @@ def test_round_count_matches_chain_diameter(spark):
     }
     assert set(out.values()) == {0}
     assert graph.LAST_CC_ROUNDS >= 4  # deep chain: propagation is per-hop
+
+
+def test_count_triangles_known_graph(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import count_triangles
+
+    # K4 on {1,2,3,4} (4 triangles) plus a pendant edge (no new triangle)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = count_triangles(df).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (7, 4)
+
+
+def test_count_triangles_triangle_free(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import count_triangles
+
+    # star graph: no triangles
+    df = spark.createDataFrame([(1, i) for i in range(2, 8)], "src long, dst long")
+    row = count_triangles(df).collect()[0]
+    assert (row["n_edges"], row["n_triangles"]) == (6, 0)

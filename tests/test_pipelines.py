@@ -96,3 +96,37 @@ def test_merge_schemas_union_and_conflict():
     assert [f.name for f in merged.fields] == ["x", "y", "z"]
     assert merged["x"].dataType == T.LongType()  # later schema wins
     assert all(f.nullable for f in merged.fields)
+
+
+def test_quality_report_counts_and_fk(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.plans.quality import quality_report
+
+    facts = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -1.0, "B"), (3, None, "A"), (4, 5.0, "Z")],
+        "k long, amount double, code string",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in quality_report(
+            facts,
+            rules={
+                "amount_positive": F.col("amount") > 0,  # -1 fails, NULL fails
+                "code_known": F.col("code").isin("A", "B"),
+            },
+            ref_checks={"k_in_dim": (dim, "k", "k")},
+        ).collect()
+    }
+    assert out == {"amount_positive": 2, "code_known": 1, "k_in_dim": 1}
+
+
+def test_quality_report_null_expectation_is_violation(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.plans.quality import quality_report
+
+    df = spark.createDataFrame([(None,), (1.0,)], "x double")
+    out = quality_report(df, rules={"x_positive": F.col("x") > 0}).collect()
+    assert out[0]["n_violations"] == 1  # NULL > 0 is NULL -> violation
