@@ -3488,6 +3488,81 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_incremental_refresh",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY event_type, day
+    """,
+)
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the standing daily MV
+    (days < 2024-01-25) merged with a late-arriving delta batch (days ≥
+    2024-01-25) by RE-AGGREGATING PARTIALS — count and decimal-sum are
+    mergeable, so refresh cost is |MV| + |delta|, never a base-table
+    rescan. The oracle recomputes the whole aggregate from scratch;
+    equality proves the partial-merge algebra."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cut = ts_lit(e, "ts", "2024-01-25")
+    day = F.col("ts").cast("date").alias("day")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", day).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sum_partial"),
+        )
+
+    mv = daily(e.filter(F.col("ts") < cut))      # the standing view
+    delta = daily(e.filter(F.col("ts") >= cut))  # the new batch
+    return (
+        mv.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("__sum_partial").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "session_window_builtin",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE ts IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM e
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (gap-merged event-time
+    sessions as a first-class groupBy key — the streaming-capable form
+    of sessionization, vs the lag+cumsum islands the batch operator
+    uses). The oracle derives identical sessions via gaps-and-islands;
+    window end = last event + gap, so session_start/count match
+    exactly."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@register(
     "graph_triangles",
     """
     WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48),
@@ -3897,6 +3972,8 @@ _VERIFY_FIRST = [
     "unpivot_metrics",
     "dq_report",
     "graph_triangles",
+    "mv_incremental_refresh",
+    "session_window_builtin",
 ]
 
 
