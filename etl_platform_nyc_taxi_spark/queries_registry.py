@@ -3975,6 +3975,13 @@ _VERIFY_FIRST = [
     "mv_incremental_refresh",
     "session_window_builtin",
 ]
+# Window occupancy: 49 names above + the first stable query in original
+# registration order (daily_transactions) = the driver's 50-query oracle
+# window. ROTATION POLICY for round 5: once CORRECTNESS_r04 is green for
+# these, swap the now-triple-checked veterans out and rotate the ~48
+# stable queries currently outside the window back in (they were last
+# driver-checked in r3), keeping any query registered in round 5 inside
+# the window the round it lands.
 
 
 def _rotate_registry() -> None:

@@ -36,6 +36,15 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.parquet.mergeSchema": "true",
     # Arrow for pandas UDF / applyInPandas / createDataFrame interchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # A long-lived session running hundreds of distinct queries generates
+    # thousands of WholeStageCodegen classes; the JVM default code cache
+    # (240 MB) fills, the JIT stops compiling, and everything afterwards
+    # runs interpreted (observed as suite-tail queries 3-5× slower than
+    # the same plan in a fresh JVM). Reserve more and let the sweeper
+    # reclaim cold compiled code.
+    "spark.driver.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing"
+    ),
 }
 
 #: Extra confs for LONG-LIVED sessions that run the materializing
