@@ -226,33 +226,41 @@ def profile_columns(
     aggregates plan through Catalyst's Expand (cost ≈ n_cols × scan —
     the honest price of EXACT ndv; the approximate twin is
     ``approx_count_distinct`` under agg_approx). The 1×(6·n_cols) result
-    row is unpivoted driver-free with ``stack``.
+    row is unpivoted driver-free with an explode-of-structs projection.
     """
+    # Aggregates alias POSITIONALLY (__nn_0, …) and profiled column names
+    # appear only as string LITERALS in the unpivot structs — a column
+    # named with spaces/dots/quotes (legal in ingested parquet) profiles
+    # fine instead of blowing up a generated stack() expression.
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
-    for name, kind in cols:
-        c = F.col(name)
-        aggs.append(F.count(c).alias(f"__nn_{name}"))
-        aggs.append(F.count_distinct(c).alias(f"__nd_{name}"))
+    for i, (name, kind) in enumerate(cols):
+        # backtick-quote so dots resolve as the literal column name, not
+        # struct-field access
+        c = F.col("`" + name.replace("`", "``") + "`")
+        aggs.append(F.count(c).alias(f"__nn_{i}"))
+        aggs.append(F.count_distinct(c).alias(f"__nd_{i}"))
         # min/max on the NATIVE type (string min of a formatted double
         # would compare lexicographically); rendering happens after.
-        aggs.append(F.min(c).alias(f"__rawmin_{name}"))
-        aggs.append(F.max(c).alias(f"__rawmax_{name}"))
+        aggs.append(F.min(c).alias(f"__rawmin_{i}"))
+        aggs.append(F.max(c).alias(f"__rawmax_{i}"))
     one = df.agg(*aggs)
-    renders = [
-        _REPR[kind](F.col(f"__raw{mm}_{name}")).alias(f"__{mm}_{name}")
-        for name, kind in cols
-        for mm in ("min", "max")
-    ]
-    one = one.select("*", *renders)
-    stack_args: list[str] = []
-    for name, _ in cols:
-        stack_args.append(f"'{name}', __rows, __rows - __nn_{name}, __nd_{name}, __min_{name}, __max_{name}")
-    expr = (
-        f"stack({len(cols)}, "
-        + ", ".join(stack_args)
-        + ") as (col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
-    )
-    return one.selectExpr(expr)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("col_name"),
+                        F.col("__rows").alias("n_rows"),
+                        (F.col("__rows") - F.col(f"__nn_{i}")).alias("n_nulls"),
+                        F.col(f"__nd_{i}").alias("n_distinct"),
+                        _REPR[kind](F.col(f"__rawmin_{i}")).alias("min_repr"),
+                        _REPR[kind](F.col(f"__rawmax_{i}")).alias("max_repr"),
+                    )
+                    for i, (name, kind) in enumerate(cols)
+                ]
+            )
+        ).alias("__p")
+    ).select("__p.*")
 
 
 def heavy_hitters(

@@ -283,6 +283,46 @@ def jaccard_shingle(
     return inter / union
 
 
+def _minhash_relations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    partitions: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash trunk: (hash-set relation ``(__id, __hs)``,
+    signature relation ``(__id, __m0..__m{n-1})``).
+
+    ONE md5 pass feeds everything: the per-doc hash-SET aggregate is the
+    only relation that touches raw shingles. Signatures re-derive from it
+    by explode → codegen MIN aggregates (pure integer work, no md5), and
+    the Jaccard verify joins the hash sets directly — every consumer sits
+    on the same shuffle exchange, which Spark's ReuseExchange computes
+    once. The SQL oracle replicates this hash family literal-for-literal,
+    so this trunk must stay the single source of truth for both the
+    pairwise and the incremental-probe pipelines."""
+    hashed = hashed_shingles(df, id_col, text_col, k, partitions)
+    hs = hashed.groupBy("__id").agg(
+        F.array_distinct(F.collect_list("__h")).alias("__hs")
+    )
+    coeffs = minhash_coeffs(num_hashes)
+    h = F.col("__h")
+    sig = (
+        hs.select("__id", F.explode("__hs").alias("__h"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.min(
+                    ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
+                ).alias(f"__m{i}")
+                for i, (a, c) in enumerate(coeffs)
+            ]
+        )
+    )
+    return hs, sig
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -308,29 +348,7 @@ def minhash_near_dups(
     shingles/doc); the DuckDB oracle computes over the same hashed sets,
     so the comparison stays exact by construction either way. The
     quadratic step never materializes — only candidate pairs join."""
-    # ONE md5 pass for the whole pipeline: the per-doc hash-SET aggregate
-    # is the only relation that touches raw shingles. Signatures re-derive
-    # from it by explode → codegen MIN aggregates (pure integer work, no
-    # md5), and the verify joins it directly — every consumer sits on the
-    # same shuffle exchange, which Spark's ReuseExchange computes once.
-    hashed = hashed_shingles(df, id_col, text_col, k, partitions)
-    hs = hashed.groupBy("__id").agg(
-        F.array_distinct(F.collect_list("__h")).alias("__hs")
-    )
-    coeffs = minhash_coeffs(num_hashes)
-    h = F.col("__h")
-    sig = (
-        hs.select("__id", F.explode("__hs").alias("__h"))
-        .groupBy("__id")
-        .agg(
-            *[
-                F.min(
-                    ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
-                ).alias(f"__m{i}")
-                for i, (a, c) in enumerate(coeffs)
-            ]
-        )
-    )
+    hs, sig = _minhash_relations(df, id_col, text_col, k, num_hashes, partitions)
     banded = _banded_signature(sig, num_hashes, bands)
     join_keys = ["band", "key"]
     if max_bucket is not None:
@@ -398,24 +416,7 @@ def minhash_probe_new(
     :func:`salt_hot_buckets` that way if corpus buckets ever run hot;
     for now a hot corpus bucket degrades probe cost linearly, not
     quadratically, because the batch side stays small."""
-    hashed = hashed_shingles(df, id_col, text_col, k, partitions)
-    hs = hashed.groupBy("__id").agg(
-        F.array_distinct(F.collect_list("__h")).alias("__hs")
-    )
-    coeffs = minhash_coeffs(num_hashes)
-    h = F.col("__h")
-    sig = (
-        hs.select("__id", F.explode("__hs").alias("__h"))
-        .groupBy("__id")
-        .agg(
-            *[
-                F.min(
-                    ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
-                ).alias(f"__m{i}")
-                for i, (a, c) in enumerate(coeffs)
-            ]
-        )
-    )
+    hs, sig = _minhash_relations(df, id_col, text_col, k, num_hashes, partitions)
     banded = _banded_signature(sig, num_hashes, bands)
     new_side = banded.filter(is_new(F.col("__id"))).alias("a")
     old_side = banded.filter(~is_new(F.col("__id"))).alias("b")

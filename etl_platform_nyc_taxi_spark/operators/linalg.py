@@ -43,7 +43,10 @@ def fit_pca(
     """One-pass distributed PCA fit: returns ``(mean[d], components[k,d],
     explained_variance[k])``. Components are rows, unit-norm, ordered by
     descending eigenvalue, sign-canonicalized (largest-|coef| entry
-    positive) so the fit is deterministic across partitionings."""
+    positive) so the fit is deterministic across partitionings. NULL
+    vectors are skipped in the fit (projection of a NULL vector yields
+    NULL scores); mixed dimensions raise a named ValueError instead of
+    failing opaquely inside the task's matmul."""
 
     partial_schema = T.StructType(
         [
@@ -56,7 +59,17 @@ def fit_pca(
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n, s, xtx = 0, None, None
         for pdf in batches:
-            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            vals = pdf[vec_col].dropna().tolist()
+            if not vals:
+                continue
+            dims = {len(v) for v in vals}
+            if len(dims) != 1:  # ragged input would silently build an
+                # object array and fail deep inside the matmul
+                raise ValueError(
+                    f"fit_pca: mixed embedding dimensions {sorted(dims)} "
+                    f"in column {vec_col!r}"
+                )
+            x = np.asarray(vals, dtype=np.float64)
             if x.size == 0:
                 continue
             n += x.shape[0]

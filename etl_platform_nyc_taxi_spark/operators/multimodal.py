@@ -123,7 +123,7 @@ def sniff_audio_header(
     while i + 8 <= n:
         cid = payload[i : i + 4]
         clen = int.from_bytes(payload[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 16 <= n:
+        if cid == b"fmt " and i + 20 <= n:
             byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
         elif cid == b"data":
             data_size = clen

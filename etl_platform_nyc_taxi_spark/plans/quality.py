@@ -70,18 +70,31 @@ def quality_report(
     # NULL expectations count as VIOLATIONS (SQL three-valued logic would
     # silently pass them: NOT NULL = NULL = not counted) — an expectation
     # that cannot evaluate is a data problem, not a pass.
+    #
+    # Aggregates alias POSITIONALLY and rule names enter only as string
+    # LITERALS in the unpivot structs — caller-supplied names never parse
+    # as SQL, so any name (spaces, quotes, unicode) is safe.
+    names = list(rules)
     aggs = [
         F.sum(F.when(F.coalesce(expect, F.lit(False)), 0).otherwise(1))
         .cast("long")
-        .alias(name)
-        for name, expect in rules.items()
+        .alias(f"__r{i}")
+        for i, expect in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
-    stacked = wide.selectExpr(
-        "stack({}, {}) as (rule, n_violations)".format(
-            len(rules), ", ".join(f"'{n}', {n}" for n in rules)
-        )
-    )
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"),
+                        F.col(f"__r{i}").alias("n_violations"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("__kv")
+    ).select("__kv.rule", "__kv.n_violations")
     out = stacked
     for name, (dim, fact_key, dim_key) in (ref_checks or {}).items():
         missing = (

@@ -3714,12 +3714,14 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.count_distinct("user_id").cast("double").alias("n_users"),
     )
+    # SQL UNPIVOT drops NULL cells; Spark's unpivot keeps them — filter
+    # to match (a group whose every value is NULL has sum_value = NULL).
     return wide.unpivot(
         ["event_type"],
         ["n_events", "sum_value", "n_users"],
         "metric",
         "metric_value",
-    )
+    ).filter(F.col("metric_value").isNotNull())
 
 
 _MINHASH_PROBE_SQL = rf"""
@@ -3975,13 +3977,13 @@ _VERIFY_FIRST = [
     "mv_incremental_refresh",
     "session_window_builtin",
 ]
-# Window occupancy: 49 names above + the first stable query in original
-# registration order (daily_transactions) = the driver's 50-query oracle
-# window. ROTATION POLICY for round 5: once CORRECTNESS_r04 is green for
-# these, swap the now-triple-checked veterans out and rotate the ~48
-# stable queries currently outside the window back in (they were last
-# driver-checked in r3), keeping any query registered in round 5 inside
-# the window the round it lands.
+# Window occupancy: 48 names above + the first TWO stable queries in
+# original registration order (daily_transactions, daily_transactions_day)
+# = the driver's 50-query oracle window. ROTATION POLICY for round 5:
+# once CORRECTNESS_r04 is green for these, swap the now-multi-checked
+# veterans out and rotate the stable queries currently outside the window
+# back in (their last driver check was r3), keeping any query registered
+# in round 5 inside the window the round it lands.
 
 
 def _rotate_registry() -> None:

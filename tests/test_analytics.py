@@ -195,3 +195,18 @@ def test_sweep_plan_has_no_global_window(spark):
     assert specs, plan
     for spec in specs:  # every window is partitioned by at least the cohort
         assert "day#" in spec, plan
+
+
+def test_profile_columns_hostile_column_names(spark):
+    """Profiled names are literals, never parsed SQL — spaces, quotes,
+    and dots in column names must work."""
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None)], ["my col's", "dotted.name"]
+    ).selectExpr("`my col's`", "`dotted.name`")
+    out = {
+        r[0]: (r[2], r[3])
+        for r in rows(
+            profile_columns(df, [("my col's", "long"), ("dotted.name", "double")])
+        )
+    }
+    assert out == {"my col's": (0, 2), "dotted.name": (1, 1)}

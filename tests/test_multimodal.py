@@ -330,3 +330,14 @@ def test_attach_media_meta_fills_video_dims_and_duration(spark):
         ("raw", None, None, None),
         ("raw", None, None, None),
     ]
+
+
+def test_sniff_audio_header_truncated_mid_byte_rate():
+    """A payload cut 1-3 bytes into the fmt chunk's byte_rate field must
+    report unknown duration, not parse a garbage partial value."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_audio_header
+
+    full = _wav_bytes(2.0)
+    # fmt chunk body starts at offset 20; byte_rate occupies bytes 28-32
+    for cut in (29, 30, 31):
+        assert sniff_audio_header(full[:cut]) == ("wav", None), cut

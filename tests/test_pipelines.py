@@ -130,3 +130,18 @@ def test_quality_report_null_expectation_is_violation(spark):
     df = spark.createDataFrame([(None,), (1.0,)], "x double")
     out = quality_report(df, rules={"x_positive": F.col("x") > 0}).collect()
     assert out[0]["n_violations"] == 1  # NULL > 0 is NULL -> violation
+
+
+def test_quality_report_hostile_rule_names(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.plans.quality import quality_report
+
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "x double")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in quality_report(
+            df, rules={"x > 0 (shouldn't break)": F.col("x") > 0}
+        ).collect()
+    }
+    assert out == {"x > 0 (shouldn't break)": 1}
