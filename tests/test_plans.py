@@ -176,3 +176,48 @@ def test_rollup_cascade_daily_consumes_hourly_aggregate(spark):
     assert len(scans) == 1
     aggs = [int(m) for m in re.findall(r"^\((\d+)\) HashAggregate", s, re.M)]
     assert len(aggs) == 4  # partial+final hourly, partial+final daily
+
+
+def test_zorder_prunes_to_two_columns(spark):
+    s = fmt(QR.QUERIES["zorder_layout"](spark, SF))
+    read = [l for l in s.splitlines() if "ReadSchema" in l]
+    assert read and all(
+        "o_totalprice" in l and "o_custkey" in l and "o_orderpriority" not in l
+        for l in read
+    ), s
+
+
+def test_cohort_retention_pushes_null_filter(spark):
+    s = fmt(QR.QUERIES["cohort_retention"](spark, SF))
+    pushed = s.split("PushedFilters:")[1].splitlines()[0]
+    assert "IsNotNull(ts)" in pushed, pushed
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read and "props" not in read
+
+
+def test_zscore_stats_join_broadcasts(spark):
+    s = fmt(QR.QUERIES["zscore_outliers"](spark, SF))
+    assert "BroadcastHashJoin" in s and "CartesianProduct" not in s
+
+
+def test_graph_triangles_pushes_quantity_filter(spark):
+    s = fmt(QR.QUERIES["graph_triangles"](spark, SF))
+    pushed = [l for l in s.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l for l in pushed), s
+    assert "CartesianProduct" not in s
+
+
+def test_pca_projection_stage_is_udf_free(spark):
+    """The fit uses mapInPandas (allowed: sketch building); the serving
+    projection must be pure codegen."""
+    from etl_platform_nyc_taxi_spark.operators.linalg import project_pca
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    emb = load_fixture(spark, SF, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    s = fmt(
+        project_pca(emb, "embedding", np.zeros(d), np.eye(2, d))
+    )
+    assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
