@@ -396,6 +396,7 @@ def minhash_probe_new(
     bands: int = 4,
     threshold: float = 0.6,
     partitions: int | None = None,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """INCREMENTAL near-dup: which incoming docs (rows whose id
     satisfies ``is_new``, a callable id-Column → boolean-Column)
@@ -410,18 +411,61 @@ def minhash_probe_new(
     work scales with |batch| × bucket-occupancy, not |corpus|². The
     batch×batch and corpus×corpus quadrants never form.
 
-    No hot-bucket salt here: an asymmetric probe join would need probe
-    rows REPLICATED across a hot bucket's salt shards to keep recall
-    (cheap — the batch side is small by definition) — wire
-    :func:`salt_hot_buckets` that way if corpus buckets ever run hot;
-    for now a hot corpus bucket degrades probe cost linearly, not
-    quadratically, because the batch side stays small."""
+    ``max_bucket`` is the ASYMMETRIC hot-bucket guard: corpus rows in a
+    bucket over the cap salt-split by a content hash (like
+    :func:`salt_hot_buckets`), and probe rows REPLICATE across that
+    bucket's salt shards — replication is cheap because the batch side
+    is small by definition, and unlike the symmetric salt it is
+    LOSSLESS: every probe still meets every corpus row of its bucket,
+    so the result set is bit-identical to the unguarded join while
+    per-task bucket joins stay bounded at ``max_bucket``."""
     hs, sig = _minhash_relations(df, id_col, text_col, k, num_hashes, partitions)
     banded = _banded_signature(sig, num_hashes, bands)
-    new_side = banded.filter(is_new(F.col("__id"))).alias("a")
-    old_side = banded.filter(~is_new(F.col("__id"))).alias("b")
+    join_keys = ["band", "key"]
+    new_side = banded.filter(is_new(F.col("__id")))
+    old_side = banded.filter(~is_new(F.col("__id")))
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2")
+        banded = banded.localCheckpoint(eager=False)
+        new_side = banded.filter(is_new(F.col("__id")))
+        old_side = banded.filter(~is_new(F.col("__id")))
+        over = (
+            old_side.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_bucket)
+            .select(
+                "band",
+                "key",
+                F.ceil(F.col("__c") / F.lit(max_bucket)).cast("int").alias("__splits"),
+            )
+        )
+        old_side = (
+            old_side.join(F.broadcast(over), on=["band", "key"], how="left")
+            .withColumn(
+                "__salt",
+                F.when(F.col("__splits").isNull(), F.lit(0))
+                .otherwise(F.pmod(F.xxhash64("__sig"), F.col("__splits")))
+                .cast("int"),
+            )
+            .drop("__splits")
+        )
+        new_side = (
+            new_side.join(F.broadcast(over), on=["band", "key"], how="left")
+            .withColumn(
+                "__salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.coalesce(F.col("__splits"), F.lit(1)) - 1
+                    )
+                ),
+            )
+            .drop("__splits")
+        )
+        join_keys.append("__salt")
+    a, b = new_side.alias("a"), old_side.alias("b")
     cands = (
-        new_side.join(old_side, on=["band", "key"], how="inner")
+        a.join(b, on=join_keys, how="inner")
         .select(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"))
         .distinct()
     )

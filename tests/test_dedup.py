@@ -365,3 +365,25 @@ def test_minhash_probe_new_agrees_with_pairwise_pipeline(spark):
             agg[r["id_b"]].append(r["jaccard"])
     want = {(k, len(v), round(max(v), 6)) for k, v in agg.items()}
     assert probe == want
+
+
+def test_minhash_probe_guard_is_lossless(spark):
+    """Probe replication across salt shards must yield the EXACT result
+    of the unguarded join — the asymmetric guard trades replication for
+    bounded buckets, never recall (unlike the symmetric pair salt)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import minhash_probe_new
+
+    # hot bucket: many identical corpus docs -> one bucket over any cap
+    corpus = [(i, BASE) for i in range(30)]
+    batch = [(1000, BASE + " tonight"), (1001, "nothing like the others here at all")]
+    df = spark.createDataFrame(corpus + batch, "doc_id long, text string")
+
+    kw = dict(is_new=lambda c: c >= 1000, k=4, num_hashes=32, bands=8, threshold=0.5)
+    guarded = sorted(
+        tuple(r) for r in minhash_probe_new(df, max_bucket=8, **kw).collect()
+    )
+    unguarded = sorted(
+        tuple(r) for r in minhash_probe_new(df, max_bucket=None, **kw).collect()
+    )
+    assert guarded == unguarded
+    assert guarded and guarded[0][0] == 1000 and guarded[0][1] == 30
