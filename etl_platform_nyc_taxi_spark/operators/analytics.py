@@ -263,6 +263,162 @@ def profile_columns(
     ).select("__p.*")
 
 
+def transition_matrix(
+    events: DataFrame,
+    seq_col: str,
+    state_col: str,
+    order_cols: Sequence[str],
+    src_name: str = "src_type",
+    dst_name: str = "dst_type",
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities over per-key
+    ordered sequences: (src_state, dst_state, cnt, p) where p is the
+    row-normalized transition probability.
+
+    Scale shape: the lead window shuffles ONCE on ``seq_col`` (each
+    sequence sorts locally within its key partition — never a global
+    sort), the pair count reduces with map-side combine, and the
+    normalizing window runs over the |states|²-row aggregate only.
+    p = cnt/total is a single IEEE division of exact longs, so the
+    output is engine-portable with no decimal staging."""
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    pairs = (
+        events.select(
+            F.col(state_col).alias(src_name),
+            F.lead(state_col).over(w).alias(dst_name),
+        )
+        .filter(F.col(dst_name).isNotNull())
+        .groupBy(src_name, dst_name)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = Window.partitionBy(src_name)
+    return pairs.select(
+        src_name,
+        dst_name,
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(total)).alias("p"),
+    )
+
+
+def _rank_quantile(q: float, n: Column) -> Column:
+    """Discrete-quantile rank index ceil(q*n) — the row_number a rank
+    window must hit to yield the q-quantile VALUE (an actual data point,
+    no interpolation arithmetic to diverge between engines). The q*n
+    product is evaluated in IEEE double on both engines, so even its
+    representation error reproduces identically."""
+    return F.ceil(F.lit(q) * n).cast("long")
+
+
+def winsorized_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized mean: clip values at the discrete lo_q/hi_q
+    quantiles, then average — the robust location estimate for reward /
+    quality-score columns where a trimmed tail would bias downstream
+    thresholds.
+
+    Plan: one rank window on the group key finds the bound VALUES
+    (discrete quantiles — rank-selected real data points), the per-group
+    bounds broadcast back onto the facts, and the clipped sum
+    accumulates in exact DECIMAL so the mean is summation-order-free.
+    At 100 TB swap the exact rank for approx_percentile bounds on the
+    same skeleton; the oracle pins the exact variant."""
+    w = Window.partitionBy(key_col).orderBy(value_col, id_col)
+    r = df.select(
+        F.col(key_col).alias("pri"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("n"),
+    )
+    bounds = r.groupBy("pri").agg(
+        F.max(F.when(F.col("rn") == _rank_quantile(lo_q, F.col("n")), F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == _rank_quantile(hi_q, F.col("n")), F.col("v"))).alias("hi"),
+        F.max("n").alias("n"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi"))
+    return (
+        df.join(F.broadcast(bounds), df[key_col] == bounds["pri"])
+        .groupBy("pri", "n", "lo", "hi")
+        .agg(
+            (
+                F.sum(clipped.cast("decimal(18,2)")).cast("double")
+                / F.col("n")
+            ).alias("winsorized_mean")
+        )
+        .select(
+            "pri",
+            F.col("n").alias("n_rows"),
+            "lo",
+            "hi",
+            F.col("winsorized_mean").cast("double").alias("winsorized_mean"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median-absolute-deviation outliers per group: rows where
+    |v − median| > k·1.4826·MAD — the robust alternative to z-scores
+    (:func:`group_zscore_outliers`): a handful of extreme values inflate
+    a standard deviation until they hide themselves, while the median
+    and MAD have a 50% breakdown point.
+
+    Two rank windows (median of v, then median of |v − med|), both
+    shuffling only on the group key; both medians are DISCRETE
+    (rank-selected data points) and every per-row test is single-op
+    IEEE arithmetic, so the oracle replays bit-identically. Groups with
+    MAD = 0 (majority-constant) are excluded rather than flagging every
+    non-modal value."""
+    kc, vc = F.col(key_col), F.col(value_col)
+    w = Window.partitionBy(key_col).orderBy(value_col, id_col)
+    r = df.select(
+        kc.alias("__k"),
+        vc.alias("__v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key_col)).alias("n"),
+    )
+    med = r.groupBy("__k").agg(
+        F.max(F.when(F.col("rn") == _rank_quantile(0.5, F.col("n")), F.col("__v"))).alias("med")
+    )
+    dev = df.join(
+        F.broadcast(med), df[key_col] == med["__k"]
+    ).withColumn("d", F.abs(vc - F.col("med")))
+    wd = Window.partitionBy("__k").orderBy("d", id_col)
+    dr = dev.select(
+        "__k",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__k")).alias("n"),
+    )
+    mad = dr.groupBy("__k").agg(
+        F.max(F.when(F.col("rn") == _rank_quantile(0.5, F.col("n")), F.col("d"))).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "__k")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("d") > F.lit(k) * F.lit(1.4826) * F.col("mad"))
+        )
+        .select(
+            F.col(key_col),
+            F.col(id_col),
+            vc.alias(value_col),
+            "med",
+            "mad",
+        )
+    )
+
+
 def heavy_hitters(
     tokens: DataFrame,
     token_col: str,

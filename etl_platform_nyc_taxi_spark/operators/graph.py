@@ -136,6 +136,78 @@ def dedup_clusters(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(node, pagerank) after ``iters`` synchronous power iterations over
+    the SYMMETRIZED graph (every input edge counts both ways) — the
+    importance ranking step of link-graph curation pipelines (e.g.
+    quality-weighting crawled documents by site-graph centrality).
+
+    Engine-portable determinism: floating-point SUM is order-dependent,
+    so a naive implementation hashes differently on every engine (and
+    every shuffle). Here each edge contribution ``r/deg`` — a SINGLE
+    IEEE-754 division, bit-identical everywhere given identical inputs —
+    is quantized to DECIMAL(28,14) and the per-node mass is accumulated
+    in exact decimal arithmetic (order-independent), converted back to
+    double only for the affine update ``(1-d)/N + d*mass`` (two more
+    single IEEE ops). Every iteration is therefore a pure function of
+    the previous one with no summation-order dependence: the same
+    algorithm unrolled in ANSI SQL reproduces the output bit-for-bit.
+
+    Scale shape: per iteration one shuffle-join (edges ⋈ ranks on src)
+    and one exact-decimal aggregate on dst — identical skeleton to
+    :func:`connected_components`, cost = iters × (join + agg). Ranks are
+    ``localCheckpoint``-ed per round to truncate lineage. Symmetrization
+    guarantees no dangling nodes (every node has out-degree ≥ 1), so no
+    dangling-mass redistribution term is needed."""
+    edges = edges.localCheckpoint(eager=False)
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    if partitions:
+        sym = sym.repartition(partitions, "s")
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return sym.select(
+            F.col("s").alias("node"), F.lit(0.0).alias("pagerank")
+        )
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select(
+        F.col("s").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+    ).localCheckpoint(eager=True)
+    # Static per-edge relation carrying the source degree: built once,
+    # reused every round (ReuseExchange picks up the checkpointed scan).
+    ed = sym.join(deg, "s").localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed["s"] == ranks["node"]).select(
+            F.col("d"),
+            (F.col("r") / F.col("deg")).cast("decimal(28,14)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("d")
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                F.col("d").alias("node"),
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.col("mass").cast("double")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("pagerank"))
+
+
 def count_triangles(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -301,3 +301,70 @@ def assign_zorder_cells(
         out.withColumn(cell_col, z.cast("int"))
         .drop("__cx", "__cy", "__bx", "__by")
     )
+
+
+def hash_reservoir_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic fixed-``k``-per-key uniform sample: rank each key's
+    rows by a cryptographic hash of the row id and keep the first k —
+    the reproducible replacement for rand()-based reservoir sampling in
+    training-mix construction (same data → same sample, on ANY engine,
+    across reruns and repartitions; salt the id upstream to reseed).
+
+    Scale shape: one shuffle on the key; Spark compiles the bounded
+    rank into WindowGroupLimit, so each map task pre-truncates its
+    partition to k candidates before the exchange — the shuffle carries
+    O(tasks·k) rows per key, not the key's full population. md5 is a
+    built-in codegen expression on both engines (no UDF)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*key_cols).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def plan_compaction_bins(
+    files: DataFrame,
+    size_col: str,
+    order_cols: list[str],
+    target_size: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy cumulative-sum bin packing of file-level METADATA into
+    ~``target_size`` bins — the planning half of small-file compaction
+    (the chronic lakehouse failure mode: a streaming writer leaves
+    thousands of KB-scale files and every scan pays per-file open cost).
+
+    bin = floor(exclusive_prefix_sum / target): consecutive files (in
+    ``order_cols`` order, so time/partition locality survives the
+    rewrite) land in the same bin until it overflows. The window is
+    GLOBAL but runs over the manifest relation — one row per FILE
+    (~1M rows at 100 TB), which is driver-scale the same way query
+    planners treat manifests; the data itself only moves when the
+    rewrite job executes the plan, one task per bin. Integer prefix
+    sums are exact on every engine."""
+    from pyspark.sql import Window
+
+    if target_size < 1:
+        raise ValueError(f"target_size must be >= 1, got {target_size}")
+    w = (
+        Window.orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        bin_col,
+        F.floor(cum_before.cast("double") / F.lit(float(target_size))).cast(
+            "long"
+        ),
+    )

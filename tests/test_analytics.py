@@ -210,3 +210,78 @@ def test_profile_columns_hostile_column_names(spark):
         )
     }
     assert out == {"my col's": (0, 2), "dotted.name": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Round 5: transition_matrix, winsorized_mean, mad_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import transition_matrix
+
+    # u1: a -> b -> a ; u2: a -> b ; u3 singleton (no transitions).
+    data = [
+        (1, ts("2024-01-01 00:00:01"), "a"),
+        (1, ts("2024-01-01 00:00:02"), "b"),
+        (1, ts("2024-01-01 00:00:03"), "a"),
+        (2, ts("2024-01-01 00:00:01"), "a"),
+        (2, ts("2024-01-01 00:00:02"), "b"),
+        (3, ts("2024-01-01 00:00:01"), "c"),
+    ]
+    df = rows_source(spark, data, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r["src_type"], r["dst_type"]): (r["cnt"], r["p"])
+        for r in transition_matrix(
+            df, "user_id", "event_type", ["ts"]
+        ).collect()
+    }
+    assert out == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_transition_matrix_probs_sum_to_one_per_src(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import transition_matrix
+
+    random.seed(7)
+    data = [
+        (u, ts("2024-01-01 00:00:00") + dt.timedelta(seconds=i), random.choice("abcd"))
+        for u in range(20)
+        for i in range(15)
+    ]
+    df = rows_source(spark, data, "user_id long, ts timestamp, event_type string")
+    out = transition_matrix(df, "user_id", "event_type", ["ts"]).collect()
+    by_src: dict[str, float] = {}
+    for r in out:
+        by_src[r["src_type"]] = by_src.get(r["src_type"], 0.0) + r["p"]
+    assert by_src and all(abs(v - 1.0) < 1e-9 for v in by_src.values())
+
+
+def test_winsorized_mean_clips_outlier(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import winsorized_mean
+
+    # Group g: values 1..19 plus one 1000 outlier. n=20:
+    # lo rank ceil(.05*20)=1 -> 1.0; hi rank ceil(.95*20)=19 -> 19.0.
+    vals = [float(v) for v in range(1, 20)] + [1000.0]
+    data = [("g", i + 1, v) for i, v in enumerate(vals)]
+    df = rows_source(spark, data, "k string, id long, v double")
+    [r] = winsorized_mean(df, "k", "v", "id", 0.05, 0.95).collect()
+    assert (r["pri"], r["n_rows"], r["lo"], r["hi"]) == ("g", 20, 1.0, 19.0)
+    # clipped mean: (1..19 sum=190, outlier clipped to 19) / 20
+    assert r["winsorized_mean"] == pytest.approx((190 + 19) / 20)
+
+
+def test_mad_outliers_flags_extremes_not_constant_groups(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import mad_outliers
+
+    data = (
+        # g: tight cluster around 10 with one wild value.
+        [("g", i, 10.0 + (i % 3) - 1) for i in range(1, 30)]
+        + [("g", 99, 500.0)]
+        # c: constant group -> MAD 0 -> excluded entirely.
+        + [("c", i, 5.0) for i in range(100, 140)]
+    )
+    df = rows_source(spark, data, "k string, id long, v double")
+    out = mad_outliers(df, "k", "v", "id", k=3.0).collect()
+    assert [(r["k"], r["id"], r["v"]) for r in out] == [("g", 99, 500.0)]
+    [r] = out
+    assert r["med"] == 10.0 and r["mad"] == 1.0

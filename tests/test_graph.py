@@ -111,3 +111,52 @@ def test_count_triangles_triangle_free(spark):
     df = spark.createDataFrame([(1, i) for i in range(2, 8)], "src long, dst long")
     row = count_triangles(df).collect()[0]
     assert (row["n_edges"], row["n_triangles"]) == (6, 0)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: pagerank
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+from etl_platform_nyc_taxi_spark.sources.rows import rows_source  # noqa: E402
+from tests.conftest import rows  # noqa: E402
+
+
+def test_pagerank_mass_conserved_and_symmetric(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import pagerank
+
+    # Path graph 1-2-3: by symmetry pr(1) == pr(3), center highest.
+    edges = rows_source(spark, [(1, 2), (2, 3)], "src long, dst long")
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # Total mass = (1-d) + d * (total contribution) = 1 on a symmetrized
+    # graph with no dangling nodes (up to the 1e-14 decimal quantization).
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+    assert out[1] == out[3] < out[2]
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import pagerank
+
+    # 4-cycle: every node degree 2 -> stationary from the start: all 1/4.
+    edges = rows_source(
+        spark, [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=3).collect()}
+    assert all(v == pytest.approx(0.25, abs=1e-12) for v in out.values())
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import pagerank
+
+    import random as _r
+
+    _r.seed(13)
+    e = list({(_r.randint(1, 30), _r.randint(1, 30)) for _ in range(80)})
+    e = [(a, b) for a, b in e if a != b]
+    d1 = rows_source(spark, e, "src long, dst long")
+    d2 = rows_source(spark, e, "src long, dst long").repartition(11)
+    r1 = rows(pagerank(d1, iters=3))
+    r2 = rows(pagerank(d2, iters=3))
+    assert r1 == r2  # bit-identical, not approximately equal

@@ -235,3 +235,65 @@ def test_zorder_cells_bound_both_dimensions(spark):
     for c in cells:
         assert c["x1"] - c["x0"] <= 1000 / 8 * 1.8, c
         assert c["y1"] - c["y0"] <= 100 / 8 * 1.8, c
+
+
+# ---------------------------------------------------------------------------
+# Round 5: hash_reservoir_per_key, plan_compaction_bins
+# ---------------------------------------------------------------------------
+
+from etl_platform_nyc_taxi_spark.sources.rows import rows_source  # noqa: E402
+from tests.conftest import rows  # noqa: E402
+
+
+def test_hash_reservoir_exact_k_per_key_and_deterministic(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import hash_reservoir_per_key
+
+    data = [(f"k{i % 3}", i) for i in range(90)]
+    df = rows_source(spark, data, "key string, id long")
+    s1 = rows(hash_reservoir_per_key(df, ["key"], "id", 5))
+    s2 = rows(hash_reservoir_per_key(df.repartition(7), ["key"], "id", 5))
+    assert s1 == s2  # partitioning-independent
+    per_key: dict[str, int] = {}
+    for k, _ in s1:
+        per_key[k] = per_key.get(k, 0) + 1
+    assert per_key == {"k0": 5, "k1": 5, "k2": 5}
+    # keys with fewer than k rows keep everything
+    small = rows_source(spark, [("a", 1), ("a", 2)], "key string, id long")
+    assert len(rows(hash_reservoir_per_key(small, ["key"], "id", 5))) == 2
+
+
+def test_hash_reservoir_sample_is_nested(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import hash_reservoir_per_key
+
+    df = rows_source(
+        spark, [("k", i) for i in range(50)], "key string, id long"
+    )
+    s3 = {r[1] for r in rows(hash_reservoir_per_key(df, ["key"], "id", 3))}
+    s10 = {r[1] for r in rows(hash_reservoir_per_key(df, ["key"], "id", 10))}
+    assert s3 < s10  # hash-rank prefix property
+
+
+def test_hash_reservoir_rejects_bad_k(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import hash_reservoir_per_key
+
+    df = rows_source(spark, [("k", 1)], "key string, id long")
+    with pytest.raises(ValueError):
+        hash_reservoir_per_key(df, ["key"], "id", 0)
+
+
+def test_plan_compaction_bins_greedy_cumsum(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import plan_compaction_bins
+
+    files = rows_source(
+        spark,
+        [("a", 60), ("b", 50), ("c", 10), ("d", 100), ("e", 5)],
+        "name string, size long",
+    )
+    out = {
+        r["name"]: r["bin_id"]
+        for r in plan_compaction_bins(files, "size", ["name"], 100).collect()
+    }
+    # exclusive prefix sums: a=0,b=60,c=110,d=120,e=220
+    assert out == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 2}
+    with pytest.raises(ValueError):
+        plan_compaction_bins(files, "size", ["name"], 0)
