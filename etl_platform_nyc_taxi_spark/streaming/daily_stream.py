@@ -114,6 +114,31 @@ def daily_window_counts(
     )
 
 
+def windowed_key_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark → tumbling window → per-key count: the canonical
+    streaming dashboard aggregate (trending items per hour). Output:
+    (window_start, <key_col>, cnt). Ranking happens OUTSIDE the stream,
+    on the emitted aggregate — a rank window inside a streaming query
+    would force complete-mode materialization of all state, while the
+    aggregate output is tiny (windows × keys) and ranks in one batch
+    pass per refresh."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.filter(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), key_col, "cnt")
+    )
+
+
 def daily_counts_stream(
     spark: SparkSession,
     source_dir: str,

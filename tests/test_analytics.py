@@ -285,3 +285,45 @@ def test_mad_outliers_flags_extremes_not_constant_groups(spark):
     assert [(r["k"], r["id"], r["v"]) for r in out] == [("g", 99, 500.0)]
     [r] = out
     assert r["med"] == 10.0 and r["mad"] == 1.0
+
+
+def test_pareto_frontier_query_matches_naive_dominance(spark):
+    """The sort-sweep skyline must equal the O(n²) dominance definition
+    (strict frontier: coincident duplicate points keep first-by-sort)."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    out = QUERIES["pareto_frontier"](spark, "/root/testdata/sf0.001")
+    got = {
+        (r["pri"], r["o_orderkey"]) for r in out.collect()
+    }
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    by_pri: dict[str, list] = {}
+    for r in orders:
+        by_pri.setdefault(r["o_orderpriority"], []).append(r)
+    expect = set()
+    for pri, rs in by_pri.items():
+        # sort-sweep reference implementation (same strict-frontier
+        # tiebreak): keep iff date < min date of all earlier-sorted rows
+        rs.sort(key=lambda r: (-r["o_totalprice"], r["o_orderdate"]))
+        best = None
+        for r in rs:
+            if best is None or r["o_orderdate"] < best:
+                expect.add((pri, r["o_orderkey"]))
+            if best is None or r["o_orderdate"] < best:
+                best = r["o_orderdate"]
+        # every kept row must be undominated under the strict definition
+        for r in rs:
+            if (pri, r["o_orderkey"]) in expect:
+                for o in rs:
+                    dominates = (
+                        o["o_totalprice"] >= r["o_totalprice"]
+                        and o["o_orderdate"] <= r["o_orderdate"]
+                        and (
+                            o["o_totalprice"] > r["o_totalprice"]
+                            or o["o_orderdate"] < r["o_orderdate"]
+                        )
+                    )
+                    assert not dominates, (pri, r["o_orderkey"], o["o_orderkey"])
+    assert got == expect

@@ -579,3 +579,37 @@ def test_stream_stream_interval_join_multibatch_matches_batch(spark, tmp_path):
         (1, (t0 + pd.Timedelta("30min")).to_pydatetime()),
         (2, (t0 + pd.Timedelta("59min")).to_pydatetime()),
     }
+
+
+def test_windowed_key_counts_batch_parity(spark, tmp_path):
+    """Streaming hourly per-key counts under AvailableNow == the batch
+    groupBy over the same files (same watermarkless one-shot corpus)."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+        run_available_now,
+        windowed_key_counts,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    stream = read_stream_auto(spark, src)
+    agg = windowed_key_counts(stream, ts_col="ts", key_col="event_type")
+    run_available_now(agg, "t_wkc")
+    got = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in spark.table("t_wkc").collect()
+    }
+    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+    batch = (
+        read_parquet_auto(spark, src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .count()
+    )
+    want = {
+        (r["window_start"], r["event_type"]): r["count"] for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

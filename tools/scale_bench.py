@@ -49,6 +49,15 @@ HEAVY = [
     "corpus_top_ngrams",
     "corpus_prepare",
     "heavy_hitter_tokens",
+    # Round 5: iterative pagerank (edge volume scales with lineitem — here
+    # only documents/embeddings are replicated, so this pins the FIXED
+    # per-round cost), plus the new sequence/robust-stats/feature-prep
+    # queries whose windows and folds must scale with their driving table.
+    "graph_pagerank",
+    "markov_transitions",
+    "anomaly_mad",
+    "vector_normalize",
+    "reservoir_per_key",
 ]
 
 REPLICA_STRIDE = 10_000_000
@@ -103,9 +112,40 @@ def synthesize(spark, base_dir: str, out_dir: str, factor: int) -> None:
         out = out.unionByName(p)
     out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
-    for t in (
-        "region nation customer supplier part orders lineitem events".split()
-    ):
+    # events: FACTOR replicas with offset event ids and DISJOINT user ids
+    # per replica — sequences (the unit markov/sessionize/MAD windows
+    # partition on) multiply without deepening, so a linear operator must
+    # show a ~linear ratio. Values/timestamps are untouched: the per-type
+    # distributions keep their shape, only their mass grows.
+    ev = load_fixture(spark, base_dir, "events")
+    ev_parts = []
+    for r in range(factor):
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(r * REPLICA_STRIDE))
+            .withColumn("user_id", F.col("user_id") + F.lit(r * REPLICA_STRIDE))
+        )
+    out = ev_parts[0]
+    for p in ev_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # lineitem: FACTOR replicas with offset order AND supplier keys —
+    # disjoint co-supplier graph copies, so graph queries (pagerank,
+    # triangles) must scale with components, never densify. Other columns
+    # untouched.
+    li = load_fixture(spark, base_dir, "lineitem")
+    li_parts = []
+    for r in range(factor):
+        li_parts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * REPLICA_STRIDE))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * REPLICA_STRIDE))
+        )
+    out = li_parts[0]
+    for p in li_parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(8).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    for t in "region nation customer supplier part orders".split():
         dst = f"{out_dir}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{base_dir}/{t}.parquet", dst)
