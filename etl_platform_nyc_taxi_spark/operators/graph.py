@@ -231,3 +231,62 @@ def count_triangles(
         F.count(F.lit(1)).alias("n_triangles")
     )
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(tri)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, dist) = minimum hop count from any source node, breadth-
+    first over the SYMMETRIZED graph, cut off at ``max_hops`` — the
+    neighborhood-expansion primitive behind contamination blast-radius
+    ("every doc within k dedup-links of a benchmark hit") and
+    taint-propagation audits on web-crawl link graphs.
+
+    Frontier algorithm, not Bellman-Ford over all nodes: each round
+    expands ONLY the nodes first discovered in the previous round
+    (anti-join against the visited set), so total work is
+    O(edges-incident-to-reached-nodes), not rounds × |E|. Per round:
+    one shuffle-join (frontier ⋈ edges) + one distinct + one anti-join —
+    all on the node key. The visited relation is ``localCheckpoint``-ed
+    per round (same lineage-truncation discipline as
+    :func:`connected_components`). Early-exits when a frontier empties.
+
+    Determinism: distances are exact ints (min over hop counts — no
+    floating point anywhere), so any engine reproduces the result
+    bit-for-bit; the ANSI mirror is a depth-bounded recursive CTE with a
+    final MIN(dist) GROUP BY."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select(F.col(node_col).alias("n")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("n", F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["n"] == sym["s"])
+            .select(F.col("d").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("n", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(F.col("n").alias(node_col), F.col("dist").cast("int").alias("dist"))

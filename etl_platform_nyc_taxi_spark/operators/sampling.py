@@ -368,3 +368,54 @@ def plan_compaction_bins(
             "long"
         ),
     )
+
+
+def pps_systematic_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample: per key,
+    lay the rows on a line in hash order with segment length = weight,
+    and keep every row whose segment crosses one of the ``k`` evenly
+    spaced picks — systematic PPS sampling (Madow), the standard design
+    for size-weighted corpus subsampling (long docs proportionally more
+    likely, short docs never starved past 1/k granularity).
+
+    Engine-portable by construction: the randomization is the md5 hash
+    order (seedable by salting the id upstream) and the crossing test
+    ``(cum·k) DIV total > ((cum−w)·k) DIV total`` is EXACT integer
+    arithmetic — no floating point, no rand(), so the identical SQL on
+    any engine picks the identical rows. A row heavier than total/k may
+    cross several picks; it is kept once (sampling without replacement —
+    the certainty-item convention).
+
+    Scale shape: one shuffle on the key; both window frames (running sum
+    and per-key total) run over the same partitioning, so Catalyst
+    evaluates them in a single Window exchange. Weights must be
+    non-negative integers (use a scaled-int column for fractional
+    weights — exactness is the point)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h = F.md5(F.col(id_col).cast("string"))
+    order = Window.partitionBy(*key_cols).orderBy(h.asc(), F.col(id_col).asc())
+    whole = Window.partitionBy(*key_cols)
+    w = F.col(weight_col).cast("bigint")
+    cum = F.sum(w).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum(w).over(whole)
+    # integer DIV, not float division: expr() because the Column API has
+    # no floor-div operator
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn("__tot", total)
+        .filter(
+            F.expr(f"__cum * {k} DIV __tot") > F.expr(f"(__cum - CAST({weight_col} AS BIGINT)) * {k} DIV __tot")
+        )
+        .drop("__cum", "__tot")
+    )

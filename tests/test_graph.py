@@ -160,3 +160,58 @@ def test_pagerank_deterministic_across_partitioning(spark):
     r1 = rows(pagerank(d1, iters=3))
     r2 = rows(pagerank(d2, iters=3))
     assert r1 == r2  # bit-identical, not approximately equal
+
+
+def test_bfs_distances_chain(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, sources, max_hops=3).collect()
+    }
+    # 5 is 4 hops away -> cut off; 10/11 unreachable
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_distances_multi_source_min(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import bfs_distances
+
+    # two sources; node 3 reachable from both (dist 2 from 1, dist 1 from 4)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 3)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(1,), (4,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, sources, max_hops=4).collect()
+    }
+    assert out == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bfs_distances_undirected_and_early_exit(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import bfs_distances
+
+    # edge given one way only; BFS symmetrizes (2 reaches 1)
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sources = spark.createDataFrame([(2,)], "node long")
+    out = {
+        r["node"]: r["dist"]
+        # max_hops far beyond diameter: early-exit must terminate
+        for r in bfs_distances(edges, sources, max_hops=10).collect()
+    }
+    assert out == {2: 0, 1: 1}
+
+
+def test_bfs_distances_rejects_negative_hops(spark):
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sources = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError):
+        bfs_distances(edges, sources, max_hops=-1)

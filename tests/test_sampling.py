@@ -297,3 +297,56 @@ def test_plan_compaction_bins_greedy_cumsum(spark):
     assert out == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 2}
     with pytest.raises(ValueError):
         plan_compaction_bins(files, "size", ["name"], 0)
+
+
+def test_pps_systematic_inclusion_counts(spark):
+    """k picks per key; heavy rows (w > W/k) are certainty items."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        pps_systematic_per_key,
+    )
+
+    df = spark.range(0, 200).select(
+        (F.col("id") % 2).cast("string").alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    out = pps_systematic_per_key(df, ["key"], "rid", "w", k=10)
+    per_key = {
+        r["key"]: r["n"]
+        for r in out.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # systematic PPS picks at most k rows per key (fewer only when one row
+    # crosses several picks), and at least 1
+    assert set(per_key) == {"0", "1"}
+    for n in per_key.values():
+        assert 1 <= n <= 10
+
+
+def test_pps_systematic_deterministic_and_weight_biased(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        pps_systematic_per_key,
+    )
+
+    # one giant row among tiny ones: must ALWAYS be selected (certainty item)
+    rows_in = [("a", 1, 1000)] + [("a", i, 1) for i in range(2, 100)]
+    df = spark.createDataFrame(rows_in, "key string, rid long, w long")
+    out1 = sorted(r["rid"] for r in pps_systematic_per_key(df, ["key"], "rid", "w", 5).collect())
+    out2 = sorted(r["rid"] for r in pps_systematic_per_key(df, ["key"], "rid", "w", 5).collect())
+    assert out1 == out2  # reproducible across runs
+    assert 1 in out1  # the heavy row is certain
+
+
+def test_pps_systematic_rejects_bad_k(spark):
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        pps_systematic_per_key,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1)], "key string, rid long, w long")
+    with pytest.raises(ValueError):
+        pps_systematic_per_key(df, ["key"], "rid", "w", 0)
