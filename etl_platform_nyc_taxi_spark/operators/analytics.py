@@ -475,3 +475,118 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
     )
+
+
+def activity_islands(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's active DAYS into maximal
+    consecutive runs and report (n_streaks, longest_streak,
+    total_active_days) per key — the retention/engagement-streak shape
+    (and the generic contiguity detector: sensor uptime, SLA windows).
+
+    The classic trick, kept exact: for days ranked 1..n per key,
+    ``day − rank`` is CONSTANT within a consecutive run — a pure date/
+    int subtraction, so the anchor is engine-portable with no floats.
+    Two shuffles, both on the key: one Window (rank) + one two-level
+    aggregate; day-distinct first so the window sees |active days| rows
+    per key, not raw events."""
+    days = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(key_col, F.col(ts_col).cast("date").alias("__day"))
+        .distinct()
+    )
+    w = Window.partitionBy(key_col).orderBy("__day")
+    anchored = days.withColumn(
+        "__anchor", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    runs = anchored.groupBy(key_col, "__anchor").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return runs.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("__len").cast("bigint").alias("longest_streak"),
+        F.sum("__len").cast("bigint").alias("total_active_days"),
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+) -> DataFrame:
+    """Equal-width histogram of ``value_col`` in ``nbins`` bins:
+    (bin, bin_lo, n) with the top edge closed (max lands in the last
+    bin). The distribution-profiling primitive behind data-quality
+    drift checks and bin-packed visualizations.
+
+    Two passes, the canonical shape: a 1-row (lo, hi) aggregate
+    broadcast against the scan, then a group-by on the computed bin —
+    map-side combinable, shuffle carries ≤ nbins rows per task. Bin
+    arithmetic is floor((v−lo)/step) — single correctly-rounded IEEE
+    ops, so any engine bins identically (ties at bin edges included)."""
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    v = F.col(value_col)
+    bounds = df.agg(
+        F.min(v).cast("double").alias("__lo"), F.max(v).cast("double").alias("__hi")
+    )
+    step = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    binned = df.join(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((v.cast("double") - F.col("__lo")) / step).cast("int"),
+            F.lit(nbins - 1),
+        ).alias("bin"),
+        F.col("__lo"),
+        (F.col("__hi") - F.col("__lo")).alias("__span"),
+    )
+    return (
+        binned.groupBy("bin", "__lo", "__span")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (
+                F.col("__lo")
+                + F.col("bin").cast("double") * (F.col("__span") / F.lit(float(nbins)))
+            ).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-key skew diagnosis: for each candidate join/group key,
+    (n_keys, n_rows, max_rows, skew_ratio = max / mean) — the number
+    you read BEFORE picking a partitioning strategy (skew_ratio >> 1 →
+    salt or AQE skew-join; ≈1 → plain hash exchange is fine). This is
+    the engine's own medicine as a query: the salted-join and
+    hot-bucket-guard thresholds in operators/joins.py and
+    similarity.py are set from exactly this statistic.
+
+    One group-by per key column (map-side combinable) reduced to a
+    4-number summary each, unioned — scan cost n_cols × one pass, never
+    held in memory. skew_ratio is two IEEE divisions of exact longs:
+    engine-portable."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    outs = []
+    for kc in key_cols:
+        per_key = df.groupBy(F.col(kc)).agg(F.count(F.lit(1)).alias("__c"))
+        outs.append(
+            per_key.agg(
+                F.lit(kc).alias("key_col"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.sum("__c").cast("bigint").alias("n_rows"),
+                F.max("__c").cast("bigint").alias("max_rows"),
+                (
+                    F.max("__c").cast("double")
+                    / (F.sum("__c").cast("double") / F.count(F.lit(1)).cast("double"))
+                ).alias("skew_ratio"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -134,3 +134,84 @@ def pca_embed(df: DataFrame, vec_col: str, k: int = 2) -> DataFrame:
     """Fit + project in one call (fit is an action over sketches only)."""
     mean, comps, _ = fit_pca(df, vec_col, k)
     return project_pca(df, vec_col, mean, comps)
+
+
+def label_centroid_cosine(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid embeddings
+    — the inter-class separation audit run before trusting labels for
+    training-mix stratification or an IVF partitioning (near-parallel
+    centroids ⇒ the classes don't separate in this embedding space).
+
+    Cosine is scale-invariant, so cos(mean_a, mean_b) = cos(sum_a,
+    sum_b) and the centroid DIVISION never happens — per-(label, dim)
+    DECIMAL sums are exact, every cross-engine-fragile op is gone, and
+    the only IEEE arithmetic is single correctly-rounded ops (×, ÷,
+    sqrt) over already-exact inputs. Plan: one explode + one (label,
+    dim) aggregate over the data (map-side combinable, shuffle carries
+    |labels|·d rows), then all pair math runs on the tiny
+    |labels|·d relation — the full |labels|² work never touches the
+    corpus. Products are quantized to DECIMAL(38,12) before the pair
+    sums so accumulation is summation-order-free."""
+    ex = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(vec_col).alias("__pos", "__x"),
+    )
+    sums = ex.groupBy("__lbl", "__pos").agg(
+        F.sum(
+            F.col("__x").cast("double").cast("decimal(28,14)")
+        ).alias("__s")
+    )
+    sd = sums.select(
+        "__lbl", "__pos", F.col("__s").cast("double").alias("__sd")
+    )
+    norms = sd.groupBy("__lbl").agg(
+        F.sum((F.col("__sd") * F.col("__sd")).cast("decimal(38,12)")).alias(
+            "__n2"
+        )
+    )
+    a = sd.select(
+        F.col("__lbl").alias("label_a"),
+        F.col("__pos").alias("__pos"),
+        F.col("__sd").alias("__sa"),
+    )
+    b = sd.select(
+        F.col("__lbl").alias("label_b"),
+        F.col("__pos").alias("__posb"),
+        F.col("__sd").alias("__sb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (a["__pos"] == b["__posb"])
+            & (a["label_a"] < b["label_b"]),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(
+                (F.col("__sa") * F.col("__sb")).cast("decimal(38,12)")
+            ).alias("__dot")
+        )
+    )
+    na = norms.select(
+        F.col("__lbl").alias("label_a"), F.col("__n2").alias("__n2a")
+    )
+    nb = norms.select(
+        F.col("__lbl").alias("label_b"), F.col("__n2").alias("__n2b")
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("__n2a").cast("double"))
+                    * F.sqrt(F.col("__n2b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )

@@ -4747,6 +4747,234 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "activity_islands",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS anchor
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM g GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak,
+           SUM(len) AS total_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands engagement streaks (operators/analytics.
+    activity_islands): per user, maximal runs of consecutive active days
+    — day − rank is constant within a run, an exact date/int
+    subtraction, so the anchor (and therefore every streak) is
+    engine-portable with no floating point. Two shuffles on the key:
+    rank window + two-level aggregate, day-distinct first so the window
+    sees active days, not raw events."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import activity_islands
+
+    return activity_islands(_t(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "histogram_totalprice",
+    """
+    WITH b AS (
+      SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+                              / ((hi - lo) / 16.0)) AS INT), 15) AS bin,
+             lo, hi - lo AS span
+      FROM orders, b
+    )
+    SELECT bin,
+           lo + CAST(bin AS DOUBLE) * (span / 16.0) AS bin_lo,
+           COUNT(*) AS n
+    FROM binned GROUP BY bin, lo, span
+    """,
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width distribution histogram (operators/analytics.
+    fixed_width_histogram): order totals in 16 bins, top edge closed.
+    Two passes — a 1-row (lo, hi) aggregate broadcast against the scan,
+    then a map-side-combinable group-by on the computed bin (shuffle
+    carries ≤ 16 rows per task). Bin arithmetic is floor((v−lo)/step):
+    single correctly-rounded IEEE ops, so both engines bin every
+    boundary value identically."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        fixed_width_histogram,
+    )
+
+    return fixed_width_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", nbins=16
+    )
+
+
+@register(
+    "skew_report",
+    """
+    WITH u AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+    t AS (SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY event_type)
+    SELECT 'user_id' AS key_col, COUNT(*) AS n_keys, SUM(c) AS n_rows,
+           MAX(c) AS max_rows,
+           CAST(MAX(c) AS DOUBLE)
+           / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_ratio
+    FROM u
+    UNION ALL
+    SELECT 'event_type', COUNT(*), SUM(c), MAX(c),
+           CAST(MAX(c) AS DOUBLE)
+           / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+    FROM t
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (operators/analytics.key_skew_report):
+    per candidate key, (n_keys, n_rows, max_rows, max/mean skew ratio)
+    — the statistic the engine's own salting and hot-bucket thresholds
+    are set from, exposed as a query so partitioning strategy is chosen
+    from measurement, not guesswork. One map-side-combinable group-by
+    per key column, each reduced to a 4-number summary before the
+    union."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import key_skew_report
+
+    return key_skew_report(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+
+
+_EXISTS_LATE_SHIP_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_exists_late_ship", _EXISTS_LATE_SHIP_SQL)
+def q_sql_exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4's shape on the fixture schema):
+    orders with any lineitem shipped >100 days after order date.
+    Catalyst decorrelates the subquery into a left-semi join on the
+    equi-key with the date comparison as a residual condition — the
+    subquery is never executed per-row (the RDBMS trap); ONE shuffle
+    pair on orderkey, then the tiny priority aggregate. Same ANSI
+    string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _EXISTS_LATE_SHIP_SQL)
+
+
+@register(
+    "streaming_cdc_apply",
+    """
+    SELECT event_id, user_id, ts, event_type, value
+    FROM (
+      SELECT event_id, user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert fold (streaming/cdc.apply_cdc_stream): the event
+    stream consumed under Trigger.AvailableNow and folded per
+    micro-batch into generation-numbered parquet state — state ←
+    latest_per_key(state ∪ batch) under the deterministic
+    (ts, event_id) order. Idempotent fold + at-least-once foreachBatch
+    = exactly-once STATE, so the result equals the batch CDC compaction
+    and shares cdc_latest_state's oracle verbatim (multi-batch replay
+    equivalence is pinned in tests/test_streaming.py)."""
+    import tempfile
+
+    from etl_platform_nyc_taxi_spark.streaming.cdc import (
+        CdcState,
+        apply_cdc_stream,
+    )
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+    )
+
+    stream = read_stream_auto(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    state = CdcState(spark, tempfile.mkdtemp(prefix="cdc_state_"))
+    apply_cdc_stream(
+        stream,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state=state,
+    )
+    out = state.read()
+    assert out is not None  # stream had at least one batch
+    return out
+
+
+@register(
+    "label_centroid_sim",
+    """
+    WITH ex AS (
+      SELECT label AS lbl,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,14)) AS x
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT lbl, pos, CAST(SUM(x) AS DOUBLE) AS sd
+      FROM ex GROUP BY lbl, pos
+    ),
+    norms AS (
+      SELECT lbl, SUM(CAST(sd * sd AS DECIMAL(38,12))) AS n2
+      FROM sums GROUP BY lbl
+    ),
+    dots AS (
+      SELECT a.lbl AS label_a, b.lbl AS label_b,
+             SUM(CAST(a.sd * b.sd AS DECIMAL(38,12))) AS dot
+      FROM sums a JOIN sums b ON a.pos = b.pos AND a.lbl < b.lbl
+      GROUP BY a.lbl, b.lbl
+    )
+    SELECT d.label_a, d.label_b,
+           CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d
+    JOIN norms na ON na.lbl = d.label_a
+    JOIN norms nb ON nb.lbl = d.label_b
+    """,
+)
+def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation audit (operators/linalg.
+    label_centroid_cosine): pairwise cosine between per-label centroid
+    embeddings. Cosine is scale-invariant, so centroids are represented
+    by their exact per-(label, dim) DECIMAL sums — no mean division, no
+    order-dependent float accumulation; the only IEEE ops are single
+    correctly-rounded ×/÷/sqrt over exact inputs, so the SQL mirror is
+    bit-identical. One explode + one aggregate over the corpus; all
+    |labels|² pair math runs on the tiny (labels × dims) relation."""
+    from etl_platform_nyc_taxi_spark.operators.linalg import (
+        label_centroid_cosine,
+    )
+
+    return label_centroid_cosine(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

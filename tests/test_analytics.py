@@ -327,3 +327,97 @@ def test_pareto_frontier_query_matches_naive_dominance(spark):
                     )
                     assert not dominates, (pri, r["o_orderkey"], o["o_orderkey"])
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# activity islands / histogram / skew report (round-4 additions)
+# ---------------------------------------------------------------------------
+
+
+def test_activity_islands_basic(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import activity_islands
+
+    rows_in = [
+        # user 1: 3-day streak, gap, 2-day streak (dup events same day)
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 23:00:00")),
+        (1, ts("2024-01-02 00:00:00")),
+        (1, ts("2024-01-03 12:00:00")),
+        (1, ts("2024-01-05 01:00:00")),
+        (1, ts("2024-01-06 01:00:00")),
+        # user 2: one day only; plus a NULL ts that must be ignored
+        (2, ts("2024-02-01 00:00:00")),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows_in, "user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in activity_islands(df, "user_id", "ts").collect()}
+    assert out[1]["n_streaks"] == 2
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["total_active_days"] == 5
+    assert out[2]["n_streaks"] == 1
+    assert out[2]["longest_streak"] == 1
+    assert out[2]["total_active_days"] == 1
+
+
+def test_fixed_width_histogram_edges(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        fixed_width_histogram,
+    )
+
+    # values 0..100: 4 bins of width 25; max (100) must close into bin 3
+    df = spark.range(0, 101).select(F.col("id").cast("double").alias("v"))
+    out = {r["bin"]: r for r in fixed_width_histogram(df, "v", 4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert [out[b]["n"] for b in (0, 1, 2, 3)] == [25, 25, 25, 26]
+    assert out[0]["bin_lo"] == 0.0 and out[3]["bin_lo"] == 75.0
+
+
+def test_fixed_width_histogram_counts_total(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        fixed_width_histogram,
+    )
+
+    df = spark.range(0, 1000).select(((F.col("id") * 37) % 501).cast("double").alias("v"))
+    out = fixed_width_histogram(df, "v", 16)
+    assert out.agg(F.sum("n")).collect()[0][0] == 1000
+
+
+def test_fixed_width_histogram_rejects_bad_nbins(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        fixed_width_histogram,
+    )
+
+    df = spark.range(0, 10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        fixed_width_histogram(df, "v", 0)
+
+
+def test_key_skew_report_detects_hot_key(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import key_skew_report
+
+    rows_in = [("hot", i) for i in range(90)] + [
+        (f"k{i}", i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows_in, "k string, v long")
+    out = {r["key_col"]: r for r in key_skew_report(df, ["k"]).collect()}
+    r = out["k"]
+    assert r["n_keys"] == 11 and r["n_rows"] == 100 and r["max_rows"] == 90
+    # mean rows/key = 100/11; skew = 90 / (100/11) = 9.9
+    assert abs(r["skew_ratio"] - 9.9) < 1e-9
+
+
+def test_key_skew_report_rejects_empty_cols(spark):
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import key_skew_report
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError):
+        key_skew_report(df, [])

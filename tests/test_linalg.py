@@ -95,3 +95,43 @@ def test_fit_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         fit_pca(df, "embedding")
+
+
+# ---------------------------------------------------------------------------
+# label centroid cosine
+# ---------------------------------------------------------------------------
+
+
+def test_label_centroid_cosine_known_geometry(spark):
+    from etl_platform_nyc_taxi_spark.operators.linalg import (
+        label_centroid_cosine,
+    )
+
+    # label 0 along +x, label 1 along +y (orthogonal), label 2 along +x
+    # (parallel to 0); centroids are means but cosine ignores scale
+    rows_in = [
+        (0, [1.0, 0.0]),
+        (0, [3.0, 0.0]),
+        (1, [0.0, 2.0]),
+        (2, [5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows_in, "label int, v array<float>")
+    got = {
+        (r["label_a"], r["label_b"]): r["cosine"]
+        for r in label_centroid_cosine(df, "label", "v").collect()
+    }
+    assert abs(got[(0, 1)]) < 1e-12
+    assert abs(got[(0, 2)] - 1.0) < 1e-12
+    assert abs(got[(1, 2)]) < 1e-12
+
+
+def test_label_centroid_cosine_opposed(spark):
+    from etl_platform_nyc_taxi_spark.operators.linalg import (
+        label_centroid_cosine,
+    )
+
+    rows_in = [(0, [1.0, 1.0]), (1, [-2.0, -2.0])]
+    df = spark.createDataFrame(rows_in, "label int, v array<float>")
+    [r] = label_centroid_cosine(df, "label", "v").collect()
+    assert (r["label_a"], r["label_b"]) == (0, 1)
+    assert abs(r["cosine"] + 1.0) < 1e-12

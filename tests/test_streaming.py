@@ -613,3 +613,105 @@ def test_windowed_key_counts_batch_parity(spark, tmp_path):
         (r["window_start"], r["event_type"]): r["count"] for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply (streaming/cdc.py)
+# ---------------------------------------------------------------------------
+
+from tests.conftest import ts  # noqa: E402
+
+
+def _cdc_rows():
+    return [
+        (1, 10, ts("2024-01-01 10:00:00"), "a", 1.0),
+        (2, 10, ts("2024-01-01 11:00:00"), "b", 2.0),  # supersedes event 1
+        (3, 20, ts("2024-01-01 09:00:00"), "a", 3.0),
+        (4, 20, ts("2024-01-01 09:00:00"), "c", 4.0),  # same ts: id tiebreak
+        (5, 30, ts("2024-01-02 00:00:00"), "d", 5.0),
+    ]
+
+
+def test_cdc_apply_single_batch_matches_batch_compaction(spark, tmp_path):
+    from etl_platform_nyc_taxi_spark.operators.joins import latest_per_key
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState, apply_cdc_stream
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    df = spark.createDataFrame(_cdc_rows(), schema)
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+
+    state = CdcState(spark, str(tmp_path / "state"))
+    apply_cdc_stream(
+        read_stream_auto(spark, str(src)),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state=state,
+    )
+    got = {r["user_id"]: r["event_id"] for r in state.read().collect()}
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in latest_per_key(
+            df, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+        ).collect()
+    }
+    assert got == want == {10: 2, 20: 4, 30: 5}
+
+
+def test_cdc_apply_multi_batch_replay_converges(spark, tmp_path):
+    """File-by-file replay (maxFilesPerTrigger=1) must fold to the same
+    state as one batch — the idempotent-fold/exactly-once-state claim."""
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState, apply_cdc_stream
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    rows_in = _cdc_rows()
+    src = tmp_path / "src"
+    # three files -> three micro-batches; later files carry NEWER rows for
+    # the same keys so the fold must actually supersede prior state
+    for i, chunk in enumerate([rows_in[:2], rows_in[2:4], rows_in[4:]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    state = CdcState(spark, str(tmp_path / "state"))
+    apply_cdc_stream(
+        read_stream_auto(spark, str(src), maxFilesPerTrigger="1"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state=state,
+    )
+    got = {r["user_id"]: r["event_id"] for r in state.read().collect()}
+    assert got == {10: 2, 20: 4, 30: 5}
+    # generations retired: exactly one gen dir remains
+    import os
+
+    gens = [d for d in os.listdir(tmp_path / "state") if d.startswith("gen=")]
+    assert len(gens) == 1
+
+
+def test_cdc_apply_out_of_order_batches(spark, tmp_path):
+    """A LATE batch (older ts for an already-folded key) must not regress
+    state — latest_per_key is order-insensitive over the union."""
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState, apply_cdc_stream
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    newest_first = [
+        (9, 10, ts("2024-01-05 00:00:00"), "z", 9.0),
+        (1, 10, ts("2024-01-01 00:00:00"), "a", 1.0),  # late arrival
+    ]
+    src = tmp_path / "src"
+    for chunk in ([newest_first[0]], [newest_first[1]]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    state = CdcState(spark, str(tmp_path / "state"))
+    apply_cdc_stream(
+        read_stream_auto(spark, str(src), maxFilesPerTrigger="1"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state=state,
+    )
+    assert [r["event_id"] for r in state.read().collect()] == [9]
