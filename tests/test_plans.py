@@ -221,3 +221,74 @@ def test_pca_projection_stage_is_udf_free(spark):
         project_pca(emb, "embedding", np.zeros(d), np.eye(2, d))
     )
     assert "ArrowEvalPython" not in s and "BatchEvalPython" not in s
+
+
+# ---------------------------------------------------------------------------
+# round-4 continuous-build additions
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q6_pushes_all_predicates_and_prunes(spark):
+    """Q6's whole value is scan-boundedness: every filter must reach the
+    parquet reader and the read schema must be the minimal column set."""
+    s = fmt(QR.QUERIES["sql_tpch_q6"](spark, SF))
+    pushed = s.split("PushedFilters:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read = s.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_tpch_q14_broadcasts_part_and_pushes_month(spark):
+    s = fmt(QR.QUERIES["sql_tpch_q14"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    pushed = s.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+
+
+def test_exists_late_ship_decorrelates_to_semi_join(spark):
+    """The EXISTS subquery must plan as ONE semi-join pass, never a
+    per-row subquery execution."""
+    s = fmt(QR.QUERIES["sql_exists_late_ship"](spark, SF))
+    assert "LeftSemi" in s, s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+
+
+def test_histogram_broadcasts_bounds_row(spark):
+    """The (lo, hi) 1-row aggregate must broadcast against the scan —
+    a shuffled join here would be wrong at any scale."""
+    s = fmt(QR.QUERIES["histogram_totalprice"](spark, SF))
+    assert "BroadcastNestedLoop" in s or "BroadcastHashJoin" in s
+
+
+def test_skew_report_no_window_no_sort(spark):
+    """Per-key counts reduce map-side; the summary must not plan a
+    window or a global sort over the raw relation."""
+    s = fmt(QR.QUERIES["skew_report"](spark, SF))
+    assert "Window" not in s
+    assert "Sort [" not in s.replace("SortAggregate", "")
+
+
+def test_weighted_sample_single_window_exchange(spark):
+    """Both window frames (running sum + per-key total) must share one
+    exchange on the key — two shuffles would mean Catalyst split the
+    frames."""
+    import re
+
+    s = fmt(QR.QUERIES["weighted_sample_pps"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1, s
+
+
+def test_activity_islands_distinct_before_window(spark):
+    """The rank window must see DISTINCT (user, day) rows, not raw
+    events: HashAggregate (the distinct) below the Window node."""
+    s = fmt(QR.QUERIES["activity_islands"](spark, SF))
+    win = s.find("Window")
+    assert win != -1
+    assert "HashAggregate" in s[:win], s[:win]
+
+
+def test_graph_bfs_result_stays_int(spark):
+    out = QR.QUERIES["graph_bfs"](spark, SF)
+    assert dict(out.dtypes) == {"node": "bigint", "dist": "int"}

@@ -58,6 +58,18 @@ HEAVY = [
     "anomaly_mad",
     "vector_normalize",
     "reservoir_per_key",
+    # Round 4 continuous build: BFS frontier expansion (lineitem-driven
+    # edges), gaps-and-islands windows (events), PPS sampling windows
+    # (documents), centroid-cosine explode+agg (embeddings), the bucketed
+    # fact join (lineitem side scales; ingest-time bucket write happens in
+    # the warm pass, the timed run measures the shuffle-free serve), and
+    # the key-skew diagnosis scan (events).
+    "graph_bfs",
+    "activity_islands",
+    "weighted_sample_pps",
+    "label_centroid_sim",
+    "bucketed_join",
+    "skew_report",
 ]
 
 REPLICA_STRIDE = 10_000_000
