@@ -590,3 +590,53 @@ def key_skew_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def group_regression_stats(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-group OLS line + Pearson correlation from exact moment sums:
+    (n, corr, beta, intercept) — the drift/trend primitive (price
+    elasticity per segment, throughput-vs-load slopes) computed the way
+    a 100 TB engine must: ONE map-side-combinable aggregate pass
+    collecting (n, Σx, Σy, Σxy, Σx², Σy²), then the closed-form
+    formulas on the per-group summary row.
+
+    Determinism contract: inputs with ≤``scale`` decimal places are
+    cast to DECIMAL exactly; all six moments accumulate in exact
+    decimal (summation-order-free); each moment is converted to double
+    ONCE and the formulas run as a fixed sequence of correctly-rounded
+    IEEE ops — identical on any engine. (The moment formula squares the
+    condition number vs Welford — fine for well-scaled business data,
+    the documented trade for one-pass combinability; ill-conditioned
+    inputs want a two-pass centered variant on the same skeleton.)"""
+    x = F.col(x_col).cast(f"decimal(18,{scale})")
+    y = F.col(y_col).cast(f"decimal(18,{scale})")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum((x * y).cast("decimal(38,6)")).alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² × covariance
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    return agg.select(
+        group_col,
+        F.col("n"),
+        (cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n))).alias("corr"),
+        (cov_n / var_x_n).alias("beta"),
+        ((sy - (cov_n / var_x_n) * sx) / n).alias("intercept"),
+    )

@@ -4975,6 +4975,279 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_at_max
+    FROM orders o
+    WHERE o_totalprice = (
+      SELECT MAX(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_orderpriority = o.o_orderpriority
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_scalar_subquery", _SCALAR_SUBQ_SQL)
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery (rows matching their group's maximum):
+    Catalyst decorrelates into one aggregate over the correlation key
+    joined back to the relation — one pass + one broadcast-size join,
+    never a per-row subquery. MAX is exact and order-free, so the
+    equality predicate is engine-portable (no averaged-float boundary).
+    Same ANSI string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SCALAR_SUBQ_SQL)
+
+
+@register(
+    "dq_referential",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier', COUNT(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', COUNT(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation', COUNT(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema (operators/joins.anti_join per edge) — the
+    data-quality gate that runs BEFORE trusting any join result (an
+    orphan row silently vanishes from inner joins; this query makes
+    that loss a measured number instead of a mystery). Each edge is one
+    anti-join: dimension sides broadcast, the two fact-fact edges
+    shuffle on the key once; the four 1-row summaries union for free."""
+    from etl_platform_nyc_taxi_spark.operators.joins import anti_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = [
+        (
+            "lineitem.l_orderkey -> orders",
+            anti_join(
+                li.select("l_orderkey"),
+                o.select(F.col("o_orderkey").alias("l_orderkey")),
+                "l_orderkey",
+            ),
+        ),
+        (
+            "lineitem.l_suppkey -> supplier",
+            anti_join(
+                li.select("l_suppkey"),
+                _t(spark, sf_dir, "supplier").select(
+                    F.col("s_suppkey").alias("l_suppkey")
+                ),
+                "l_suppkey",
+            ),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            anti_join(
+                o.select("o_custkey"),
+                _t(spark, sf_dir, "customer").select(
+                    F.col("c_custkey").alias("o_custkey")
+                ),
+                "o_custkey",
+            ),
+        ),
+        (
+            "customer.c_nationkey -> nation",
+            anti_join(
+                _t(spark, sf_dir, "customer").select("c_nationkey"),
+                _t(spark, sf_dir, "nation").select(
+                    F.col("n_nationkey").alias("c_nationkey")
+                ),
+                "c_nationkey",
+            ),
+        ),
+    ]
+    outs = [
+        d.agg(F.lit(name).alias("fk"), F.count(F.lit(1)).alias("n_orphans"))
+        for name, d in edges
+    ]
+    res = outs[0]
+    for x in outs[1:]:
+        res = res.unionByName(x)
+    return res
+
+
+@register(
+    "first_touch_attribution",
+    """
+    WITH f AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    ft AS (SELECT user_id, event_type AS first_type FROM f WHERE rn = 1),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT first_type,
+           COUNT(*) AS n_users,
+           COUNT(c.user_id) AS n_converted,
+           CAST(COUNT(c.user_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS conversion_rate
+    FROM ft LEFT JOIN conv c USING (user_id)
+    GROUP BY first_type
+    """,
+)
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's FIRST event type (the
+    acquisition channel stand-in) against whether they ever purchased —
+    the marketing-analytics join of the funnel family. One shuffle on
+    user_id serves both the first-event window and the conversion
+    semi-set; the left join keeps non-converting users in the
+    denominator (the classic silent-inner-join bug, made explicit).
+    Conversion rate is one IEEE division of exact longs."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    return (
+        ft.join(conv, "user_id", "left")
+        .groupBy("first_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("__c").alias("n_converted"),
+            (
+                F.count("__c").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@register(
+    "regression_price_qty",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))
+                      AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))
+                      AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))
+                      AS DECIMAL(38,6))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def q_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS + correlation (operators/analytics.
+    group_regression_stats): price-vs-quantity line per returnflag from
+    ONE map-side-combinable moment aggregate — (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate in exact decimal, then the closed-form formulas run
+    as a fixed sequence of correctly-rounded IEEE ops on the per-group
+    summary row. The scan never re-reads, nothing shuffles but six
+    numbers per group."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        group_regression_stats,
+    )
+
+    return group_regression_stats(
+        _t(spark, sf_dir, "lineitem"),
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@register(
+    "moving_average_hourly",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type, hour, cnt,
+           CAST(SUM(cnt) OVER w AS DOUBLE)
+           / CAST(COUNT(*) OVER w AS DOUBLE) AS ma3,
+           cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY hour)
+             AS delta_prev
+    FROM h
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_average_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-hour moving average + hour-over-hour delta per event
+    type — the ops-dashboard smoothing shape. The window runs over the
+    PRE-AGGREGATED hourly series (|types| × |hours| rows), never the raw
+    stream — the same global-window scale rule as window_running_sum;
+    the ragged leading edge divides by the actual frame row count
+    (COUNT OVER the same frame), one IEEE division of exact longs."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    lagw = Window.partitionBy("event_type").orderBy("hour")
+    return h.select(
+        "event_type",
+        "hour",
+        "cnt",
+        (
+            F.sum("cnt").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("ma3"),
+        (F.col("cnt") - F.lag("cnt").over(lagw)).alias("delta_prev"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

@@ -421,3 +421,28 @@ def test_key_skew_report_rejects_empty_cols(spark):
     df = spark.createDataFrame([("a", 1)], "k string, v long")
     with pytest.raises(ValueError):
         key_skew_report(df, [])
+
+
+def test_group_regression_stats_matches_numpy(spark):
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        group_regression_stats,
+    )
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    ys = [2.1, 3.9, 6.2, 8.1, 9.8, 12.2]  # ~ y = 2x
+    rows_in = [("g", x, y) for x, y in zip(xs, ys)] + [
+        ("h", x, -2.0 * x + 50.0) for x in xs  # exact negative line
+    ]
+    df = spark.createDataFrame(rows_in, "grp string, x double, y double")
+    out = {r["grp"]: r for r in group_regression_stats(df, "grp", "x", "y", scale=2).collect()}
+    beta_np, icpt_np = np.polyfit(xs, ys, 1)
+    corr_np = np.corrcoef(xs, ys)[0, 1]
+    assert out["g"]["n"] == 6
+    assert abs(out["g"]["beta"] - beta_np) < 1e-9
+    assert abs(out["g"]["intercept"] - icpt_np) < 1e-9
+    assert abs(out["g"]["corr"] - corr_np) < 1e-9
+    assert abs(out["h"]["beta"] + 2.0) < 1e-9
+    assert abs(out["h"]["intercept"] - 50.0) < 1e-9
+    assert abs(out["h"]["corr"] + 1.0) < 1e-9

@@ -292,3 +292,34 @@ def test_activity_islands_distinct_before_window(spark):
 def test_graph_bfs_result_stays_int(spark):
     out = QR.QUERIES["graph_bfs"](spark, SF)
     assert dict(out.dtypes) == {"node": "bigint", "dist": "int"}
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark):
+    """The correlated MAX must plan as one aggregate joined back —
+    no per-row subquery, no nested-loop fallback."""
+    s = fmt(QR.QUERIES["sql_scalar_subquery"](spark, SF))
+    assert "HashAggregate" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+
+
+def test_regression_single_aggregate_pass(spark):
+    """All six moments must come from ONE aggregate over one scan —
+    re-reading the fact table per moment is the RDBMS trap."""
+    import re
+
+    s = fmt(QR.QUERIES["regression_price_qty"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", s, re.M)) == 1, s
+
+
+def test_moving_average_windows_above_aggregate(spark):
+    """Both window frames run over the hourly AGGREGATE (grouped first),
+    never the raw event stream."""
+    s = fmt(QR.QUERIES["moving_average_hourly"](spark, SF))
+    tree = s.split("(1) Scan")[0]  # the root-first tree rendering
+    first_agg = tree.find("HashAggregate")
+    first_win = tree.find("Window")
+    assert first_agg != -1 and first_win != -1
+    # root-first: the Window must appear ABOVE the aggregate feeding it
+    assert first_win < first_agg, tree
+    # both frames (ma3 + lag) share one Window node - same spec merged
+    assert tree.count("Window") == 1, tree
