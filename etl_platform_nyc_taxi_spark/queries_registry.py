@@ -5248,6 +5248,221 @@ def q_moving_average_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS fv FROM events
+      WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, MIN(ts) AS fp FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL GROUP BY user_id
+    ),
+    d AS (
+      SELECT CAST(date_trunc('week', fv) AS DATE) AS cohort_week, user_id,
+             (epoch_us(fp) - epoch_us(fv)) // 1000000 AS secs
+      FROM v JOIN p USING (user_id) WHERE fp >= fv
+    ),
+    r AS (
+      SELECT cohort_week, secs,
+             ROW_NUMBER() OVER (PARTITION BY cohort_week
+                                ORDER BY secs, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cohort_week) AS n
+      FROM d
+    )
+    SELECT cohort_week, MAX(n) AS n_converters,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN secs END)
+             AS p50_secs,
+           MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN secs END)
+             AS p90_secs,
+           MAX(secs) AS max_secs
+    FROM r GROUP BY cohort_week
+    """,
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles per weekly cohort: first 'view' to
+    first 'purchase' per user, p50/p90 by discrete rank selection
+    (actual data points — no interpolation arithmetic to diverge
+    between engines; same convention as winsorize_stats). Durations are
+    exact integer seconds from epoch-microsecond subtraction. Windows
+    partition by cohort over the per-USER aggregate (two map-side
+    min-aggregates reduce the stream first), so frame size is
+    converters-per-week, never raw events."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d = (
+        fv.join(fp, "user_id")
+        .filter(F.col("fp") >= F.col("fv"))
+        .select(
+            F.date_trunc("week", F.col("fv")).cast("date").alias("cohort_week"),
+            "user_id",
+            F.expr(
+                "(unix_micros(CAST(fp AS TIMESTAMP))"
+                " - unix_micros(CAST(fv AS TIMESTAMP))) DIV 1000000"
+            ).alias("secs"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("secs", "user_id")
+    wn = Window.partitionBy("cohort_week")
+    r = d.select(
+        "cohort_week",
+        "secs",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    from etl_platform_nyc_taxi_spark.operators.analytics import _rank_quantile
+
+    return r.groupBy("cohort_week").agg(
+        F.max("n").alias("n_converters"),
+        F.max(
+            F.when(F.col("rn") == _rank_quantile(0.5, F.col("n")), F.col("secs"))
+        ).alias("p50_secs"),
+        F.max(
+            F.when(F.col("rn") == _rank_quantile(0.9, F.col("n")), F.col("secs"))
+        ).alias("p90_secs"),
+        F.max("secs").alias("max_secs"),
+    )
+
+
+@register(
+    "market_concentration",
+    """
+    WITH rev AS (
+      SELECT n_name, s_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, s_suppkey
+    ),
+    tot AS (SELECT n_name, SUM(r) AS t FROM rev GROUP BY n_name)
+    SELECT rev.n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST((CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+                         * (CAST(r AS DOUBLE) / CAST(t AS DOUBLE))
+                         AS DECIMAL(28,14))) AS DOUBLE) AS hhi
+    FROM rev JOIN tot ON rev.n_name = tot.n_name
+    GROUP BY rev.n_name
+    """,
+)
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per nation: Σ(supplier
+    revenue share)² — the market-structure audit (HHI → 1 means one
+    supplier owns the nation's volume; → 1/n means perfect spread).
+    Revenue reduces in exact decimal; each share is one IEEE division,
+    each share² one multiplication, quantized to DECIMAL(28,14) before
+    the per-nation sum so accumulation is order-free. Dimensions
+    broadcast; the only data shuffle is the (nation, supplier) revenue
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("r").alias("t"))
+    share = F.col("r").cast("double") / F.col("t").cast("double")
+    return (
+        rev.join(tot, "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum((share * share).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("hhi"),
+        )
+    )
+
+
+@register(
+    "abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS tot
+      FROM pr
+    )
+    SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+                  THEN 'A'
+                WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+                  THEN 'B'
+                ELSE 'C' END AS abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM c GROUP BY 1
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the prefix covering 80% of cumulative revenue, B to 95%,
+    C the tail — the classic working-capital segmentation. The global
+    ordered cumsum runs over the PART aggregate (dimension-bounded —
+    |parts| rows, never lineitem; the single-partition window is the
+    engine's documented exception for post-aggregate ranking). Cumsum
+    is exact decimal; each boundary test is one IEEE division compared
+    to a literal — identical on both engines, ties broken by partkey."""
+    from pyspark.sql import Window
+
+    pr = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    wcum = (
+        Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frac = F.col("cum").cast("double") / F.col("tot").cast("double")
+    c = pr.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wtot).alias("tot"),
+    )
+    return (
+        c.select(
+            F.when(frac <= 0.8, F.lit("A"))
+            .when(frac <= 0.95, F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "rev",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("double").alias("class_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

@@ -446,3 +446,24 @@ def test_group_regression_stats_matches_numpy(spark):
     assert abs(out["h"]["beta"] + 2.0) < 1e-9
     assert abs(out["h"]["intercept"] - 50.0) < 1e-9
     assert abs(out["h"]["corr"] + 1.0) < 1e-9
+
+
+def test_abc_classification_boundaries(spark):
+    """Hand-computable ABC split: revenues 80, 15, 5 -> one part per
+    class at the 0.8 / 0.95 boundaries (<= keeps the boundary row in
+    the better class)."""
+    import etl_platform_nyc_taxi_spark.queries_registry as QR_
+
+    df = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 5.0)],
+        "l_partkey long, l_extendedprice double",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="abc_")
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = {
+        r["abc_class"]: (r["n_parts"], r["class_revenue"])
+        for r in QR_.QUERIES["abc_classification"](spark, d).collect()
+    }
+    assert out == {"A": (1, 80.0), "B": (1, 15.0), "C": (1, 5.0)}

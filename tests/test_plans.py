@@ -323,3 +323,20 @@ def test_moving_average_windows_above_aggregate(spark):
     assert first_win < first_agg, tree
     # both frames (ma3 + lag) share one Window node - same spec merged
     assert tree.count("Window") == 1, tree
+
+
+def test_market_concentration_broadcasts_dims(spark):
+    s = fmt(QR.QUERIES["market_concentration"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
+def test_abc_window_runs_on_part_aggregate(spark):
+    """The global cumsum window must consume the part-level aggregate
+    (dimension-bounded), never raw lineitem rows."""
+    s = fmt(QR.QUERIES["abc_classification"](spark, SF))
+    tree = s.split("(1) Scan")[0]
+    # root-first tree: below the LAST (deepest) Window there must still
+    # be a HashAggregate (the part-level reduce) before the scan
+    below_deepest_window = tree.rsplit("Window", 1)[1]
+    assert "HashAggregate" in below_deepest_window, tree
