@@ -687,6 +687,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    n: int = 2,
+    threshold: float = 0.8,
+    partitions: int | None = None,
+    allow_unblocked: bool = False,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT within a blocking key: pairs where the
+    smaller doc's gram set is ≥``threshold`` inside the larger's —
+    |A∩B| / |A| with A the smaller side. This is the near-dup mode
+    symmetric Jaccard structurally misses: a tweet quoted inside an
+    article has tiny Jaccard (the union is the article) but containment
+    ≈ 1; boilerplate inclusion, excerpt pages, and truncated re-crawls
+    all look like this in web corpora.
+
+    Same skeleton (and the same anti-cross-join guard) as
+    :func:`ngram_jaccard_pairs`: gram relation materialized once, pairs
+    only form inside one shuffle bucket. Direction is canonical —
+    smaller gram set (id tiebreak) is the contained candidate — so each
+    unordered pair is tested exactly once. No size prefilter exists for
+    containment (a 10-gram doc can sit fully inside a 10k-gram doc);
+    the blocking key is the only quadratic bound, which is the honest
+    statement of this metric's cost."""
+    if not block_cols and not allow_unblocked:
+        raise ValueError(
+            "containment_pairs without block_cols is a full cross-pair; "
+            "pass allow_unblocked=True to opt in on provably small inputs"
+        )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(tokens_ws(text_col)) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(tokens_ws(text_col), i + 1, n)),
+        )
+    )
+    src = df
+    if partitions:
+        src = src.repartition(partitions)
+    base = src.select(
+        *[F.col(c) for c in block_cols], F.col(id_col).alias("__id"), grams.alias("__g")
+    ).withColumn("__n", F.size("__g"))
+    base = base.localCheckpoint(eager=False)
+    a, b = base.alias("a"), base.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] or [F.lit(True)]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    canonical = (F.col("a.__n") < F.col("b.__n")) | (
+        (F.col("a.__n") == F.col("b.__n")) & (F.col("a.__id") < F.col("b.__id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g"))).cast("double")
+    return (
+        a.join(b, cond & canonical)
+        .select(
+            F.col("a.__id").alias("contained_id"),
+            F.col("b.__id").alias("container_id"),
+            (inter / F.col("a.__n").cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "contained_id",
+            "container_id",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def fuzzy_pairs_edit1(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -5463,6 +5463,117 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    r"""
+    WITH corpus AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text, lang, source
+        FROM documents
+    ),
+    g AS (
+      SELECT lang, source, doc_id AS id,
+             list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
+                            for i in range(1, greatest(len(toks)-1, 1)+1)]) AS grams
+      FROM (SELECT lang, source, doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM corpus)
+    )
+    SELECT a.id AS contained_id, b.id AS container_id,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(a.grams), 6) AS containment
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.source = b.source
+     AND (len(a.grams) < len(b.grams)
+          OR (len(a.grams) = len(b.grams) AND a.id < b.id))
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(a.grams) >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment within (lang, source) blocks
+    (operators/dedup.containment_pairs): the near-dup mode symmetric
+    Jaccard misses — a truncated re-crawl or quoted excerpt has tiny
+    Jaccard (union = the long doc) but containment ≈ 1. The suffix
+    mutants are exactly this case: clipped copies whose gram sets sit
+    almost wholly inside their originals. Same materialized-gram /
+    blocked-join skeleton as dedup_ngram_jaccard; direction is
+    canonical (smaller gram set = contained candidate), so each pair is
+    tested once."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs_with_mutants(spark, sf_dir),
+        block_cols=("lang", "source"),
+        n=2,
+        threshold=0.8,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+_TPCH_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("sql_tpch_q19", _TPCH_Q19_SQL)
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicate): the
+    OR-of-ANDs filter that separates engines with CNF predicate
+    handling from ones that scan everything. Catalyst extracts the
+    common l_quantity ≤ 30 / p_brand IN (...) bounds and pushes them
+    into BOTH scans (tests pin the pushed filters), evaluates the
+    residual disjunction post-join, and broadcasts part. Same ANSI
+    string is the oracle; decimal-exact revenue."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q19_SQL)
+
+
+@register("sketch_rollup")  # engine-specific sketch bytes: rows-only check
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting — THE 100 TB cardinality
+    pattern: per-day HLL sketches of user_id built ONCE at ingest
+    (Datasketches HllSketch via F.hll_sketch_agg), then any rollup
+    (weekly here) MERGES sketches (hll_union_agg) instead of re-reading
+    events — distinct-merge is what plain approx_count_distinct cannot
+    do across pre-aggregated partitions. Emits per-week: merged
+    estimate, the sum of daily estimates (always ≥ the merge — the
+    double-counting a naive SUM of daily distincts commits), and day
+    count. Sketch bytes are engine-specific, so the driver check is
+    rows-only; the estimate's 5% error bound vs exact distinct is
+    pinned in tests/test_sql_analytics.py."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string")).alias("__sk"),
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week")
+        )
+        .agg(
+            F.hll_union_agg("__sk").alias("__wsk"),
+            F.sum(F.hll_sketch_estimate("__sk")).alias("sum_daily_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            "week",
+            F.hll_sketch_estimate("__wsk").alias("approx_weekly_users"),
+            "sum_daily_users",
+            "n_days",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

@@ -387,3 +387,59 @@ def test_minhash_probe_guard_is_lossless(spark):
     )
     assert guarded == unguarded
     assert guarded and guarded[0][0] == 1000 and guarded[0][1] == 30
+
+
+# ---------------------------------------------------------------------------
+# directed containment (operators/dedup.containment_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_containment_detects_quote_inclusion(spark):
+    """A short doc quoted inside a long one: Jaccard is tiny but
+    containment ≈ 1 — the mode this metric exists for."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    article = " ".join(f"filler{i}" for i in range(60)) + " " + quote
+    df = spark.createDataFrame(
+        [(1, quote, "en"), (2, article, "en")], "doc_id long, text string, lang string"
+    )
+    out = containment_pairs(df, block_cols=("lang",), threshold=0.8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["contained_id"], r["container_id"]) == (1, 2)
+    assert r["containment"] == 1.0
+    # the same pair is invisible to symmetric Jaccard at any usable bar
+    j = ngram_jaccard_pairs(df, block_cols=("lang",), threshold=0.3).collect()
+    assert j == []
+
+
+def test_containment_direction_and_threshold(spark):
+    from etl_platform_nyc_taxi_spark.operators.dedup import containment_pairs
+
+    # doc 1 shares 2 of its 4 bigrams with doc 2 -> containment 0.5
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y", "en"),       # bigrams: ab bc cx xy
+            (2, "a b c d e f g", "en"),   # shares ab bc
+        ],
+        "doc_id long, text string, lang string",
+    )
+    assert containment_pairs(df, block_cols=("lang",), threshold=0.6).collect() == []
+    out = containment_pairs(df, block_cols=("lang",), threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["containment"] == 0.5
+
+
+def test_containment_requires_blocking_or_optin(spark):
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError):
+        containment_pairs(df)
+    # explicit opt-in plans without raising
+    containment_pairs(df, allow_unblocked=True).collect()

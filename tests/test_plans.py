@@ -340,3 +340,15 @@ def test_abc_window_runs_on_part_aggregate(spark):
     # be a HashAggregate (the part-level reduce) before the scan
     below_deepest_window = tree.rsplit("Window", 1)[1]
     assert "HashAggregate" in below_deepest_window, tree
+
+
+def test_tpch_q19_pushes_disjunction_bounds(spark):
+    """The OR-of-ANDs must not defeat pushdown: brand and quantity
+    bounds reach the scans; part broadcasts."""
+    s = fmt(QR.QUERIES["sql_tpch_q19"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    pushed_lines = [
+        seg.splitlines()[0] for seg in s.split("PushedFilters:")[1:]
+    ]
+    assert any("l_quantity" in p_ for p_ in pushed_lines), pushed_lines
+    assert any("p_brand" in p_ for p_ in pushed_lines), pushed_lines

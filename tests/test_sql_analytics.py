@@ -217,3 +217,27 @@ def test_grouping_sets_marginals_match_separate_aggs(spark):
         r.l_returnflag: r.cnt for r in gs.collect() if r.l_linestatus is None
     }
     assert got_flag == per_flag
+
+
+def test_sketch_rollup_estimate_within_bound(spark):
+    """HLL weekly merge within 5% of exact distinct; the naive sum of
+    daily distincts must be >= the merged estimate (double counting)."""
+    import etl_platform_nyc_taxi_spark.queries_registry as QR_
+
+    sf = "/root/testdata/sf0.01"
+    out = {r["week"]: r for r in QR_.QUERIES["sketch_rollup"](spark, sf).collect()}
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    e = load_fixture(spark, sf, "events").filter(F.col("ts").isNotNull())
+    exact = {
+        r["week"]: r["n"]
+        for r in e.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for wk, r in out.items():
+        assert abs(r["approx_weekly_users"] - exact[wk]) / exact[wk] < 0.05
+        assert r["sum_daily_users"] >= r["approx_weekly_users"] - 1e-9
