@@ -5574,6 +5574,302 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_error_monitor",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS window_start,
+             COUNT(*) AS n_events,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY date_trunc('hour', ts)
+    )
+    SELECT window_start, n_events, n_errors,
+           CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate,
+           CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) > 0.25
+             AS alert
+    FROM w
+    """,
+)
+def q_streaming_error_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor: tumbling-hour event/error counts
+    under Trigger.AvailableNow with an alert flag where the error share
+    exceeds 25% — the pipeline-health sentinel every ingest deployment
+    runs beside its data path. The conditional count folds into the
+    same windowed aggregate (one state store, no second pass); the rate
+    and flag are computed on the emitted per-window rows. Batch-
+    equivalent by construction, so the hourly SQL is the oracle."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+        run_available_now,
+    )
+
+    stream = read_stream_auto(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    # Event-time ops need TIMESTAMP (LTZ); fixture is NTZ — UTC-pinned
+    # session makes the cast wall-clock-preserving (same as daily_stream)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "n_errors"
+            ),
+        )
+        .select(
+            F.col("__w.start").alias("window_start"), "n_events", "n_errors"
+        )
+    )
+    sink = "stream_error_monitor"
+    run_available_now(agg, sink)
+    rate = F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+    return spark.table(sink).select(
+        "window_start",
+        "n_events",
+        "n_errors",
+        rate.alias("error_rate"),
+        (rate > 0.25).alias("alert"),
+    )
+
+
+@register(
+    "top_percent_orders",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_top,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS top_revenue
+    FROM r
+    WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_top_percent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE top-k: the top 10% of orders by value per priority —
+    fixed-k ranking misrepresents groups of uneven size; percent-of-
+    group is the fair-share cut (ceil(0.1·n), the same discrete-rank
+    convention as the quantile family, deterministic under ties via the
+    orderkey tiebreak). One shuffle on the group key; both window
+    frames share the partitioning; the revenue reduce is exact
+    decimal."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return (
+        r.filter(
+            F.col("__rn")
+            <= F.ceil(F.lit(0.1) * F.col("__n")).cast("long")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("top_revenue"),
+        )
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT pos, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(28,14))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM ex GROUP BY pos
+    )
+    SELECT pos, n,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+           sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             AS std_x,
+           min_x, max_x
+    FROM m
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (feature-drift
+    monitoring: a dimension whose mean/std shifts between snapshots
+    flags an upstream encoder change before any model metric moves).
+    One explode + one (pos) aggregate — map-side combinable, shuffle
+    carries d rows per task; moments accumulate in exact decimal and
+    the sample-std formula runs as a fixed IEEE sequence on the d-row
+    summary (same determinism contract as group_regression_stats)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("pos", "__xf")).select(
+        "pos", F.col("__xf").cast("double").alias("x")
+    )
+    x = F.col("x")
+    m = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(28,14)")).alias("__sx"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("__sxx"),
+        F.min(x).alias("min_x"),
+        F.max(x).alias("max_x"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    return m.select(
+        "pos",
+        "n",
+        (sx / nd).alias("mean_x"),
+        F.sqrt((nd * sxx - sx * sx) / (nd * (nd - F.lit(1.0)))).alias(
+            "std_x"
+        ),
+        "min_x",
+        "max_x",
+    )
+
+
+@register(
+    "corpus_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    v2 AS (
+      -- next corpus version: every 7th doc edited, every 13th dropped,
+      -- a clipped mutant of every 11th added (deterministic synthetic v2)
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5(text || ' edited')
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5(substr(text, 11)) AS h
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h <> b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs FROM j GROUP BY status
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: full-outer join of two corpus snapshots on
+    the stable id comparing content hashes → added / removed / changed
+    / unchanged counts — the audit between training-data versions (what
+    actually changed before a re-train is a number, not a guess).
+    Content equality via md5 so the diff never moves document bytes
+    through the shuffle — only (id, 32-byte hash); the outer join
+    shuffles both sides on the id once. The synthetic v2 (edits, drops,
+    additions) is deterministic arithmetic on the fixture, replicated
+    verbatim in the oracle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.select("doc_id", F.md5("text").alias("h"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.md5(F.concat(F.col("text"), F.lit(" edited"))),
+            )
+            .otherwise(F.md5("text"))
+            .alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0)
+            .select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.substring("text", 11, 2147483647)).alias("h"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.h") != F.col("b.h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status")
+    )
+    return j.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "surrogate_keys",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)
+                  AS BIGINT) AS sk
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT sk) AS n_keys,
+           COUNT(*) - COUNT(DISTINCT sk) AS n_collisions,
+           MIN(sk) AS min_key, MAX(sk) AS max_key
+    FROM k
+    """,
+)
+def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed surrogate keys: a 60-bit integer key from
+    md5(id|content) — the DISTRIBUTED replacement for sequence/identity
+    columns (a global counter is a coordination point; monotonically_
+    increasing_id is partition-layout-dependent and unstable across
+    reruns; a content hash is pure, reproducible on any engine, and
+    join-friendly). Emits the collision audit every key scheme must
+    ship with (birthday bound at 60 bits: ~0 for corpus sizes below
+    ~10⁸). Map-only key derivation; one aggregate for the audit.
+    Cross-engine hex→int via conv()/'0x' cast over the same md5
+    prefix."""
+    docs = _t(spark, sf_dir, "documents")
+    sk = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    k = docs.select(sk.alias("sk"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("sk").alias("n_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("sk")).alias("n_collisions"),
+        F.min("sk").alias("min_key"),
+        F.max("sk").alias("max_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

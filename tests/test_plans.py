@@ -352,3 +352,23 @@ def test_tpch_q19_pushes_disjunction_bounds(spark):
     ]
     assert any("l_quantity" in p_ for p_ in pushed_lines), pushed_lines
     assert any("p_brand" in p_ for p_ in pushed_lines), pushed_lines
+
+
+def test_top_percent_windows_share_one_exchange(spark):
+    import re
+
+    s = fmt(QR.QUERIES["top_percent_orders"](spark, SF))
+    # rank frame, count frame, and the final group-by all hash on the
+    # same key: ONE exchange serves the whole plan (frames differ -
+    # ordered vs whole-partition - so two Window nodes is correct; a
+    # second shuffle would not be)
+    assert len(re.findall(r"^\(\d+\) Exchange", s, re.M)) == 1, s
+
+
+def test_embedding_dim_stats_single_aggregate_pass(spark):
+    import re
+
+    s = fmt(QR.QUERIES["embedding_dim_stats"](spark, SF))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", s, re.M)) == 1, s
+    assert "Generate" in s  # posexplode stays codegen-side, no UDF
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
