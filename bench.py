@@ -62,15 +62,17 @@ def main() -> None:
             spark.stop()
             spark = get_spark("bench")
             spark.sparkContext.setLogLevel("ERROR")
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # warm: plan + code paths
-        del df
         _gc_sweep(spark)  # measure this query, not its predecessors' debris
-        # Min of two timed runs: the sandboxed host shows multi-× load
-        # spikes from OUTSIDE the guest (observed: loadavg 13+ with zero
-        # local processes; an entire suite tail inflated 10-20× in one
-        # run and not the next). The minimum is the standard estimator
-        # of intrinsic cost under external noise.
+        # Min of two timed runs serves BOTH purposes that used to need a
+        # third (dedicated warm) execution: run 1 absorbs cold costs
+        # (plan compile, codegen, index/quantizer builds cached per
+        # sf_dir) and run 2 is warm by construction, so min() reports
+        # the warm cost. The min is also the standard estimator of
+        # intrinsic cost under external noise (the sandboxed host shows
+        # multi-x load spikes from OUTSIDE the guest: loadavg 13+ with
+        # zero local processes; a suite tail inflated 10-20x in one run
+        # and not the next). At 138 queries the dropped warm pass cuts
+        # ~1/3 of suite executions.
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -5870,6 +5870,118 @@ def q_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_event_profile",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types_csv,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity activity profile — the feature-store row every
+    personalization / anomaly model starts from: event volume, type
+    diversity, the DETERMINISTIC sorted type set (collect_set is
+    unordered; array_sort pins it, serialized to CSV so the result
+    schema stays scalar — nested outputs are where cross-engine hashing
+    goes to die), activity span, and exact-decimal value total. One
+    shuffle on the entity key; every aggregate map-side combinable
+    except the bounded distinct-set (≤ |event types|)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "table_inventory",
+    """
+    SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def q_table_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog inventory: row counts across the warehouse's fact
+    tables — the freshness/completeness heartbeat every ingest
+    dashboard polls. COUNT(*) over parquet is metadata-cheap (the
+    vectorized reader answers from row-group counts without
+    materializing columns), so this stays sub-second at any corpus
+    size; the six 1-row aggregates union for free."""
+    tables = [
+        "customer",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    ]
+    outs = [
+        _t(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in tables
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+@register(
+    "weekday_seasonality",
+    """
+    WITH d AS (
+      SELECT dayname(o_orderdate) AS weekday, COUNT(*) AS n
+      FROM orders GROUP BY dayname(o_orderdate)
+    ),
+    t AS (SELECT SUM(n) AS total FROM d)
+    SELECT weekday, n,
+           CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / 7.0)
+             AS seasonal_index
+    FROM d, t
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality index: orders per weekday vs the uniform
+    expectation (index 1.0 = flat; the capacity-planning shape for
+    batch windows and on-call staffing). Names, not engine-specific
+    weekday NUMBERS (DuckDB counts Sunday=0, Spark Sunday=1 — the
+    classic silent off-by-one; 'Monday' is 'Monday' everywhere). One
+    7-row aggregate; the index is two IEEE divisions of exact longs
+    broadcast from the 1-row total."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.date_format(F.col("o_orderdate"), "EEEE").alias("weekday")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.agg(F.sum("n").alias("total"))
+    return d.join(F.broadcast(t)).select(
+        "weekday",
+        "n",
+        (
+            F.col("n").cast("double") / (F.col("total").cast("double") / F.lit(7.0))
+        ).alias("seasonal_index"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
