@@ -5982,6 +5982,164 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q7_SQL = """
+    WITH shipping AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s_suppkey = l_suppkey
+      JOIN orders o   ON o_orderkey = l_orderkey
+      JOIN customer c ON c_custkey = o_custkey
+      JOIN nation n1  ON s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM shipping GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("sql_tpch_q7", _TPCH_Q7_SQL)
+def q_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two trading nations, by year):
+    the two-fact five-dim tree where BOTH nation dimensions broadcast
+    with a disjunctive cross-filter. Catalyst pushes the two-year ship
+    window into the lineitem scan and evaluates the nation disjunction
+    after the (tiny) broadcast joins — only orders⋈lineitem shuffles.
+    Decimal-exact volume; same ANSI string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q7_SQL)
+
+
+_TPCH_Q8_SQL = """
+    WITH all_nations AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o_orderkey = l_orderkey
+      JOIN customer c ON c_custkey = o_custkey
+      JOIN nation n1  ON c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r_regionkey
+      JOIN supplier s ON s_suppkey = l_suppkey
+      JOIN nation n2  ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+    ),
+    t AS (SELECT o_year, SUM(volume) AS total FROM all_nations
+          GROUP BY o_year),
+    n AS (SELECT o_year, SUM(volume) AS nat FROM all_nations
+          WHERE supp_nation = 'NATION_3' GROUP BY o_year)
+    SELECT t.o_year,
+           COALESCE(CAST(n.nat AS DOUBLE), 0.0) / CAST(t.total AS DOUBLE)
+             AS mkt_share
+    FROM t LEFT JOIN n ON t.o_year = n.o_year
+"""
+
+
+@register("sql_tpch_q8", _TPCH_Q8_SQL)
+def q_sql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share inside a region, by year): the
+    deepest dimension chain in the suite — customer→nation→region
+    prunes the demand side, supplier→nation labels the supply side,
+    every dimension broadcasts. Numerator and denominator reduce in
+    exact decimal from the same CTE; the share is one IEEE division
+    with a double-typed COALESCE for years the nation sold nothing.
+    Same ANSI string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q8_SQL)
+
+
+_TPCH_Q13_SQL = """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+"""
+
+
+@register("sql_tpch_q13", _TPCH_Q13_SQL)
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the left join
+    that MUST keep zero-order customers (COUNT(col) over the null-
+    extended side counts 0 — the inner-join rewrite silently drops the
+    most interesting bucket), then a second exact-integer aggregate
+    over the per-customer counts. Two shuffles, both map-side
+    combinable. Same ANSI string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q13_SQL)
+
+
+_TPCH_Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,4))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("sql_tpch_q15", _TPCH_Q15_SQL)
+def q_sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier of the quarter): the self-referential
+    scalar-subquery pattern — revenue CTE evaluated once, its MAX
+    broadcast back as a filter (Catalyst plans the subquery as a
+    1-row broadcast, not a rescan). Ties all surface (= MAX keeps
+    every argmax row — deterministic, unlike LIMIT 1). Revenue is
+    exact decimal, so the argmax equality is engine-portable. Same
+    ANSI string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q15_SQL)
+
+
+_TPCH_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+"""
+
+
+@register("sql_tpch_q17", _TPCH_Q17_SQL)
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    AVERAGE subquery — decorrelated into one per-part aggregate joined
+    back (never a per-row rescan). Determinism note: quantities are
+    small integers, so their per-part double SUM is exact regardless
+    of order and AVG = exact-int / count is a single IEEE division —
+    the one case a floating AVG threshold is engine-portable. Same
+    ANSI string is the oracle."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q17_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

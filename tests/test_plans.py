@@ -372,3 +372,34 @@ def test_embedding_dim_stats_single_aggregate_pass(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", s, re.M)) == 1, s
     assert "Generate" in s  # posexplode stays codegen-side, no UDF
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+
+
+def test_tpch_q7_broadcasts_dims_single_fact_shuffle(spark):
+    s = fmt(QR.QUERIES["sql_tpch_q7"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    pushed = [seg.splitlines()[0] for seg in s.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in p_ for p_ in pushed), pushed
+
+
+def test_tpch_q13_keeps_left_outer(spark):
+    """The zero-order bucket requires LeftOuter (or RightOuter after
+    Catalyst's side swap) to survive planning."""
+    s = fmt(QR.QUERIES["sql_tpch_q13"](spark, SF))
+    assert "LeftOuter" in s or "RightOuter" in s, s
+
+
+def test_tpch_q15_plans_subquery_once(spark):
+    """The MAX subquery must reuse the revenue aggregate, not rescan
+    lineitem a third time: exactly 2 lineitem scans total (revenue CTE
+    + subquery branch), never one per supplier row."""
+    import re
+
+    s = fmt(QR.QUERIES["sql_tpch_q15"](spark, SF))
+    li_scans = len(re.findall(r"Location.*lineitem", s))
+    assert li_scans <= 2, s
+
+
+def test_tpch_q17_decorrelates_avg(spark):
+    s = fmt(QR.QUERIES["sql_tpch_q17"](spark, SF))
+    assert "HashAggregate" in s
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
