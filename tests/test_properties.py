@@ -65,3 +65,82 @@ def test_topk_invariants(spark, keys):
             assert z in got
         if z not in got:
             assert c < included_min
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_pps_systematic_invariants(spark, weights, k):
+    """Systematic PPS: 1..k picks per key; certainty items (w > W/k)
+    always selected; selection is a pure function of (ids, weights, k)."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        pps_systematic_per_key,
+    )
+
+    rows_in = [("g", i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows_in, "key string, rid long, w long")
+    picked = sorted(
+        r["rid"]
+        for r in pps_systematic_per_key(df, ["key"], "rid", "w", k).collect()
+    )
+    assert 1 <= len(picked) <= k
+    total = sum(weights)
+    for i, w in enumerate(weights):
+        if w * k > total:  # strictly more than one stride: must be picked
+            assert i in picked
+    # determinism under repartitioning
+    again = sorted(
+        r["rid"]
+        for r in pps_systematic_per_key(
+            df.repartition(7), ["key"], "rid", "w", k
+        ).collect()
+    )
+    assert picked == again
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    max_hops=st.integers(min_value=0, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_bfs_distances_match_networkx_free_oracle(spark, edges, max_hops):
+    """BFS vs a pure-python BFS oracle on random small graphs: same
+    reachable set and exact distances at every cutoff."""
+    from etl_platform_nyc_taxi_spark.operators.graph import bfs_distances
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    src_node = min(min(a, b) for a, b in edges)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {src_node: 0}
+    frontier = [src_node]
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(src_node,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edf, sdf, max_hops=max_hops).collect()
+    }
+    assert got == want
