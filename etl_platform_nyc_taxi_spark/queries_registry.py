@@ -6140,6 +6140,71 @@ def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _TPCH_Q17_SQL)
 
 
+_LATERAL_TOPN_SQL = """
+    SELECT o_orderkey, o_orderpriority, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+    ) l
+    WHERE o.o_orderkey % 50 = 0
+"""
+
+
+@register("sql_lateral_topn", _LATERAL_TOPN_SQL)
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (per-order
+    top-2 lineitems): the SQL spelling of per-group top-k. Catalyst
+    decorrelates the lateral into a rank-window over one lineitem pass
+    joined back on the key — never a per-order rescan — which is
+    exactly the plan windows.top_k_per_group declares; this query pins
+    that the SQL surface reaches the same shape. Deterministic under
+    price ties via the linenumber tiebreak. Same ANSI string is the
+    oracle (DuckDB executes the lateral natively)."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _LATERAL_TOPN_SQL)
+
+
+@register(
+    "window_value_family",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window family — first_value / last_value / nth_value over
+    an explicit full-partition frame. The explicit ROWS UNBOUNDED
+    FOLLOWING frame is the point: the DEFAULT frame ends at CURRENT
+    ROW, silently turning last_value into "current value" — the classic
+    window-function bug, pinned here as a cross-engine-verified
+    result. Deterministic order via the orderkey tiebreak; one shuffle
+    on the partition key; all three functions share one Window node."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

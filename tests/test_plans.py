@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -403,3 +404,18 @@ def test_tpch_q17_decorrelates_avg(spark):
     s = fmt(QR.QUERIES["sql_tpch_q17"](spark, SF))
     assert "HashAggregate" in s
     assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY+LIMIT must become a rank window with
+    WindowGroupLimit (map-side top-k pre-truncation), never a per-row
+    rescan of lineitem."""
+    s = fmt(QR.QUERIES["sql_lateral_topn"](spark, SF))
+    assert "WindowGroupLimit" in s, s
+    assert len(re.findall(r"^\(\d+\) Scan parquet", s, re.M)) == 2, s
+
+
+def test_window_value_family_single_window_node(spark):
+    s = fmt(QR.QUERIES["window_value_family"](spark, SF))
+    tree = s.split("(1) Scan")[0]
+    assert tree.count("Window") == 1, tree
