@@ -6205,6 +6205,102 @@ def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_growth_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    daily AS (
+      SELECT first_day AS day, COUNT(*) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cumulative_users
+    FROM daily
+    """,
+)
+def q_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve: daily new users + cumulative total. The scale
+    lesson is in what this does NOT do — a running COUNT(DISTINCT) over
+    an expanding window re-scans every prefix (quadratic state); the
+    correct shape is first-seen day per user (one aggregate), then a
+    cumsum over the per-DAY series — the global window touches |days|
+    rows, the engine's post-aggregate exception. All exact integers."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+@register(
+    "hourly_latency_bands",
+    """
+    WITH r AS (
+      SELECT date_trunc('hour', ts) AS hour, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT hour, MAX(n) AS n_events,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END)
+             AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END)
+             AS p95,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END)
+             AS p99
+    FROM r GROUP BY hour
+    """,
+)
+def q_hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO percentile bands per hour (p50/p95/p99 of the value metric):
+    the latency-dashboard query, computed with discrete rank selection
+    inside each hour partition — actual data points, engine-portable,
+    deterministic under ties via the event-id tiebreak. One shuffle on
+    the hour; at 100 TB the same skeleton swaps the exact rank for
+    approx_percentile per hour (the agg_approx twin) without changing
+    the result schema."""
+    from pyspark.sql import Window
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import _rank_quantile
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy(hour).orderBy("value", "event_id")
+    wn = Window.partitionBy(hour)
+    r = e.select(
+        hour.alias("hour"),
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def _at(q: float):
+        return F.max(
+            F.when(F.col("rn") == _rank_quantile(q, F.col("n")), F.col("value"))
+        )
+    return r.groupBy("hour").agg(
+        F.max("n").alias("n_events"),
+        _at(0.50).alias("p50"),
+        _at(0.95).alias("p95"),
+        _at(0.99).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
