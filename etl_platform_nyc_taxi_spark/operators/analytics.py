@@ -640,3 +640,115 @@ def group_regression_stats(
         (cov_n / var_x_n).alias("beta"),
         ((sy - (cov_n / var_x_n) * sx) / n).alias("intercept"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    entity_col: str,
+    day_col: str,
+    window_days: int = 7,
+    out_col: str = "active_entities",
+) -> DataFrame:
+    """Exact N-day rolling COUNT(DISTINCT entity) per day, computed by
+    day-expansion instead of sliding-window state.
+
+    A windowed ``COUNT(DISTINCT)`` cannot be expressed as a mergeable
+    window aggregate — engines either reject it or keep a per-row set
+    (quadratic state on long partitions). The scalable shape: collapse to
+    distinct (entity, day) first — the only stage that touches raw
+    events — then explode each day of presence into the ``window_days``
+    window-end days it contributes to, and run a plain distinct-count
+    group-by on the window day. Explode factor = window length (a
+    constant), every stage map-side combinable, no per-row set state.
+    Window-end days beyond the observed calendar are clipped by a
+    broadcast semi-join against the distinct observed days (tiny: one row
+    per day).
+    """
+    ud = df.select(entity_col, day_col).distinct()
+    days = ud.select(F.col(day_col).alias("window_day")).distinct()
+    expanded = ud.select(
+        entity_col,
+        F.explode(
+            F.sequence(
+                F.col(day_col), F.date_add(F.col(day_col), window_days - 1)
+            )
+        ).alias("window_day"),
+    )
+    return (
+        expanded.join(F.broadcast(days), "window_day", "left_semi")
+        .groupBy("window_day")
+        .agg(F.countDistinct(entity_col).alias(out_col))
+    )
+
+
+def binned_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    scale: int = 16,
+) -> DataFrame:
+    """Mergeable binned-histogram quantile sketch: one (groups…, bin, cnt)
+    row per occupied dyadic bin, bin = floor(value · scale).
+
+    With ``scale`` a power of two the bin id is EXACT IEEE arithmetic
+    (×2^k and floor are error-free), so the sketch is engine-portable and
+    deterministic — unlike t-digest/KLL whose internals are
+    implementation-defined. Quantiles read from the sketch are lower
+    bounds with error ≤ 1/scale in value — the classic fixed-width
+    histogram trade. The sketch is a plain relation: store it per
+    ingest batch and re-aggregate with :func:`sketch_quantiles` —
+    rollups never re-read the raw events."""
+    b = F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
+    return df.groupBy(*group_cols, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    group_cols: Sequence[str],
+    quantiles: Sequence[float],
+    scale: int = 16,
+) -> DataFrame:
+    """Merge a binned sketch to coarser groups and read rank-selected
+    quantile lower bounds.
+
+    Merge = SUM over bins (associative/commutative — the definition of a
+    mergeable sketch). The cumulative pass windows over DISTINCT BINS of
+    the merged groups only (the post-aggregate window exception: a few
+    thousand rows per group, never the raw events). Quantile q = value of
+    the first bin whose cumulative count reaches ceil(q·n) — integer
+    comparisons plus one ×2^-k at the end, exact on any engine."""
+    merged = sketch.groupBy(*group_cols, "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_all).alias("__n"),
+    )
+    sel_aggs = [F.max("__cum").alias("n_events")]
+    out_cols = list(group_cols) + ["n_events"]
+    for q in quantiles:
+        tag = f"p{int(round(q * 100)):02d}"
+        target = F.ceil(F.lit(q) * F.col("__n")).cast("long")
+        sel_aggs.append(
+            F.min(
+                F.when(F.col("__cum") >= target, F.col("bin"))
+            ).alias(f"__{tag}_bin")
+        )
+        out_cols.append(tag)
+    sel = cum.groupBy(*group_cols).agg(*sel_aggs)
+    for q in quantiles:
+        tag = f"p{int(round(q * 100)):02d}"
+        sel = sel.withColumn(
+            tag, F.col(f"__{tag}_bin") / F.lit(float(scale))
+        )
+    return sel.select(*out_cols)

@@ -829,3 +829,76 @@ def fuzzy_pairs_edit1(
         .filter(F.col("dist") <= 1)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_estimate_audit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Estimator-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature slots / num_hashes) next to the
+    exact hashed-shingle-set Jaccard, with the absolute error.
+
+    This is the self-check a dedup pipeline should ship with: the
+    estimate's error distribution tells you whether ``num_hashes`` is
+    sized right for the dedup threshold (E[err] ~ sqrt(J(1-J)/n)) before
+    trusting estimate-only pruning at full scale. Candidate generation is
+    deliberately UNSALTED (no hot-bucket cap): the audit must see every
+    band-bucket pair exhaustively — run it on a sample, not the full
+    corpus; the production path (:func:`minhash_near_dups`) keeps the
+    guard. Both the estimate and the exact value are integer-count ratios
+    (correctly-rounded single divisions), so the audit replays exactly on
+    any engine with the same md5 hash family.
+
+    Output: (id_a, id_b, est_jaccard, hash_jaccard, abs_err), rounded to
+    6 places after the exact-arithmetic compare.
+    """
+    hs, sig = _minhash_relations(df, id_col, text_col, k, num_hashes, partitions)
+    banded = _banded_signature(sig, num_hashes, bands)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cands = (
+        ba.join(bb, on=["band", "key"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    if partitions:
+        cands = cands.repartition(partitions)
+    sa = sig.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__m{i}").alias(f"__a{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__m{i}").alias(f"__b{i}") for i in range(num_hashes)],
+    )
+    ha = hs.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__ha"))
+    hb = hs.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hb"))
+    matches = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
+    union = (F.size("__ha") + F.size("__hb")).cast("double") - inter
+    jac = inter / union
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("__est", est)
+        .withColumn("__jac", jac)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("__est", 6).alias("est_jaccard"),
+            F.round("__jac", 6).alias("hash_jaccard"),
+            F.round(F.abs(F.col("__est") - F.col("__jac")), 6).alias("abs_err"),
+        )
+    )

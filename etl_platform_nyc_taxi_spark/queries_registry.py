@@ -6301,6 +6301,269 @@ def q_hourly_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 13: sliding distinct, mergeable quantile sketch, estimator
+# audit, distribution divergence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day AS window_day FROM ud)
+    SELECT d.window_day, COUNT(DISTINCT u.user_id) AS active_users_7d
+    FROM ud u JOIN days d
+      ON d.window_day BETWEEN u.day AND u.day + 6
+    GROUP BY d.window_day
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct active users per day
+    (operators/analytics.rolling_distinct). A sliding COUNT(DISTINCT)
+    window is inexpressible as a mergeable window aggregate; the scalable
+    shape is distinct (user, day) -> explode each presence day into the 7
+    window-end days it feeds -> plain distinct-count group-by. Explode
+    factor = window length (constant 7); no per-row set state; calendar
+    tail clipped by a broadcast semi-join on observed days."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import rolling_distinct
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return rolling_distinct(
+        e.select("user_id", F.col("ts").cast("date").alias("day")),
+        entity_col="user_id",
+        day_col="day",
+        window_days=7,
+        out_col="active_users_7d",
+    )
+
+
+@register(
+    "quantile_sketch_rollup",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(floor(value * 16.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+             SUM(cnt) AS cnt
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT week, bin,
+             SUM(cnt) OVER (PARTITION BY week ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY week) AS n
+      FROM weekly
+    )
+    SELECT week, MAX(cum) AS n_events,
+           MIN(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN bin END)
+             / 16.0 AS p50,
+           MIN(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN bin END)
+             / 16.0 AS p95
+    FROM cum GROUP BY week
+    """,
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup — the quantile twin of the HLL
+    distinct rollup (sketch_rollup): per-day dyadic-bin histograms
+    (operators/analytics.binned_sketch — floor(value*16), exact IEEE) are
+    the stored sketch; the weekly rollup merges by SUM over bins and
+    rank-selects p50/p95 lower bounds from the merged histogram
+    (sketch_quantiles) WITHOUT re-reading events. Unlike t-digest/KLL the
+    sketch content is engine-portable, so the whole rollup replays
+    exactly in the oracle; read error <= 1/16 in value by construction.
+    The cumulative window sees only distinct (week, bin) rows — the
+    post-aggregate window exception."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        binned_sketch,
+        sketch_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = binned_sketch(
+        e.select(F.col("ts").cast("date").alias("day"), "value"),
+        "value",
+        ["day"],
+        scale=16,
+    )
+    weekly = daily.select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        "bin",
+        "cnt",
+    )
+    out = sketch_quantiles(weekly, ["week"], [0.50, 0.95], scale=16)
+    return out.select("week", "n_events", "p50", "p95")
+
+
+_MH_EST_AUDIT_SQL = rf"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(text, CAST(i AS INT), 6)
+                            for i in range(1, greatest(length(text)-5,1)+1)]) AS sh
+      FROM corpus
+    ),
+    hv AS (
+      SELECT id,
+             [CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) for x in sh] AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT id,
+             [{_MH_SLOTS_SQL}] AS sig
+      FROM hv
+    ),
+    banded AS (
+      SELECT id, b.b AS band,
+             {_MH_KEY_SQL} AS key
+      FROM sig, (SELECT unnest(range(0,{_MH_BANDS})) AS b) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    hsets AS (SELECT id, list_distinct(hv) AS hs FROM hv),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             list_sum([CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]
+                            THEN 1 ELSE 0 END
+                       for i in range(1, {_MH_N}+1)]) / {_MH_N}.0 AS est,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+               / len(list_distinct(ha.hs || hb.hs)) AS jac
+      FROM cands c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b
+      JOIN hsets ha ON ha.id = c.id_a
+      JOIN hsets hb ON hb.id = c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(est, 6) AS est_jaccard,
+           ROUND(jac, 6) AS hash_jaccard,
+           ROUND(ABS(est - jac), 6) AS abs_err
+    FROM scored
+"""
+
+
+@register("minhash_estimate_audit", _MH_EST_AUDIT_SQL)
+def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit (operators/dedup.minhash_estimate_audit):
+    every LSH candidate pair carries its MinHash Jaccard ESTIMATE
+    (matching signature slots / 32) beside the exact hashed-shingle
+    Jaccard and the absolute error — the self-check that tells you
+    whether num_hashes is sized for the dedup threshold before trusting
+    estimate-only pruning at full scale. Candidates are deliberately
+    unsalted (the audit must be exhaustive per band bucket; run on a
+    sample at scale — the production path keeps the hot-bucket guard).
+    Both values are integer-count ratios, so the audit replays exactly
+    in the oracle's identical md5 hash family."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    return minhash_estimate_audit(
+        _docs_with_mutants(spark, sf_dir),
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "source_divergence",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    src AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
+    src_tot AS (SELECT source, SUM(c_st) AS n_s FROM src GROUP BY 1),
+    gcounts AS (SELECT term, SUM(c_st) AS c_t FROM src GROUP BY 1),
+    g_tot AS (SELECT SUM(c_t) AS n_g FROM gcounts),
+    gdist AS (
+      SELECT term, CAST(c_t AS DOUBLE) / CAST(n_g AS DOUBLE) AS g
+      FROM gcounts CROSS JOIN g_tot
+    ),
+    expanded AS (
+      SELECT st.source, gd.term, gd.g, st.n_s
+      FROM gdist gd CROSS JOIN src_tot st
+    ),
+    joined AS (
+      SELECT e.source, e.g,
+             CAST(COALESCE(s.c_st, 0) AS DOUBLE) / CAST(e.n_s AS DOUBLE) AS p
+      FROM expanded e
+      LEFT JOIN src s ON s.source = e.source AND s.term = e.term
+    ),
+    contrib AS (
+      SELECT source,
+             CASE WHEN p > 0 THEN 1 ELSE 0 END AS present,
+             CAST(ROUND((CASE WHEN p > 0
+                              THEN p * ln(p / ((p + g) / 2.0))
+                              ELSE 0.0 END
+                         + g * ln(g / ((p + g) / 2.0))) * 0.5, 12)
+                  AS DECIMAL(32,12)) AS c
+      FROM joined
+    )
+    SELECT source, SUM(present) AS n_src_terms,
+           ROUND(CAST(SUM(c) AS DOUBLE), 6) AS js_divergence
+    FROM contrib GROUP BY source
+    """,
+)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence against the GLOBAL token
+    distribution — the distribution-shift audit a corpus-mixing pipeline
+    runs before reweighting sources. Shape: one token pass -> per-source
+    and global term distributions; the global distribution (|vocab| rows)
+    is crossed with the tiny source list and left-joined to per-source
+    shares, so absent terms contribute their g*ln(2) tail exactly. Every
+    per-term contribution is non-negative (log-sum inequality with
+    m=(p+g)/2), quantized to DECIMAL(32,12) before the sum — the
+    summation is order-free and engine-exact; ln on identical doubles is
+    the tfidf_terms precedent. At 100 TB, cut the vocab to heavy hitters
+    first (the tail's mass bound caps the JS error)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    )
+    src = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    src_tot = src.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    glob = src.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    glob_tot = glob.agg(F.sum("c_t").alias("n_g"))
+    gdist = glob.crossJoin(F.broadcast(glob_tot)).select(
+        "term",
+        (F.col("c_t").cast("double") / F.col("n_g").cast("double")).alias("g"),
+    )
+    expanded = gdist.crossJoin(F.broadcast(src_tot))
+    joined = expanded.join(src, ["source", "term"], "left").select(
+        "source",
+        "g",
+        (
+            F.coalesce(F.col("c_st"), F.lit(0)).cast("double")
+            / F.col("n_s").cast("double")
+        ).alias("p"),
+    )
+    p, g = F.col("p"), F.col("g")
+    m = (p + g) / F.lit(2.0)
+    contrib = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + g * F.log(g / m)
+    ) * F.lit(0.5)
+    c = F.round(contrib, 12).cast("decimal(32,12)")
+    return joined.groupBy("source").agg(
+        F.sum(F.when(p > 0, 1).otherwise(0)).alias("n_src_terms"),
+        F.round(F.sum(c).cast("double"), 6).alias("js_divergence"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

@@ -467,3 +467,81 @@ def test_abc_classification_boundaries(spark):
         for r in QR_.QUERIES["abc_classification"](spark, d).collect()
     }
     assert out == {"A": (1, 80.0), "B": (1, 15.0), "C": (1, 5.0)}
+
+
+def _mk_day(s):
+    return dt.date.fromisoformat(s)
+
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import rolling_distinct
+
+    random.seed(7)
+    data = [
+        (random.randrange(12), _mk_day("2024-03-01") + dt.timedelta(days=random.randrange(15)))
+        for _ in range(200)
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.IntegerType()),
+            T.StructField("day", T.DateType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    got = {
+        r["window_day"]: r["n"]
+        for r in rolling_distinct(df, "user_id", "day", 7, out_col="n").collect()
+    }
+    days = sorted({d for _, d in data})
+    for wd in days:
+        expect = len(
+            {u for u, d in data if wd - dt.timedelta(days=6) <= d <= wd}
+        )
+        assert got[wd] == expect, wd
+    # only observed days are reported
+    assert set(got) == set(days)
+
+
+def test_binned_sketch_merge_equals_global(spark):
+    """Mergeability: per-day sketches rolled up == sketch built in one
+    pass over everything; quantile reads are exact lower bin bounds."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        binned_sketch,
+        sketch_quantiles,
+    )
+    import pyspark.sql.types as T
+
+    random.seed(11)
+    data = [
+        ("g1", _mk_day("2024-01-01") + dt.timedelta(days=i % 9), random.uniform(0, 20))
+        for i in range(300)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("grp", T.StringType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(data, schema)
+    daily = binned_sketch(df, "value", ["grp", "day"], scale=16)
+    merged = rows(
+        daily.groupBy("grp", "bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = rows(binned_sketch(df, "value", ["grp"], scale=16))
+    assert merged == direct
+    out = sketch_quantiles(daily, ["grp"], [0.5, 0.95], scale=16).collect()
+    assert len(out) == 1
+    row = out[0]
+    vals = sorted(v for _, _, v in data)
+    n = len(vals)
+    assert row["n_events"] == n
+    import math
+
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        exact = vals[math.ceil(q * n) - 1]
+        # sketch reports the lower edge of the bin holding the exact value
+        assert row[col] == math.floor(exact * 16) / 16.0
+        assert row[col] <= exact < row[col] + 1 / 16.0

@@ -443,3 +443,41 @@ def test_containment_requires_blocking_or_optin(spark):
         containment_pairs(df)
     # explicit opt-in plans without raising
     containment_pairs(df, allow_unblocked=True).collect()
+
+
+def test_minhash_estimate_audit_properties(spark):
+    """Identical docs audit to est=1, jac=1, err=0; estimates stay in
+    [0,1]; every verified near-dup pair appears among audited candidates
+    with |est-jac| bounded by the estimator's coarse resolution."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        minhash_estimate_audit,
+        minhash_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base * 3),
+        (2, base * 3),  # exact duplicate of 1
+        (3, (base * 3)[15:]),  # near-dup mutant
+        (4, "completely different content about spark shuffles and parquet files"),
+        (5, "another unrelated short text with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    audit = minhash_estimate_audit(
+        df, k=4, num_hashes=16, bands=4
+    ).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in audit}
+    assert (1, 2) in by_pair
+    r12 = by_pair[(1, 2)]
+    assert r12["est_jaccard"] == 1.0
+    assert r12["hash_jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    for r in audit:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 < r["hash_jaccard"] <= 1.0
+        assert abs(abs(r["est_jaccard"] - r["hash_jaccard"]) - r["abs_err"]) < 1e-9
+    verified = minhash_near_dups(
+        df, k=4, num_hashes=16, bands=4, threshold=0.5
+    ).collect()
+    for v in verified:
+        assert (v["id_a"], v["id_b"]) in by_pair
