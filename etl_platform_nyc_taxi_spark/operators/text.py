@@ -507,3 +507,78 @@ def winnow_fingerprint_rows(
         .select(F.col(id_col), "fp")
         .distinct()
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    df_cap_ppm: int = 200_000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine document-pair similarity via an inverted-index
+    self-join — the term-space twin of embedding cosine near-dup: pairs
+    form ONLY where documents share a term, never all-pairs.
+
+    Scale levers: (1) the document-frequency cap drops terms present in
+    more than ``df_cap_ppm``/1e6 of the corpus (stopword-grade terms
+    carry near-zero idf but quadratic join fan-out — the classic
+    inverted-index prune; candidate pairs are bounded by Σ_t df_t² over
+    surviving terms); the cap itself is integer-exact and scale-free
+    (df·1e6 ≤ cap·N). (2) dot products accumulate per-pair over shared
+    terms only, map-side combinable. Cosine is defined over the CAPPED
+    vocabulary (declared semantic, same on both engines).
+
+    Engine-exactness: weights round to 6 places (idf via ln — the
+    tfidf_top_terms precedent), per-term products/squares quantize to
+    DECIMAL(38,12) before the order-free sums, and norm/ratio are
+    correctly-rounded IEEE sqrt/divide — bit-identical on any engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens_ws(text_col)).alias("term")
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    kept = (
+        tf.join(dfc, "term")
+        .join(F.broadcast(n_docs))
+        .filter(
+            F.col("df") * F.lit(1_000_000)
+            <= F.lit(df_cap_ppm) * F.col("n_docs")
+        )
+    )
+    w = F.round(
+        F.col("tf")
+        * (
+            F.log(
+                (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    weighted = kept.select("__id", "term", w.alias("w"))
+    sq = F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
+    norms = weighted.groupBy("__id").agg(
+        F.sqrt(F.sum(sq).cast("double")).alias("norm")
+    )
+    a = weighted.select(F.col("__id").alias("id_a"), "term", F.col("w").alias("wa"))
+    b = weighted.select(F.col("__id").alias("id_b"), "term", F.col("w").alias("wb"))
+    prod = F.round(F.col("wa") * F.col("wb"), 12).cast("decimal(38,12)")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(prod).alias("__dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("norm").alias("__na"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("norm").alias("__nb"))
+    cos = F.col("__dot").cast("double") / (F.col("__na") * F.col("__nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )

@@ -6343,9 +6343,7 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quantile_sketch_rollup",
-    """
+_QSKETCH_SQL = """
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day,
              CAST(floor(value * 16.0) AS BIGINT) AS bin,
@@ -6370,8 +6368,10 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(CASE WHEN cum >= CAST(ceil(0.95 * n) AS BIGINT) THEN bin END)
              / 16.0 AS p95
     FROM cum GROUP BY week
-    """,
-)
+    """
+
+
+@register("quantile_sketch_rollup", _QSKETCH_SQL)
 def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable QUANTILE sketch rollup — the quantile twin of the HLL
     distinct rollup (sketch_rollup): per-day dyadic-bin histograms
@@ -6561,6 +6561,212 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source").agg(
         F.sum(F.when(p > 0, 1).otherwise(0)).alias("n_src_terms"),
         F.round(F.sum(c).cast("double"), 6).alias("js_divergence"),
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 14: sparse-vector cosine, dynamic partition pruning,
+# streaming sketch build, behavioral entropy.
+# ---------------------------------------------------------------------------
+
+
+_TFIDF_COSINE_SQL = rf"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    toks AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM corpus
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM corpus),
+    kept AS (
+      SELECT tf.id, tf.term,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS w
+      FROM tf JOIN dfc USING (term) CROSS JOIN n
+      WHERE dfc.df * 1000000 <= 200000 * n.n_docs
+    ),
+    norms AS (
+      SELECT id,
+             sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12))) AS DOUBLE))
+               AS norm
+      FROM kept GROUP BY id
+    ),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             SUM(CAST(ROUND(a.w * b.w, 12) AS DECIMAL(38,12))) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.id = dots.id_a
+    JOIN norms nb ON nb.id = dots.id_b
+    WHERE CAST(dot AS DOUBLE) / (na.norm * nb.norm) >= 0.6
+"""
+
+
+@register("tfidf_cosine_pairs", _TFIDF_COSINE_SQL)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs via inverted-index self-join
+    (operators/text.tfidf_cosine_pairs) — the term-space twin of
+    dedup_embedding_cosine: candidate pairs form only where documents
+    share a surviving term, bounded by Σ df² under the integer-exact
+    document-frequency cap (df ≤ 20% of corpus), never all-pairs. Weights
+    round before pairing; per-term products quantize to decimal so the
+    per-pair dot sums are order-free; norm/divide are correctly-rounded
+    IEEE — the oracle replays every step."""
+    from etl_platform_nyc_taxi_spark.operators.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs_with_mutants(spark, sf_dir), threshold=0.6, df_cap_ppm=200_000
+    )
+
+
+@register(
+    "dpp_partitioned_join",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS day, event_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    dim AS (
+      SELECT day FROM e
+      GROUP BY day
+      HAVING COUNT(*) FILTER (WHERE event_type = 'error') * 5 > COUNT(*)
+    )
+    SELECT e.day, e.event_type, COUNT(*) AS n
+    FROM e JOIN dim ON e.day = dim.day
+    GROUP BY 1, 2
+    """,
+)
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a date-partitioned fact layout: the
+    events fixture is materialized ONCE per session as a hive-partitioned
+    (day=...) parquet layout (sources/parquet.write_partitioned via the
+    build-once _served_index cache); the dim side — high-error-share
+    days — is an aggregate whose qualifying set exists only at runtime,
+    so no static predicate can prune the fact. With the dim broadcast,
+    Spark injects a dynamicpruning subquery into the fact scan's
+    PartitionFilters and only the qualifying day directories are read —
+    the plan shape that turns a 100 TB full-history scan into a
+    few-partition read (pinned in tests/test_plans.py). The dim
+    predicate — days whose error share exceeds 20% — is integer-exact
+    and scale-free (errors·5 > total)."""
+    from etl_platform_nyc_taxi_spark.sources.parquet import write_partitioned
+
+    e_raw = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.col("ts").cast("date").alias("day"), "event_type")
+    )
+    fact = _served_index(
+        "events_by_day",
+        sf_dir,
+        spark,
+        lambda p: write_partitioned(e_raw, p, ["day"]),
+    )
+    # Single-relation HAVING keeps the dim's selective predicate directly
+    # above its aggregate — the shape Spark's PartitionPruning rule
+    # recognizes (a filter referencing a second relation, e.g. a
+    # cross-joined global total, defeats hasSelectivePredicate and no
+    # pruning subquery is inserted; measured, not guessed).
+    dim = (
+        e_raw.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("__ne"),
+        )
+        .filter(F.col("__ne") * F.lit(5) > F.col("__n"))
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("streaming_quantile_sketch", _QSKETCH_SQL)
+def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BUILD of the mergeable quantile sketch: the per-(day,
+    bin) histogram accumulates under Trigger.AvailableNow with bounded
+    state (#occupied bins, not #events — the whole point of sketch
+    ingest), then the batch side merges to weekly and rank-selects
+    p50/p95 exactly as quantile_sketch_rollup does — same oracle SQL,
+    identical results from a streaming ingest plan. This is the
+    ingest-time shape at 100 TB: the stream maintains tiny sketch state
+    per window; rollups over any horizon re-aggregate stored sketches
+    and never replay raw events."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import sketch_quantiles
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+        run_available_now,
+    )
+
+    stream = read_stream_auto(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    daily = (
+        stream.groupBy(
+            F.window("ts", "1 day").alias("__w"),
+            F.floor(F.col("value") * F.lit(16.0)).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__w.start").cast("date").alias("day"), "bin", "cnt")
+    )
+    sink = "stream_qsketch"
+    run_available_now(daily, sink)
+    sk = spark.table(sink).select(
+        F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+        "bin",
+        "cnt",
+    )
+    out = sketch_quantiles(sk, ["week"], [0.50, 0.95], scale=16)
+    return out.select("week", "n_events", "p50", "p95")
+
+
+@register(
+    "user_type_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1),
+    contrib AS (
+      SELECT c.user_id, t.tot,
+             CAST(ROUND(-(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                        * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)), 12)
+                  AS DECIMAL(32,12)) AS h
+      FROM c JOIN t USING (user_id)
+    )
+    SELECT user_id, MAX(tot) AS n_events,
+           ROUND(CAST(SUM(h) AS DOUBLE), 6) AS type_entropy
+    FROM contrib GROUP BY user_id
+    """,
+)
+def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral (Shannon) entropy over event types — the
+    feature-engineering op behind engagement-diversity scores. One
+    shuffle on user_id: the share/total window runs over the collapsed
+    (user, type) aggregate (≤ |types| rows per user — the post-aggregate
+    window exception), contributions quantize to decimal so the per-user
+    sum is order-free, and -p·ln p ≥ 0 keeps rounding mode symmetric
+    across engines."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    rel = c.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("user_id"))
+    )
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    h = F.round(-p * F.log(p), 12).cast("decimal(32,12)")
+    return rel.groupBy("user_id").agg(
+        F.max("tot").alias("n_events"),
+        F.round(F.sum(h).cast("double"), 6).alias("type_entropy"),
     )
 
 

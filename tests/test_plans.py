@@ -419,3 +419,36 @@ def test_window_value_family_single_window_node(spark):
     s = fmt(QR.QUERIES["window_value_family"](spark, SF))
     tree = s.split("(1) Scan")[0]
     assert tree.count("Window") == 1, tree
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark):
+    """The partitioned-fact join must carry a dynamicpruning subquery in
+    the fact scan's PartitionFilters — only qualifying day= directories
+    are read. A dim whose filter references a second relation defeats
+    the PartitionPruning rule (measured), so this pin also guards the
+    dim's single-relation HAVING shape."""
+    df = QR.QUERIES["dpp_partitioned_join"](spark, SF)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in s, s
+
+
+def test_tfidf_cosine_pairs_df_cap_blocks_hot_terms(spark):
+    """Terms above the document-frequency cap must not generate pairs:
+    a term shared by every doc is pruned, so two docs overlapping ONLY
+    in that term never pair; docs sharing rare terms do."""
+    from etl_platform_nyc_taxi_spark.operators.text import tfidf_cosine_pairs
+
+    docs = [
+        (1, "common alpha beta gamma delta"),
+        (2, "common alpha beta gamma epsilon"),
+        (3, "common zeta eta theta iota"),
+        (4, "common kappa lamda mu nu"),
+        (5, "common xi omicron pi rho"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # cap at 60%: 'common' (df=5/5) pruned, everything else survives
+    out = tfidf_cosine_pairs(df, threshold=0.3, df_cap_ppm=600_000).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs          # share alpha/beta/gamma
+    for p in pairs:
+        assert p != (3, 4) and p != (4, 5) and p != (3, 5), pairs
