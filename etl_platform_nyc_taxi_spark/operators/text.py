@@ -515,6 +515,7 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.6,
     df_cap_ppm: int = 200_000,
+    df_cap_abs: int = 1000,
 ) -> DataFrame:
     """Sparse TF-IDF cosine document-pair similarity via an inverted-index
     self-join — the term-space twin of embedding cosine near-dup: pairs
@@ -525,7 +526,12 @@ def tfidf_cosine_pairs(
     carry near-zero idf but quadratic join fan-out — the classic
     inverted-index prune; candidate pairs are bounded by Σ_t df_t² over
     surviving terms); the cap itself is integer-exact and scale-free
-    (df·1e6 ≤ cap·N). (2) dot products accumulate per-pair over shared
+    (df·1e6 ≤ cap·N) — AND an ABSOLUTE cap ``df_cap_abs`` (sklearn's
+    max_df): a relative cap alone is defeated by subpopulation-hot terms
+    (a term in every doc of one large subcorpus stays under any global
+    percentage as the corpus grows around it, and its df² pair fan-out
+    goes quadratic — measured: the ×10 scale bench hung on exactly this
+    before the absolute cap existed). (2) dot products accumulate per-pair over shared
     terms only, map-side combinable. Cosine is defined over the CAPPED
     vocabulary (declared semantic, same on both engines).
 
@@ -544,8 +550,11 @@ def tfidf_cosine_pairs(
         tf.join(dfc, "term")
         .join(F.broadcast(n_docs))
         .filter(
-            F.col("df") * F.lit(1_000_000)
-            <= F.lit(df_cap_ppm) * F.col("n_docs")
+            (
+                F.col("df") * F.lit(1_000_000)
+                <= F.lit(df_cap_ppm) * F.col("n_docs")
+            )
+            & (F.col("df") <= F.lit(df_cap_abs))
         )
     )
     w = F.round(

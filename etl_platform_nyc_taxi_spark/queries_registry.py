@@ -6585,7 +6585,7 @@ _TFIDF_COSINE_SQL = rf"""
       SELECT tf.id, tf.term,
              ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfc.df + 1.0)) + 1.0), 6) AS w
       FROM tf JOIN dfc USING (term) CROSS JOIN n
-      WHERE dfc.df * 1000000 <= 200000 * n.n_docs
+      WHERE dfc.df * 1000000 <= 200000 * n.n_docs AND dfc.df <= 1000
     ),
     norms AS (
       SELECT id,
@@ -6614,14 +6614,20 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.tfidf_cosine_pairs) — the term-space twin of
     dedup_embedding_cosine: candidate pairs form only where documents
     share a surviving term, bounded by Σ df² under the integer-exact
-    document-frequency cap (df ≤ 20% of corpus), never all-pairs. Weights
+    document-frequency caps (relative df ≤ 20% of corpus AND absolute
+    df ≤ 1000 — the relative cap alone is defeated by subpopulation-hot
+    terms as the corpus grows; see operators/text.tfidf_cosine_pairs),
+    never all-pairs. Weights
     round before pairing; per-term products quantize to decimal so the
     per-pair dot sums are order-free; norm/divide are correctly-rounded
     IEEE — the oracle replays every step."""
     from etl_platform_nyc_taxi_spark.operators.text import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(
-        _docs_with_mutants(spark, sf_dir), threshold=0.6, df_cap_ppm=200_000
+        _docs_with_mutants(spark, sf_dir),
+        threshold=0.6,
+        df_cap_ppm=200_000,
+        df_cap_abs=1000,
     )
 
 
@@ -6767,6 +6773,132 @@ def q_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.groupBy("user_id").agg(
         F.max("tot").alias("n_events"),
         F.round(F.sum(h).cast("double"), 6).alias("type_entropy"),
+    )
+
+
+
+
+@register(
+    "sketch_error_audit",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS p50_cdf_ok, TRUE AS distinct_ok
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for the engine's approximate aggregates, checked
+    cross-engine: percentile_approx's median must sit within the sketch's
+    rank guarantee (count of values <= approx within n/2 +- max(2, n/100)
+    — a CDF check that needs no value tolerance), and
+    approx_count_distinct must land within 10% of the exact count (2x its
+    default 5% rsd). The sketches themselves are engine-specific (the
+    HLL/KLL twin of sketch_rollup's rows-only caveat) but the BOOLEAN
+    verdicts are portable — the oracle asserts TRUE, so a sketch
+    regression fails the driver gate, not just a local test. This is the
+    audit that makes approx aggregates trustworthy before swapping them
+    in for exact ones at 100 TB."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    approx = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("__ap50"),
+        F.approx_count_distinct("user_id").alias("__acd"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    joined = e.join(
+        F.broadcast(approx.select("event_type", "__ap50")), "event_type"
+    )
+    cdf = joined.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("value") <= F.col("__ap50"), 1).otherwise(0)
+        ).alias("__le")
+    )
+    return approx.join(cdf, "event_type").select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("__le") - F.col("n") / F.lit(2.0))
+            <= F.greatest(F.lit(2.0), F.col("n") / F.lit(100.0))
+        ).alias("p50_cdf_ok"),
+        (
+            F.abs(F.col("__acd") - F.col("exact_users"))
+            <= F.lit(0.10) * F.col("exact_users")
+        ).alias("distinct_ok"),
+    )
+
+
+
+
+@register(
+    "interarrival_stats",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id,
+             us - LAG(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS d
+      FROM e
+    ),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_gaps,
+             SUM(CAST(d AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(d AS DECIMAL(38,0)) * CAST(d AS DECIMAL(38,0))) AS sxx
+      FROM g WHERE d IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           ROUND((CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / 1000000.0, 6)
+             AS mean_gap_s,
+           ROUND(sqrt(greatest(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+                 / CAST(sx AS DOUBLE), 6) AS cv
+    FROM a
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence features (mean gap + coefficient of
+    variation) — burstiness vs regularity, the classic temporal feature
+    for churn/bot scoring. Gaps are exact epoch-microsecond integers from
+    one lag window (one shuffle on user_id, ts+event_id deterministic
+    order); moments accumulate as exact DECIMAL sums (the
+    group_regression_stats skeleton) so the per-user aggregate is
+    order-free; mean/CV form from the moment identity n·Σd²−(Σd)² in
+    correctly-rounded IEEE ops, clamped at 0 before the sqrt so constant
+    cadences read CV=0 on every engine instead of NaN from −ε."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    dd = F.col("d").cast("decimal(38,0)")
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(dd).alias("__sx"),
+        F.sum(dd * dd).alias("__sxx"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.round((sx / n) / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        F.round(
+            F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) / sx, 6
+        ).alias("cv"),
     )
 
 

@@ -4,6 +4,7 @@ with the batch aggregate on the same files (SURVEY.md §7.2 step 6)."""
 from __future__ import annotations
 
 import datetime as dt
+import random
 
 from pyspark.sql import functions as F
 
@@ -619,7 +620,7 @@ def test_windowed_key_counts_batch_parity(spark, tmp_path):
 # streaming CDC apply (streaming/cdc.py)
 # ---------------------------------------------------------------------------
 
-from tests.conftest import ts  # noqa: E402
+from tests.conftest import rows, ts  # noqa: E402
 
 
 def _cdc_rows():
@@ -715,3 +716,70 @@ def test_cdc_apply_out_of_order_batches(spark, tmp_path):
         state=state,
     )
     assert [r["event_id"] for r in state.read().collect()] == [9]
+
+
+def test_streaming_sketch_multibatch_equals_batch(spark, tmp_path):
+    """Mergeable-sketch invariant under incremental arrival: the per-(day,
+    bin) histogram accumulated file-by-file (maxFilesPerTrigger=1,
+    complete mode) must equal the one-pass batch sketch — the property
+    that lets 100 TB rollups re-aggregate stored sketches instead of
+    replaying events."""
+    import glob
+    import os
+    import shutil
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import binned_sketch
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    random.seed(3)
+    all_rows = []
+    for i in range(3):
+        rows_i = [
+            (
+                dt.datetime(2024, 1, 1 + (j % 5), 8 + i, 0, 0),
+                random.uniform(0, 30),
+            )
+            for j in range(40)
+        ]
+        all_rows += rows_i
+        stage = tmp_path / f"sk_stage{i}"
+        spark.createDataFrame(rows_i, "ts timestamp, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        dest = src / f"f{i}.parquet"
+        shutil.copy(glob.glob(str(stage / "part-*.parquet"))[0], dest)
+        os.utime(dest, (1_700_000_000 + i * 100,) * 2)
+
+    stream = read_stream_auto(spark, str(src), maxFilesPerTrigger="1")
+    daily = (
+        stream.groupBy(
+            F.window("ts", "1 day").alias("__w"),
+            F.floor(F.col("value") * F.lit(16.0)).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("__w.start").cast("date").alias("day"), "bin", "cnt")
+    )
+    q = (
+        daily.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("t_sketch_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sketch"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = rows(spark.table("t_sketch_stream"))
+    batch_df = spark.createDataFrame(all_rows, "ts timestamp, value double")
+    batch = rows(
+        binned_sketch(
+            batch_df.select(F.col("ts").cast("date").alias("day"), "value"),
+            "value",
+            ["day"],
+            scale=16,
+        )
+    )
+    assert streamed == batch

@@ -249,3 +249,29 @@ def test_quality_filter_preserves_user_prefixed_columns(spark):
     # custom prefix is forwarded end-to-end
     kept2 = quality_filter(df, rules=rules, prefix="flag_")
     assert kept2.columns == ["doc_id", "text", "q_score"]
+
+
+def test_tfidf_cosine_pairs_absolute_df_cap(spark):
+    """The ABSOLUTE df cap must prune subpopulation-hot terms that stay
+    under the relative cap: with df_cap_abs=2, a term in 3 of 20 docs
+    (15% < the 50% relative cap) generates no pairs."""
+    from etl_platform_nyc_taxi_spark.operators.text import tfidf_cosine_pairs
+
+    docs = [(i, f"filler{i}a filler{i}b filler{i}c") for i in range(1, 18)]
+    docs += [
+        (18, "hot alpha beta"),
+        (19, "hot alpha gamma"),
+        (20, "hot delta epsilon"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with_abs = tfidf_cosine_pairs(
+        df, threshold=0.01, df_cap_ppm=500_000, df_cap_abs=2
+    ).collect()
+    pairs_abs = {(r["id_a"], r["id_b"]) for r in with_abs}
+    # 'hot' (df=3 > 2) is pruned; 'alpha' (df=2) survives -> only (18,19)
+    assert pairs_abs == {(18, 19)}, pairs_abs
+    without_abs = tfidf_cosine_pairs(
+        df, threshold=0.01, df_cap_ppm=500_000, df_cap_abs=1000
+    ).collect()
+    pairs_rel = {(r["id_a"], r["id_b"]) for r in without_abs}
+    assert {(18, 19), (18, 20), (19, 20)} <= pairs_rel

@@ -70,6 +70,14 @@ HEAVY = [
     "label_centroid_sim",
     "bucketed_join",
     "skew_report",
+    # Round 4 batch 13/14: inverted-index cosine (pair fan-out must stay
+    # df-cap-bounded as the corpus replicates), the UNSALTED estimator
+    # audit (expected near-linear on a decorrelated corpus — its contract
+    # says sample-only where buckets run hot), and the vocab x sources
+    # divergence (vocab growth drives the cross relation).
+    "tfidf_cosine_pairs",
+    "minhash_estimate_audit",
+    "source_divergence",
 ]
 
 REPLICA_STRIDE = 10_000_000
