@@ -6902,6 +6902,191 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "latency_trend",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+      FROM events WHERE ts IS NOT NULL
+    ),
+    p AS (
+      SELECT event_type, day,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END)
+               AS p50
+      FROM r GROUP BY event_type, day
+    ),
+    x AS (
+      SELECT event_type, p50,
+             CAST(datediff('day', MIN(day) OVER (PARTITION BY event_type),
+                           day) AS BIGINT) AS idx
+      FROM p
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             SUM(CAST(idx AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(p50 AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(idx AS DECIMAL(18,0)) * CAST(p50 AS DECIMAL(18,6)))
+               AS sxy,
+             SUM(CAST(idx AS DECIMAL(18,0)) * CAST(idx AS DECIMAL(18,0)))
+               AS sxx
+      FROM x GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8)
+             AS slope_per_day,
+           ROUND(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_p50
+    FROM m
+    """,
+)
+def q_latency_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend of the daily median per event type — 'is latency drifting?',
+    the SLO companion to hourly_latency_bands: exact rank-selected daily
+    p50s (never a global sort), day index anchored at each type's first
+    observed day (window MIN over the tiny per-day aggregate), then the
+    one-pass decimal-moment OLS slope (group_regression_stats skeleton).
+    Composite of two post-aggregate windows + one group-by; every stage's
+    input collapses before it windows."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "value",
+            "event_id",
+        )
+    )
+    w_rank = Window.partitionBy("event_type", "day").orderBy(
+        "value", "event_id"
+    )
+    w_n = Window.partitionBy("event_type", "day")
+    r = e.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    p = r.groupBy("event_type", "day").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        ).alias("p50")
+    )
+    w_min = Window.partitionBy("event_type")
+    x = p.select(
+        "event_type",
+        "p50",
+        F.datediff(F.col("day"), F.min("day").over(w_min))
+        .cast("long")
+        .alias("idx"),
+    )
+    ix = F.col("idx").cast("decimal(18,0)")
+    py = F.col("p50").cast("decimal(18,6)")
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(ix).alias("__sx"),
+        F.sum(py).alias("__sy"),
+        F.sum(ix * py).alias("__sxy"),
+        F.sum(ix * ix).alias("__sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8).alias(
+            "slope_per_day"
+        ),
+        F.round(sy / n, 6).alias("mean_p50"),
+    )
+
+
+_SURVIVORSHIP_SQL = rf"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL}) p
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    corpus AS ({_DOCS_MUTANTS_SQL}),
+    members AS (
+      SELECT c.component, k.doc_id, k.text, k.lang, k.source
+      FROM comp c JOIN corpus k ON k.doc_id = c.node
+    )
+    SELECT component, COUNT(*) AS n_members,
+           CAST(MAX(length(text)) AS INT) AS max_chars,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM members GROUP BY component HAVING COUNT(*) >= 2
+"""
+
+
+@register("cluster_survivorship", _SURVIVORSHIP_SQL)
+def q_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record merge) over near-dup clusters — the
+    MDM step after dedup_clusters picks a canonical: each multi-member
+    component collapses to one merged record (member count, longest
+    text's length, the sorted distinct lang/source sets as portable CSV
+    scalars). Same pair pipeline and connected components as
+    dedup_clusters (ReuseExchange shares the trunk); the merge itself is
+    one group-by over members with order-insensitive aggregates, so the
+    golden record is deterministic regardless of which member arrives
+    first — the property that lets survivorship run incrementally at
+    100 TB."""
+    from etl_platform_nyc_taxi_spark.operators.graph import dedup_clusters
+
+    corpus = _docs_with_mutants(spark, sf_dir)
+    pairs = minhash_near_dups(
+        corpus,
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.6,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+    clusters = dedup_clusters(
+        pairs, all_ids=corpus, id_col="doc_id", partitions=8
+    )
+    members = clusters.join(corpus, "doc_id")
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.length("text")).alias("max_chars"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias(
+                "langs"
+            ),
+            F.array_join(
+                F.array_sort(F.collect_set("source")), ","
+            ).alias("sources"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
