@@ -7087,6 +7087,128 @@ def q_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "fd_violations",
+    """
+    WITH fd1 AS (
+      SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS nd
+      FROM orders GROUP BY o_custkey
+    ),
+    fd2 AS (
+      SELECT user_id AS k, COUNT(DISTINCT event_type) AS nd
+      FROM events GROUP BY user_id
+    ),
+    fd3 AS (
+      SELECT l_orderkey AS k, COUNT(DISTINCT l_returnflag) AS nd
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    u AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd, nd FROM fd1
+      UNION ALL
+      SELECT 'user_id->event_type' AS fd, nd FROM fd2
+      UNION ALL
+      SELECT 'l_orderkey->l_returnflag' AS fd, nd FROM fd3
+    )
+    SELECT fd, COUNT(*) AS n_keys,
+           COUNT(*) FILTER (WHERE nd > 1) AS n_violating,
+           ROUND(CAST(COUNT(*) FILTER (WHERE nd > 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS violation_share,
+           MAX(nd) AS max_distinct
+    FROM u GROUP BY fd
+    """,
+)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit — does A determine B? —
+    the profiling step that finds denormalization candidates and data
+    bugs (a 'customer has two nations' class error). Each candidate FD
+    is one distinct-count aggregate per key (map-side combinable, one
+    shuffle per relation); the verdict relation is three tiny aggregates
+    unioned, so auditing more FDs adds aggregates, not scans of each
+    other. Violation share is an exact count ratio."""
+    from etl_platform_nyc_taxi_spark.operators.core import union_by_name
+
+    def fd(df, key, dep, name):
+        nd = df.groupBy(key).agg(F.countDistinct(dep).alias("nd"))
+        agg = nd.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias(
+                "n_violating"
+            ),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("violation_share"),
+            F.max("nd").alias("max_distinct"),
+        )
+        return agg.select(
+            F.lit(name).alias("fd"),
+            "n_keys",
+            "n_violating",
+            "violation_share",
+            "max_distinct",
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    return union_by_name(
+        fd(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority"),
+        fd(e, "user_id", "event_type", "user_id->event_type"),
+        fd(li, "l_orderkey", "l_returnflag", "l_orderkey->l_returnflag"),
+    )
+
+
+@register(
+    "benford_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share,
+           ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_expected,
+           ROUND(ABS(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+                     - ln(1.0 + 1.0 / digit) / ln(10.0)), 6) AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals — the
+    classic fabricated-data screen in financial DQ. Digit extraction is
+    pure string/integer codegen on the scan; one 9-bucket aggregate plus
+    a 1-row total broadcast; expected shares log10(1+1/d) computed as
+    ln-ratios on identical doubles (tfidf ln precedent). Deviations are
+    exact count-ratio arithmetic, rounded for the cross-engine hash."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    share = F.col("n").cast("double") / F.col("tot").cast("double")
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(
+        F.lit(10.0)
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_expected"),
+        F.round(F.abs(share - expected), 6).alias("abs_dev"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
