@@ -452,3 +452,42 @@ def test_tfidf_cosine_pairs_df_cap_blocks_hot_terms(spark):
     assert (1, 2) in pairs          # share alpha/beta/gamma
     for p in pairs:
         assert p != (3, 4) and p != (4, 5) and p != (3, 5), pairs
+
+
+def test_benford_pushes_filter_and_prunes_columns(spark):
+    s = fmt(QR.QUERIES["benford_audit"](spark, SF))
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice,1" in s, s
+    m = re.search(r"ReadSchema: struct<([^>]*)>", s)
+    assert m and m.group(1).split(",") == ["o_totalprice:double"], s
+
+
+def test_rolling_active_users_broadcast_clip_no_nested_loop(spark):
+    """Day-expansion plan: the observed-days clip must be a broadcast
+    (semi) hash join on window_day; no nested-loop anywhere."""
+    s = fmt(QR.QUERIES["rolling_active_users"](spark, SF))
+    assert "BroadcastNestedLoop" not in s and "CartesianProduct" not in s, s
+    assert "BroadcastHashJoin" in s, s
+
+
+def test_tfidf_cosine_pairs_joins_are_hash_joins(spark):
+    """The inverted-index self-join and the norm joins must all be hash
+    joins on (term) / (id); the only nested-loop is the 1-row corpus-size
+    bound broadcast."""
+    s = fmt(QR.QUERIES["tfidf_cosine_pairs"](spark, SF))
+    assert "CartesianProduct" not in s, s
+    # every nested-loop must be the 1-row n_docs bound broadcast (the
+    # subtree is re-executed per consumer, so it appears several times);
+    # a nested-loop carrying the term relation would print its join keys
+    tree_bnlj = re.findall(r"BroadcastNestedLoopJoin[^\n(]*", s)
+    assert all("Inner BuildRight" in t or t == "BroadcastNestedLoopJoin"
+               for t in tree_bnlj), tree_bnlj
+    assert s.count("ShuffledHashJoin") + s.count("SortMergeJoin") + s.count(
+        "BroadcastHashJoin"
+    ) >= 3, s
+
+
+def test_interarrival_single_shuffle_on_user(spark):
+    """One lag window + one group-by, both keyed on user_id: exactly one
+    user-keyed exchange feeds both (no second shuffle for the agg)."""
+    s = fmt(QR.QUERIES["interarrival_stats"](spark, SF))
+    assert len(re.findall(r"hashpartitioning\(user_id", s)) == 1, s
