@@ -144,3 +144,66 @@ def test_bfs_distances_match_networkx_free_oracle(spark, edges, max_hops):
         for r in bfs_distances(edf, sdf, max_hops=max_hops).collect()
     }
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    window=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_rolling_distinct_matches_bruteforce_property(spark, pairs, window):
+    from etl_platform_nyc_taxi_spark.operators.analytics import rolling_distinct
+
+    base = dt.date(2024, 2, 1)
+    data = [(u, base + dt.timedelta(days=d)) for u, d in pairs]
+    df = spark.createDataFrame(data, "user_id long, day date")
+    got = {
+        r["window_day"]: r["n"]
+        for r in rolling_distinct(df, "user_id", "day", window, "n").collect()
+    }
+    days = sorted({d for _, d in data})
+    want = {
+        wd: len(
+            {u for u, d in data if wd - dt.timedelta(days=window - 1) <= d <= wd}
+        )
+        for wd in days
+    }
+    assert got == want
+
+
+@given(
+    values=st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(**_SETTINGS)
+def test_sketch_quantile_bounds_property(spark, values):
+    """Sketch quantile reads must be the lower edge of the bin holding
+    the exact rank-selected quantile: q_hat <= q_exact < q_hat + 1/scale,
+    for any data distribution."""
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        binned_sketch,
+        sketch_quantiles,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in values], "grp string, value double")
+    sk = binned_sketch(df, "value", ["grp"], scale=16)
+    row = sketch_quantiles(sk, ["grp"], [0.5, 0.95], scale=16).collect()[0]
+    vals = sorted(values)
+    n = len(vals)
+    assert row["n_events"] == n
+    for q, col in ((0.5, "p50"), (0.95, "p95")):
+        exact = vals[math.ceil(q * n) - 1]
+        assert row[col] == math.floor(exact * 16) / 16.0
+        assert row[col] <= exact < row[col] + 1 / 16.0
