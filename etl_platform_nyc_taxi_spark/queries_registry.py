@@ -7209,6 +7209,261 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "basket_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b),
+    cnt AS (SELECT item, COUNT(*) AS c FROM b GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, bb.item AS item_b, COUNT(*) AS c_ab
+      FROM b a JOIN b bb ON a.basket = bb.basket AND a.item < bb.item
+      GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, c_ab,
+           ROUND((CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+                 / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.item = pairs.item_a
+    JOIN cnt cb ON cb.item = pairs.item_b
+    CROSS JOIN nb
+    WHERE c_ab >= 5
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift over order baskets (brands bought
+    together): the classic co-occurrence mining shape. The pair join is
+    a self-join WITHIN basket — fan-out bounded by basket size squared
+    (avg 4 items here), never corpus-squared — and items collapse to a
+    bounded vocabulary, so the pair aggregate is tiny no matter how many
+    orders exist. Lift = c_ab·N / (c_a·c_b): exact integer counts, one
+    correctly-rounded division. Broadcast part dim closes the
+    partkey→brand lookup map-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+        )
+        .distinct()
+    )
+    nb = b.agg(F.countDistinct("basket").alias("n_baskets"))
+    cnt = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = b.select(F.col("basket"), F.col("item").alias("item_a"))
+    bb = b.select(F.col("basket"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(bb, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("__ca"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("__cb"))
+    lift = (F.col("c_ab").cast("double") * F.col("n_baskets").cast("double")) / (
+        F.col("__ca").cast("double") * F.col("__cb").cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select("item_a", "item_b", "c_ab", F.round(lift, 6).alias("lift"))
+    )
+
+
+@register(
+    "psi_weekly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week, value, event_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ref AS (SELECT MIN(week) AS ref_week FROM e),
+    rr AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM e CROSS JOIN ref WHERE e.week = ref.ref_week
+    ),
+    bounds AS (
+      SELECT MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN value END) AS d1,
+             MAX(CASE WHEN rn = CAST(ceil(0.2 * n) AS BIGINT) THEN value END) AS d2,
+             MAX(CASE WHEN rn = CAST(ceil(0.3 * n) AS BIGINT) THEN value END) AS d3,
+             MAX(CASE WHEN rn = CAST(ceil(0.4 * n) AS BIGINT) THEN value END) AS d4,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS d5,
+             MAX(CASE WHEN rn = CAST(ceil(0.6 * n) AS BIGINT) THEN value END) AS d6,
+             MAX(CASE WHEN rn = CAST(ceil(0.7 * n) AS BIGINT) THEN value END) AS d7,
+             MAX(CASE WHEN rn = CAST(ceil(0.8 * n) AS BIGINT) THEN value END) AS d8,
+             MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS d9
+      FROM rr
+    ),
+    binned AS (
+      SELECT week,
+             1 + CAST(value >= d1 AS INT) + CAST(value >= d2 AS INT)
+               + CAST(value >= d3 AS INT) + CAST(value >= d4 AS INT)
+               + CAST(value >= d5 AS INT) + CAST(value >= d6 AS INT)
+               + CAST(value >= d7 AS INT) + CAST(value >= d8 AS INT)
+               + CAST(value >= d9 AS INT) AS bin
+      FROM e CROSS JOIN bounds
+    ),
+    wk AS (SELECT week, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    wt AS (SELECT week, SUM(c) AS t FROM wk GROUP BY 1),
+    refd AS (
+      SELECT wk.bin, CAST(wk.c AS DOUBLE) / CAST(wt.t AS DOUBLE) AS pr
+      FROM wk JOIN wt USING (week) CROSS JOIN ref
+      WHERE wk.week = ref.ref_week
+    ),
+    contrib AS (
+      SELECT wk.week,
+             CAST(ROUND((CAST(wk.c AS DOUBLE) / CAST(wt.t AS DOUBLE) - refd.pr)
+                        * ln((CAST(wk.c AS DOUBLE) / CAST(wt.t AS DOUBLE))
+                             / refd.pr), 12) AS DECIMAL(32,12)) AS h,
+             wt.t
+      FROM wk JOIN wt USING (week) JOIN refd ON refd.bin = wk.bin
+    )
+    SELECT week, MAX(t) AS n_events,
+           ROUND(CAST(SUM(h) AS DOUBLE), 6) AS psi
+    FROM contrib GROUP BY week
+    """,
+)
+def q_psi_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per week against the first week's
+    decile grid — the canonical ML-monitoring drift metric (PSI < 0.1
+    stable, > 0.25 action). The reference deciles are rank-selected once
+    (a window over one week's rows) and broadcast as a 1-row bound; bin
+    assignment is nine codegen comparisons fused into the scan; weekly
+    shares are exact count ratios; contributions quantize to decimal so
+    the per-week sum is order-free (ln precedent: tfidf_terms). Bins
+    empty in either side drop out by the inner join on the reference
+    distribution (declared PSI-with-support semantic). The reference
+    week audits itself to PSI = 0 exactly."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "value",
+            "event_id",
+        )
+    )
+    ref = e.agg(F.min("week").alias("ref_week"))
+    ref_rows = e.join(
+        F.broadcast(ref), F.col("week") == F.col("ref_week")
+    ).select("value", "event_id")
+    w_rank = Window.orderBy("value", "event_id")
+    w_all = Window.partitionBy()
+    rr = ref_rows.select(
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    bounds = rr.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(k / 10.0) * F.col("n")).cast("long"),
+                    F.col("value"),
+                )
+            ).alias(f"d{k}")
+            for k in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for k in range(1, 10):
+        bin_col = bin_col + (F.col("value") >= F.col(f"d{k}")).cast("int")
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "week", bin_col.alias("bin")
+    )
+    wk = binned.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wt = wk.groupBy("week").agg(F.sum("c").alias("t"))
+    refd = (
+        wk.join(wt, "week")
+        .join(F.broadcast(ref), F.col("week") == F.col("ref_week"))
+        .select(
+            "bin",
+            (F.col("c").cast("double") / F.col("t").cast("double")).alias(
+                "pr"
+            ),
+        )
+    )
+    cur = wk.join(wt, "week").join(F.broadcast(refd), "bin")
+    pw = F.col("c").cast("double") / F.col("t").cast("double")
+    h = F.round((pw - F.col("pr")) * F.log(pw / F.col("pr")), 12).cast(
+        "decimal(32,12)"
+    )
+    return (
+        cur.select("week", "t", h.alias("h"))
+        .groupBy("week")
+        .agg(
+            F.max("t").alias("n_events"),
+            F.round(F.sum("h").cast("double"), 6).alias("psi"),
+        )
+    )
+
+
+@register(
+    "weighted_median",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN cw * 2 >= tw THEN v END) AS weighted_median,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile no built-in covers: cumulative weight (exact DECIMAL, so the
+    crossing test 2·cw ≥ tw is integer-exact) over the value order, the
+    median is the first crossing value (MIN over the crossing suffix —
+    order-insensitive, so tied prices can cross in any order on any
+    engine). Same intrinsic per-group-reduce class as the exact
+    percentile family; the binned sketch is the declared approximate
+    twin at scale."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("__w"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("__w").over(w_cum).alias("cw"),
+        F.sum("__w").over(w_all).alias("tw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cw") * F.lit(2) >= F.col("tw"), F.col("v"))
+        ).alias("weighted_median"),
+        F.max("tw").cast("double").alias("total_weight"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
