@@ -7464,6 +7464,255 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "knn_label_eval",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id < 32
+    ),
+    s AS (
+      SELECT q.query_id, q.true_label, e.vec_id, e.label,
+             ROUND(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                            * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[])), 0),
+                   6) AS cosine
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, true_label, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id ASC) AS rnk
+      FROM s
+    ),
+    v AS (
+      SELECT query_id, true_label, label, COUNT(*) AS c
+      FROM r WHERE rnk <= 10 GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT query_id, true_label, label AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, label ASC) AS pr
+      FROM v
+    )
+    SELECT true_label, COUNT(*) AS n_queries,
+           SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+             AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM p WHERE pr = 1 GROUP BY true_label
+    """,
+)
+def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-vote evaluation over the embedding corpus — the quality
+    gate before trusting an embedding space for classification or
+    retrieval: 32 held-out queries, exact top-10 non-self neighbors by
+    rounded cosine (deterministic tie-break), majority vote with a
+    (count desc, label asc) tie-break, per-label accuracy. Broadcast
+    queries keep the corpus unshuffled (the brute_force_topk shape);
+    both rank windows run over bounded relations (k rows per query /
+    labels per query)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        cosine_similarity,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("__qv"), F.col("embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    r = scored.withColumn("rnk", F.row_number().over(w_rank)).filter(
+        F.col("rnk") <= 10
+    )
+    v = r.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    p = (
+        v.withColumn("pr", F.row_number().over(w_vote))
+        .filter(F.col("pr") == 1)
+        .select("true_label", F.col("label").alias("predicted"))
+    )
+    correct = F.sum(
+        F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+    )
+    return p.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        correct.alias("n_correct"),
+        F.round(
+            correct.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("accuracy"),
+    )
+
+
+_PR_CURVE_SQL = rf"""
+    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    sh AS (
+      SELECT doc_id AS id, lang, source,
+             list_distinct([substr(text, CAST(i AS INT), 6)
+                            for i in range(1, greatest(length(text)-5,1)+1)]) AS sh
+      FROM corpus
+    ),
+    hv AS (
+      SELECT id, lang, source,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)
+                            for x in sh]) AS hs
+      FROM sh
+    ),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                   / len(list_distinct(a.hs || b.hs)), 6) AS jac
+      FROM hv a JOIN hv b
+        ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+    ),
+    hv2 AS (SELECT id, [CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) for x in sh] AS hv
+            FROM sh),
+    sig AS (SELECT id, [{_MH_SLOTS_SQL}] AS sig FROM hv2),
+    banded AS (
+      SELECT id, b.b AS band, {_MH_KEY_SQL} AS key
+      FROM sig, (SELECT unnest(range(0,{_MH_BANDS})) AS b) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    cand_blocked AS (
+      SELECT t.id_a, t.id_b, t.jac
+      FROM truth t JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ),
+    ts(t) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (0.5), (0.6), (0.7), (0.8)) v(x)),
+    tr AS (
+      SELECT ts.t, COUNT(*) FILTER (WHERE truth.jac >= ts.t) AS n_true
+      FROM truth CROSS JOIN ts GROUP BY ts.t
+    ),
+    cd AS (
+      SELECT ts.t,
+             COUNT(*) FILTER (WHERE cand_blocked.jac >= ts.t) AS tp,
+             COUNT(*) AS n_cand
+      FROM cand_blocked CROSS JOIN ts GROUP BY ts.t
+    )
+    SELECT tr.t AS threshold, tr.n_true, cd.tp, cd.n_cand,
+           ROUND(CAST(cd.tp AS DOUBLE) / NULLIF(CAST(cd.n_cand AS DOUBLE), 0), 6)
+             AS precision_at_t,
+           ROUND(CAST(cd.tp AS DOUBLE) / NULLIF(CAST(tr.n_true AS DOUBLE), 0), 6)
+             AS recall_at_t
+    FROM tr JOIN cd ON cd.t = tr.t
+"""
+
+
+@register("dedup_pr_curve", _PR_CURVE_SQL)
+def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall curve of MinHash-LSH candidate generation against
+    blocked exact ground truth — the evaluation harness that justifies a
+    banding config before running it at 100 TB: ground truth is every
+    within-(lang,source)-block pair's exact hashed-shingle Jaccard (the
+    honest quadratic, bounded by block size and only needed on an eval
+    sample), candidates come UNSALTED from the production band join, and
+    each threshold reads tp / candidates / true-pair counts off the same
+    two relations (thresholds are a 4-row broadcast config relation).
+    Division guards with NULLIF-style whens so an empty truth band reads
+    NULL, not a crash, on both engines."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        _minhash_relations,
+        minhash_candidates,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    corpus = _docs_with_mutants(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    hs, _sig = _minhash_relations(corpus, "doc_id", "text", 6, _MH_N, par)
+    meta = corpus.select(
+        F.col("doc_id").alias("__id"), "lang", "source"
+    )
+    hsm = hs.join(meta, "__id")
+    a = hsm.select(
+        "lang", "source", F.col("__id").alias("id_a"), F.col("__hs").alias("__ha")
+    )
+    b = hsm.select(
+        "lang", "source", F.col("__id").alias("id_b"), F.col("__hs").alias("__hb")
+    )
+    inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast(
+        "double"
+    )
+    union = (F.size("__ha") + F.size("__hb")).cast("double") - inter
+    truth = (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jac"))
+    )
+    cands = minhash_candidates(
+        corpus,
+        id_col="doc_id",
+        text_col="text",
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        partitions=par,
+        max_bucket=None,
+    )
+    cand_blocked = truth.join(cands, ["id_a", "id_b"])
+    ts = rows_source(spark, [(0.5,), (0.6,), (0.7,), (0.8,)], "t double")
+    tr = (
+        truth.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("jac") >= F.col("t"), 1).otherwise(0)).alias(
+                "n_true"
+            )
+        )
+    )
+    cd = (
+        cand_blocked.crossJoin(F.broadcast(ts))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("jac") >= F.col("t"), 1).otherwise(0)).alias(
+                "tp"
+            ),
+            F.count(F.lit(1)).alias("n_cand"),
+        )
+    )
+    prec = F.when(
+        F.col("n_cand") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_cand").cast("double"), 6),
+    )
+    rec = F.when(
+        F.col("n_true") > 0,
+        F.round(F.col("tp").cast("double") / F.col("n_true").cast("double"), 6),
+    )
+    return tr.join(cd, "t").select(
+        F.col("t").alias("threshold"),
+        "n_true",
+        "tp",
+        "n_cand",
+        prec.alias("precision_at_t"),
+        rec.alias("recall_at_t"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
