@@ -7713,6 +7713,84 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_ANN_RECALL_SQL = rf"""
+    WITH truth AS (
+      SELECT * FROM (
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        s AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                       / NULLIF(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                                * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                        e.embedding::DOUBLE[])), 0),
+                       6) AS cosine
+          FROM q, embeddings e
+        ),
+        r AS (SELECT query_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id ASC) AS rnk
+              FROM s)
+        SELECT query_id, vec_id FROM r WHERE rnk <= 10
+      ) tt
+    ),
+    lsh AS (
+      SELECT query_id, vec_id FROM ({_lsh_oracle_sql()}) ll
+    )
+    SELECT t.query_id,
+           COUNT(*) AS n_true,
+           COUNT(l.vec_id) AS n_hit,
+           ROUND(CAST(COUNT(l.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS recall_at_10
+    FROM truth t
+    LEFT JOIN lsh l ON l.query_id = t.query_id AND l.vec_id = t.vec_id
+    GROUP BY t.query_id
+"""
+
+
+@register("ann_recall_eval", _ANN_RECALL_SQL)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN path against brute-force ground truth,
+    per query — the eval that justifies an index config before serving
+    it at 100 TB (the ANN twin of dedup_pr_curve). Truth is the exact
+    broadcast-queries top-10; the approximate side is the production
+    lsh_topk plan (deterministic under seeded hyperplanes, so the whole
+    eval replays in the oracle); recall is a left-join hit count —
+    exact integer ratios. At scale this runs on a query sample, exactly
+    as it does here."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    lsh = lsh_topk(
+        e,
+        queries,
+        k=10,
+        num_planes=6,
+        num_tables=8,
+        dim=64,
+        seed=42,
+    ).select("query_id", F.col("vec_id").alias("__lv"))
+    hits = truth.join(
+        lsh,
+        (truth.query_id == lsh.query_id) & (F.col("vec_id") == F.col("__lv")),
+        "left",
+    ).select(truth.query_id, "vec_id", "__lv")
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("__lv").alias("n_hit"),
+        F.round(
+            F.count("__lv").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("recall_at_10"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
