@@ -7868,13 +7868,22 @@ _VERIFY_FIRST = [
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query oracle
 # window. ROTATION POLICY for the next round: once the current window is
-# green, swap the now-checked queries out and rotate in (a) the ten
-# veterans dropped this round, (b) this round's post-window additions
-# (sql_tpch_q3/q6/q14, graph_bfs, weighted_sample_pps, bucketed_join, ...
-# — every query registered after this list), and (c) the triple-green
+# green, swap the now-checked queries out and rotate in, in priority
+# order: (a) round-4 batch 13-21 additions that have never had a driver
+# row (rolling_active_users, quantile_sketch_rollup,
+# minhash_estimate_audit, source_divergence, tfidf_cosine_pairs,
+# dpp_partitioned_join, streaming_quantile_sketch, user_type_entropy,
+# sketch_error_audit, interarrival_stats, latency_trend,
+# cluster_survivorship, fd_violations, benford_audit, basket_lift,
+# psi_weekly, weighted_median, knn_label_eval, dedup_pr_curve,
+# ann_recall_eval — 20 names, a ready-made half window), (b) the
+# earlier round-4 post-window additions (sql_tpch_q3/q6/q14/q5/q7/q8/
+# q10/q13/q15/q17/q19, graph_bfs, weighted_sample_pps, bucketed_join,
+# streaming CDC/topk, analytics family, ...), and (c) the triple-green
 # stable queries whose last driver check is oldest — keeping any query
 # registered in a round inside the window the round it lands when slots
-# allow.
+# allow. ~120 queries now sit after the window; plan on two more
+# rotations to clear the backlog.
 
 
 def _rotate_registry() -> None:
