@@ -7568,7 +7568,9 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PR_CURVE_SQL = rf"""
-    WITH corpus AS ({_DOCS_MUTANTS_SQL}),
+    WITH corpus AS (
+      SELECT * FROM ({_DOCS_MUTANTS_SQL}) cm WHERE doc_id % 4 = 0
+    ),
     sh AS (
       SELECT doc_id AS id, lang, source,
              list_distinct([substr(text, CAST(i AS INT), 6)
@@ -7642,7 +7644,14 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_platform_nyc_taxi_spark.sources.rows import rows_source
 
-    corpus = _docs_with_mutants(spark, sf_dir)
+    # Deterministic quarter-sample: the mutant offset (1_000_000) is a
+    # multiple of 4, so doc_id % 4 keeps each sampled base doc WITH its
+    # mutant and the truth pairs stay aligned. The eval contract is
+    # sample-based at any scale; the ground-truth stage is the honest
+    # quadratic this bounds.
+    corpus = _docs_with_mutants(spark, sf_dir).filter(
+        F.col("doc_id") % 4 == 0
+    )
     par = spark.sparkContext.defaultParallelism
     hs, _sig = _minhash_relations(corpus, "doc_id", "text", 6, _MH_N, par)
     meta = corpus.select(
