@@ -7800,6 +7800,62 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "json_key_profile",
+    """
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key,
+             json_extract_string(props, '$.' || unnest(json_keys(props)))
+               AS val
+      FROM events WHERE props IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n_rows FROM events WHERE props IS NOT NULL)
+    SELECT key, COUNT(*) AS n_present,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n.n_rows) AS DOUBLE), 6)
+             AS fill_share,
+           SUM(CASE WHEN TRY_CAST(val AS BIGINT) IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_integer
+    FROM kv CROSS JOIN n
+    GROUP BY key
+    """,
+)
+def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema discovery over a semi-structured column: which keys exist
+    in the JSON blob, at what fill rate, with what value type — the
+    first question every ingestion of schema-free payloads answers
+    before declaring a typed projection. One from_json parse per row
+    fused into the scan (MapType, JVM-side), explode over the key set,
+    a bounded (|distinct keys|) aggregate, and a 1-row total broadcast.
+    Type sniffing via try_cast (NULL on mismatch — identical TRY_CAST
+    semantics in the oracle)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    kv = e.select(
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+            "key", "val"
+        )
+    )
+    n = e.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        kv.crossJoin(F.broadcast(n))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.max("n_rows").cast("double"),
+                6,
+            ).alias("fill_share"),
+            F.sum(
+                F.when(
+                    F.expr("try_cast(val as bigint)").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_integer"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
