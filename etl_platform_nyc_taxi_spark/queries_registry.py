@@ -7856,6 +7856,200 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "bm25_search",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total FROM dl),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75
+                    * (CAST(dl.len AS DOUBLE)
+                       / (CAST(stats.total AS DOUBLE)
+                          / CAST(stats.n_docs AS DOUBLE))))),
+               12) AS DECIMAL(32,12)) AS c
+      FROM tf
+      JOIN dfc USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      WHERE tf.term IN ('join', 'scan', 'merge')
+    ),
+    agg AS (
+      SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, score, "rank" FROM (
+      SELECT doc_id, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS "rank"
+      FROM agg
+    ) WHERE "rank" <= 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text relevance (Lucene's k1=1.2, b=0.75, RSJ+1 idf) for
+    the query "join scan merge" — the retrieval-scoring twin of the
+    TF-IDF family: one tokenize pass feeds tf / doc-length / df
+    aggregates, corpus stats broadcast as a 1-row bound, the scorer is a
+    pure codegen expression over the query terms' postings only, and the
+    final rank windows over matching docs (post-aggregate). Per-term
+    contributions quantize to decimal so the per-doc sum is order-free;
+    both engines evaluate the identical ln / division expression tree."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(tokens_ws("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    matched = (
+        tf.filter(F.col("term").isin("join", "scan", "merge"))
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avg = F.col("total").cast("double") / F.col("n_docs").cast("double")
+    den = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("len").cast("double") / avg)
+    )
+    c = F.round(idf * (F.col("tf") * F.lit(2.2)) / den, 12).cast(
+        "decimal(32,12)"
+    )
+    agg = (
+        matched.select("doc_id", c.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "score", "rank")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_classes,
+           SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS n_small_classes,
+           SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS n_rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(sz) AS DOUBLE), 6) AS at_risk_share,
+           MIN(sz) AS min_class_size
+    FROM cls
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier: equivalence-class sizes, classes under k=5, and the
+    share of rows re-identifiable by the combination — the privacy
+    check run before releasing or joining customer-grained data. Two
+    map-side-combinable aggregates; the class relation is bounded by
+    the quasi-identifier domain, so the audit costs one scan at any
+    scale."""
+    c = _t(spark, sf_dir, "customer")
+    cls = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    small = F.when(F.col("sz") < 5, 1).otherwise(0)
+    small_rows = F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)
+    return cls.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(small).alias("n_small_classes"),
+        F.sum(small_rows).alias("n_rows_at_risk"),
+        F.round(
+            F.sum(small_rows).cast("double") / F.sum("sz").cast("double"), 6
+        ).alias("at_risk_share"),
+        F.min("sz").alias("min_class_size"),
+    )
+
+
+@register(
+    "twap_daily",
+    """
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d, epoch_us(ts) AS us, value, event_id
+      FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT d, value,
+             LEAD(us) OVER (PARTITION BY d ORDER BY us, event_id) - us AS dt
+      FROM e
+    ),
+    a AS (
+      SELECT d,
+             SUM(CAST(ROUND(value * dt, 6) AS DECIMAL(38,6))) AS num,
+             SUM(CAST(dt AS DECIMAL(38,0))) AS den
+      FROM g WHERE dt IS NOT NULL GROUP BY d
+    )
+    SELECT d AS day,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS twap,
+           CAST(den AS BIGINT) AS covered_us
+    FROM a
+    """,
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per day (TWAP): each observation
+    holds until the next one, so the mean weights by exact epoch-us
+    intervals (one lead window per day partition), not by row count —
+    the aggregation finance/metering pipelines need when sampling is
+    irregular. Interval-weighted products quantize to decimal before
+    the order-free per-day sums; the last observation of a day carries
+    no interval (declared bound semantic)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.col("ts").cast("date").alias("d"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "value",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("d").orderBy("us", "event_id")
+    g = e.select(
+        "d",
+        "value",
+        (F.lead("us").over(w) - F.col("us")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    num = F.sum(
+        F.round(F.col("value") * F.col("dt"), 6).cast("decimal(38,6)")
+    )
+    den = F.sum(F.col("dt").cast("decimal(38,0)"))
+    a = g.groupBy("d").agg(num.alias("num"), den.alias("den"))
+    return a.select(
+        F.col("d").alias("day"),
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("twap"),
+        F.col("den").cast("bigint").alias("covered_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
