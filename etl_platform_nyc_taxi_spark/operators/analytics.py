@@ -752,3 +752,49 @@ def sketch_quantiles(
             tag, F.col(f"__{tag}_bin") / F.lit(float(scale))
         )
     return sel.select(*out_cols)
+
+
+def missing_ranges(
+    df: DataFrame, id_col: str, bucket_size: int = 4096
+) -> DataFrame:
+    """Gaps in an integer key sequence as (gap_start, gap_end) ranges —
+    the sequence-completeness DQ check (dropped batches, lost ids) —
+    WITHOUT a global sort.
+
+    The naive lead-over-everything window needs one partition holding
+    every distinct id. Sharded shape: (1) within each id-range bucket
+    (id div bucket_size) a partitioned lead finds interior gaps; (2) a
+    per-bucket (min, max) summary — ONE ROW per non-empty bucket, a
+    bucket_size-fold reduction — feeds a lead over bucket order to stitch
+    boundary gaps, which also yields runs of entirely-empty buckets for
+    free. Exactly reproduces the global-lead answer: every gap either
+    lies inside one bucket or spans the max/min of adjacent non-empty
+    buckets. For keyspaces where n/bucket_size itself overwhelms one
+    partition, raise bucket_size or apply the same trick once more to
+    the summary."""
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    b = ids.withColumn(
+        "__b", F.floor(F.col("id") / F.lit(bucket_size)).cast("long")
+    )
+    w_in = Window.partitionBy("__b").orderBy("id")
+    intra = (
+        b.withColumn("__next", F.lead("id").over(w_in))
+        .filter(F.col("__next") > F.col("id") + 1)
+        .select(
+            (F.col("id") + 1).alias("gap_start"),
+            (F.col("__next") - 1).alias("gap_end"),
+        )
+    )
+    bs = b.groupBy("__b").agg(
+        F.min("id").alias("__mn"), F.max("id").alias("__mx")
+    )
+    w_b = Window.orderBy("__b")
+    inter = (
+        bs.withColumn("__nmn", F.lead("__mn").over(w_b))
+        .filter(F.col("__nmn") > F.col("__mx") + 1)
+        .select(
+            (F.col("__mx") + 1).alias("gap_start"),
+            (F.col("__nmn") - 1).alias("gap_end"),
+        )
+    )
+    return intra.unionByName(inter)

@@ -8050,6 +8050,38 @@ def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "missing_id_ranges",
+    """
+    WITH ids AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE o_orderkey % 97 <> 13 AND o_orderkey % 89 <> 7
+    ),
+    g AS (SELECT id, LEAD(id) OVER (ORDER BY id) AS nxt FROM ids)
+    SELECT id + 1 AS gap_start, nxt - 1 AS gap_end
+    FROM g WHERE nxt > id + 1
+    """,
+)
+def q_missing_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing o_orderkey ranges over a deterministically thinned key
+    set (the fixture's keys are dense, so two modulo drops simulate the
+    lost-batch pattern): the sequence-completeness DQ check. The
+    oracle is the textbook global lead; the engine runs the SHARDED
+    twin (operators/analytics.missing_ranges) — per-bucket interior
+    leads plus a bucket-summary stitch, a 4096-fold reduction before
+    the only ordered window — and must produce the identical range set.
+    This is the query that proves the shard decomposition exact, not
+    just plausible."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import missing_ranges
+
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderkey") % 97 != 13) & (F.col("o_orderkey") % 89 != 7)
+    )
+    return missing_ranges(o, "o_orderkey", bucket_size=4096)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #

@@ -545,3 +545,25 @@ def test_binned_sketch_merge_equals_global(spark):
         # sketch reports the lower edge of the bin holding the exact value
         assert row[col] == math.floor(exact * 16) / 16.0
         assert row[col] <= exact < row[col] + 1 / 16.0
+
+
+def test_missing_ranges_matches_global_lead(spark):
+    """Sharded gap detection must equal the global-lead answer for any
+    id set, including gaps inside buckets, across bucket boundaries,
+    and spanning entirely-empty buckets (bucket_size=8 forces all
+    three)."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import missing_ranges
+
+    random.seed(23)
+    ids = sorted(random.sample(range(0, 400), 120))
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"])
+        for r in missing_ranges(df, "id", bucket_size=8).collect()
+    )
+    want = [
+        (a + 1, b - 1)
+        for a, b in zip(ids, ids[1:])
+        if b > a + 1
+    ]
+    assert got == want
