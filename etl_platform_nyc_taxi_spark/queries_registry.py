@@ -8082,6 +8082,177 @@ def q_missing_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing_ranges(o, "o_orderkey", bucket_size=4096)
 
 
+
+
+@register(
+    "ab_test_zscore",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INT) AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 480.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    a AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+      FROM u GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+        MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+        MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+      FROM a
+    )
+    SELECT n0, c0, n1, c1,
+           ROUND(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate0,
+           ROUND(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate1,
+           ROUND((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 0),
+                 6) AS z_score
+    FROM w
+    """,
+)
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (deterministic hash-parity
+    arms, high-value purchase conversion as the metric — value > 480
+    keeps the rate inside (0, 1) so the pooled variance is non-degenerate
+    on this fixture; the z denominator NULLIF-guards regardless) — the experiment-readout
+    query every product pipeline ships: one per-user conversion
+    aggregate, one 2-row arm aggregate pivoted to a single row, and the
+    pooled-variance z statistic from exact count ratios in one
+    correctly-rounded expression tree (identical on both engines; no
+    random assignment — user_id parity is the reproducible arm)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > 480.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "converted"
+    )
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0 = F.col("n0").cast("double")
+    c0 = F.col("c0").cast("double")
+    n1 = F.col("n1").cast("double")
+    c1 = F.col("c1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    sd = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    z = F.when(sd > 0, (c0 / n0 - c1 / n1) / sd)
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(c0 / n0, 6).alias("rate0"),
+        F.round(c1 / n1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+@register(
+    "ks_drift",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(floor(value * 16.0) AS BIGINT) AS bin
+      FROM events WHERE ts IS NOT NULL
+    ),
+    ref AS (SELECT MIN(week) AS ref_week FROM e),
+    wk AS (SELECT week, bin, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    grid AS (SELECT DISTINCT bin FROM wk),
+    wkf AS (
+      SELECT w.week, g.bin, COALESCE(wk.c, 0) AS c
+      FROM (SELECT DISTINCT week FROM wk) w
+      CROSS JOIN grid g
+      LEFT JOIN wk ON wk.week = w.week AND wk.bin = g.bin
+    ),
+    cdf AS (
+      SELECT week, bin,
+             CAST(SUM(c) OVER (PARTITION BY week ORDER BY bin) AS DOUBLE)
+               / CAST(SUM(c) OVER (PARTITION BY week) AS DOUBLE) AS f
+      FROM wkf
+    ),
+    refcdf AS (
+      SELECT cdf.bin, cdf.f AS fr
+      FROM cdf CROSS JOIN ref WHERE cdf.week = ref.ref_week
+    )
+    SELECT cdf.week,
+           ROUND(MAX(ABS(cdf.f - refcdf.fr)), 6) AS ks_stat
+    FROM cdf JOIN refcdf ON refcdf.bin = cdf.bin
+    GROUP BY cdf.week
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift per week against the first week, over the
+    dyadic-bin grid (the PSI companion with no logarithms: max CDF gap,
+    exact count ratios all the way). The bin grid is densified per week
+    (a bounded grid x weeks cross, then left join) so CDFs compare at
+    every occupied bin even where a week has zeros; cumulative windows
+    run over the collapsed (week, bin) relation only."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.floor(F.col("value") * F.lit(16.0)).cast("long").alias("bin"),
+        )
+    )
+    ref = e.agg(F.min("week").alias("ref_week"))
+    wk = e.groupBy("week", "bin").agg(F.count(F.lit(1)).alias("c"))
+    grid = wk.select("bin").distinct()
+    weeks = wk.select("week").distinct()
+    wkf = (
+        weeks.crossJoin(F.broadcast(grid))
+        .join(wk, ["week", "bin"], "left")
+        .select("week", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("week")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("week")
+    cdf = wkf.select(
+        "week",
+        "bin",
+        (
+            F.sum("c").over(w_cum).cast("double")
+            / F.sum("c").over(w_all).cast("double")
+        ).alias("f"),
+    )
+    refcdf = cdf.join(
+        F.broadcast(ref), F.col("week") == F.col("ref_week")
+    ).select("bin", F.col("f").alias("fr"))
+    return (
+        cdf.join(F.broadcast(refcdf), "bin")
+        .groupBy("week")
+        .agg(F.round(F.max(F.abs(F.col("f") - F.col("fr"))), 6).alias("ks_stat"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
