@@ -78,6 +78,15 @@ HEAVY = [
     "tfidf_cosine_pairs",
     "minhash_estimate_audit",
     "source_divergence",
+    # Round-4 batch 23/20: BM25 postings scorer (documents-driven: tf/df
+    # aggregates scale, the scorer touches only 3 terms' postings) and
+    # kNN eval (8 broadcast queries x corpus — cost linear in corpus).
+    # dedup_pr_curve is deliberately NOT here: its ground truth is the
+    # honest within-block quadratic and replicas share (lang, source),
+    # so blocks grow 10x and truth pairs 100x — the query's documented
+    # contract is sample-based evaluation, not full-corpus scaling.
+    "bm25_search",
+    "knn_label_eval",
 ]
 
 REPLICA_STRIDE = 10_000_000
