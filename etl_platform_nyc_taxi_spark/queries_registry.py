@@ -8253,6 +8253,182 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "gini_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, r,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY r, c_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM rev
+    ),
+    g AS (
+      SELECT c_nationkey, MAX(n) AS n_customers,
+             SUM(CAST(i AS DECIMAL(18,0)) * r) AS s_ir,
+             SUM(r) AS s_r
+      FROM ranked GROUP BY c_nationkey
+    )
+    SELECT n.n_name, g.n_customers,
+           ROUND((2.0 * CAST(s_ir AS DOUBLE)
+                  - (CAST(n_customers AS DOUBLE) + 1.0) * CAST(s_r AS DOUBLE))
+                 / (CAST(n_customers AS DOUBLE) * CAST(s_r AS DOUBLE)), 6)
+             AS gini
+    FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey
+    """,
+)
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the rank-based
+    inequality metric beside market_concentration's HHI. Per-customer
+    revenue is the only full-data aggregate; the rank window runs over
+    that collapsed relation; Σ i·xᵢ and Σ xᵢ accumulate in exact
+    decimal (ties in revenue commute inside Σ i·xᵢ, so the custkey
+    tie-break only fixes the order, not the answer); the closed form
+    (2Σi·x − (n+1)Σx)/(nΣx) evaluates on identical doubles."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+        )
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy("r", "c_custkey")
+    w_n = Window.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "r",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    g = ranked.groupBy("c_nationkey").agg(
+        F.max("n").alias("n_customers"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("r")).alias("__sir"),
+        F.sum("r").alias("__sr"),
+    )
+    nn = F.col("n_customers").cast("double")
+    sir = F.col("__sir").cast("double")
+    sr = F.col("__sr").cast("double")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        g.join(F.broadcast(nat), g.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            F.round(
+                (F.lit(2.0) * sir - (nn + F.lit(1.0)) * sr) / (nn * sr), 6
+            ).alias("gini"),
+        )
+    )
+
+
+@register(
+    "attribution_linear",
+    """
+    WITH conv AS (
+      SELECT user_id, ts AS cts, event_id AS cid
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    touch AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+    ),
+    pairs AS (
+      SELECT c.cid, t.event_type
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND (t.ts < c.cts OR (t.ts = c.cts AND t.event_id < c.cid))
+    ),
+    sized AS (
+      SELECT cid, event_type,
+             COUNT(*) OVER (PARTITION BY cid) AS n_touches
+      FROM pairs
+    )
+    SELECT event_type,
+           COUNT(DISTINCT cid) AS n_conversions_touched,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / n_touches, 12)
+                               AS DECIMAL(32,12))) AS DOUBLE), 6)
+             AS linear_credit
+    FROM sized GROUP BY event_type
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each purchase splits one unit of
+    credit equally across every prior view/click touch (first_touch's
+    fair-share sibling). The per-user join is bounded by per-user event
+    counts (one shuffle on user_id); the per-conversion touch count is
+    a window over the pair relation; 1/n credits quantize to decimal so
+    per-channel totals are order-free. Strict (ts, event_id) ordering
+    makes simultaneous-timestamp handling deterministic."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    before = (F.col("ts") < F.col("cts")) | (
+        (F.col("ts") == F.col("cts")) & (F.col("event_id") < F.col("cid"))
+    )
+    pairs = conv.join(touch, "user_id").filter(before).select(
+        "cid", "event_type"
+    )
+    sized = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("cid"))
+    )
+    credit = F.round(F.lit(1.0) / F.col("n_touches"), 12).cast(
+        "decimal(32,12)"
+    )
+    return sized.groupBy("event_type").agg(
+        F.countDistinct("cid").alias("n_conversions_touched"),
+        F.round(F.sum(credit).cast("double"), 6).alias("linear_credit"),
+    )
+
+
+@register(
+    "sql_relational_division",
+    """
+    WITH ns AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer),
+    tot AS (SELECT COUNT(DISTINCT c_mktsegment) AS n_seg FROM customer)
+    SELECT n.n_name, COUNT(*) AS n_segments
+    FROM ns
+    JOIN nation n ON n.n_nationkey = ns.c_nationkey
+    CROSS JOIN tot
+    GROUP BY n.n_name, tot.n_seg
+    HAVING COUNT(*) = tot.n_seg
+    """,
+)
+def q_sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — 'nations whose customers cover EVERY market
+    segment' — the classic for-all pattern SQL lacks an operator for,
+    expressed as count-distinct-equals-total: one distinct pass, a
+    broadcast 1-row universe size, and a group-filter. No correlated
+    NOT EXISTS double-negative (the textbook formulation), which would
+    plan as a nested anti-join per group."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    ns = c.distinct()
+    tot = c.agg(F.countDistinct("c_mktsegment").alias("n_seg"))
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ns.join(F.broadcast(nat), ns.c_nationkey == nat.n_nationkey)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_name", "n_seg")
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+        .filter(F.col("n_segments") == F.col("n_seg"))
+        .select("n_name", "n_segments")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 4).
 #
