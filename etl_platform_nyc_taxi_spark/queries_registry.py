@@ -2847,7 +2847,8 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
                 AS BIGINT) AS k_bucket,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type, k_bucket
     """,
@@ -3088,7 +3089,7 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY h, event_type
     )
     SELECT CAST(h AS DATE) AS day, event_type,
-           SUM(n) AS n_events,
+           CAST(SUM(n) AS BIGINT) AS n_events,
            CAST(SUM(sv) AS DOUBLE) AS sum_value
     FROM hourly
     GROUP BY day, event_type
@@ -3605,19 +3606,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_report",
     """
     SELECT 'price_positive' AS rule,
-           SUM(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS n_violations
+           CAST(SUM(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
     FROM orders
     UNION ALL
     SELECT 'date_before_1997',
-           SUM(CASE WHEN coalesce(o_orderdate < TIMESTAMP '1997-01-01', false) THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN coalesce(o_orderdate < TIMESTAMP '1997-01-01', false) THEN 0 ELSE 1 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'status_known',
-           SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 0 ELSE 1 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'priority_format',
-           SUM(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 0 ELSE 1 END)
+           CAST(SUM(CASE WHEN coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false) THEN 0 ELSE 1 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'custkey_in_customer', COUNT(*)
@@ -4190,7 +4191,7 @@ def q_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compaction_plan",
     """
     WITH files AS (
-      SELECT source, lang, SUM(n_chars) AS size_chars
+      SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS size_chars
       FROM documents GROUP BY source, lang
     ),
     planned AS (
@@ -4767,7 +4768,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*) AS n_streaks,
            MAX(len) AS longest_streak,
-           SUM(len) AS total_active_days
+           CAST(SUM(len) AS BIGINT) AS total_active_days
     FROM runs GROUP BY user_id
     """,
 )
@@ -4826,13 +4827,14 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH u AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
     t AS (SELECT event_type AS k, COUNT(*) AS c FROM events GROUP BY event_type)
-    SELECT 'user_id' AS key_col, COUNT(*) AS n_keys, SUM(c) AS n_rows,
+    SELECT 'user_id' AS key_col, COUNT(*) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
            MAX(c) AS max_rows,
            CAST(MAX(c) AS DOUBLE)
            / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_ratio
     FROM u
     UNION ALL
-    SELECT 'event_type', COUNT(*), SUM(c), MAX(c),
+    SELECT 'event_type', COUNT(*), CAST(SUM(c) AS BIGINT), MAX(c),
            CAST(MAX(c) AS DOUBLE)
            / (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
     FROM t
@@ -6217,9 +6219,10 @@ def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM first_seen GROUP BY first_day
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cumulative_users
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
     FROM daily
     """,
 )
@@ -6358,8 +6361,9 @@ _QSKETCH_SQL = """
     ),
     cum AS (
       SELECT week, bin,
-             SUM(cnt) OVER (PARTITION BY week ORDER BY bin) AS cum,
-             SUM(cnt) OVER (PARTITION BY week) AS n
+             CAST(SUM(cnt) OVER (PARTITION BY week ORDER BY bin)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY week) AS BIGINT) AS n
       FROM weekly
     )
     SELECT week, MAX(cum) AS n_events,
@@ -6513,7 +6517,7 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(32,12)) AS c
       FROM joined
     )
-    SELECT source, SUM(present) AS n_src_terms,
+    SELECT source, CAST(SUM(present) AS BIGINT) AS n_src_terms,
            ROUND(CAST(SUM(c) AS DOUBLE), 6) AS js_divergence
     FROM contrib GROUP BY source
     """,
@@ -6742,7 +6746,7 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
     ),
-    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1),
+    t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
     contrib AS (
       SELECT c.user_id, t.tot,
              CAST(ROUND(-(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
@@ -7328,7 +7332,7 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              wt.t
       FROM wk JOIN wt USING (week) JOIN refd ON refd.bin = wk.bin
     )
-    SELECT week, MAX(t) AS n_events,
+    SELECT week, CAST(MAX(t) AS BIGINT) AS n_events,
            ROUND(CAST(SUM(h) AS DOUBLE), 6) AS psi
     FROM contrib GROUP BY week
     """,
@@ -7499,8 +7503,8 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT true_label, COUNT(*) AS n_queries,
-           SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
-             AS n_correct,
+           CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
            ROUND(CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
     FROM p WHERE pr = 1 GROUP BY true_label
@@ -7815,8 +7819,8 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT key, COUNT(*) AS n_present,
            ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n.n_rows) AS DOUBLE), 6)
              AS fill_share,
-           SUM(CASE WHEN TRY_CAST(val AS BIGINT) IS NOT NULL
-                    THEN 1 ELSE 0 END) AS n_integer
+           CAST(SUM(CASE WHEN TRY_CAST(val AS BIGINT) IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_integer
     FROM kv CROSS JOIN n
     GROUP BY key
     """,
@@ -7955,8 +7959,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer GROUP BY 1, 2
     )
     SELECT COUNT(*) AS n_classes,
-           SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS n_small_classes,
-           SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_classes,
+           CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
            ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(sz) AS DOUBLE), 6) AS at_risk_share,
            MIN(sz) AS min_class_size
@@ -8096,7 +8102,7 @@ def q_missing_id_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id
     ),
     a AS (
-      SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+      SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS conv
       FROM u GROUP BY arm
     ),
     w AS (

@@ -74,10 +74,35 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            otypes = [str(t) for t in rel.types]
             orows = [tuple(r) for r in rel.fetchall()]
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(exc).__name__}: {exc}")
+            continue
+        # Type lint: the driver's value hash is TYPED (Arrow-level), so a
+        # DuckDB relation column promoted to HUGEINT (SUM over integers)
+        # or to a DECIMAL the Spark side doesn't carry hash-mismatches
+        # even when every value is equal (the entire red set of round 4).
+        # Python fetchall erases these types, so without this lint the
+        # local gate passes where the driver fails.
+        spark_decimal = {
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+        }
+        bad_types = [
+            (c, t)
+            for c, t in zip(ocols, otypes)
+            if t in ("HUGEINT", "UHUGEINT")
+            or (t.startswith("DECIMAL") and c not in spark_decimal)
+        ]
+        if bad_types:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: oracle type lint: {bad_types} — wrap the "
+                "integer SUM in CAST(... AS BIGINT) in the oracle SQL"
+            )
             continue
         sc, sm = df_multiset(scols, srows)
         oc, om = df_multiset(ocols, orows)
