@@ -2152,13 +2152,78 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS: dict[tuple[str, int, int], list[list[float]]] = {}
 
 
-@register("ann_ivf")  # KMeans training is iterative — rows-only check
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (16-list KMeans coarse quantizer, nprobe 4) — inverted-file
-    search with exact cosine rerank inside probed lists. The quantizer is
-    trained once per corpus (fit_ivf_centroids, the ingest-time artifact)
-    and the query path only probes. Approximate and trained, so no SQL
-    oracle; recall vs brute force asserted in tests/test_similarity.py."""
+def _ivf_eval_sql(parity: bool) -> str:
+    """Verdict-style oracle for the IVF eval pair: the trained quantizer
+    is engine-specific, but the EVAL surface is portable — exact truth
+    sizes from SQL plus boolean accuracy verdicts the oracle asserts TRUE
+    (the sketch_error_audit pattern; VERDICT r4 task 2). Thresholds carry
+    wide margin under the measured minima (per-query recall ≥ 0.4 and
+    macro ≥ 0.68 across sf0.001/0.01/0.1; asserted at 0.2 / 0.4), while
+    self_hit and n_returned are structural guarantees of the operator
+    (the query vector IS a corpus member, its own list is always the
+    first probe)."""
+    extra = ",\n           TRUE AS parity_ok" if parity else ""
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+    n AS (SELECT COUNT(*) AS c FROM embeddings)
+    SELECT q.query_id,
+           CAST(LEAST(10, n.c) AS BIGINT) AS n_true,
+           CAST(LEAST(10, n.c) AS BIGINT) AS n_returned,
+           TRUE AS self_hit,
+           TRUE AS recall_ok,
+           TRUE AS macro_recall_ok{extra}
+    FROM q CROSS JOIN n
+    """
+
+
+def _ivf_recall_eval(
+    spark: SparkSession, sf_dir: str, approx: DataFrame
+) -> DataFrame:
+    """Score an approximate ANN result set against brute-force truth:
+    per query (n_true, n_returned, self_hit, recall >= 0.2) plus a
+    macro-average recall >= 0.4 verdict repeated on every row (broadcast
+    scalar, no window)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    a = approx.select("query_id", F.col("vec_id").alias("__av"))
+    hits = truth.join(
+        a,
+        (truth.query_id == a.query_id) & (F.col("vec_id") == F.col("__av")),
+        "left",
+    ).select(truth.query_id, "vec_id", "__av")
+    per = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.count("__av").alias("__n_hit"),
+    )
+    ret = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_returned"),
+        F.max((F.col("vec_id") == F.col("query_id")).cast("int")).alias(
+            "__self"
+        ),
+    )
+    rec = per.join(ret, "query_id").withColumn(
+        "__r", F.col("__n_hit").cast("double") / F.col("n_true").cast("double")
+    )
+    macro = rec.agg(F.avg("__r").alias("__m"))
+    return rec.crossJoin(F.broadcast(macro)).select(
+        "query_id",
+        "n_true",
+        "n_returned",
+        (F.col("__self") == 1).alias("self_hit"),
+        (F.col("__r") >= 0.2).alias("recall_ok"),
+        (F.col("__m") >= 0.4).alias("macro_recall_ok"),
+    )
+
+
+def _ivf_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-memory IVF query path (shared by both eval queries)."""
     from etl_platform_nyc_taxi_spark.operators.similarity import (
         fit_ivf_centroids,
         ivf_topk,
@@ -2180,6 +2245,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions=_spread(spark, sf_dir, "embeddings"),
         centroids=_IVF_CENTROIDS[key],
     )
+
+
+@register("ann_ivf", _ivf_eval_sql(parity=False))
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16-list KMeans coarse quantizer, nprobe 4) — inverted-file
+    search with exact cosine rerank inside probed lists. The quantizer is
+    trained once per corpus (fit_ivf_centroids, the ingest-time artifact)
+    and the query path only probes. The trained quantizer is not
+    SQL-replayable, so the DRIVER surface is the recall eval against
+    brute-force truth (the ann_recall_eval pattern): exact truth/return
+    counts + self-hit + thresholded recall verdicts, oracle-asserted
+    TRUE. Raw top-k parity is pinned in tests/test_similarity.py."""
+    return _ivf_recall_eval(spark, sf_dir, _ivf_results(spark, sf_dir))
 
 
 #: Materialized-index cache: index layouts are ingest-time artifacts
@@ -2242,15 +2320,17 @@ def q_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_served")  # trained quantizer — rows-only, parity in tests
+@register("ann_ivf_served", _ivf_eval_sql(parity=True))
 def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF serving from materialized inverted lists: corpus partitioned by
     nearest-centroid id at ingest (write_ivf_index), a query's nprobe lists
     compile into a static partition filter and the exact cosine rerank runs
     only inside them (ivf_topk_from_index) — nprobe/nlist of the data read,
     nothing else touched. Shares ann_ivf's cached quantizer so neither
-    query ever re-trains; exact parity with ivf_topk is pinned in
-    tests/test_similarity.py."""
+    query ever re-trains. Driver surface: the same recall eval as ann_ivf
+    PLUS a parity_ok verdict — the served result set must equal the
+    in-memory ivf_topk set pair-for-pair (full outer join, zero one-sided
+    rows), oracle-asserted TRUE."""
     from etl_platform_nyc_taxi_spark.operators.similarity import (
         fit_ivf_centroids,
         ivf_topk_from_index,
@@ -2268,8 +2348,35 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk_from_index(
+    served = ivf_topk_from_index(
         spark, idx, queries, centroids=centroids, k=10, nprobe=4
+    )
+    mem = _ivf_results(spark, sf_dir)
+    s = served.select("query_id", "vec_id", F.lit(1).alias("__s"))
+    m = mem.select("query_id", "vec_id", F.lit(1).alias("__m"))
+    parity = (
+        s.join(m, ["query_id", "vec_id"], "full_outer")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__s").isNull() | F.col("__m").isNull(), 1
+                ).otherwise(0)
+            ).alias("__mismatch")
+        )
+    )
+    return (
+        _ivf_recall_eval(spark, sf_dir, served)
+        .join(parity, "query_id")
+        .select(
+            "query_id",
+            "n_true",
+            "n_returned",
+            "self_hit",
+            "recall_ok",
+            "macro_recall_ok",
+            (F.col("__mismatch") == 0).alias("parity_ok"),
+        )
     )
 
 
@@ -2674,24 +2781,68 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx")  # sketch outputs are engine-specific — rows-only
+@register(
+    "agg_approx",
+    """
+    SELECT event_type, COUNT(*) AS cnt,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok, TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB path where exact is wasteful:
-    HyperLogLog++ distinct counts and quantile sketches, both mergeable
-    map-side (no value list ever assembles on one node). Sketch estimates
-    are engine-specific, so no SQL oracle; accuracy vs exact is pinned in
-    tests/test_plans.py (HLL rsd <= 5%, quantile within 1%)."""
+    HyperLogLog++ distinct counts (rsd 2%) and a 3-quantile sketch
+    (accuracy 10000), both mergeable map-side (no value list ever
+    assembles on one node). Sketch ESTIMATES are engine-specific, so the
+    driver surface is the accuracy contract (the sketch_error_audit
+    pattern; VERDICT r4 task 2): exact count + exact distinct from SQL,
+    plus boolean verdicts — HLL within 3σ (6%) of exact, each approx
+    quantile's CDF rank within n·q ± max(2, n/100) — that the oracle
+    asserts TRUE. A sketch regression now fails the DRIVER gate, not
+    just tests/test_plans.py."""
     e = _t(spark, sf_dir, "events")
     q = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
-    # Scalar columns only, quantized to 4dp: the driver's rows-only check
-    # hashes the result set, and both an array column (the r1 crash) and
-    # last-ulp drift would make that hash unstable across runs.
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.round(F.element_at(q, 1), 4).alias("p50"),
-        F.round(F.element_at(q, 2), 4).alias("p90"),
-        F.round(F.element_at(q, 3), 4).alias("p99"),
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__acd"),
+        F.element_at(q, 1).alias("__p50"),
+        F.element_at(q, 2).alias("__p90"),
+        F.element_at(q, 3).alias("__p99"),
         F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("value").alias("__nv"),
+    )
+    joined = e.join(
+        F.broadcast(approx.select("event_type", "__p50", "__p90", "__p99")),
+        "event_type",
+    )
+    cdf = joined.groupBy("event_type").agg(
+        *[
+            F.sum(
+                F.when(F.col("value") <= F.col(f"__p{pq}"), 1).otherwise(0)
+            ).alias(f"__le{pq}")
+            for pq in (50, 90, 99)
+        ]
+    )
+    tol = F.greatest(F.lit(2.0), F.col("__nv") / F.lit(100.0))
+    return approx.join(cdf, "event_type").select(
+        "event_type",
+        "cnt",
+        "exact_users",
+        (
+            F.abs(F.col("__acd") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), F.lit(0.06) * F.col("exact_users"))
+        ).alias("hll_ok"),
+        *[
+            (
+                F.abs(
+                    F.col(f"__le{pq}") - F.col("__nv") * F.lit(pq / 100.0)
+                )
+                <= tol
+            ).alias(f"p{pq}_rank_ok")
+            for pq in (50, 90, 99)
+        ],
     )
 
 
@@ -2731,18 +2882,58 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("session_seq", F.col("session_seq").cast("long"))
 
 
-@register("streaming_sessionize")  # stateful streaming — not SQL-expressible
+@register(
+    "streaming_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                 - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s,
+             COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_seq
+    ),
+    x AS (
+      SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS last_seq
+      FROM sess
+    ),
+    m AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT user_id, session_start, session_end, duration_s, n_events
+    FROM x CROSS JOIN m
+    WHERE session_seq < last_seq
+       OR session_end + INTERVAL 1800 SECOND <= mx - INTERVAL 3600 SECOND
+    """,
+)
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gap-sessionization via applyInPandasWithState
     (streaming/sessions.py): per-user state extends/closes sessions across
     micro-batches; event-time timeout flushes idle ones. Emits CLOSED
-    sessions only (append mode), so the row count deterministically
-    undershoots the batch sessionizer by the OPEN TAIL: exactly the batch
-    sessions with session_end + gap > max(ts) − watermark_delay (they
-    could still be extended on an unbounded stream). That set equality —
-    not just the count — is pinned in tests/test_streaming.py
-    (test_streaming_sessionize_open_tail_is_the_watermark_invariant);
-    rows-only driver check because the operator is stateful-streaming."""
+    sessions only (append mode), undershooting the batch sessionizer by
+    exactly the OPEN TAIL: each user's LAST session when session_end +
+    gap > max(ts) − watermark_delay (it could still be extended on an
+    unbounded stream). Every NON-last session is closed the moment the
+    user's next gap-exceeding event arrives — regardless of the
+    watermark. That invariant is DETERMINISTIC under AvailableNow,
+    so the oracle is the batch sessionize SQL (shared verbatim with
+    sessionize_events, minus session_seq — stream output carries no
+    global ordinal) filtered to the closed set — the streaming_dedup
+    share-the-batch-oracle precedent (VERDICT r4 task 2); the same set
+    equality is pinned in tests/test_streaming.py."""
     from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
         read_stream_auto,
         run_available_now,
@@ -3870,17 +4061,93 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _TPCH_Q18_SQL)
 
 
-@register("embedding_pca")
+@register(
+    "embedding_pca",
+    """
+    WITH v AS (
+      SELECT embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(64 AS INT) AS d,
+           ROUND(CAST(SUM(CAST(ROUND(list_dot_product(e, e), 9)
+                              AS DECIMAL(38,12))) AS DOUBLE), 6) AS trace_q,
+           TRUE AS eig_monotone_ok,
+           TRUE AS evr_unit_ok,
+           TRUE AS pc1_var_ok,
+           TRUE AS pc2_var_ok,
+           TRUE AS pc_uncorr_ok
+    FROM v
+    """,
+)
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/linalg.py): Gram-moment partials per
     partition (data never shuffles, only d²-sized sketches), driver
-    eigensolve, then projection as pure codegen literals. Rows-only by
-    declaration — an eigendecomposition isn't SQL-replicable — with
-    numpy-differential parity pinned in tests/test_linalg.py."""
-    from etl_platform_nyc_taxi_spark.operators.linalg import pca_embed
+    eigensolve, then projection as pure codegen literals. The eigensolve
+    itself isn't SQL-replicable, so the driver surface keeps it OUT of
+    the compared columns (VERDICT r4 task 2): the raw second Gram moment
+    (trace = Σ v·v, per-row dot quantized to 9dp → exact decimal sum →
+    round 6, the _ANN_RECALL_SQL cosine pattern) replays in SQL, and the
+    eigensolve is pinned by boolean PCA invariants the oracle asserts
+    TRUE — λ1 ≥ λ2 ≥ 0, 0 < (λ1+λ2)/tr(cov) ≤ 1, var_pop(pc_k) = λ_k
+    within 1e-6 relative, and |cov_pop(pc1, pc2)| ≤ 1e-6·√(λ1λ2)
+    (projection variances must reproduce the eigenvalues; the components
+    must be uncorrelated). Per-vector score parity vs numpy stays in
+    tests/test_linalg.py."""
+    from etl_platform_nyc_taxi_spark.operators.linalg import (
+        fit_pca,
+        project_pca,
+    )
 
-    e = _t(spark, sf_dir, "embeddings")
-    return pca_embed(e, "embedding", k=2).select("vec_id", "label", "pc1", "pc2")
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    mean, comps, evals = fit_pca(e, "embedding", k=2)
+    l1, l2 = float(evals[0]), float(evals[1])
+    proj = project_pca(e, "embedding", mean, comps)
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(dot, 9).cast("decimal(38,12)")).cast("double"), 6
+        ).alias("trace_q"),
+        F.var_pop("pc1").alias("__v1"),
+        F.var_pop("pc2").alias("__v2"),
+        F.covar_pop("pc1", "pc2").alias("__c12"),
+        F.sum(F.round(dot, 9).cast("decimal(38,12)")).cast("double").alias(
+            "__trace_raw"
+        ),
+    )
+    # tr(cov) = Σv·v / n − ‖mean‖² (driver-side scalars from the fit)
+    import numpy as np
+
+    mean_sq = float(np.dot(mean, mean))
+    rel = 1e-6
+    return stats.select(
+        "n",
+        F.lit(64).alias("d"),
+        "trace_q",
+        F.lit(l1 >= l2 >= 0.0).alias("eig_monotone_ok"),
+        (
+            (F.lit(l1 + l2) > 0)
+            & (
+                F.lit(l1 + l2)
+                <= (F.col("__trace_raw") / F.col("n") - F.lit(mean_sq))
+                * (1 + F.lit(rel))
+            )
+        ).alias("evr_unit_ok"),
+        (
+            F.abs(F.col("__v1") - F.lit(l1)) <= F.lit(rel) * F.lit(max(l1, 1e-12))
+        ).alias("pc1_var_ok"),
+        (
+            F.abs(F.col("__v2") - F.lit(l2)) <= F.lit(rel) * F.lit(max(l2, 1e-12))
+        ).alias("pc2_var_ok"),
+        (
+            F.abs(F.col("__c12"))
+            <= F.lit(rel) * F.lit(max((l1 * l2) ** 0.5, 1e-12))
+        ).alias("pc_uncorr_ok"),
+    )
 
 
 @register(
@@ -5539,40 +5806,72 @@ def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _TPCH_Q19_SQL)
 
 
-@register("sketch_rollup")  # engine-specific sketch bytes: rows-only check
+@register(
+    "sketch_rollup",
+    """
+    SELECT date_trunc('week', date_trunc('day', ts))::DATE AS week,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_weekly_users,
+           TRUE AS merge_err_ok,
+           TRUE AS no_double_count_ok
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY week
+    """,
+)
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting — THE 100 TB cardinality
     pattern: per-day HLL sketches of user_id built ONCE at ingest
     (Datasketches HllSketch via F.hll_sketch_agg), then any rollup
     (weekly here) MERGES sketches (hll_union_agg) instead of re-reading
     events — distinct-merge is what plain approx_count_distinct cannot
-    do across pre-aggregated partitions. Emits per-week: merged
-    estimate, the sum of daily estimates (always ≥ the merge — the
-    double-counting a naive SUM of daily distincts commits), and day
-    count. Sketch bytes are engine-specific, so the driver check is
-    rows-only; the estimate's 5% error bound vs exact distinct is
-    pinned in tests/test_sql_analytics.py."""
+    do across pre-aggregated partitions. Sketch BYTES are
+    engine-specific, so the driver surface is the error-bound verdict
+    (VERDICT r4 task 2): per week, exact day count + exact weekly
+    distinct from SQL, plus oracle-asserted TRUE booleans — the merged
+    estimate within max(4, 5%) of exact (default lgK=12 carries ~1.6%
+    rsd), and the mergeability law SUM(daily estimates) ≥ 0.98 × merged
+    estimate (daily distincts double-count across days; the union never
+    does)."""
     e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(
         F.hll_sketch_agg(F.col("user_id").cast("string")).alias("__sk"),
     )
-    return (
+    weekly = (
         daily.groupBy(
             F.date_trunc("week", F.col("day")).cast("date").alias("week")
         )
         .agg(
             F.hll_union_agg("__sk").alias("__wsk"),
-            F.sum(F.hll_sketch_estimate("__sk")).alias("sum_daily_users"),
+            F.sum(F.hll_sketch_estimate("__sk")).alias("__sum_daily"),
             F.count(F.lit(1)).alias("n_days"),
         )
         .select(
             "week",
-            F.hll_sketch_estimate("__wsk").alias("approx_weekly_users"),
-            "sum_daily_users",
+            F.hll_sketch_estimate("__wsk").alias("__merged"),
+            "__sum_daily",
             "n_days",
         )
+    )
+    exact = e.groupBy(
+        F.date_trunc("week", F.date_trunc("day", F.col("ts")))
+        .cast("date")
+        .alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_weekly_users"))
+    return weekly.join(exact, "week").select(
+        "week",
+        "n_days",
+        "exact_weekly_users",
+        (
+            F.abs(F.col("__merged") - F.col("exact_weekly_users"))
+            <= F.greatest(
+                F.lit(4.0), F.lit(0.05) * F.col("exact_weekly_users")
+            )
+        ).alias("merge_err_ok"),
+        (
+            F.col("__sum_daily") >= F.lit(0.98) * F.col("__merged")
+        ).alias("no_double_count_ok"),
     )
 
 

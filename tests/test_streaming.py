@@ -467,12 +467,16 @@ def test_session_fn_splits_far_backward_late_event():
 
 
 def test_streaming_sessionize_open_tail_is_the_watermark_invariant(spark):
-    """VERDICT r2 task 6: the streaming row count undershoots batch by
-    exactly the OPEN TAIL — sessions whose end + gap the final watermark
-    never passed (they could still be extended; an unbounded stream must
-    not emit them). Pin the delta as a derivable invariant, not a magic
-    number: streaming closed set == batch sessions with
-    session_end + gap <= max(ts) - watermark_delay."""
+    """VERDICT r2 task 6 (rule completed in r5): the streaming row count
+    undershoots batch by exactly the OPEN TAIL — each user's LAST session
+    when its end + gap the final watermark never passed (it could still
+    be extended; an unbounded stream must not emit it). Every NON-last
+    session closes the moment the user's next gap-exceeding event
+    arrives, watermark or not. Pin the delta as a derivable invariant,
+    not a magic number: streaming closed set == batch sessions that are
+    non-last for their user OR have session_end + gap <= max(ts) -
+    watermark_delay. (This is also the driver oracle for
+    streaming_sessionize — queries_registry.py.)"""
     from etl_platform_nyc_taxi_spark.operators.windows import session_stats
     from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
     from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
@@ -492,10 +496,15 @@ def test_streaming_sessionize_open_tail_is_the_watermark_invariant(spark):
     )
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     wm = max_ts - dt.timedelta(seconds=wm_delay_s)
+    batch_rows = batch.collect()
+    last_seq = {}
+    for r in batch_rows:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
     expected_closed = {
         (r.user_id, r.session_start, r.session_end, r.duration_s, r.n_events)
-        for r in batch.collect()
-        if r.session_end + dt.timedelta(seconds=gap_s) <= wm
+        for r in batch_rows
+        if r.session_seq < last_seq[r.user_id]
+        or r.session_end + dt.timedelta(seconds=gap_s) <= wm
     }
     assert streamed == expected_closed
     # and there IS an open tail (the stream legitimately withholds it)
