@@ -534,11 +534,19 @@ def fixed_width_histogram(
         F.min(v).cast("double").alias("__lo"), F.max(v).cast("double").alias("__hi")
     )
     step = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    # Degenerate span (all values equal → step 0) binned explicitly to 0:
+    # the floor expression would yield NaN→null, which F.least silently
+    # skips, dumping every row in bin nbins-1 while a SQL oracle errors
+    # on CAST(NaN AS INT). (ADVICE r4.)
     binned = df.join(F.broadcast(bounds)).select(
-        F.least(
-            F.floor((v.cast("double") - F.col("__lo")) / step).cast("int"),
-            F.lit(nbins - 1),
-        ).alias("bin"),
+        F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((v.cast("double") - F.col("__lo")) / step).cast("int"),
+                F.lit(nbins - 1),
+            )
+        )
+        .alias("bin"),
         F.col("__lo"),
         (F.col("__hi") - F.col("__lo")).alias("__span"),
     )

@@ -404,18 +404,25 @@ def pps_systematic_per_key(
     h = F.md5(F.col(id_col).cast("string"))
     order = Window.partitionBy(*key_cols).orderBy(h.asc(), F.col(id_col).asc())
     whole = Window.partitionBy(*key_cols)
-    w = F.col(weight_col).cast("bigint")
+    # backtick-quote so the whole name resolves literally (bare F.col
+    # parses '.' as struct-field access)
+    w = F.col("`" + weight_col.replace("`", "``") + "`").cast("bigint")
     cum = F.sum(w).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     total = F.sum(w).over(whole)
     # integer DIV, not float division: expr() because the Column API has
-    # no floor-div operator
+    # no floor-div operator. Only the temp columns this function created
+    # appear inside the expr strings — the caller's weight_col is staged
+    # through __w first, so names needing backticks can't break the
+    # parse or resolve to the wrong expression (ADVICE r4).
     return (
-        df.withColumn("__cum", cum)
+        df.withColumn("__w", w)
+        .withColumn("__cum", cum)
         .withColumn("__tot", total)
         .filter(
-            F.expr(f"__cum * {k} DIV __tot") > F.expr(f"(__cum - CAST({weight_col} AS BIGINT)) * {k} DIV __tot")
+            F.expr(f"__cum * {k} DIV __tot")
+            > F.expr(f"(__cum - __w) * {k} DIV __tot")
         )
-        .drop("__cum", "__tot")
+        .drop("__w", "__cum", "__tot")
     )

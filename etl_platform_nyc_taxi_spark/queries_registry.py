@@ -5061,8 +5061,10 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     binned AS (
-      SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
-                              / ((hi - lo) / 16.0)) AS INT), 15) AS bin,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo)
+                                  / ((hi - lo) / 16.0)) AS INT), 15)
+             END AS bin,
              lo, hi - lo AS span
       FROM orders, b
     )

@@ -43,8 +43,20 @@ class CdcState:
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
-        self.gen = 0
         os.makedirs(state_dir, exist_ok=True)
+        # Resume from the highest existing generation: on restart with a
+        # persistent state_dir + checkpoint_dir, the streaming checkpoint
+        # skips already-committed batches, so starting at gen=0 would
+        # silently discard all previously folded state — breaking the
+        # module's exactly-once-STATE contract. (ADVICE r4.)
+        gens = []
+        for name in os.listdir(state_dir):
+            if name.startswith("gen="):
+                try:
+                    gens.append(int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        self.gen = max(gens, default=0)
 
     def _gen_path(self, gen: int) -> str:
         return os.path.join(self.state_dir, f"gen={gen}")

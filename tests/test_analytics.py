@@ -386,6 +386,23 @@ def test_fixed_width_histogram_counts_total(spark):
     assert out.agg(F.sum("n")).collect()[0][0] == 1000
 
 
+def test_fixed_width_histogram_constant_column(spark):
+    """ADVICE r4: lo == hi (zero-width step) must bin every row to bin 0
+    — not NaN->null->silently-skipped-by-least into bin nbins-1."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        fixed_width_histogram,
+    )
+
+    df = spark.range(0, 7).select(F.lit(42.0).alias("v"))
+    rows = fixed_width_histogram(df, "v", 4).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] == 0
+    assert rows[0]["n"] == 7
+    assert rows[0]["bin_lo"] == 42.0
+
+
 def test_fixed_width_histogram_rejects_bad_nbins(spark):
     import pytest
     from pyspark.sql import functions as F

@@ -324,6 +324,35 @@ def test_pps_systematic_inclusion_counts(spark):
         assert 1 <= n <= 10
 
 
+def test_pps_systematic_weight_col_needing_backticks(spark):
+    """ADVICE r4: a weight column whose name needs quoting (dots/spaces/
+    hyphens) must behave identically to a plain name — the weight is
+    staged through a temp column, never interpolated into expr SQL."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        pps_systematic_per_key,
+    )
+
+    base = spark.range(0, 50).select(
+        F.lit("a").alias("key"),
+        F.col("id").alias("rid"),
+        (F.col("id") % 5 + 1).alias("w"),
+    )
+    plain = {
+        r["rid"]
+        for r in pps_systematic_per_key(base, ["key"], "rid", "w", k=7).collect()
+    }
+    weird = base.withColumnRenamed("w", "doc weight.chars-v2")
+    got = {
+        r["rid"]
+        for r in pps_systematic_per_key(
+            weird, ["key"], "rid", "doc weight.chars-v2", k=7
+        ).collect()
+    }
+    assert got == plain and len(got) >= 1
+
+
 def test_pps_systematic_deterministic_and_weight_biased(spark):
     from pyspark.sql import functions as F
 

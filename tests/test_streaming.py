@@ -727,6 +727,54 @@ def test_cdc_apply_out_of_order_batches(spark, tmp_path):
     assert [r["event_id"] for r in state.read().collect()] == [9]
 
 
+def test_cdc_state_survives_restart(spark, tmp_path):
+    """ADVICE r4: a process restart with persistent state_dir AND
+    checkpoint_dir must resume from the highest existing generation. The
+    checkpoint makes the restarted stream skip already-committed batches,
+    so a CdcState that restarted at gen=0 would read None and silently
+    drop all previously folded state."""
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState, apply_cdc_stream
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    rows_in = _cdc_rows()
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    state_dir = str(tmp_path / "state")
+
+    # "process 1": fold the first two rows
+    spark.createDataFrame(rows_in[:2], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    state1 = CdcState(spark, state_dir)
+    apply_cdc_stream(
+        read_stream_auto(spark, str(src)),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state=state1,
+        checkpoint_dir=ckpt,
+    )
+    assert state1.gen > 0
+
+    # "process 2": new files arrive, a FRESH CdcState over the same dirs
+    spark.createDataFrame(rows_in[2:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    state2 = CdcState(spark, state_dir)
+    assert state2.gen == state1.gen  # resumed, not reset
+    apply_cdc_stream(
+        read_stream_auto(spark, str(src)),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state=state2,
+        checkpoint_dir=ckpt,
+    )
+    got = {r["user_id"]: r["event_id"] for r in state2.read().collect()}
+    # keys folded before the restart (user 10, superseded by event 2 in
+    # batch 1) must survive alongside the post-restart fold
+    assert got == {10: 2, 20: 4, 30: 5}
+
+
 def test_streaming_sketch_multibatch_equals_batch(spark, tmp_path):
     """Mergeable-sketch invariant under incremental arrival: the per-(day,
     bin) histogram accumulated file-by-file (maxFilesPerTrigger=1,
