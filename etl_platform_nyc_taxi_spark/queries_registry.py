@@ -8737,98 +8737,97 @@ def q_sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 4).
+# Driver-verification window rotation (round 5).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Rounds 1-3 therefore never checked the 20 queries
-# registered last — including three with no driver row in any round
-# (dedup_embedding_lsh, ann_lsh_served, ann_ivf_served) and three whose
-# last driver word was a round-1 FAIL (agg_approx, ann_ivf,
-# streaming_sessionize).  Rebuild both registries with those 20 first,
-# followed by the remaining 50 triple-green queries in their original
-# relative order, so CORRECTNESS_r04 converts the outstanding
-# verification debt (VERDICT.md round 3, task 1).
+# insertion order).  Round-5 window = 9 mandatory re-checks + 41
+# first-time names (VERDICT r4 tasks 1-3):
+#   * the 4 round-4 red rows whose HUGEINT oracles were fixed this round
+#     (compaction_plan, json_extract_props, rollup_cascade, dq_report)
+#     — must re-run to convert red -> green;
+#   * the 5 ex-rows-only queries converted to full verdict oracles
+#     (agg_approx, ann_ivf, ann_ivf_served, streaming_sessionize,
+#     embedding_pca) — must re-run to clear their `no_oracle` rows;
+#   * all 12 latent-HUGEINT oracles (never sampled; fixed this round);
+#   * sketch_rollup (converted AND never sampled);
+#   * the 14 remaining batch-13-21 additions with no driver row;
+#   * 14 backlog names from the TPC-H / graph / sampling / layout block,
+#     including histogram_totalprice (its oracle gained the degenerate-
+#     span guard this round).
+# After this window: never-sampled backlog 70 -> 29 (the 9 re-check
+# slots are forced by the round-4 verdict's Done-criteria; the next
+# rotation clears the rest plus the SS2-core veterans last sampled r3 —
+# scan_project, daily_transactions, top5_zones, filter_range,
+# union_slices, scalar_functions — which task 7 schedules for r6).
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
-    # New in round 5 — inside the window the round they land:
-    "graph_pagerank",
-    "sql_tpch_q5",
-    "markov_transitions",
-    "winsorize_stats",
-    "anomaly_mad",
-    "reservoir_per_key",
+    # Re-checks: round-4 reds, fixed (CAST ... AS BIGINT oracle edits):
     "compaction_plan",
-    "vector_normalize",
-    "pareto_frontier",
-    "customer_rfm",
-    "sql_tpch_q10",
-    "streaming_topk_windowed",
-    # Never driver-checked before round 4's rotation (no r4 artifacts
-    # were produced, so these all still await their first driver row):
-    "dedup_embedding_lsh",
-    "ann_lsh_served",
-    "ann_ivf_served",
+    "json_extract_props",
+    "rollup_cascade",
+    "dq_report",
+    # Re-checks: ex-rows-only, now full verdict oracles:
     "agg_approx",
     "ann_ivf",
+    "ann_ivf_served",
     "streaming_sessionize",
-    # Stale (last driver row r1). Ten r1-green veterans were dropped to
-    # fit the 50-slot window (join_fact_fact, join_snowflake, agg_rollup,
-    # agg_cube, pivot_event_counts, explode_tokens, agg_salted,
-    # agg_grouping_sets, sessionize_events, sql_tpch_q1 — all untouched
-    # since their green r1 rows and covered by local oracles):
-    "join_asof",
-    "join_range",
-    "agg_percentiles",
-    "doc_winnow",
-    # New in round 4 — registered inside the window so their first driver
-    # check happens the same round they land:
-    "event_funnel",
-    "scd2_history",
-    "json_extract_props",
-    "dedup_doc_prefix",
-    "merge_upsert",
-    "streaming_enrich",
-    "window_time_range",
-    "window_distribution",
-    "rollup_cascade",
-    "streaming_stream_join",
-    "range_shard_stats",
-    "fuzzy_title_pairs",
-    "cohort_retention",
-    "zscore_outliers",
-    "gapfill_daily",
-    "concurrent_intervals",
-    "profile_orders",
-    "heavy_hitter_tokens",
-    "sql_tpch_q18",
     "embedding_pca",
-    "zorder_layout",
-    "dedup_incremental",
-    "set_ops_user_churn",
-    "unpivot_metrics",
-    "dq_report",
-    "graph_triangles",
-    "mv_incremental_refresh",
-    "session_window_builtin",
+    # Converted AND never sampled:
+    "sketch_rollup",
+    # Latent-HUGEINT oracles, fixed this round, first driver row:
+    "activity_islands",
+    "skew_report",
+    "user_growth_curve",
+    "quantile_sketch_rollup",
+    "source_divergence",
+    "streaming_quantile_sketch",
+    "user_type_entropy",
+    "psi_weekly",
+    "knn_label_eval",
+    "json_key_profile",
+    "k_anonymity_audit",
+    "ab_test_zscore",
+    # Batch-13-21 additions, first driver row:
+    "rolling_active_users",
+    "minhash_estimate_audit",
+    "tfidf_cosine_pairs",
+    "dpp_partitioned_join",
+    "sketch_error_audit",
+    "interarrival_stats",
+    "latency_trend",
+    "cluster_survivorship",
+    "fd_violations",
+    "benford_audit",
+    "basket_lift",
+    "weighted_median",
+    "dedup_pr_curve",
+    "ann_recall_eval",
+    # Backlog: TPC-H / graph / sampling / layout, first driver row:
+    "sql_tpch_q3",
+    "sql_tpch_q6",
+    "sql_tpch_q14",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "graph_bfs",
+    "weighted_sample_pps",
+    "bucketed_join",
+    "histogram_totalprice",
+    "bm25_search",
 ]
-# Window occupancy: exactly 50 names above = the driver's 50-query oracle
-# window. ROTATION POLICY for the next round: once the current window is
-# green, swap the now-checked queries out and rotate in, in priority
-# order: (a) round-4 batch 13-21 additions that have never had a driver
-# row (rolling_active_users, quantile_sketch_rollup,
-# minhash_estimate_audit, source_divergence, tfidf_cosine_pairs,
-# dpp_partitioned_join, streaming_quantile_sketch, user_type_entropy,
-# sketch_error_audit, interarrival_stats, latency_trend,
-# cluster_survivorship, fd_violations, benford_audit, basket_lift,
-# psi_weekly, weighted_median, knn_label_eval, dedup_pr_curve,
-# ann_recall_eval — 20 names, a ready-made half window), (b) the
-# earlier round-4 post-window additions (sql_tpch_q3/q6/q14/q5/q7/q8/
-# q10/q13/q15/q17/q19, graph_bfs, weighted_sample_pps, bucketed_join,
-# streaming CDC/topk, analytics family, ...), and (c) the triple-green
-# stable queries whose last driver check is oldest — keeping any query
-# registered in a round inside the window the round it lands when slots
-# allow. ~120 queries now sit after the window; plan on two more
-# rotations to clear the backlog.
+# Window occupancy: exactly 50 names above = the driver's 50-query
+# oracle window. ROTATION POLICY for round 6: (a) the SS2-core veterans
+# whose last green is r3 (scan_project, daily_transactions, top5_zones,
+# filter_range, union_slices, scalar_functions — VERDICT r4 task 7's
+# no-green-older-than-two-rounds rule), (b) the ~29 still-never-sampled
+# names (sql_exists_late_ship, streaming_cdc_apply, label_centroid_sim,
+# sql_scalar_subquery, dq_referential, attribution/analytics family,
+# twap_daily, ks_drift, gini_by_nation, ...), plus any round-5/6
+# additions the round they land, (c) oldest-green stables with the
+# remaining slots.
 
 
 def _rotate_registry() -> None:
