@@ -8737,6 +8737,313 @@ def q_sql_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: the NINE remaining TPC-H queries, completing the
+# full 22-query suite through the SQL entry point.  The fixture schema is
+# a TRIMMED TPC-H (TESTDATA.md): no partsupp relation, no
+# l_commitdate/l_receiptdate/l_shipmode, no c_phone/p_container/p_mfgr —
+# so each query below states its adaptation explicitly in the docstring.
+# Adaptation rules used throughout: (a) partsupp-derived quantities
+# (supplycost, availqty) are re-derived from lineitem — the observed
+# supply relation; (b) commit/receipt lateness becomes shipdate lateness
+# relative to o_orderdate; (c) phone country codes become nationkey
+# bands.  Every aggregate follows the repo's exact-decimal-then-cast
+# discipline so the SAME ANSI string is the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_TPCH_Q2_SQL = """
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(ROUND(CAST(l_extendedprice AS DOUBLE)
+                       / CAST(l_quantity AS DOUBLE), 6)) AS ps_supplycost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM part
+    JOIN supply ON p_partkey = ps_partkey
+    JOIN eur    ON s_suppkey = ps_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+      AND ps_supplycost = (
+        SELECT MIN(s2.ps_supplycost)
+        FROM supply s2 JOIN eur e2 ON s2.ps_suppkey = e2.s_suppkey
+        WHERE s2.ps_partkey = p_partkey
+      )
+"""
+
+
+@register("sql_tpch_q2", _TPCH_Q2_SQL)
+def q_sql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: no partsupp in the
+    fixture, so supply cost is re-derived as each (part, supplier)'s
+    minimum observed unit price from lineitem (one ROUND-quantized IEEE
+    division per row — engine-portable argmin key). The signature shape
+    survives intact: a correlated scalar MIN subquery per part, which
+    Catalyst decorrelates into an aggregate + rejoin rather than a
+    per-row rescan. Region filter prunes the supplier side before the
+    join."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q2_SQL)
+
+
+_TPCH_Q4_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_tpch_q4", _TPCH_Q4_SQL)
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted: the fixture has no
+    l_commitdate/l_receiptdate, so a late lineitem is one shipped more
+    than 90 days after its order date — same correlated-EXISTS shape
+    (Catalyst plans a left-semi join on orderkey; the correlated
+    inequality rides along as a join condition, no rescan per order)."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q4_SQL)
+
+
+_TPCH_Q9_SQL = """
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,4))
+                    - CAST(ROUND(0.6 * p_retailprice * l_quantity, 4)
+                           AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY supp_nation, o_year
+"""
+
+
+@register("sql_tpch_q9", _TPCH_Q9_SQL)
+def q_sql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: supply cost (partsupp)
+    becomes a 60%-of-retail unit-cost proxy from part.p_retailprice.
+    The two-fact five-way join tree and per-(nation, year) profit
+    aggregate survive unchanged. The cost product is two IEEE multiplies
+    quantized to 4dp then EXACT decimal arithmetic through the sum —
+    both engines compute bit-identical profit."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q9_SQL)
+
+
+_TPCH_Q11_SQL = """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) >
+          (SELECT 2.0 * CAST(SUM(v) AS DOUBLE) / COUNT(*) FROM val)
+"""
+
+
+@register("sql_tpch_q11", _TPCH_Q11_SQL)
+def q_sql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: stock value
+    (partsupp supplycost × availqty) becomes each part's shipped revenue
+    through NATION_7's suppliers. The HAVING-over-global-fraction shape
+    survives: the val CTE is aggregated once; the 1% threshold is an
+    uncorrelated scalar subquery Catalyst broadcasts as a 1-row filter. The cut is 2x the MEAN part value
+    rather than the spec's fixed fraction of the total: a fixed fraction
+    sets an SF-dependent bar (0 rows at 10x the parts), while the
+    mean-relative bar selects the same skew head at any scale. Sums are
+    exact decimal; only the final threshold compare is double."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q11_SQL)
+
+
+_TPCH_Q12_SQL = """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS ship_band,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_band
+"""
+
+
+@register("sql_tpch_q12", _TPCH_Q12_SQL)
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority), adapted: no l_shipmode or
+    commit/receipt dates, so lines band into LATE (shipped >60 days
+    after order) vs ONTIME, with the original's conditional high/low
+    priority counts per band. One fact-fact join + map-side-combinable
+    conditional sums; BIGINT casts keep the oracle off DuckDB's HUGEINT
+    promotion (the r4 lesson, enforced by verify_local's type lint)."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q12_SQL)
+
+
+_TPCH_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("sql_tpch_q16", _TPCH_Q16_SQL)
+def q_sql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the supplier
+    universe per part comes from lineitem (no partsupp), and the
+    excluded-supplier predicate (originally complaint comments) becomes
+    a negative account balance. Shape intact: NOT IN anti-join against a
+    small dimension subquery + COUNT(DISTINCT) over a three-attribute
+    group — the distinct shuffles once on (brand, type, size,
+    suppkey)."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q16_SQL)
+
+
+_TPCH_Q20_SQL = """
+    WITH shipped AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%blue%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE CAST(qty AS DOUBLE) >
+            (SELECT 1.5 * CAST(SUM(qty) AS DOUBLE) / COUNT(*) FROM shipped)
+    )
+"""
+
+
+@register("sql_tpch_q20", _TPCH_Q20_SQL)
+def q_sql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: availqty
+    (partsupp) becomes shipped quantity of 'blue' parts in 1997, and the
+    half-of-availqty test becomes 1.5× the mean shipped quantity. The
+    nested semi-join chain survives: supplier IN (aggregated subquery
+    with its own scalar-subquery threshold). The threshold is computed
+    from an EXACT decimal sum (never a distributed double AVG) so the
+    cut is engine-portable."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q20_SQL)
+
+
+_TPCH_Q21_SQL = """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+"""
+
+
+@register("sql_tpch_q21", _TPCH_Q21_SQL)
+def q_sql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: lateness
+    is shipdate > orderdate + 60 days (no commit/receipt dates). The
+    query's signature double-correlation survives verbatim: EXISTS
+    (another supplier touched the order) AND NOT EXISTS (another
+    supplier was ALSO late) — Catalyst decorrelates both into left-semi
+    and left-anti joins on orderkey over the shared late CTE; nothing
+    rescans per row."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q21_SQL)
+
+
+_TPCH_Q22_SQL = """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_nationkey % 5 AS INT) AS cntry_band,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
+    FROM customer CROSS JOIN avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01'
+      )
+    GROUP BY cntry_band
+"""
+
+
+@register("sql_tpch_q22", _TPCH_Q22_SQL)
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: phone country
+    codes become nationkey bands (no c_phone), and "no orders in 7
+    years" becomes no orders since 1999. Shape intact: an uncorrelated
+    scalar average (broadcast once, exact-decimal numerator so the
+    above-average cut is portable), a NOT EXISTS anti-join against
+    orders, then a banded aggregate."""
+    from etl_platform_nyc_taxi_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _TPCH_Q22_SQL)
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
