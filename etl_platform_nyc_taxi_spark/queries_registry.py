@@ -9043,6 +9043,172 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _TPCH_Q22_SQL)
 
 
+_SPLIT_LEAKAGE_SQL = rf"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL}) p
+    ),
+    sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    allids AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id FROM documents
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+    assign AS (
+      SELECT a.doc_id, COALESCE(c.component, a.doc_id) AS component
+      FROM allids a LEFT JOIN comp c ON c.node = a.doc_id
+    ),
+    sided AS (
+      SELECT doc_id, component,
+             CASE WHEN CAST('0x' || substr(md5('csplit:'
+                            || CAST(component AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10000 < 8000
+                  THEN 'train' ELSE 'test' END AS split
+      FROM assign
+    ),
+    leak AS (
+      SELECT COUNT(*) AS leaked_pairs
+      FROM pairs
+      JOIN sided sa ON sa.doc_id = id_a
+      JOIN sided sb ON sb.doc_id = id_b
+      WHERE sa.split <> sb.split
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           leaked_pairs
+    FROM sided CROSS JOIN leak
+    GROUP BY split, leaked_pairs
+"""
+
+
+@register("split_leakage_audit", _SPLIT_LEAKAGE_SQL)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split — the decontamination step a
+    training pipeline runs BEFORE eval-set freezing: hash-splitting raw
+    doc ids strands near-duplicates across sides (a test doc's near-copy
+    in train inflates eval), so the split key is the near-dup CLUSTER
+    (MinHash pairs → connected components, the dedup_clusters trunk),
+    and every member inherits its component's side. Emits per-side doc /
+    component counts plus the cross-side near-dup pair count — 0 by
+    construction, but RECOMPUTED (join pairs against the assignment),
+    not asserted, in both engines. At 100 TB the component relation is
+    the dedup pipeline's existing byproduct; the split adds one
+    hash-bucket projection and no extra shuffle beyond the audit join.
+    Oracle replays pairs, components, md5 side, and the leak join
+    verbatim."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import minhash_near_dups
+    from etl_platform_nyc_taxi_spark.operators.graph import dedup_clusters
+    from etl_platform_nyc_taxi_spark.operators.sampling import split_column
+
+    corpus = _docs_with_mutants(spark, sf_dir)
+    pairs = minhash_near_dups(
+        corpus,
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.6,
+        partitions=spark.sparkContext.defaultParallelism,
+    ).select("id_a", "id_b")
+    comp = dedup_clusters(
+        pairs, all_ids=corpus, id_col="doc_id", partitions=8
+    ).select("doc_id", "component")
+    sided = comp.withColumn(
+        "split",
+        split_column(F.col("component"), {"train": 0.8, "test": 0.2}, salt="csplit"),
+    )
+    sa = sided.select(F.col("doc_id").alias("id_a"), F.col("split").alias("__sa"))
+    sb = sided.select(F.col("doc_id").alias("id_b"), F.col("split").alias("__sb"))
+    leak = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("__sa") != F.col("__sb"), 1).otherwise(0)
+            ).cast("bigint").alias("leaked_pairs")
+        )
+    )
+    return (
+        sided.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_components", "leaked_pairs")
+    )
+
+
+@register(
+    "dedup_survivor_weights",
+    """
+    WITH h AS (
+      SELECT doc_id, source, n_chars, md5(text) AS th FROM documents
+    ),
+    g AS (
+      SELECT th, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies,
+             CAST(SUM(n_chars) AS BIGINT) AS group_chars
+      FROM h GROUP BY th
+    )
+    SELECT s.source,
+           COUNT(*) AS n_survivors,
+           CAST(SUM(g.n_copies) AS BIGINT) AS n_raw_docs,
+           CAST(SUM(s.n_chars) AS BIGINT) AS kept_chars,
+           CAST(SUM(g.group_chars) AS BIGINT) AS raw_chars,
+           ROUND(CAST(SUM(g.n_copies) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_upsample_weight
+    FROM g JOIN h s ON s.doc_id = g.survivor_id
+    GROUP BY s.source
+    """,
+)
+def q_dedup_survivor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware corpus accounting: exact-dup groups (md5 of text)
+    collapse to their min-id survivor CARRYING the group's multiplicity
+    as an upsample weight — the bookkeeping behind dedup-then-reweight
+    training mixes (keep one copy, optionally restore its natural
+    frequency at sampling time) and the before/after size ledger per
+    source. One content-hash aggregate + a survivor self-join keyed on
+    min doc_id (broadcastable: |groups| ≤ |docs|); map-side combinable
+    both stages, no window, no skew risk beyond the dup structure
+    itself. All sums exact integers; the one double is the final
+    weight ratio."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select("doc_id", "source", "n_chars", F.md5("text").alias("th"))
+    g = h.groupBy("th").agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_chars").cast("bigint").alias("group_chars"),
+    )
+    s = h.select(
+        F.col("doc_id").alias("survivor_id"),
+        F.col("source"),
+        F.col("n_chars").alias("__kept_chars"),
+    )
+    return (
+        g.join(s, "survivor_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_survivors"),
+            F.sum("n_copies").cast("bigint").alias("n_raw_docs"),
+            F.sum("__kept_chars").cast("bigint").alias("kept_chars"),
+            F.sum("group_chars").cast("bigint").alias("raw_chars"),
+            F.round(
+                F.sum("n_copies").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_upsample_weight"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
