@@ -173,11 +173,14 @@ def test_percentile_exact_interpolation(spark):
 
 
 def test_approx_aggregates_accuracy(spark):
-    """agg_approx has no SQL oracle — pin sketch accuracy vs exact here."""
+    """agg_approx emits verdict booleans since r5 (full driver oracle) —
+    pin that the verdicts hold AND that the raw sketches really sit on
+    exact (independent recomputation, tighter than the query's own
+    bounds), so the verdict columns can't go green on a broken sketch."""
     from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
     from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
 
-    approx = {r.event_type: r for r in QUERIES["agg_approx"](spark, SF).collect()}
+    out = {r.event_type: r for r in QUERIES["agg_approx"](spark, SF).collect()}
     e = load_fixture(spark, SF, "events")
     exact = {
         r.event_type: r
@@ -185,15 +188,29 @@ def test_approx_aggregates_accuracy(spark):
         .agg(
             F.count_distinct("user_id").alias("users"),
             F.percentile("value", 0.5).alias("p50"),
+            F.count(F.lit(1)).alias("cnt"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
+    assert set(out) == set(exact)
+    for et, a in out.items():
+        x = exact[et]
+        assert a.cnt == x.cnt and a.exact_users == x.users, et
+        assert a.hll_ok and a.p50_rank_ok and a.p90_rank_ok and a.p99_rank_ok, et
+    # independent sketch-accuracy recomputation (the pre-r5 assertions)
+    raw = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        )
+        .collect()
+    }
+    for et, a in raw.items():
         x = exact[et]
         assert abs(a.approx_users - x.users) <= max(3, 0.05 * x.users), et
-        # percentile_approx with accuracy=10000 should sit within 1% of exact
-        assert abs(a.p50 - x.p50) <= max(0.01 * abs(x.p50), 1e-6), et
+        assert abs(a.ap50 - x.p50) <= max(0.01 * abs(x.p50), 1e-6), et
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +238,10 @@ def test_grouping_sets_marginals_match_separate_aggs(spark):
 
 def test_sketch_rollup_estimate_within_bound(spark):
     """HLL weekly merge within 5% of exact distinct; the naive sum of
-    daily distincts must be >= the merged estimate (double counting)."""
+    daily distincts must be >= the merged estimate (double counting).
+    Since r5 the query emits the verdicts + exact columns (full driver
+    oracle); this test pins the verdicts AND recomputes the raw merged
+    estimate independently so the booleans can't mask a broken sketch."""
     import etl_platform_nyc_taxi_spark.queries_registry as QR_
 
     sf = "/root/testdata/sf0.01"
@@ -239,5 +259,22 @@ def test_sketch_rollup_estimate_within_bound(spark):
     }
     assert set(out) == set(exact)
     for wk, r in out.items():
-        assert abs(r["approx_weekly_users"] - exact[wk]) / exact[wk] < 0.05
-        assert r["sum_daily_users"] >= r["approx_weekly_users"] - 1e-9
+        assert r["exact_weekly_users"] == exact[wk]
+        assert r["merge_err_ok"] and r["no_double_count_ok"], wk
+    # independent raw-sketch recomputation (the pre-r5 assertions)
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"))
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged"),
+            F.sum(F.hll_sketch_estimate("sk")).alias("sum_daily"),
+        )
+        .collect()
+    )
+    for r in weekly:
+        assert abs(r["merged"] - exact[r["week"]]) / exact[r["week"]] < 0.05
+        assert r["sum_daily"] >= r["merged"] - 1e-9

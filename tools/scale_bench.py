@@ -87,6 +87,13 @@ HEAVY = [
     # contract is sample-based evaluation, not full-corpus scaling.
     "bm25_search",
     "knn_label_eval",
+    # Round 5: the cluster-keyed split audit rides the full MinHash ->
+    # connected-components trunk plus a pairs x assignment leak join
+    # (expect dedup_clusters-like rounds x linear), and the exact-dup
+    # survivor ledger is two hash aggregates + a min-id self-join
+    # (expect ~linear).
+    "split_leakage_audit",
+    "dedup_survivor_weights",
 ]
 
 REPLICA_STRIDE = 10_000_000
