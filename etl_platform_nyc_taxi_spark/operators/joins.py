@@ -106,16 +106,21 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the
     greatest ``right_ts`` ≤ ``left_ts`` (backward; forward symmetric)
-    within the same ``on`` keys.
+    within the same ``on`` keys. ``tolerance_seconds`` bounds the match
+    distance (pandas ``merge_asof`` tolerance): a nearest match farther
+    than the bound nulls out like no-match.
 
     Implementation: tag + union both sides, one window partitioned by the
     keys ordered by time carrying the last (or next) right-side payload
     forward, then keep left rows. One shuffle on the keys, no driver
     loops, no pandas — scales with key parallelism. Right payload columns
     come back nullable (no match ⇒ NULL), matching SQL ASOF LEFT JOIN.
+    The tolerance is a pure post-projection on the already-joined row
+    (no second window, no extra shuffle).
     """
     on = list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
@@ -147,6 +152,17 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     out = merged.withColumns(fill).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        # NTZ timestamps can't cast straight to double; the session TZ is
+        # pinned UTC so the NTZ->LTZ hop is wall-clock preserving
+        def _secs(c: str) -> Column:
+            return F.col(c).cast("timestamp").cast("double")
+
+        gap = F.abs(_secs("__ts") - _secs("__match_ts"))
+        ok = F.col("__match_ts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        out = out.withColumns(
+            {c: F.when(ok, F.col(c)) for c in [*payload, "__match_ts"]}
+        )
     keep = [c for c in left.columns] + payload + ["__match_ts"]
     return out.select(*keep).withColumnRenamed("__match_ts", f"{right_ts}_matched")
 

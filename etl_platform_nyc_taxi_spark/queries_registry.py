@@ -9118,9 +9118,17 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
         partitions=spark.sparkContext.defaultParallelism,
     ).select("id_a", "id_b")
-    comp = dedup_clusters(
-        pairs, all_ids=corpus, id_col="doc_id", partitions=8
-    ).select("doc_id", "component")
+    # The pair relation feeds BOTH the clustering loop and the leak join;
+    # localCheckpoint materializes the MinHash trunk once instead of
+    # re-executing it per consumer (same trick as the CC round state).
+    pairs = pairs.localCheckpoint()
+    comp = (
+        dedup_clusters(pairs, all_ids=corpus, id_col="doc_id", partitions=8)
+        .select("doc_id", "component")
+        # consumed by BOTH the per-side aggregate and the leak join —
+        # without this the whole iterative CC re-runs per consumer
+        .localCheckpoint()
+    )
     sided = comp.withColumn(
         "split",
         split_column(F.col("component"), {"train": 0.8, "test": 0.2}, salt="csplit"),
@@ -9206,6 +9214,204 @@ def q_dedup_survivor_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mean_upsample_weight"),
         )
+    )
+
+
+@register(
+    "temporal_join_scd2",
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from, event_id,
+             CASE WHEN value < 10 THEN 'low'
+                  WHEN value < 100 THEN 'mid'
+                  ELSE 'high' END AS state
+      FROM events WHERE event_type = 'click'
+    ),
+    d2 AS (
+      SELECT user_id, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id)
+               AS valid_to
+      FROM dim
+    ),
+    facts AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d2.state AS state_at_purchase,
+           d2.valid_from AS state_since
+    FROM facts f LEFT JOIN d2
+      ON f.user_id = d2.user_id
+     AND f.ts >= d2.valid_from
+     AND (d2.valid_to IS NULL OR f.ts < d2.valid_to)
+    """,
+)
+def q_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the warehouse lookup every SCD2
+    dimension exists FOR: each purchase is enriched with the customer's
+    click-derived value-band state VALID AT the purchase timestamp
+    ([valid_from, valid_to) half-open; NULL valid_to = current; LEFT so
+    pre-first-click purchases survive with NULL state). The validity
+    intervals per user are disjoint by construction (consecutive click
+    times), so each fact matches at most one dimension row — ties at
+    identical click timestamps produce an empty [t, t) interval, never a
+    duplicate match. Plan shape: equi-join on user_id with the range
+    predicates as residual filters — ONE hash shuffle, never an interval
+    cross product; at 100 TB both sides additionally bucket by user_id
+    (sources/bucketed) so even the shuffle disappears."""
+    e = _t(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        "event_id",
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 100, "mid")
+        .otherwise("high")
+        .alias("state"),
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    d2 = dim.select(
+        F.col("user_id").alias("__du"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(
+        d2,
+        (facts.user_id == d2.__du)
+        & (facts.ts >= d2.valid_from)
+        & (d2.valid_to.isNull() | (facts.ts < d2.valid_to)),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state").alias("state_at_purchase"),
+        F.col("valid_from").alias("state_since"),
+    )
+
+
+@register(
+    "join_asof_forward_tol",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN r.ts IS NOT NULL AND r.ts <= l.ts + INTERVAL 7 DAY
+                THEN r.value END AS next_purchase_value,
+           CASE WHEN r.ts IS NOT NULL AND r.ts <= l.ts + INTERVAL 7 DAY
+                THEN r.ts END AS p_ts_matched
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def q_join_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a tolerance bound (pandas merge_asof
+    parity): each click matched to the user's NEXT purchase, nulled when
+    it is farther than 7 days — the conversion-window lookup behind
+    time-to-convert features. Same union + partitioned-window plan as
+    join_asof (one shuffle on user_id); the tolerance is a pure
+    post-projection, no second window (operators/joins.asof_join
+    tolerance_seconds). Oracle: DuckDB's native forward ASOF LEFT JOIN
+    (l.ts <= r.ts picks the smallest following match) with the
+    tolerance applied to the matched row."""
+    from etl_platform_nyc_taxi_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("next_purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="p_ts",
+        direction="forward",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "next_purchase_value",
+        F.col("p_ts_matched"),
+    )
+
+
+@register(
+    "neyman_allocation",
+    """
+    WITH m AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,0))
+                      * CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n,
+             ROUND(n * sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)), 6)
+               AS weight
+      FROM m
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(weight AS DECIMAL(28,6))) AS DOUBLE) AS tot
+      FROM w
+    )
+    SELECT source, n AS stratum_size,
+           ROUND(weight / n, 6) AS sigma_chars,
+           CAST(FLOOR(1000.0 * weight / tot + 0.5) AS BIGINT) AS alloc_n
+    FROM w CROSS JOIN t
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sampling allocation: spread a
+    1000-row audit budget over sources with n_h ∝ N_h·σ_h — the sampling
+    DESIGN step before any corpus quality audit (uniform allocation
+    wastes budget on low-variance strata). Per-stratum moments are EXACT
+    decimal sums (one map-side-combinable aggregate over the corpus);
+    σ, weights, and shares are then single IEEE ops over those exact
+    scalars, the weight total re-enters exact decimal (order-free across
+    strata), and the final rounding is floor(x+0.5) — identical
+    half-up in both engines, unlike ROUND's banker's-vs-away ambiguity.
+    |sources| rows do all the post-aggregate math; the corpus is
+    touched once."""
+    d = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__s1"),
+        F.sum(x * x).cast("double").alias("__s2"),
+    )
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("__s2") / F.col("n")
+            - (F.col("__s1") / F.col("n")) * (F.col("__s1") / F.col("n")),
+            F.lit(0.0),
+        )
+    )
+    w = m.select(
+        "source", "n", F.round(F.col("n") * sigma, 6).alias("weight")
+    )
+    t = w.agg(
+        F.sum(F.col("weight").cast("decimal(28,6)")).cast("double").alias("__tot")
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n").alias("stratum_size"),
+        F.round(F.col("weight") / F.col("n"), 6).alias("sigma_chars"),
+        F.floor(F.lit(1000.0) * F.col("weight") / F.col("__tot") + F.lit(0.5))
+        .cast("bigint")
+        .alias("alloc_n"),
     )
 
 

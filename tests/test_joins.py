@@ -80,6 +80,30 @@ def test_asof_join_forward(spark):
     assert got == {(9, 11.0), (11, None)}
 
 
+def test_asof_join_tolerance(spark):
+    """merge_asof-style tolerance: a nearest match farther than the bound
+    nulls out (payload AND matched-ts together), near matches survive."""
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:00:00"), 10.0),
+         ("B", _ts("2024-01-01 06:00:00"), 99.0)],
+        "sym string, qts timestamp, px double",
+    )
+    trades = spark.createDataFrame(
+        [("A", _ts("2024-01-01 09:30:00")),   # 30 min after quote: keep
+         ("B", _ts("2024-01-01 09:30:00"))],  # 3.5 h after quote: too far
+        "sym string, tts timestamp",
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="tts", right_ts="qts",
+        tolerance_seconds=3600,
+    )
+    got = {(r["sym"], r["px"], r["qts_matched"]) for r in out.collect()}
+    assert got == {
+        ("A", 10.0, _ts("2024-01-01 09:00:00")),
+        ("B", None, None),
+    }
+
+
 def test_salted_join_equals_plain_join(spark):
     from etl_platform_nyc_taxi_spark.operators.joins import salted_join
 
