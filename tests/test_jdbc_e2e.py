@@ -111,3 +111,64 @@ def test_ddl_statement_roundtrip(spark, cfg):
     execute_statement(spark, cfg, "INSERT INTO t8 VALUES (42)")
     got = read_jdbc(spark, cfg, "t8").collect()
     assert [r["x"] for r in got] == [42]
+
+
+def test_streaming_jdbc_upsert_exactly_once_state(spark, cfg, tmp_path):
+    """Streaming daily pipeline -> JDBC with exactly-once TABLE STATE
+    (streaming/jdbc_sink.stream_upsert_jdbc): per micro-batch, the
+    update-mode aggregate's changed keys are upserted under their own
+    key window. A full replay (fresh checkpoint) converges to the same
+    table instead of violating the PK the way the reference's bare
+    append does; a resumed run with the SAME checkpoint is a no-op."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.jdbc_sink import stream_upsert_jdbc
+
+    ensure_table(
+        spark, cfg, "stream_daily", '"day" DATE PRIMARY KEY, "cnt" BIGINT'
+    )
+    d1, d2 = dt.date(2024, 6, 1), dt.date(2024, 6, 2)
+    src = tmp_path / "src"
+    # file 1: three d1 rows + one d2 row; file 2: two more d2 rows — the
+    # second micro-batch must UPDATE d2's cumulative count, not append
+    spark.createDataFrame([(d1,), (d1,), (d1,), (d2,)], "day date").coalesce(
+        1
+    ).write.mode("append").parquet(str(src))
+    spark.createDataFrame([(d2,), (d2,)], "day date").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def agg(stream):
+        from pyspark.sql import functions as F
+
+        return stream.groupBy("day").agg(F.count(F.lit(1)).alias("cnt"))
+
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_jdbc(
+        agg(read_stream_auto(spark, str(src), maxFilesPerTrigger="1")),
+        cfg,
+        "stream_daily",
+        key_cols=["day"],
+        checkpoint_dir=ckpt,
+    )
+    got = {r["day"]: r["cnt"] for r in read_jdbc(spark, cfg, "stream_daily").collect()}
+    assert got == {d1: 3, d2: 3}
+
+    # resumed run, same checkpoint: no batches to do, table unchanged
+    stream_upsert_jdbc(
+        agg(read_stream_auto(spark, str(src), maxFilesPerTrigger="1")),
+        cfg,
+        "stream_daily",
+        key_cols=["day"],
+        checkpoint_dir=ckpt,
+    )
+    # FULL replay, fresh checkpoint: every batch re-applies; upsert
+    # semantics converge to the identical final state (no PK violation)
+    stream_upsert_jdbc(
+        agg(read_stream_auto(spark, str(src), maxFilesPerTrigger="1")),
+        cfg,
+        "stream_daily",
+        key_cols=["day"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    got = {r["day"]: r["cnt"] for r in read_jdbc(spark, cfg, "stream_daily").collect()}
+    assert got == {d1: 3, d2: 3}
