@@ -9401,7 +9401,9 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = m.select(
         "source", "n", F.round(F.col("n") * sigma, 6).alias("weight")
-    )
+    ).localCheckpoint()  # |sources| rows; makes "corpus touched once"
+    # literally true — the scalar-total consumer would otherwise re-run
+    # the corpus aggregate through its lineage
     t = w.agg(
         F.sum(F.col("weight").cast("decimal(28,6)")).cast("double").alias("__tot")
     )

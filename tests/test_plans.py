@@ -491,3 +491,39 @@ def test_interarrival_single_shuffle_on_user(spark):
     user-keyed exchange feeds both (no second shuffle for the agg)."""
     s = fmt(QR.QUERIES["interarrival_stats"](spark, SF))
     assert len(re.findall(r"hashpartitioning\(user_id", s)) == 1, s
+
+
+def test_temporal_join_scd2_equi_join_not_nested_loop(spark):
+    """The point-in-time join must plan as an EQUI join on user_id with
+    the range predicates as residual filters — a BroadcastNestedLoopJoin
+    would mean the interval conditions ate the equi key (quadratic at
+    scale)."""
+    s = fmt(QR.QUERIES["temporal_join_scd2"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "CartesianProduct" not in s, s
+
+
+def test_tpch_q21_decorrelates_both_exists(spark):
+    """Q21's EXISTS + NOT EXISTS must decorrelate to left-semi and
+    left-anti joins — never a per-row rescan or nested loop."""
+    s = fmt(QR.QUERIES["sql_tpch_q21"](spark, SF))
+    assert "LeftSemi" in s, s
+    assert "LeftAnti" in s, s
+    assert "CartesianProduct" not in s, s
+
+
+def test_asof_forward_tol_single_user_shuffle(spark):
+    """Tolerance is a post-projection: the forward as-of keeps the ONE
+    union+window shuffle on user_id, no second exchange for the bound."""
+    s = fmt(QR.QUERIES["join_asof_forward_tol"](spark, SF))
+    assert len(re.findall(r"hashpartitioning\(user_id", s)) == 1, s
+
+
+def test_neyman_allocation_single_corpus_pass(spark):
+    """The corpus is aggregated once; all allocation math runs on the
+    |sources|-row relation with a 1-row broadcast total."""
+    s = fmt(QR.QUERIES["neyman_allocation"](spark, SF))
+    # exactly one scan of documents (the per-stratum relation is
+    # checkpointed before the scalar-total consumer)
+    assert len(re.findall(r"Scan parquet(?:\s|\[)[^\n]*documents", s)) <= 1, s
+    assert "BroadcastExchange" in s, s
