@@ -9417,6 +9417,255 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "chi2_independence",
+    """
+    WITH c AS (
+      SELECT event_type AS et, dayname(ts) AS wd, COUNT(*) AS o
+      FROM events WHERE ts IS NOT NULL GROUP BY et, wd
+    ),
+    rt AS (SELECT et, CAST(SUM(o) AS BIGINT) AS r FROM c GROUP BY et),
+    ct AS (SELECT wd, CAST(SUM(o) AS BIGINT) AS col_n FROM c GROUP BY wd),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM c),
+    grid AS (
+      SELECT rt.et, ct.wd, rt.r, ct.col_n, COALESCE(c.o, 0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN c ON c.et = rt.et AND c.wd = ct.wd
+    ),
+    cells AS (
+      SELECT CAST(ROUND(
+               (CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(n.tot AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(col_n AS DOUBLE)
+                    / CAST(n.tot AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(col_n AS DOUBLE)
+                  / CAST(n.tot AS DOUBLE)), 9) AS DECIMAL(38,9)) AS h,
+             n.tot
+      FROM grid CROSS JOIN n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+                * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           ROUND(CAST(SUM(h) AS DOUBLE), 6) AS chi2,
+           ROUND(sqrt(CAST(SUM(h) AS DOUBLE)
+                 / (CAST(MAX(tot) AS DOUBLE)
+                    * LEAST((SELECT COUNT(*) FROM rt) - 1,
+                            (SELECT COUNT(*) FROM ct) - 1))), 6)
+             AS cramers_v
+    FROM cells
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit (event_type x weekday) + Cramér's V
+    — the categorical-drift / feature-dependence screen run before
+    trusting a categorical split or a stratification key. The
+    contingency grid is COMPLETE (row-marginal x column-marginal cross,
+    zero cells included — omitting unobserved combos biases the
+    statistic); all marginals are exact integers from ONE corpus
+    aggregate, per-cell (O−E)²/E contributions are single IEEE ops
+    quantized to decimal so the 35-cell sum is order-free, and both
+    engines bucket weekdays by dayname (no locale-numbered-weekday
+    mismatch). Grid math runs on |types|x|weekdays| rows — the corpus
+    is touched once."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    c = e.groupBy(
+        F.col("event_type").alias("et"), F.dayname("ts").alias("wd")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    c = c.localCheckpoint()  # tiny; feeds marginals AND the grid join
+    rt = c.groupBy("et").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = c.groupBy("wd").agg(F.sum("o").cast("bigint").alias("col_n"))
+    n = c.agg(F.sum("o").cast("bigint").alias("tot"))
+    grid = (
+        rt.crossJoin(ct)
+        .join(c, ["et", "wd"], "left")
+        .select("et", "wd", "r", "col_n", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(n))
+    )
+    exp = (
+        F.col("r").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("tot").cast("double")
+    )
+    h = F.round(
+        (F.col("o").cast("double") - exp) ** 2 / exp, 9
+    ).cast("decimal(38,9)")
+    n_rt = rt.count()
+    n_ct = ct.count()
+    return grid.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.lit((n_rt - 1) * (n_ct - 1)).cast("bigint").alias("dof"),
+        F.round(F.sum(h).cast("double"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(h).cast("double")
+                / (
+                    F.max("tot").cast("double")
+                    * F.lit(float(min(n_rt - 1, n_ct - 1)))
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+_LINKAGE_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             array_to_string((string_split_regex(trim(text), '\s+'))[1:4],
+                             ' ') AS title,
+             lang, source,
+             CAST(length(bin(n_chars)) AS INT) AS len_band
+      FROM documents
+    ),
+    corpus AS (
+      SELECT doc_id, title, lang, source, len_band FROM t
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(title, 1, 2) || substr(title, 4) AS title,
+             lang, source, len_band
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.lang AS la, b.lang AS lb,
+             a.source AS sa, b.source AS sb,
+             a.len_band AS ba, b.len_band AS bb
+      FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.title, b.title) <= 1
+    ),
+    u AS (
+      SELECT
+        (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                     AS DOUBLE)
+         FROM (SELECT COUNT(*) AS c FROM corpus GROUP BY lang))
+          / (SELECT CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             FROM corpus) AS u_lang,
+        (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                     AS DOUBLE)
+         FROM (SELECT COUNT(*) AS c FROM corpus GROUP BY source))
+          / (SELECT CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             FROM corpus) AS u_source,
+        (SELECT CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                     AS DOUBLE)
+         FROM (SELECT COUNT(*) AS c FROM corpus GROUP BY len_band))
+          / (SELECT CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             FROM corpus) AS u_band
+    )
+    SELECT id_a, id_b,
+           CAST(CASE WHEN la = lb THEN 1 ELSE 0 END
+                + CASE WHEN sa = sb THEN 1 ELSE 0 END
+                + CASE WHEN ba = bb THEN 1 ELSE 0 END AS INT) AS n_agree,
+           ROUND(
+             (CASE WHEN la = lb THEN log2(0.95 / u_lang)
+                   ELSE log2(0.05 / (1.0 - u_lang)) END)
+             + (CASE WHEN sa = sb THEN log2(0.95 / u_source)
+                     ELSE log2(0.05 / (1.0 - u_source)) END)
+             + (CASE WHEN ba = bb THEN log2(0.95 / u_band)
+                     ELSE log2(0.05 / (1.0 - u_band)) END), 6) AS fs_score
+    FROM pairs CROSS JOIN u
+"""
+
+
+@register("record_linkage_scores", _LINKAGE_SQL)
+def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: candidate pairs from
+    the recall-exact edit-1 title blocking (fuzzy_title_pairs' SymSpell
+    decomposition — never all-pairs), each scored by per-field
+    log-likelihood weights — agreement on lang / source / length band
+    adds log2(m/u), disagreement adds log2((1−m)/(1−u)) — with
+    U-PROBABILITIES ESTIMATED FROM THE CORPUS (random-agreement
+    probability Σp², exact decimal over value counts) and a declared
+    m = 0.95. This is the scoring half of entity resolution that the
+    dedup family's pair generators feed at 100 TB; the weight scalars
+    are a 1-row broadcast, the length band is length(bin(n)) — integer
+    in both engines — and the only floats are log2 over exact ratios,
+    rounded to 6dp. Oracle replays blocking, u-estimation, and scoring
+    verbatim (naive quadratic blocking on DuckDB's side — the plan
+    difference IS the operator)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import fuzzy_pairs_edit1
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(tokens_ws("text"), 1, 4)).alias("title"),
+        "lang",
+        "source",
+        F.length(F.bin("n_chars")).cast("int").alias("len_band"),
+    )
+    mutants = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 2), F.expr("substring(title, 4)")
+        ).alias("title"),
+        "lang",
+        "source",
+        "len_band",
+    )
+    corpus = d.unionByName(mutants).localCheckpoint()  # feeds blocking,
+    # attribute joins, and three u-estimates — five consumers, one build
+    pairs = fuzzy_pairs_edit1(
+        corpus, id_col="doc_id", text_col="title"
+    ).select("id_a", "id_b")
+
+    def _u(col: str, alias: str):
+        c = corpus.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return c.agg(
+            (
+                F.sum(
+                    F.col("c").cast("decimal(38,0)")
+                    * F.col("c").cast("decimal(38,0)")
+                ).cast("double")
+            ).alias(alias)
+        )
+
+    n_sq = corpus.count() ** 2
+    u = (
+        _u("lang", "u_lang")
+        .crossJoin(_u("source", "u_source"))
+        .crossJoin(_u("len_band", "u_band"))
+        .select(
+            (F.col("u_lang") / F.lit(float(n_sq))).alias("u_lang"),
+            (F.col("u_source") / F.lit(float(n_sq))).alias("u_source"),
+            (F.col("u_band") / F.lit(float(n_sq))).alias("u_band"),
+        )
+    )
+    a = corpus.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("la"),
+        F.col("source").alias("sa"),
+        F.col("len_band").alias("ba"),
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lb"),
+        F.col("source").alias("sb"),
+        F.col("len_band").alias("bb"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b").crossJoin(F.broadcast(u))
+
+    def _w(fa: str, fb: str, ucol: str):
+        return F.when(
+            F.col(fa) == F.col(fb), F.log2(F.lit(0.95) / F.col(ucol))
+        ).otherwise(F.log2(F.lit(0.05) / (F.lit(1.0) - F.col(ucol))))
+
+    return j.select(
+        "id_a",
+        "id_b",
+        (
+            (F.col("la") == F.col("lb")).cast("int")
+            + (F.col("sa") == F.col("sb")).cast("int")
+            + (F.col("ba") == F.col("bb")).cast("int")
+        ).alias("n_agree"),
+        F.round(
+            _w("la", "lb", "u_lang")
+            + _w("sa", "sb", "u_source")
+            + _w("ba", "bb", "u_band"),
+            6,
+        ).alias("fs_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
