@@ -9738,15 +9738,18 @@ _VERIFY_FIRST = [
     "sql_tpch_q14",
     "sql_tpch_q7",
     "sql_tpch_q8",
-    "sql_tpch_q13",
-    "sql_tpch_q15",
-    "sql_tpch_q17",
-    "sql_tpch_q19",
     "graph_bfs",
-    "weighted_sample_pps",
     "bucketed_join",
     "histogram_totalprice",
     "bm25_search",
+    # Round-5 additions, in-window the round they land (the riskiest /
+    # flagship of the 18 r5-new queries; the remaining TPC-H block
+    # rotates with q13/q15/q17/q19 in r6):
+    "split_leakage_audit",
+    "sql_tpch_q21",
+    "sql_tpch_q2",
+    "record_linkage_scores",
+    "temporal_join_scd2",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window. ROTATION POLICY for round 6: (a) the SS2-core veterans
