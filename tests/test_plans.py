@@ -527,3 +527,44 @@ def test_neyman_allocation_single_corpus_pass(spark):
     # checkpointed before the scalar-total consumer)
     assert len(re.findall(r"Scan parquet(?:\s|\[)[^\n]*documents", s)) <= 1, s
     assert "BroadcastExchange" in s, s
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark):
+    """Runtime row-level filtering (the 100 TB selective fact-fact
+    shape): when a join is too big to broadcast, Catalyst must inject a
+    bloom-filter semi-filter from the selective side into the fact scan
+    (might_contain over a BloomFilterAggregate subquery). At fixture
+    scale the dim broadcasts and no filter is needed — so the test pins
+    the behavior under the forced-shuffle config a real cluster would
+    be in."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_fixture(spark, SF, "lineitem")
+        o = load_fixture(spark, SF, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        s = fmt(j)
+        assert "might_contain" in s.lower(), s
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -840,3 +840,61 @@ def test_streaming_sketch_multibatch_equals_batch(spark, tmp_path):
         )
     )
     assert streamed == batch
+
+
+def test_sessionize_rocksdb_state_store_parity(spark, tmp_path):
+    """The docs claim "RocksDB state store in production" — prove the
+    stateful sessionizer actually RUNS under RocksDBStateStoreProvider
+    and emits the identical closed-session set as the default
+    HDFS-backed provider (state-store choice must be a deployment knob,
+    never a semantics change)."""
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import read_stream_auto
+    from etl_platform_nyc_taxi_spark.streaming.sessions import sessionize_stream
+
+    schema = "user_id long, ts timestamp"
+    rows_in = [
+        (1, ts("2024-01-01 09:00:00")),
+        (1, ts("2024-01-01 09:10:00")),   # same session
+        (1, ts("2024-01-01 11:00:00")),   # new session (gap > 30 min)
+        (2, ts("2024-01-01 09:00:00")),
+        # late sentinel far ahead so the watermark closes everything above
+        (9, ts("2024-01-03 00:00:00")),
+    ]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows_in, schema).coalesce(1).write.parquet(str(src))
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run(provider: str | None):
+        old = spark.conf.get(conf_key, None)
+        if provider:
+            spark.conf.set(conf_key, provider)
+        try:
+            out = sessionize_stream(
+                read_stream_auto(spark, str(src)), gap_seconds=1800
+            )
+            sink = f"rocks_parity_{'r' if provider else 'd'}"
+            from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+                run_available_now,
+            )
+
+            run_available_now(out, sink, output_mode="append")
+            return {
+                (r.user_id, r.session_start, r.session_end, r.n_events)
+                for r in spark.table(sink).collect()
+            }
+        finally:
+            if provider:
+                if old is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, old)
+
+    default_set = run(None)
+    rocks_set = run(rocks)
+    assert default_set == rocks_set
+    assert (1, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:10:00"), 2) in rocks_set
