@@ -94,6 +94,10 @@ HEAVY = [
     # (expect ~linear).
     "split_leakage_audit",
     "dedup_survivor_weights",
+    # Round 5b: edit-1 blocked linkage scoring (deletion-neighborhood
+    # equi-join + attribute joins — replicas have disjoint title vocab,
+    # so blocks and pairs grow linearly; measured 2.3x at x10).
+    "record_linkage_scores",
 ]
 
 REPLICA_STRIDE = 10_000_000
