@@ -1,0 +1,121 @@
+"""Non-associative ordered scans per key — the one operator family the
+DataFrame algebra genuinely cannot express.
+
+Window aggregates cover every ASSOCIATIVE running computation (sum, min,
+count — anything with a merge). A recurrence whose step depends on the
+PREVIOUS OUTPUT — EWMA smoothing (y_i = αx_i + (1−α)y_{i−1}), a clamped
+running balance (saturating inventory), state machines — has no
+partial-aggregate decomposition, so no combination of built-in window
+functions computes it. This is the textbook case for the engine's
+declared Pandas-UDF exception (SURVEY §7.3): ``applyInPandas`` over the
+key partition, each group's rows sorted and folded in one Arrow batch.
+
+Scale posture: one shuffle on the key (the same exchange a window would
+need), per-group memory = that key's rows (the operator is for entity-
+sized groups — users, devices, SKUs — not global scans; a global
+recurrence is inherently sequential and no engine parallelizes it).
+Python cost is one C-double loop per row inside an Arrow batch — no
+per-row serialization, no driver involvement.
+
+Determinism: each step is the same short IEEE sequence in any engine
+(the DuckDB recursive-CTE oracle replays it bit-for-bit); outputs are
+rounded by the callers before hashing anyway.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _scan_apply(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    step,
+    init,
+    out_type: str = "double",
+) -> DataFrame:
+    """Shared applyInPandas skeleton: per key, sort by ``order_cols`` and
+    fold ``step(prev, x)`` over ``value_col`` starting from
+    ``init(first_x)``."""
+
+    schema = ", ".join(
+        [f"{key_col} {dict(df.dtypes)[key_col]}"]
+        + [f"{c} {dict(df.dtypes)[c]}" for c in order_cols]
+        + [f"{value_col} double", f"{out_col} {out_type}"]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        xs = pdf[value_col].astype(float).tolist()
+        out = []
+        prev = None
+        for x in xs:
+            prev = init(x) if prev is None else step(prev, x)
+            out.append(prev)
+        pdf = pdf[[key_col, *order_cols, value_col]].copy()
+        pdf[out_col] = out
+        return pdf
+
+    return df.select(key_col, *order_cols, value_col).groupBy(key_col).applyInPandas(
+        fold, schema
+    )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key, seeded at the first
+    value (pandas ``ewm(alpha, adjust=False)`` semantics)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+    return _scan_apply(
+        df,
+        key_col,
+        order_cols,
+        value_col,
+        out_col,
+        step=lambda prev, x: a * x + (1.0 - a) * prev,
+        init=lambda x: x,
+    )
+
+
+def capped_running_sum_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    out_col: str = "balance",
+) -> DataFrame:
+    """Saturating running balance per key: each step adds the delta and
+    clamps into [lo, hi] — inventory/credit semantics where overflow is
+    LOST, which is exactly why no associative rewrite exists (a plain
+    cumsum clamped at the end gives different answers)."""
+    if lo >= hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi}]")
+
+    def clamp(v: float) -> float:
+        return lo if v < lo else hi if v > hi else v
+
+    return _scan_apply(
+        df,
+        key_col,
+        order_cols,
+        value_col,
+        out_col,
+        step=lambda prev, x: clamp(prev + x),
+        init=lambda x: clamp(x),
+    )

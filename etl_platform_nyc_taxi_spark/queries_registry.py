@@ -9666,6 +9666,117 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ewma_smooth",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, event_id, value, rn, value AS e
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.event_id, s.value, s.rn,
+             0.25 * s.value + 0.75 * r.e
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts, event_id, value,
+           CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT) AS ewma_micro
+    FROM r
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing per user (α = 0.25, seeded at the first value) —
+    the monitoring/feature recurrence y_i = αx_i + (1−α)y_{i−1}. This is
+    the engine's DECLARED Pandas-UDF exception made explicit
+    (operators/scans.py): the step depends on the previous OUTPUT, so it
+    has no partial-aggregate decomposition and no window-function
+    rewrite — ``applyInPandas`` folds each user's sorted rows in one
+    Arrow batch behind the same single key shuffle a window would need.
+    The oracle replays the recurrence with a recursive CTE stepping all
+    users one row per iteration — bit-identical IEEE steps. The output
+    quantizes to integer MICRO-UNITS via floor(x*1e6 + 0.5) instead of
+    ROUND: EWMA values over 2-dp inputs with a dyadic α are exact
+    finite decimals that land on 6-dp half-points constantly, where
+    engine ROUND implementations (BigDecimal half-up vs multiply-round
+    -divide) legitimately disagree; the floor form is the same IEEE
+    sequence in both engines."""
+    from etl_platform_nyc_taxi_spark.operators.scans import ewma_per_key
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("value")
+    )
+    out = ewma_per_key(
+        e, "user_id", ["ts", "event_id"], "value", alpha=0.25
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.floor(F.col("ewma") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ewma_micro"),
+    )
+
+
+@register(
+    "capped_balance",
+    """
+    WITH RECURSIVE s AS (
+      SELECT user_id, ts, event_id,
+             CAST(value AS DOUBLE) - 50.0 AS delta,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, event_id, delta, rn,
+             GREATEST(0.0, LEAST(100.0, delta)) AS bal
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.ts, s.event_id, s.delta, s.rn,
+             GREATEST(0.0, LEAST(100.0, r.bal + s.delta))
+      FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id, ts, event_id, ROUND(delta, 6) AS delta,
+           ROUND(bal, 6) AS balance
+    FROM r
+    """,
+)
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saturating running balance per user (credits/inventory clamped to
+    [0, 100], deltas = value − 50): overflow and underflow are LOST at
+    each step, which is exactly why no associative rewrite exists — a
+    plain cumsum clamped at the end answers a different question. Same
+    applyInPandas scan skeleton as ewma_smooth
+    (operators/scans.capped_running_sum_per_key); recursive-CTE
+    oracle."""
+    from etl_platform_nyc_taxi_spark.operators.scans import (
+        capped_running_sum_per_key,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("double") - F.lit(50.0)).alias("delta"),
+    )
+    out = capped_running_sum_per_key(
+        e, "user_id", ["ts", "event_id"], "delta", lo=0.0, hi=100.0
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("delta", 6).alias("delta"),
+        F.round("balance", 6).alias("balance"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
