@@ -734,7 +734,7 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
-    SELECT gram, cnt, "rank" FROM (
+    SELECT gram, cnt, CAST("rank" AS INT) AS "rank" FROM (
       SELECT gram, cnt,
              ROW_NUMBER() OVER (ORDER BY cnt DESC, gram ASC) AS "rank"
       FROM c
@@ -5068,7 +5068,7 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
              lo, hi - lo AS span
       FROM orders, b
     )
-    SELECT bin,
+    SELECT CAST(bin AS INT) AS bin,
            lo + CAST(bin AS DOUBLE) * (span / 16.0) AS bin_lo,
            COUNT(*) AS n
     FROM binned GROUP BY bin, lo, span
@@ -6000,7 +6000,7 @@ def q_top_percent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dim_stats",
     """
     WITH ex AS (
-      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
     ),

@@ -30,6 +30,43 @@ def normalize_cell(v):
     return v
 
 
+#: Spark simpleString -> acceptable DuckDB relation types. TIMESTAMP_NS
+#: appears when nanos survive a passthrough; WITH TIME ZONE never should
+#: (session is UTC-pinned NTZ end to end).
+#: All plain integer widths hash as one family in the driver — proven by
+#: corpus_top_ngrams' green r2/r3 rows with Spark int vs DuckDB BIGINT.
+#: HUGEINT is NOT in the family (decimal128 on the Arrow wire — the r4
+#: red-row class); neither are DECIMALs.
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_TYPE_MAP = {
+    "bigint": _INTS,
+    "int": _INTS,
+    "smallint": _INTS,
+    "tinyint": _INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "REAL"},
+    "string": {"VARCHAR"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP_NS"},
+    "timestamp_ntz": {"TIMESTAMP", "TIMESTAMP_NS"},
+    "boolean": {"BOOLEAN"},
+}
+
+
+def _types_compatible(spark_t: str, duck_t: str) -> bool:
+    if spark_t.startswith("decimal"):
+        return duck_t.replace(" ", "").upper() == spark_t.replace(
+            "decimal", "DECIMAL"
+        ).replace(" ", "")
+    if spark_t.startswith("array<"):
+        inner_s = spark_t[6:-1]
+        if duck_t.endswith("[]"):
+            return _types_compatible(inner_s, duck_t[:-2])
+        return False
+    allowed = _TYPE_MAP.get(spark_t)
+    return duck_t in allowed if allowed is not None else True
+
+
 def df_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(normalize_cell(r[i]) for i in order) for r in rows]
@@ -82,26 +119,25 @@ def main() -> int:
             continue
         # Type lint: the driver's value hash is TYPED (Arrow-level), so a
         # DuckDB relation column promoted to HUGEINT (SUM over integers)
-        # or to a DECIMAL the Spark side doesn't carry hash-mismatches
-        # even when every value is equal (the entire red set of round 4).
-        # Python fetchall erases these types, so without this lint the
-        # local gate passes where the driver fails.
-        spark_decimal = {
-            f.name
-            for f in sdf.schema.fields
-            if f.dataType.typeName().startswith("decimal")
-        }
-        bad_types = [
-            (c, t)
-            for c, t in zip(ocols, otypes)
-            if t in ("HUGEINT", "UHUGEINT")
-            or (t.startswith("DECIMAL") and c not in spark_decimal)
-        ]
+        # or any other width/kind mismatch vs the Spark schema
+        # hash-mismatches even when every value is equal (the entire red
+        # set of round 4 was SUM->HUGEINT). Python fetchall erases these
+        # types, so without this lint the local gate passes where the
+        # driver fails. The check is a full dtype-compatibility map, not
+        # just the HUGEINT case — INTEGER-vs-BIGINT is the same class.
+        spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        bad_types = []
+        for c, t in zip(ocols, otypes):
+            st = spark_types.get(c)
+            if st is None:  # name mismatch reported separately below
+                continue
+            if not _types_compatible(st, t):
+                bad_types.append((c, st, t))
         if bad_types:
             failures.append(name)
             print(
-                f"FAIL  {name}: oracle type lint: {bad_types} — wrap the "
-                "integer SUM in CAST(... AS BIGINT) in the oracle SQL"
+                f"FAIL  {name}: oracle type lint (spark vs duckdb): "
+                f"{bad_types} — align with CASTs on whichever side is wrong"
             )
             continue
         sc, sm = df_multiset(scols, srows)
