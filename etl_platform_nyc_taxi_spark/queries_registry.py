@@ -9777,6 +9777,144 @@ def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "attribution_time_decay",
+    """
+    WITH conv AS (
+      SELECT user_id, ts AS cts, event_id AS cid
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+    ),
+    touch AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+    ),
+    pairs AS (
+      SELECT c.cid, t.event_type,
+             CAST(ROUND(power(2.0,
+                    -(CAST(floor(epoch(c.cts)) AS BIGINT)
+                      - CAST(floor(epoch(t.ts)) AS BIGINT)) / 86400.0), 12)
+                  AS DECIMAL(32,12)) AS w
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND (t.ts < c.cts OR (t.ts = c.cts AND t.event_id < c.cid))
+    ),
+    tot AS (SELECT cid, SUM(w) AS tw FROM pairs GROUP BY cid)
+    SELECT p.event_type,
+           COUNT(DISTINCT p.cid) AS n_conversions_touched,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(p.w AS DOUBLE)
+                                     / CAST(t.tw AS DOUBLE), 12)
+                               AS DECIMAL(32,12))) AS DOUBLE), 6)
+             AS decay_credit
+    FROM pairs p JOIN tot t ON t.cid = p.cid
+    GROUP BY p.event_type
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (half-life 1 day): each
+    purchase distributes one unit of credit over its prior view/click
+    touches weighted 2^(−Δdays) — recency-biased, completing the
+    first-touch / linear family. Same one-shuffle user join as
+    attribution_linear; weights and per-conversion shares quantize to
+    12dp decimal before every sum so channel totals stay order-free
+    (the single pow() per pair is the only libm call, rounded well
+    clear of its ulp)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    before = (F.col("ts") < F.col("cts")) | (
+        (F.col("ts") == F.col("cts")) & (F.col("event_id") < F.col("cid"))
+    )
+    secs = lambda c: F.floor(F.col(c).cast("timestamp").cast("double")).cast(  # noqa: E731
+        "bigint"
+    )
+    w = F.round(
+        F.pow(F.lit(2.0), -(secs("cts") - secs("ts")) / F.lit(86400.0)), 12
+    ).cast("decimal(32,12)")
+    pairs = (
+        conv.join(touch, "user_id").filter(before).select(
+            "cid", "event_type", w.alias("w")
+        )
+    )
+    tot = pairs.groupBy("cid").agg(F.sum("w").alias("tw"))
+    share = F.round(
+        F.col("w").cast("double") / F.col("tw").cast("double"), 12
+    ).cast("decimal(32,12)")
+    return (
+        pairs.join(tot, "cid")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("cid").alias("n_conversions_touched"),
+            F.round(F.sum(share).cast("double"), 6).alias("decay_credit"),
+        )
+    )
+
+
+@register(
+    "sequence_pattern_counts",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST((length(s) - length(replace(s, 'vcp', ''))) / 3 AS BIGINT)
+             AS n_vcp_funnels,
+           CAST((length(s) - length(replace(s, 'ee', ''))) / 2 AS BIGINT)
+             AS n_error_bursts
+    FROM seq
+    """,
+)
+def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern mining without the clause
+    Spark lacks: each user's event stream collapses to an ordered
+    initial-letter string (one shuffle, deterministic (ts, event_id)
+    order via array_sort over structs), then adjacent-pattern
+    occurrences count via length arithmetic on replace() — here the
+    strict view→click→purchase funnel 'vcp' and back-to-back error
+    bursts 'ee' (non-overlapping, as replace consumes matches). The
+    per-user string is bounded by per-user activity (the sessionize
+    bound); the pattern scan is pure codegen string ops, no UDF, no
+    regex engine dialect risk."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("__s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__s")), lambda x: x["i"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    n_pat = lambda pat, k: (  # noqa: E731
+        (F.length("s") - F.length(F.replace(F.col("s"), F.lit(pat))))
+        / F.lit(k)
+    ).cast("bigint")
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        n_pat("vcp", 3).alias("n_vcp_funnels"),
+        n_pat("ee", 2).alias("n_error_bursts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
