@@ -98,6 +98,12 @@ HEAVY = [
     # equi-join + attribute joins — replicas have disjoint title vocab,
     # so blocks and pairs grow linearly; measured 2.3x at x10).
     "record_linkage_scores",
+    # Round 5c: the applyInPandas ordered scans — the Python-loop cost
+    # the Arrow batching must amortize (measured 1.3x / 1.6x at x10:
+    # per-group folds scale with groups, not depth, on the
+    # disjoint-user replica corpus).
+    "ewma_smooth",
+    "capped_balance",
 ]
 
 REPLICA_STRIDE = 10_000_000
