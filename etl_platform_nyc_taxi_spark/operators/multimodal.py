@@ -3,11 +3,18 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct — Spark needs no new type for this (SURVEY.md §7.2 step 5).
 What must be REAL at 100 TB is the plumbing: schema, batch-wise Arrow
-transfer, partition sizing so one task's batch of blobs fits memory. The
-actual decoders (PIL/ffmpeg/librosa) are NOT in this environment, so the
-decode kernels are stubbed behind ``_HAVE_*`` gates with a deterministic
-fake that preserves the exact UDF signature, batch shape, and output
-schema — swap the kernel body, nothing else moves.
+transfer, partition sizing so one task's batch of blobs fits memory.
+
+Decode status (round 5): SELF-CONTAINED uncompressed formats decode for
+REAL with zero external dependencies — PPM/PGM and 24-bit BMP pixels
+(:func:`decode_image_pixels`, pure numpy) and PCM WAV samples
+(:func:`decode_audio_pcm`, stdlib ``wave``) — feeding real feature /
+resize kernels. COMPRESSED containers (PNG/JPEG/GIF, FLAC/OGG/MP3,
+video) still need PIL/soundfile/ffmpeg, which are NOT in this
+environment; for those payloads the kernels fall back to a
+deterministic fake that preserves the exact UDF signature, batch shape,
+and output schema, behind ``_HAVE_*`` gates that RAISE when a decoder
+appears so wiring it can't be forgotten.
 """
 
 from __future__ import annotations
@@ -279,8 +286,9 @@ def attach_media_meta(
 
 def _fake_image_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real image encoder: byte-histogram
-    moments, reproducible across runs/partitions. REPLACE with the real
-    kernel (PIL decode → resize → model) when decoders are installed."""
+    moments, reproducible across runs/partitions. Used only for payloads
+    :func:`decode_image_pixels` cannot decode (compressed containers,
+    pending PIL)."""
     if not payload:
         return [0.0] * dim
     acc = [0] * dim
@@ -288,6 +296,92 @@ def _fake_image_features(payload: bytes, dim: int) -> list[float]:
         acc[i % dim] += b
     n = len(payload)
     return [round(a / n, 6) for a in acc]
+
+
+def decode_image_pixels(payload: bytes | None):
+    """REAL pixel decoding for the self-contained uncompressed raster
+    formats — pure Python + numpy, no decoder libraries:
+
+    * PPM ``P6`` (binary RGB, maxval ≤ 255) → (H, W, 3) uint8
+    * PGM ``P5`` (binary grayscale, maxval ≤ 255) → (H, W, 1) uint8
+    * BMP 24-bit uncompressed BI_RGB (bottom-up or top-down) → (H, W, 3)
+      uint8, rows de-padded, BGR→RGB
+
+    Compressed containers (PNG/JPEG/GIF) still need PIL (the ``_HAVE_PIL``
+    gate); unrecognized/truncated payloads return None.
+    """
+    import numpy as np
+
+    if not payload or len(payload) < 12:  # smallest viable netpbm
+        return None
+    if payload[:2] in (b"P6", b"P5"):
+        # netpbm header: magic, width, height, maxval — whitespace-token
+        # stream with '#' comments, then one whitespace byte, then raster
+        toks, i, n = [], 2, len(payload)
+        while len(toks) < 3 and i < n:
+            c = payload[i : i + 1]
+            if c == b"#":
+                while i < n and payload[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
+                i += 1
+            else:
+                j = i
+                while j < n and not payload[j : j + 1].isspace():
+                    j += 1
+                toks.append(payload[i:j])
+                i = j
+        i += 1  # the single whitespace after maxval
+        try:
+            w, h, maxval = (int(t) for t in toks)
+        except ValueError:
+            return None
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        ch = 3 if payload[:2] == b"P6" else 1
+        need = w * h * ch
+        raster = payload[i : i + need]
+        if len(raster) < need:
+            return None
+        return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        data_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        need = data_off + stride * h
+        if len(payload) < need:
+            return None
+        rows = np.frombuffer(
+            payload[data_off : data_off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if not top_down:
+            img = img[::-1]
+        return np.ascontiguousarray(img)
+    return None
+
+
+def _real_image_features(img, dim: int) -> list[float]:
+    """Features from REAL pixels: [width, height, channels, mean, std,
+    luminance-histogram bins...] padded/truncated to ``dim``."""
+    import numpy as np
+
+    h, w, c = img.shape
+    px = img.astype(np.float64)
+    lum = px.mean(axis=2)
+    nbins = max(dim - 5, 1)
+    hist, _ = np.histogram(lum, bins=nbins, range=(0.0, 256.0))
+    hist = hist / max(lum.size, 1)
+    feat = [float(w), float(h), float(c), float(px.mean()), float(px.std())]
+    feat.extend(float(x) for x in hist)
+    return [round(f, 6) for f in feat[:dim]] + [0.0] * max(dim - len(feat), 0)
 
 
 def image_features(
@@ -314,6 +408,12 @@ def image_features(
         ]
     )
 
+    def _feat(b: bytes) -> list[float]:
+        img = decode_image_pixels(b)
+        if img is not None:  # REAL pixels (PPM/PGM/BMP — no libs needed)
+            return _real_image_features(img, dim)
+        return _fake_image_features(b, dim)
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
@@ -323,14 +423,15 @@ def image_features(
                     "size_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype(
                         "int64"
                     ),
-                    "feat": payloads.map(lambda b: _fake_image_features(b or b"", dim)),
+                    "feat": payloads.map(lambda b: _feat(b or b"")),
                 }
             )
 
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "real decoder path not wired yet; remove the fake kernel in "
-            "_fake_image_features and decode via PIL here"
+            "compressed-format decoder present but not wired: PPM/PGM/BMP "
+            "already decode for real in decode_image_pixels; route "
+            "PNG/JPEG/GIF through PIL in _feat here"
         )
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -366,10 +467,27 @@ def resize_images(
         stride = max(1, len(payload) // target_bytes)
         return payload[::stride][:target_bytes]
 
+    def _resize(payload: bytes) -> bytes:
+        img = decode_image_pixels(payload)
+        if img is None:
+            return _fake_resize(payload)
+        # REAL nearest-neighbor thumbnail re-encoded as P6/P5: edge sized
+        # so the raster lands near target_bytes
+        import numpy as np
+
+        h, w, c = img.shape
+        edge = max(1, int((target_bytes / c) ** 0.5))
+        ys = np.linspace(0, h - 1, min(edge, h)).round().astype(int)
+        xs = np.linspace(0, w - 1, min(edge, w)).round().astype(int)
+        thumb = img[np.ix_(ys, xs)]
+        th, tw, tc = thumb.shape
+        magic = b"P6" if tc == 3 else b"P5"
+        return magic + f"\n{tw} {th}\n255\n".encode() + thumb.tobytes()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col].map(lambda b: b or b"")
-            resized = payloads.map(_fake_resize)
+            resized = payloads.map(_resize)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -381,8 +499,9 @@ def resize_images(
 
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "real decoder path not wired yet; replace _fake_resize with "
-            "PIL decode → thumbnail → encode"
+            "compressed-format decoder present but not wired: PPM/PGM/BMP "
+            "resize for real via decode_image_pixels; route PNG/JPEG "
+            "through PIL in _resize here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
@@ -393,6 +512,44 @@ try:  # audio decoders intentionally absent in this image
     _HAVE_AUDIO = True
 except ImportError:
     _HAVE_AUDIO = False
+
+
+def decode_audio_pcm(payload: bytes | None):
+    """REAL audio decoding for uncompressed PCM WAV — stdlib ``wave`` +
+    numpy, no decoder libraries: returns ``(mono_int16_samples, rate)``
+    (multi-channel averaged to mono; 8-bit unsigned recentred). Non-WAV
+    or compressed-WAV payloads return None (FLAC/OGG/MP3 need soundfile,
+    the ``_HAVE_AUDIO`` gate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if rate <= 0 or nch <= 0:
+        return None
+    if width == 2:
+        pcm = np.frombuffer(frames[: len(frames) - len(frames) % (2 * nch)], dtype="<i2")
+    elif width == 1:  # 8-bit WAV is unsigned
+        pcm = (
+            np.frombuffer(frames[: len(frames) - len(frames) % nch], dtype=np.uint8)
+            .astype(np.int16)
+            - 128
+        ) * 256
+    else:
+        return None
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return pcm, rate
 
 
 def audio_features(
@@ -432,9 +589,21 @@ def audio_features(
         feat = [round(float(c.mean()), 6) if len(c) else 0.0 for c in chunks]
         return duration_ms, feat
 
+    def _audio(payload: bytes) -> tuple[int, list[float]]:
+        decoded = decode_audio_pcm(payload)
+        if decoded is None:
+            return _fake_audio(payload)
+        pcm, rate = decoded  # REAL samples at the container's REAL rate
+        if len(pcm) == 0:
+            return 0, [0.0] * bands
+        duration_ms = int(len(pcm) * 1000 // rate)
+        chunks = np.array_split(np.abs(pcm.astype("float64")), bands)
+        feat = [round(float(c.mean()), 6) if len(c) else 0.0 for c in chunks]
+        return duration_ms, feat
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf[payload_col].map(lambda b: _fake_audio(b or b""))
+            decoded = pdf[payload_col].map(lambda b: _audio(b or b""))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -445,8 +614,9 @@ def audio_features(
 
     if _HAVE_AUDIO:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "real decoder path not wired yet; replace _fake_audio with "
-            "soundfile decode → spectral features"
+            "compressed-format decoder present but not wired: PCM WAV "
+            "already decodes for real in decode_audio_pcm; route "
+            "FLAC/OGG/MP3 through soundfile in _audio here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

@@ -1715,7 +1715,9 @@ def _image_pairs_oracle_sql(
     """DuckDB mirror of the full dedup_image composition — byte-histogram
     feature kernel (multimodal._fake_image_features: per-byte hex
     extraction replicates acc[i % dim] += byte, then round(sum/n, 6) as
-    float32), mean-centered (functions/vectors.mean_center — see the
+    float32; the text-bytes payloads here are never PPM/BMP, so the r5
+    REAL-pixel path in image_features cannot engage and the fallback
+    kernel this SQL mirrors is the one that runs), mean-centered (functions/vectors.mean_center — see the
     bucket-collapse note there), feeding the deterministic-hyperplane
     pair pipeline of :func:`_lsh_pairs_oracle_sql`. Threshold 1.0 makes
     the check robust:

@@ -341,3 +341,137 @@ def test_sniff_audio_header_truncated_mid_byte_rate():
     # fmt chunk body starts at offset 20; byte_rate occupies bytes 28-32
     for cut in (29, 30, 31):
         assert sniff_audio_header(full[:cut]) == ("wav", None), cut
+
+
+# ---------------------------------------------------------------------------
+# Round 5: REAL decoding of self-contained formats (no decoder libs)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(w, h, rgb):
+    return b"P6\n# comment\n" + f"{w} {h}\n255\n".encode() + bytes(rgb) * (w * h)
+
+
+def _bmp_bytes(w, h, bgr):
+    """Minimal 24-bit uncompressed bottom-up BMP, rows 4-byte padded."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = (bytes(bgr) * w + b"\x00" * (stride - w * 3)) * h
+    data_off = 54
+    header = b"BM" + struct.pack(
+        "<IHHI", data_off + len(raster), 0, 0, data_off
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + dib + raster
+
+
+def test_decode_image_pixels_ppm_pgm_bmp():
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    img = decode_image_pixels(_ppm_bytes(4, 3, (10, 20, 30)))
+    assert img.shape == (3, 4, 3)
+    assert (img[:, :, 0] == 10).all() and (img[:, :, 2] == 30).all()
+
+    pgm = b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    g = decode_image_pixels(pgm)
+    assert g.shape == (2, 2, 1) and g.ravel().tolist() == [0, 64, 128, 255]
+
+    bmp = decode_image_pixels(_bmp_bytes(3, 2, (30, 20, 10)))  # BGR on disk
+    assert bmp.shape == (2, 3, 3)
+    assert (bmp[:, :, 0] == 10).all() and (bmp[:, :, 2] == 30).all()  # RGB out
+
+    assert decode_image_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 24) is None
+    assert decode_image_pixels(b"P6\n4 3\n255\n" + b"\x00" * 5) is None  # short
+    assert decode_image_pixels(None) is None
+    assert np.asarray(img).dtype == np.uint8
+
+
+def test_image_features_real_for_decodable_payloads(spark):
+    """A solid-color PPM must produce REAL stats (std 0, exact mean, real
+    dims) — proof the kernel consumed pixels, not container bytes."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import image_features
+
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(8, 4, (100, 100, 100))), (2, b"not an image")],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in image_features(df, dim=8).collect()}
+    real = out[1].feat
+    assert real[0] == 8.0 and real[1] == 4.0 and real[2] == 3.0  # w, h, c
+    assert real[3] == 100.0 and real[4] == 0.0                    # mean, std
+    fake = out[2].feat  # non-decodable → deterministic fallback, not crash
+    assert len(fake) == 8
+
+
+def test_resize_images_real_thumbnail_roundtrips(spark):
+    """Decodable payloads resize for REAL: output is a valid P6 the
+    decoder can read back, solid color preserved, byte size near
+    target."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, _ppm_bytes(32, 32, (7, 8, 9)))], "doc_id long, payload binary"
+    )
+    r = resize_images(df, target_bytes=48).collect()[0]
+    thumb = decode_image_pixels(bytes(r.resized))
+    assert thumb is not None and thumb.shape[2] == 3
+    assert (thumb[:, :, 0] == 7).all() and (thumb[:, :, 2] == 9).all()
+    assert r.resized_bytes < r.orig_bytes
+
+
+def test_audio_features_real_wav_rate_and_amplitude(spark):
+    """A real 8 kHz WAV must yield duration from the CONTAINER rate (not
+    the configured default) and per-band |amplitude| from real samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import audio_features
+
+    rate, seconds, amp = 8000, 1.0, 1000
+    t = np.arange(int(rate * seconds))
+    pcm = (amp * np.sign(np.sin(2 * np.pi * 440 * t / rate))).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "doc_id long, payload binary"
+    )
+    # sample_rate=16k default would halve the duration if the kernel
+    # ignored the real container rate
+    r = audio_features(df, bands=4).collect()[0]
+    assert r.duration_ms == 1000
+    assert all(900 <= f <= 1000 for f in r.feat)  # square wave |amp|≈1000
+
+
+def test_decode_audio_pcm_stereo_and_rejects():
+    import io
+    import wave
+
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import decode_audio_pcm
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(4000)
+        frames = np.array([100, 300, -100, -300], dtype="<i2")  # 2 frames
+        w.writeframes(frames.tobytes())
+    pcm, rate = decode_audio_pcm(buf.getvalue())
+    assert rate == 4000 and pcm.tolist() == [200, -200]  # mono mean
+    assert decode_audio_pcm(b"RIFFxxxxJUNK") is None
+    assert decode_audio_pcm(b"") is None
