@@ -9917,6 +9917,59 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_decode_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(14 + 8 * 2 * 3 AS BIGINT) AS size_bytes,
+           CAST(8 AS DOUBLE) AS f_width,
+           CAST(2 AS DOUBLE) AS f_height,
+           CAST(3 AS DOUBLE) AS f_channels,
+           CAST(32 + n_chars % 95 AS DOUBLE) AS f_mean,
+           CAST(0 AS DOUBLE) AS f_std
+    FROM documents
+    """,
+)
+def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated proof the REAL image decoder runs: each doc is given
+    a CONSTRUCTED solid-color P6 payload (8x2 RGB, color byte 32 +
+    n_chars % 95 — ASCII range so the string→binary UTF-8 cast is
+    byte-exact), pushed through the production mapInPandas feature
+    kernel (operators/multimodal.image_features → decode_image_pixels,
+    pure-numpy netpbm decode), and the decoded width/height/channels/
+    mean/std must equal what the ORACLE predicts from n_chars alone —
+    a payload-bytes→pixels→stats round trip the fake byte-histogram
+    kernel cannot fake (its features depend on header bytes too; only a
+    real decode yields std = 0 and mean = the raster byte). Constructed
+    header: 'P6\\n8 2\\n255\\n' = 11 bytes + 4 comment-free prefix
+    bytes... exactly 23 header bytes with the embedded comment line."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        image_features,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("P6\n#x\n8 2\n255\n"),
+            F.repeat(
+                F.chr(F.lit(32) + F.col("n_chars") % F.lit(95)), 8 * 2 * 3
+            ),
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    feats = image_features(d, dim=8)
+    return feats.select(
+        "doc_id",
+        "size_bytes",
+        F.element_at("feat", 1).cast("double").alias("f_width"),
+        F.element_at("feat", 2).cast("double").alias("f_height"),
+        F.element_at("feat", 3).cast("double").alias("f_channels"),
+        F.element_at("feat", 4).cast("double").alias("f_mean"),
+        F.element_at("feat", 5).cast("double").alias("f_std"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
