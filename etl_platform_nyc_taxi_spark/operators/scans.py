@@ -59,6 +59,9 @@ def _scan_apply(
             prev = init(x) if prev is None else step(prev, x)
             out.append(prev)
         pdf = pdf[[key_col, *order_cols, value_col]].copy()
+        # declared schema says double — coerce explicitly rather than
+        # relying on Arrow to cast an int64 input column
+        pdf[value_col] = pdf[value_col].astype(float)
         pdf[out_col] = out
         return pdf
 

@@ -568,3 +568,56 @@ def test_runtime_bloom_filter_on_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join (the engine enables it session-wide — session.py):
+    a shuffle join whose one hot key owns ~95% of the fact side must
+    come out of adaptive execution with the skewed partition SPLIT —
+    SortMergeJoin(skew=true) + an AQEShuffleRead reading skewed splits —
+    not one straggler task. Incompressible pad bytes keep the hot
+    partition above the (lowered) skew threshold at test scale; at
+    100 TB the default thresholds fire the same rule."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+                F.md5((F.col("id") + 2).cast("string")),
+            ).alias("pad"),
+        )
+        dim = spark.range(0, 400_000, 1000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        j = fact.join(dim, "k", "left")
+        assert len(j.collect()) == 400_000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        s = buf.getvalue()
+        assert "isFinalPlan=true" in s, s[-2000:]
+        assert "skew=true" in s, s[-2000:]
+        assert "skewed" in s, s[-2000:]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
