@@ -9970,6 +9970,113 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Format-conversion artifacts, built once per (format, sf_dir) and reused
+#: across invocations (the bench's warm pass pays only the read).
+_FORMAT_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _format_dir(kind: str, sf_dir: str, build) -> str:
+    key = (kind, sf_dir)
+    if key not in _FORMAT_DIRS:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"{kind}_fixture_")
+        build(path)
+        _FORMAT_DIRS[key] = path
+    return _FORMAT_DIRS[key]
+
+
+@register(
+    "orc_roundtrip_scan",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY day, event_type
+    """,
+)
+def q_orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange, driver-gated: the events fixture is converted to
+    ORC once per corpus (sources/formats.write_orc), read back
+    (read_orc — same vectorized columnar machinery, pushdown/pruning
+    intact), and aggregated; the oracle computes the identical aggregate
+    from the PARQUET originals — so the comparison proves the ORC round
+    trip preserved every (timestamp, type) value, not just that ORC
+    parses. Conversion is the one-hop ingest path text formats get
+    (formats.py ingest guidance); at 100 TB it happens once at ingest,
+    never per query."""
+    from etl_platform_nyc_taxi_spark.sources.formats import read_orc, write_orc
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    path = _format_dir("orc", sf_dir, lambda p: write_orc(e, p))
+    back = read_orc(spark, path)
+    return (
+        back.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "csv_quarantine_stats",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(3 AS BIGINT) AS n_quarantined
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_csv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingestion with malformed-row quarantine, driver-gated: the
+    documents fixture's (doc_id, lang, n_chars) columns are written to
+    CSV once, plus a file carrying three deliberately malformed lines
+    (non-numeric doc_id). The PERMISSIVE read with an explicit schema +
+    ``_corrupt_record`` routes exactly those three lines to the
+    quarantine side (sources/formats.quarantine_split) — never a silent
+    drop — and the clean side must reproduce the per-lang stats the
+    oracle computes from the parquet originals, with the quarantined
+    count = 3 on every row (1-row broadcast). Proves schema-first CSV
+    parsing, value round-trip, and the quarantine contract under the
+    driver gate, not just in tests."""
+    from etl_platform_nyc_taxi_spark.sources.formats import (
+        quarantine_split,
+        read_csv,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def build(path: str) -> None:
+        import os
+
+        d.write.mode("overwrite").option("header", "true").csv(path)
+        with open(os.path.join(path, "part-bad.csv"), "w") as fh:
+            fh.write("doc_id,lang,n_chars\n")
+            fh.write("not_a_number,xx,12\n")
+            fh.write("also bad,yy,34\n")
+            fh.write("NaN-ish,zz,56\n")
+
+    path = _format_dir("csv", sf_dir, build)
+    raw = read_csv(
+        spark,
+        path,
+        schema="doc_id long, lang string, n_chars long, _corrupt_record string",
+        header=True,
+        mode="PERMISSIVE",
+    ).cache()
+    clean, bad = quarantine_split(raw)
+    nbad = bad.agg(F.count(F.lit(1)).cast("bigint").alias("n_quarantined"))
+    return (
+        clean.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(nbad))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
