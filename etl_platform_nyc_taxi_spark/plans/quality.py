@@ -108,3 +108,30 @@ def quality_report(
         )
         out = out.unionByName(missing)
     return out
+
+
+def observed_metrics(
+    df: DataFrame, name: str = "metrics", exprs: dict[str, "F.Column"] | None = None
+):
+    """Attach single-pass pipeline metrics via ``df.observe`` — row
+    counts, null counts, sums collected DURING the job's own action, so
+    the quality numbers every production pipeline wants cost ZERO extra
+    scans (quality_report runs a separate aggregate; this piggybacks on
+    the write/collect that runs anyway).
+
+    Returns ``(observed_df, observation)``: run any action on
+    ``observed_df``, then read ``observation.get`` — a dict of the
+    metric values for exactly the rows that action processed. Works
+    identically under streaming (per-batch metrics via the listener).
+
+    Default metrics: ``n_rows``. Pass ``exprs`` to add more; every
+    expression must be an aggregate over the observed relation.
+    """
+    from pyspark.sql import Observation
+
+    exprs = exprs or {}
+    obs = Observation(name)
+    cols = [F.count(F.lit(1)).alias("n_rows")] + [
+        c.alias(k) for k, c in exprs.items()
+    ]
+    return df.observe(obs, *cols), obs

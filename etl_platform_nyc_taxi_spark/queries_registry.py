@@ -10077,6 +10077,47 @@ def q_csv_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_roundtrip_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_json_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines interchange, driver-gated (completes the format trio
+    with orc_roundtrip_scan and csv_quarantine_stats): events are
+    written as JSON-lines once (sources/formats.write_json — the shape
+    logs/exports actually arrive in), read back schema-first
+    (read_json; inference would cost a second full scan at 100 TB), the
+    embedded semi-structured props field is parsed with get_json_object,
+    and the per-type k-sums must equal the oracle's from the parquet
+    originals — the round trip must preserve the NESTED payload
+    byte-for-byte, not just the scalar columns."""
+    from etl_platform_nyc_taxi_spark.sources.formats import read_json, write_json
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    path = _format_dir("json", sf_dir, lambda p: write_json(e, p))
+    back = read_json(
+        spark, path, schema="event_id long, event_type string, props string"
+    )
+    return (
+        back.filter(F.col("props").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.get_json_object("props", "$.k").cast("bigint")
+            ).cast("bigint").alias("sum_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #

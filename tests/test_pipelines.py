@@ -145,3 +145,31 @@ def test_quality_report_hostile_rule_names(spark):
         ).collect()
     }
     assert out == {"x > 0 (shouldn't break)": 1}
+
+
+def test_observed_metrics_single_pass(spark):
+    """df.observe piggybacks quality metrics on the job's own action —
+    the counts must describe exactly the rows the action processed, with
+    no second scan issued (one aggregate dict per action)."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.plans.quality import observed_metrics
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 10 == 0).cast("int").alias("flag")
+    )
+    observed, obs = observed_metrics(
+        df,
+        exprs={
+            "n_flagged": F.sum("flag"),
+            "n_null_ids": F.sum(F.col("id").isNull().cast("int")),
+        },
+    )
+    out = observed.filter(F.col("id") < 999).write.format("noop").mode(
+        "overwrite"
+    )
+    out.save()
+    got = obs.get
+    assert got["n_rows"] == 100
+    assert got["n_flagged"] == 10
+    assert got["n_null_ids"] == 0
