@@ -10118,6 +10118,55 @@ def q_json_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "topk_with_other_bucket",
+    """
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    r AS (
+      SELECT user_id, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rn
+      FROM c
+    )
+    SELECT CASE WHEN rn <= 5 THEN CAST(user_id AS VARCHAR)
+                ELSE 'OTHER' END AS bucket,
+           CAST(SUM(cnt) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rn <= 5 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_collapsed_keys
+    FROM r
+    GROUP BY bucket
+    """,
+)
+def q_topk_with_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with an OTHER rollup — the reporting staple every dashboard
+    needs (top 5 users by activity, everyone else collapsed into one
+    bucket whose mass and key count are preserved, so the report still
+    sums to the corpus total). Two-phase like top5_zones: the window
+    ranks the COLLAPSED per-key aggregate (never fact rows), ties break
+    deterministically on user_id, and the final aggregate is
+    map-side-combinable. At 100 TB the per-key relation is the only
+    windowed input and the OTHER bucket keeps the long tail one row."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    r = c.withColumn("rn", F.row_number().over(w))
+    return (
+        r.select(
+            F.when(F.col("rn") <= 5, F.col("user_id").cast("string"))
+            .otherwise(F.lit("OTHER"))
+            .alias("bucket"),
+            "cnt",
+            F.when(F.col("rn") <= 5, F.lit(0)).otherwise(F.lit(1)).alias("__c"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            F.sum("__c").cast("bigint").alias("n_collapsed_keys"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
