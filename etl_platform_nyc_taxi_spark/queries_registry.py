@@ -10253,15 +10253,25 @@ _VERIFY_FIRST = [
     "temporal_join_scd2",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
-# oracle window. ROTATION POLICY for round 6: (a) the SS2-core veterans
-# whose last green is r3 (scan_project, daily_transactions, top5_zones,
+# oracle window. ROTATION POLICY for round 6 (54 names have never had
+# a driver row after this window runs — the registry reached 205 in
+# r5; ~6 re-check slots + 44 first-timers per window clears the
+# backlog in two rotations): (a) the SS2-core veterans whose last
+# green is r3 (scan_project, daily_transactions, top5_zones,
 # filter_range, union_slices, scalar_functions — VERDICT r4 task 7's
-# no-green-older-than-two-rounds rule), (b) the ~29 still-never-sampled
-# names (sql_exists_late_ship, streaming_cdc_apply, label_centroid_sim,
-# sql_scalar_subquery, dq_referential, attribution/analytics family,
-# twap_daily, ks_drift, gini_by_nation, ...), plus any round-5/6
-# additions the round they land, (c) oldest-green stables with the
-# remaining slots.
+# no-green-older-than-two-rounds rule), (b) the r5-new queries that
+# missed the r5 window — TPC-H q4/q9/q11/q12/q16/q20/q22,
+# dedup_survivor_weights, join_asof_forward_tol, neyman_allocation,
+# chi2_independence, ewma_smooth, capped_balance,
+# attribution_time_decay, sequence_pattern_counts,
+# multimodal_decode_roundtrip, orc_roundtrip_scan,
+# csv_quarantine_stats, json_roundtrip_extract, topk_with_other_bucket
+# — plus the older never-sampled backlog (sql_tpch_q13/q15/q17/q19,
+# weighted_sample_pps, sql_exists_late_ship, streaming_cdc_apply,
+# label_centroid_sim, sql_scalar_subquery, dq_referential, the
+# attribution/analytics family, twap_daily, ks_drift, gini_by_nation,
+# ...), (c) any round-6 additions the round they land, then
+# oldest-green stables with whatever slots remain.
 
 
 def _rotate_registry() -> None:
