@@ -10167,6 +10167,54 @@ def q_topk_with_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_freshness_lag",
+    """
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events WHERE ts IS NOT NULL),
+    s AS (
+      SELECT event_type,
+             MAX(ts) AS latest_ts,
+             COUNT(*) AS n_events
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, latest_ts, n_events,
+           CAST(floor(epoch(g.global_max)) AS BIGINT)
+             - CAST(floor(epoch(latest_ts)) AS BIGINT) AS lag_s,
+           CAST(floor(epoch(g.global_max)) AS BIGINT)
+             - CAST(floor(epoch(latest_ts)) AS BIGINT) > 86400
+             AS stale_alert
+    FROM s CROSS JOIN g
+    """,
+)
+def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit — the first DQ metric every ingest dashboard
+    shows: per stream (event_type), the latest event time, its lag
+    behind the corpus high-water mark, and a >1-day staleness alert. The
+    global max is a 1-row broadcast against the per-type aggregate (one
+    corpus pass, map-side combinable); lags are exact floored-epoch
+    integer differences, portable by construction. Anchoring to the
+    data's own high-water mark instead of wall-clock now() keeps the
+    metric deterministic AND is the correct semantics for late-replay
+    backfills (lag vs the pipeline's frontier, not the clock)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    secs = lambda c: F.floor(c.cast("timestamp").cast("double")).cast(  # noqa: E731
+        "bigint"
+    )
+    g = e.agg(F.max("ts").alias("__gmax"))
+    s = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    lag = secs(F.col("__gmax")) - secs(F.col("latest_ts"))
+    return s.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        "n_events",
+        lag.alias("lag_s"),
+        (lag > F.lit(86400)).alias("stale_alert"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 5).
 #
