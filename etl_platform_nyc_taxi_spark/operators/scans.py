@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _scan_apply(
@@ -42,7 +43,14 @@ def _scan_apply(
 ) -> DataFrame:
     """Shared applyInPandas skeleton: per key, sort by ``order_cols`` and
     fold ``step(prev, x)`` over ``value_col`` starting from
-    ``init(first_x)``."""
+    ``init(first_x)``.
+
+    Null semantics: rows with a null value or a null order key are
+    DROPPED before the fold (filtered plan-side, so both engines and
+    any oracle see the same input). Inside the recurrence a null has no
+    meaningful step — pandas would coerce it to NaN and poison every
+    subsequent output of that key, silently diverging from an oracle
+    that propagates NULL (ADVICE r5)."""
 
     schema = ", ".join(
         [f"{key_col} {dict(df.dtypes)[key_col]}"]
@@ -65,9 +73,10 @@ def _scan_apply(
         pdf[out_col] = out
         return pdf
 
-    return df.select(key_col, *order_cols, value_col).groupBy(key_col).applyInPandas(
-        fold, schema
-    )
+    cleaned = df.select(key_col, *order_cols, value_col)
+    for c in (value_col, *order_cols):
+        cleaned = cleaned.filter(F.col(c).isNotNull())
+    return cleaned.groupBy(key_col).applyInPandas(fold, schema)
 
 
 def ewma_per_key(

@@ -9676,6 +9676,7 @@ def q_record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
       FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ),
     r AS (
       SELECT user_id, ts, event_id, value, rn, value AS e
@@ -9734,6 +9735,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
       FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ),
     r AS (
       SELECT user_id, ts, event_id, delta, rn,
@@ -9941,8 +9943,9 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     a payload-bytes→pixels→stats round trip the fake byte-histogram
     kernel cannot fake (its features depend on header bytes too; only a
     real decode yields std = 0 and mean = the raster byte). Constructed
-    header: 'P6\\n8 2\\n255\\n' = 11 bytes + 4 comment-free prefix
-    bytes... exactly 23 header bytes with the embedded comment line."""
+    header: 'P6\\n#x\\n8 2\\n255\\n' = 14 bytes including the embedded
+    comment line, + 48 raster bytes = 62 total (the oracle's
+    size_bytes formula)."""
     from etl_platform_nyc_taxi_spark.operators.multimodal import (
         image_features,
     )

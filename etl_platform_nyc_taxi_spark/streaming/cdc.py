@@ -44,18 +44,22 @@ class CdcState:
         self.spark = spark
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
-        # Resume from the highest existing generation: on restart with a
+        # Resume from the highest COMPLETE generation: on restart with a
         # persistent state_dir + checkpoint_dir, the streaming checkpoint
         # skips already-committed batches, so starting at gen=0 would
-        # silently discard all previously folded state — breaking the
-        # module's exactly-once-STATE contract. (ADVICE r4.)
+        # silently discard all previously folded state (ADVICE r4). A
+        # generation only counts if Spark's _SUCCESS marker landed — a
+        # crash mid write_next leaves a torn gen=K+1 dir that must not
+        # shadow the intact gen=K (ADVICE r5).
         gens = []
         for name in os.listdir(state_dir):
             if name.startswith("gen="):
                 try:
-                    gens.append(int(name.split("=", 1)[1]))
+                    g = int(name.split("=", 1)[1])
                 except ValueError:
                     continue
+                if os.path.isfile(os.path.join(state_dir, name, "_SUCCESS")):
+                    gens.append(g)
         self.gen = max(gens, default=0)
 
     def _gen_path(self, gen: int) -> str:

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 
 from etl_platform_nyc_taxi_spark.sources.jdbc import (
     JdbcConfig,
+    execute_statement,
     write_jdbc_upsert,
 )
 
@@ -46,26 +47,36 @@ def sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # repr() of nan/inf is not valid SQL, and float-equality keys are
+        # fragile across a JDBC round trip anyway — reject non-finite
+        # outright (keys should be date/int/string per the contract).
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite float is not a valid key literal: {v!r}")
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, _dt.datetime):
         # CAST form, not the ANSI TIMESTAMP '...' literal: Derby rejects
-        # the latter; CAST parses on Derby AND Postgres
-        return f"CAST('{v.strftime('%Y-%m-%d %H:%M:%S')}' AS TIMESTAMP)"
+        # the latter; CAST parses on Derby AND Postgres. Fractional
+        # seconds are always included — truncating them would make the
+        # delete predicate miss previously written sub-second keys, so a
+        # replayed batch would append duplicates.
+        return (
+            "CAST('"
+            + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+            + "' AS TIMESTAMP)"
+        )
     if isinstance(v, _dt.date):
         return f"CAST('{v.isoformat()}' AS DATE)"
     s = str(v).replace("'", "''")
     return f"'{s}'"
 
 
-def batch_key_predicate(batch: DataFrame, key_cols: list[str]) -> str | None:
-    """OR-of-conjunctions predicate covering the batch's distinct keys
+def keys_predicate(keys, key_cols: list[str]) -> str | None:
+    """OR-of-conjunctions predicate over pre-collected key rows
     (identifiers double-quoted — ANSI, valid on Derby and Postgres).
-
-    Returns None for an empty batch. The distinct collect is bounded by
-    the aggregate contract above (keys per micro-batch, not rows).
-    """
-    keys = batch.select(*key_cols).distinct().collect()
+    Returns None for an empty key set."""
     if not keys:
         return None
     terms = []
@@ -80,6 +91,73 @@ def batch_key_predicate(batch: DataFrame, key_cols: list[str]) -> str | None:
     return " OR ".join(terms)
 
 
+def batch_key_predicate(batch: DataFrame, key_cols: list[str]) -> str | None:
+    """Literal predicate covering the batch's distinct keys; None for an
+    empty batch. The distinct collect is bounded by the aggregate
+    contract above (keys per micro-batch, not rows). For batches whose
+    key count exceeds :data:`DEFAULT_STAGING_KEY_THRESHOLD`, prefer
+    :func:`upsert_via_staging` — an O(keys) SQL string is a driver- and
+    parser-side scale cliff."""
+    return keys_predicate(batch.select(*key_cols).distinct().collect(), key_cols)
+
+
+#: Above this many distinct keys in one micro-batch, the upsert routes
+#: through a staging table instead of rendering an O(keys) literal
+#: predicate (a 10^5-key batch would otherwise build a multi-megabyte
+#: WHERE clause on the driver and make the database parse it).
+DEFAULT_STAGING_KEY_THRESHOLD = 1000
+
+
+def upsert_via_staging(
+    batch: DataFrame,
+    cfg: JdbcConfig,
+    table: str,
+    key_cols: list[str],
+    stage_table: str | None = None,
+) -> None:
+    """Many-key upsert: write the micro-batch to a staging table, then
+    one set-based ``DELETE ... WHERE EXISTS`` + ``INSERT ... SELECT``
+    — two constant-size statements regardless of key count, with the
+    row data flowing executor→database through Spark's parallel JDBC
+    writer instead of a literal SQL string built on the driver.
+
+    ``WHERE EXISTS`` (not Postgres-only ``DELETE ... USING``) keeps the
+    statement portable across Derby and Postgres; the key match is
+    null-safe. Replays converge exactly like the literal path: the
+    staging overwrite, delete, and insert are all idempotent per batch.
+    """
+    spark = batch.sparkSession
+    stage = stage_table or f"{table}_stg"
+    # mode=overwrite drops and recreates the staging table from the
+    # batch schema — also what makes a replayed batch start clean.
+    batch.coalesce(cfg.num_partitions).write.format("jdbc").options(
+        dbtable=stage, **cfg.options()
+    ).mode("overwrite").save()
+    match = " AND ".join(
+        f'({table}."{c}" = s."{c}"'
+        f' OR ({table}."{c}" IS NULL AND s."{c}" IS NULL))'
+        for c in key_cols
+    )
+    cols = ", ".join(f'"{c}"' for c in batch.columns)
+    try:
+        execute_statement(
+            spark,
+            cfg,
+            f"DELETE FROM {table} WHERE EXISTS"
+            f" (SELECT 1 FROM {stage} s WHERE {match})",
+        )
+        execute_statement(
+            spark,
+            cfg,
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+        )
+    finally:
+        try:
+            execute_statement(spark, cfg, f"DROP TABLE {stage}")
+        except Exception:
+            pass  # leftover staging table is rebuilt (overwrite) next batch
+
+
 def stream_upsert_jdbc(
     stream: DataFrame,
     cfg: JdbcConfig,
@@ -87,6 +165,7 @@ def stream_upsert_jdbc(
     key_cols: list[str],
     checkpoint_dir: str | None = None,
     output_mode: str = "update",
+    staging_key_threshold: int = DEFAULT_STAGING_KEY_THRESHOLD,
 ) -> None:
     """Run the stream to completion (Trigger.AvailableNow), upserting each
     micro-batch into ``table`` under its own key window.
@@ -96,15 +175,29 @@ def stream_upsert_jdbc(
     cumulative values — exactly the rows whose table state must move,
     and the last write per key is the final aggregate. Pass ``'append'``
     for a stateless keyed relation.
+
+    Batches with at most ``staging_key_threshold`` distinct keys delete
+    via a literal key predicate (one round trip, no staging DDL); above
+    it the batch routes through :func:`upsert_via_staging` so the SQL
+    stays constant-size. The driver collects at most
+    ``staging_key_threshold + 1`` key rows either way.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        pred = batch_key_predicate(batch, key_cols)
-        if pred is None:
+        keys = (
+            batch.select(*key_cols)
+            .distinct()
+            .limit(staging_key_threshold + 1)
+            .collect()
+        )
+        if not keys:
             return
-        write_jdbc_upsert(batch, cfg, table, pred)
+        if len(keys) > staging_key_threshold:
+            upsert_via_staging(batch, cfg, table, key_cols)
+        else:
+            write_jdbc_upsert(batch, cfg, table, keys_predicate(keys, key_cols))
 
     owned = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_jdbc_upsert_")

@@ -96,3 +96,20 @@ def test_scan_is_partition_invariant(spark):
         for r in ewma_per_key(df.repartition(16), "user_id", ["ts"], "value").collect()
     }
     assert a == b
+
+
+def test_scan_drops_null_values_and_null_order_keys(spark):
+    """ADVICE r5: a null value would become NaN in pandas and poison the
+    rest of that key's fold; null rows are dropped plan-side instead."""
+    from etl_platform_nyc_taxi_spark.operators.scans import ewma_per_key
+
+    rows = [
+        (1, 1, 10.0),
+        (1, 2, None),  # null value: dropped, does NOT poison step 3
+        (1, None, 99.0),  # null order key: dropped
+        (1, 3, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    out = ewma_per_key(df, "k", ["o"], "v", alpha=0.5)
+    got = {r["o"]: r["ewma"] for r in out.collect()}
+    assert got == {1: 10.0, 3: 15.0}  # 0.5*20 + 0.5*10; no NaN anywhere

@@ -898,3 +898,65 @@ def test_sessionize_rocksdb_state_store_parity(spark, tmp_path):
     rocks_set = run(rocks)
     assert default_set == rocks_set
     assert (1, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:10:00"), 2) in rocks_set
+
+
+def test_sql_literal_rejects_non_finite_floats():
+    """ADVICE r5: repr(nan)/repr(inf) are not SQL — fail loudly."""
+    import math
+
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.streaming.jdbc_sink import sql_literal
+
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError):
+            sql_literal(bad)
+    assert sql_literal(1.5) == "1.5"
+    assert sql_literal(True) == "TRUE"
+    assert sql_literal(None) == "NULL"
+    assert sql_literal("o'brien") == "'o''brien'"
+    assert math.isfinite(1.5)  # guard the guard
+
+
+def test_sql_literal_timestamp_keeps_microseconds():
+    from etl_platform_nyc_taxi_spark.streaming.jdbc_sink import sql_literal
+
+    t = dt.datetime(2024, 6, 1, 12, 0, 0, 123456)
+    assert sql_literal(t) == "CAST('2024-06-01 12:00:00.123456' AS TIMESTAMP)"
+    # whole-second timestamps still render (zero-padded fraction is fine)
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    assert sql_literal(t0) == "CAST('2024-06-01 12:00:00.000000' AS TIMESTAMP)"
+    assert sql_literal(dt.date(2024, 6, 1)) == "CAST('2024-06-01' AS DATE)"
+
+
+def test_cdc_state_resume_skips_torn_generation(spark, tmp_path):
+    """ADVICE r5: a crash mid write_next leaves a gen=K+1 dir without
+    _SUCCESS; resume must prefer the intact gen=K, not the torn one."""
+    import os
+
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+
+    state_dir = str(tmp_path / "state")
+    schema = "event_id long, user_id long, ts timestamp"
+    df = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1))], schema
+    )
+
+    s1 = CdcState(spark, state_dir)
+    s1.write_next(df)  # gen=1, complete (_SUCCESS present)
+    assert s1.gen == 1
+    assert os.path.isfile(os.path.join(state_dir, "gen=1", "_SUCCESS"))
+
+    # simulate a torn gen=2: directory with a partial file, no _SUCCESS
+    torn = os.path.join(state_dir, "gen=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00\x01torn")
+
+    s2 = CdcState(spark, state_dir)
+    assert s2.gen == 1  # resumed from the intact generation
+    assert [r["event_id"] for r in s2.read().collect()] == [1]
+    # the next write overwrites the torn dir and completes normally
+    s2.write_next(df.withColumn("event_id", F.lit(2).cast("long")))
+    assert s2.gen == 2
+    assert os.path.isfile(os.path.join(state_dir, "gen=2", "_SUCCESS"))
