@@ -10219,110 +10219,104 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 5).
+# Driver-verification window rotation (round 6).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-5 window = 9 mandatory re-checks + 41
-# first-time names (VERDICT r4 tasks 1-3):
-#   * the 4 round-4 red rows whose HUGEINT oracles were fixed this round
-#     (compaction_plan, json_extract_props, rollup_cascade, dq_report)
-#     — must re-run to convert red -> green;
-#   * the 5 ex-rows-only queries converted to full verdict oracles
-#     (agg_approx, ann_ivf, ann_ivf_served, streaming_sessionize,
-#     embedding_pca) — must re-run to clear their `no_oracle` rows;
-#   * all 12 latent-HUGEINT oracles (never sampled; fixed this round);
-#   * sketch_rollup (converted AND never sampled);
-#   * the 14 remaining batch-13-21 additions with no driver row;
-#   * 14 backlog names from the TPC-H / graph / sampling / layout block,
-#     including histogram_totalprice (its oracle gained the degenerate-
-#     span guard this round).
-# After this window: never-sampled backlog 70 -> 29 (the 9 re-check
-# slots are forced by the round-4 verdict's Done-criteria; the next
-# rotation clears the rest plus the SS2-core veterans last sampled r3 —
-# scan_project, daily_transactions, top5_zones, filter_range,
-# union_slices, scalar_functions — which task 7 schedules for r6).
+# insertion order).  Round-6 window = the allocation VERDICT r5 task 1
+# prescribes: 6 mandatory re-checks + 44 first-time names, ZERO slots
+# spent on new queries (registry growth frozen at 206 until the
+# never-sampled backlog clears -- VERDICT r5 task 2):
+#   * the six SS2-core veterans whose last driver green is r3
+#     (scan_project, daily_transactions, top5_zones, filter_range,
+#     union_slices, scalar_functions) -- the r4 "no green older than two
+#     rounds" rule fires for them this round;
+#   * all 44 of the 55 never-sampled names except the 11 lowest-risk
+#     single-table analytics deferred to r7 (listed below): the full
+#     TPC-H q4/q9/q11-q22 backlog block, the 14 r5-new queries that
+#     missed the r5 window (ewma_smooth, capped_balance,
+#     multimodal_decode_roundtrip, the format round-trips, ...), and
+#     the older attribution / SQL-pattern / streaming backlog.
+# After this window: never-sampled backlog 55 -> 11.
+#
+# Round-7 plan (age table as of end of r5; window = 50 slots):
+#   * first-timers (11, the r6 deferrals): regression_price_qty,
+#     moving_average_hourly, top_percent_orders, embedding_dim_stats,
+#     corpus_diff, surrogate_keys, user_event_profile, table_inventory,
+#     weekday_seasonality, hourly_latency_bands, missing_id_ranges;
+#   * last green r1 (10, oldest stales): agg_cube, agg_grouping_sets,
+#     agg_rollup, agg_salted, explode_tokens, join_fact_fact,
+#     join_snowflake, pivot_event_counts, sessionize_events,
+#     sql_tpch_q1;
+#   * last green r3 (~54 remain after this window re-greens 6): fill
+#     the remaining ~29 slots oldest-first (window/join/agg/streaming
+#     families: window_lag_lead, window_running_sum,
+#     window_topk_per_group, join_anti, join_semi, join_salted,
+#     join_star_dims, agg_family, streaming_daily_counts,
+#     streaming_dedup, the dedup_* and text_* families, ...), leaving
+#     ~25 r3-greens for r8.
+# Steady-state honesty: with 206 queries and a 50-slot window, full
+# re-green cadence is ceil(206/50) = 5 rounds once the backlog is gone;
+# priority order is first-timers, then oldest-green, per VERDICT r5.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
-    # Re-checks: round-4 reds, fixed (CAST ... AS BIGINT oracle edits):
-    "compaction_plan",
-    "json_extract_props",
-    "rollup_cascade",
-    "dq_report",
-    # Re-checks: ex-rows-only, now full verdict oracles:
-    "agg_approx",
-    "ann_ivf",
-    "ann_ivf_served",
-    "streaming_sessionize",
-    "embedding_pca",
-    # Converted AND never sampled:
-    "sketch_rollup",
-    # Latent-HUGEINT oracles, fixed this round, first driver row:
-    "activity_islands",
-    "skew_report",
-    "user_growth_curve",
-    "quantile_sketch_rollup",
-    "source_divergence",
-    "streaming_quantile_sketch",
-    "user_type_entropy",
-    "psi_weekly",
-    "knn_label_eval",
-    "json_key_profile",
-    "k_anonymity_audit",
-    "ab_test_zscore",
-    # Batch-13-21 additions, first driver row:
-    "rolling_active_users",
-    "minhash_estimate_audit",
-    "tfidf_cosine_pairs",
-    "dpp_partitioned_join",
-    "sketch_error_audit",
-    "interarrival_stats",
-    "latency_trend",
-    "cluster_survivorship",
-    "fd_violations",
-    "benford_audit",
-    "basket_lift",
-    "weighted_median",
-    "dedup_pr_curve",
-    "ann_recall_eval",
-    # Backlog: TPC-H / graph / sampling / layout, first driver row:
-    "sql_tpch_q3",
-    "sql_tpch_q6",
-    "sql_tpch_q14",
-    "sql_tpch_q7",
-    "sql_tpch_q8",
-    "graph_bfs",
-    "bucketed_join",
-    "histogram_totalprice",
-    "bm25_search",
-    # Round-5 additions, in-window the round they land (the riskiest /
-    # flagship of the 18 r5-new queries; the remaining TPC-H block
-    # rotates with q13/q15/q17/q19 in r6):
-    "split_leakage_audit",
-    "sql_tpch_q21",
-    "sql_tpch_q2",
-    "record_linkage_scores",
-    "temporal_join_scd2",
+    # Re-checks: SS2-core veterans, last driver green r3 (two-round rule):
+    "scan_project",
+    "daily_transactions",
+    "top5_zones",
+    "filter_range",
+    "union_slices",
+    "scalar_functions",
+    # First-timers: TPC-H backlog block (never driver-sampled):
+    "sql_tpch_q4",
+    "sql_tpch_q9",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    "sql_tpch_q22",
+    # First-timers: r5-new queries that missed the r5 window:
+    "ewma_smooth",
+    "capped_balance",
+    "multimodal_decode_roundtrip",
+    "chi2_independence",
+    "neyman_allocation",
+    "dedup_survivor_weights",
+    "join_asof_forward_tol",
+    "attribution_time_decay",
+    "sequence_pattern_counts",
+    "orc_roundtrip_scan",
+    "csv_quarantine_stats",
+    "json_roundtrip_extract",
+    "topk_with_other_bucket",
+    "dq_freshness_lag",
+    # First-timers: older never-sampled backlog:
+    "weighted_sample_pps",
+    "sql_exists_late_ship",
+    "streaming_cdc_apply",
+    "label_centroid_sim",
+    "sql_scalar_subquery",
+    "dq_referential",
+    "first_touch_attribution",
+    "time_to_convert",
+    "market_concentration",
+    "abc_classification",
+    "dedup_containment",
+    "streaming_error_monitor",
+    "sql_lateral_topn",
+    "window_value_family",
+    "twap_daily",
+    "ks_drift",
+    "gini_by_nation",
+    "attribution_linear",
+    "sql_relational_division",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
-# oracle window. ROTATION POLICY for round 6 (54 names have never had
-# a driver row after this window runs — the registry reached 205 in
-# r5; ~6 re-check slots + 44 first-timers per window clears the
-# backlog in two rotations): (a) the SS2-core veterans whose last
-# green is r3 (scan_project, daily_transactions, top5_zones,
-# filter_range, union_slices, scalar_functions — VERDICT r4 task 7's
-# no-green-older-than-two-rounds rule), (b) the r5-new queries that
-# missed the r5 window — TPC-H q4/q9/q11/q12/q16/q20/q22,
-# dedup_survivor_weights, join_asof_forward_tol, neyman_allocation,
-# chi2_independence, ewma_smooth, capped_balance,
-# attribution_time_decay, sequence_pattern_counts,
-# multimodal_decode_roundtrip, orc_roundtrip_scan,
-# csv_quarantine_stats, json_roundtrip_extract, topk_with_other_bucket
-# — plus the older never-sampled backlog (sql_tpch_q13/q15/q17/q19,
-# weighted_sample_pps, sql_exists_late_ship, streaming_cdc_apply,
-# label_centroid_sim, sql_scalar_subquery, dq_referential, the
-# attribution/analytics family, twap_daily, ks_drift, gini_by_nation,
-# ...), (c) any round-6 additions the round they land, then
-# oldest-green stables with whatever slots remain.
+# oracle window.  Flakiness-probe every name before round close
+# (tools/flakiness_probe.py); lint oracle types via verify_local.
 
 
 def _rotate_registry() -> None:

@@ -10,10 +10,18 @@ dedup_image mean-centering lesson).
 Synthesis (deterministic, no RNG):
 * documents: FACTOR replicas; replica 0 is the original text, replica r>0
   suffixes every whitespace token with ``r`` — same token counts and
-  near-identical byte volume, but disjoint shingle/n-gram vocabulary, so
-  replicas are NOT near-dups of each other and the dup structure the
-  queries create internally (base ↔ mutant) scales proportionally instead
-  of quadratically.
+  near-identical byte volume, but near-disjoint shingle/n-gram vocabulary
+  (measured cross-replica 6-shingle Jaccard ~0.045), so replicas are NOT
+  near-dups of each other and the TRUE-dup structure the queries create
+  internally (base ↔ mutant) scales proportionally instead of
+  quadratically (verified-pair output measures exactly 10x at FACTOR=10).
+  Caveat, measured in round 6 (SCALING.md post-mortem): the suffix makes
+  every word boundary inside replica r carry the same "·r " shingle
+  family, so UNRELATED docs within one mutated replica are systematically
+  more band-collision-prone than in the base corpus — sub-threshold LSH
+  candidate work grows super-linearly (92.8x at FACTOR=10) even though
+  none of those candidates verify. Ratios for the MinHash family are
+  therefore an UPPER BOUND on similarity-stationary growth.
 * embeddings: FACTOR replicas; replica r rotates the vector by r positions
   — preserves norms and coordinate distribution, decorrelates replicas so
   LSH bucket occupancy grows linearly.
