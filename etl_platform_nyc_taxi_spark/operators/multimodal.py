@@ -5,16 +5,18 @@ metadata struct — Spark needs no new type for this (SURVEY.md §7.2 step 5).
 What must be REAL at 100 TB is the plumbing: schema, batch-wise Arrow
 transfer, partition sizing so one task's batch of blobs fits memory.
 
-Decode status (round 5): SELF-CONTAINED uncompressed formats decode for
-REAL with zero external dependencies — PPM/PGM and 24-bit BMP pixels
-(:func:`decode_image_pixels`, pure numpy) and PCM WAV samples
-(:func:`decode_audio_pcm`, stdlib ``wave``) — feeding real feature /
-resize kernels. COMPRESSED containers (PNG/JPEG/GIF, FLAC/OGG/MP3,
-video) still need PIL/soundfile/ffmpeg, which are NOT in this
-environment; for those payloads the kernels fall back to a
-deterministic fake that preserves the exact UDF signature, batch shape,
-and output schema, behind ``_HAVE_*`` gates that RAISE when a decoder
-appears so wiring it can't be forgotten.
+Decode status (round 6): SELF-CONTAINED formats decode for REAL with
+zero external dependencies — PPM/PGM and 24-bit BMP pixels, 8-bit PNG
+(real DEFLATE via stdlib ``zlib`` + all 5 scanline filters —
+:func:`_decode_png`) (:func:`decode_image_pixels`, pure numpy), PCM WAV
+samples (:func:`decode_audio_pcm`, stdlib ``wave``), and G.711
+µ-law/A-law companded WAV (:func:`_decode_wav_g711`) — feeding real
+feature / resize kernels. The REMAINING compressed containers
+(JPEG/GIF, FLAC/OGG/MP3, video) still need PIL/soundfile/ffmpeg, which
+are NOT in this environment; for those payloads the kernels fall back
+to a deterministic fake that preserves the exact UDF signature, batch
+shape, and output schema, behind ``_HAVE_*`` gates that RAISE when a
+decoder appears so wiring it can't be forgotten.
 """
 
 from __future__ import annotations
@@ -298,22 +300,123 @@ def _fake_image_features(payload: bytes, dim: int) -> list[float]:
     return [round(a / n, 6) for a in acc]
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw, h: int, w: int, bpp: int):
+    """Reverse the 5 PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) over the decompressed IDAT byte stream. Returns the
+    (h, w*bpp) reconstructed byte matrix or None on a bad filter tag."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            # prefix dependency per byte lane → cumsum over pixels mod 256
+            rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) % 256
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential per pixel
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 3:
+                    rec[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                    rec[x] = (row[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes):
+    """Minimal REAL PNG decode — stdlib ``zlib`` + numpy, no PIL: 8-bit
+    non-interlaced gray / gray+alpha / RGB / RGBA (color types 0/4/2/6)
+    → (H, W, C) uint8. Palette, 16-bit, and Adam7-interlaced images
+    return None (fall back to the fake kernel); chunk CRCs are not
+    validated (this is a decoder, not an integrity checker)."""
+    import zlib
+
+    import numpy as np
+
+    pos, n = 8, len(payload)
+    w = h = bitdepth = color = interlace = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bitdepth, color, interlace = body[8], body[9], body[12]
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if (
+        not w
+        or not h
+        or channels is None
+        or bitdepth != 8
+        or interlace != 0
+        or not idat
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w * channels + 1):
+        return None
+    mat = _png_unfilter(raw, h, w, channels)
+    if mat is None:
+        return None
+    return mat.reshape(h, w, channels)
+
+
 def decode_image_pixels(payload: bytes | None):
-    """REAL pixel decoding for the self-contained uncompressed raster
-    formats — pure Python + numpy, no decoder libraries:
+    """REAL pixel decoding for the self-contained raster formats — pure
+    Python + numpy + stdlib zlib, no decoder libraries:
 
     * PPM ``P6`` (binary RGB, maxval ≤ 255) → (H, W, 3) uint8
     * PGM ``P5`` (binary grayscale, maxval ≤ 255) → (H, W, 1) uint8
     * BMP 24-bit uncompressed BI_RGB (bottom-up or top-down) → (H, W, 3)
       uint8, rows de-padded, BGR→RGB
+    * PNG 8-bit non-interlaced gray/gray+alpha/RGB/RGBA → (H, W, C)
+      uint8 (:func:`_decode_png` — real DEFLATE + all 5 scanline
+      filters; palette/16-bit/interlaced return None)
 
-    Compressed containers (PNG/JPEG/GIF) still need PIL (the ``_HAVE_PIL``
-    gate); unrecognized/truncated payloads return None.
+    JPEG/GIF still need PIL (the ``_HAVE_PIL`` gate); unrecognized or
+    truncated payloads return None.
     """
     import numpy as np
 
     if not payload or len(payload) < 12:  # smallest viable netpbm
         return None
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:2] in (b"P6", b"P5"):
         # netpbm header: magic, width, height, maxval — whitespace-token
         # stream with '#' comments, then one whitespace byte, then raster
@@ -429,9 +532,9 @@ def image_features(
 
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "compressed-format decoder present but not wired: PPM/PGM/BMP "
-            "already decode for real in decode_image_pixels; route "
-            "PNG/JPEG/GIF through PIL in _feat here"
+            "compressed-format decoder present but not wired: PPM/PGM/BMP/"
+            "PNG already decode for real in decode_image_pixels; route "
+            "JPEG/GIF through PIL in _feat here"
         )
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -499,8 +602,8 @@ def resize_images(
 
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "compressed-format decoder present but not wired: PPM/PGM/BMP "
-            "resize for real via decode_image_pixels; route PNG/JPEG "
+            "compressed-format decoder present but not wired: PPM/PGM/BMP/"
+            "PNG resize for real via decode_image_pixels; route JPEG/GIF "
             "through PIL in _resize here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
@@ -514,12 +617,76 @@ except ImportError:
     _HAVE_AUDIO = False
 
 
+def _g711_mulaw_table():
+    """ITU-T G.711 µ-law byte → linear int16 lookup (256 entries),
+    computed from the bit-field expansion (sign/exponent/mantissa with
+    the 0x84 bias). The expansion is already int16-scaled: max
+    magnitude 32124 at bytes 0x00/0x80; the complemented sign bit set
+    means NEGATIVE."""
+    import numpy as np
+
+    b = np.arange(256, dtype=np.int32) ^ 0xFF  # transmitted complemented
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table():
+    """ITU-T G.711 A-law byte → linear int16 lookup (256 entries): even
+    bits inverted (XOR 0x55), then segment/mantissa expansion. Already
+    int16-scaled: max magnitude 32256 at bytes 0xAA/0x2A; unlike µ-law,
+    the A-law sign bit set means POSITIVE (0xD5 → +8, 0x55 → −8)."""
+    import numpy as np
+
+    b = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = (b & 0x80) != 0
+    exp = (b >> 4) & 0x07
+    mant = b & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+def _decode_wav_g711(payload: bytes):
+    """REAL companded-audio decode for G.711 WAV (format tags 6 = A-law,
+    7 = µ-law; the stdlib ``wave`` module rejects both): hand-parse the
+    RIFF chunk list, expand each byte through the G.711 table, average
+    to mono. Returns (mono_int16, rate) or None."""
+    import numpy as np
+
+    pos, n = 12, len(payload)
+    fmt_tag = nch = rate = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt_tag not in (6, 7) or not nch or not rate or data is None:
+        return None
+    table = _g711_alaw_table() if fmt_tag == 6 else _g711_mulaw_table()
+    pcm = table[np.frombuffer(data[: len(data) - len(data) % nch], dtype=np.uint8)]
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
+    return pcm, rate
+
+
 def decode_audio_pcm(payload: bytes | None):
-    """REAL audio decoding for uncompressed PCM WAV — stdlib ``wave`` +
+    """REAL audio decoding for WAV — stdlib ``wave``/RIFF parsing +
     numpy, no decoder libraries: returns ``(mono_int16_samples, rate)``
-    (multi-channel averaged to mono; 8-bit unsigned recentred). Non-WAV
-    or compressed-WAV payloads return None (FLAC/OGG/MP3 need soundfile,
-    the ``_HAVE_AUDIO`` gate)."""
+    (multi-channel averaged to mono; 8-bit unsigned recentred).
+    Uncompressed PCM decodes via stdlib ``wave``; G.711 µ-law/A-law WAV
+    (format tags 7/6 — genuinely COMPANDED payloads ``wave`` rejects)
+    decode via :func:`_decode_wav_g711`. Non-WAV or other compressed
+    payloads return None (FLAC/OGG/MP3 need soundfile, the
+    ``_HAVE_AUDIO`` gate)."""
     import io
     import wave
 
@@ -527,6 +694,9 @@ def decode_audio_pcm(payload: bytes | None):
 
     if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
+    g711 = _decode_wav_g711(payload)
+    if g711 is not None:
+        return g711
     try:
         with wave.open(io.BytesIO(payload)) as w:
             rate = w.getframerate()

@@ -475,3 +475,222 @@ def test_decode_audio_pcm_stereo_and_rejects():
     assert rate == 4000 and pcm.tolist() == [200, -200]  # mono mean
     assert decode_audio_pcm(b"RIFFxxxxJUNK") is None
     assert decode_audio_pcm(b"") is None
+
+
+# --- round 6: real PNG decode (stdlib zlib, all 5 scanline filters) ----
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _encode_png(img, filters):
+    """Reference PNG encoder for the round-trip tests: applies the
+    requested filter type per scanline (cycling through ``filters``),
+    zlib-compresses, assembles IHDR/IDAT/IEND with real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            enc = np.zeros_like(row)
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else cc
+                enc[x] = (row[x] - pred) % 256
+        raw.extend(int(v) for v in enc)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_roundtrip_all_filters_and_color_types(channels, filters):
+    """Pixel-exact PNG round trip: every scanline filter (None/Sub/Up/
+    Average/Paeth) × every supported color type (gray, gray+alpha, RGB,
+    RGBA) through the pure-zlib decoder."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(42 + channels)
+    img = rng.integers(0, 256, size=(7, 5, channels), dtype=np.uint8)
+    dec = decode_image_pixels(_encode_png(img, filters))
+    assert dec is not None and dec.shape == img.shape
+    assert np.array_equal(dec, img)
+
+
+def test_png_decode_multi_idat_and_rejections():
+    """IDAT may be split across chunks (decoder must concatenate);
+    palette/16-bit/interlaced/truncated payloads return None (fall back
+    to the deterministic fake kernel, never crash the executor)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    whole = _encode_png(img, [0])
+
+    # rebuild with the IDAT split in two
+    raw = bytearray()
+    for y in range(4):
+        raw.append(0)
+        raw.extend(int(v) for v in img[y].reshape(-1))
+    z = zlib.compress(bytes(raw))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    split = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[: len(z) // 2])
+        + _png_chunk(b"IDAT", z[len(z) // 2 :])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image_pixels(split), img)
+
+    assert decode_image_pixels(whole[:40]) is None  # truncated
+    bad = bytearray(whole)
+    bad[24] = 16  # bit depth 16
+    assert decode_image_pixels(bytes(bad)) is None
+    bad = bytearray(whole)
+    bad[25] = 3  # palette color type
+    assert decode_image_pixels(bytes(bad)) is None
+    bad = bytearray(whole)
+    bad[28] = 1  # Adam7 interlace
+    assert decode_image_pixels(bytes(bad)) is None
+
+
+def test_image_features_uses_real_png_pixels(spark):
+    """The mapInPandas feature kernel must route PNG payloads through
+    the REAL decoder: a solid-color PNG yields std = 0 and mean = the
+    pixel value — the byte-histogram fake cannot produce that (its
+    moments include header/deflate bytes)."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import image_features
+
+    img = np.full((6, 4, 3), 77, dtype=np.uint8)
+    payload = _encode_png(img, [1])  # Sub filter: deflate bytes != pixels
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = image_features(df, dim=8).collect()[0]
+    f = [round(float(x), 4) for x in row["feat"]]
+    assert f[:5] == [4.0, 6.0, 3.0, 77.0, 0.0]
+
+
+# --- round 6: real G.711 mu-law / A-law WAV decode ---------------------
+
+
+def _g711_wav_bytes(fmt_tag: int, codes: bytes, rate: int = 8000, channels: int = 1) -> bytes:
+    """Hand-assembled G.711 WAV (format tag 6 = A-law, 7 = mu-law) —
+    the stdlib wave module refuses to WRITE these, which is the point."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * channels, channels, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(codes))
+        + codes
+        + (b"\x00" if len(codes) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_g711_tables_match_itu_reference_points():
+    """Canonical ITU-T G.711 expansion values: mu-law max ±32124 at
+    0x80/0x00, both zeros (0xFF/0x7F); A-law ±8 at 0xD5/0x55 and max
+    ±32256 at 0xAA/0x2A; positive mu-law codes strictly decreasing."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        _g711_alaw_table,
+        _g711_mulaw_table,
+    )
+
+    mu, al = _g711_mulaw_table(), _g711_alaw_table()
+    assert (mu[0x00], mu[0x80], mu[0xFF], mu[0x7F]) == (-32124, 32124, 0, 0)
+    assert (al[0xD5], al[0x55], al[0xAA], al[0x2A]) == (8, -8, 32256, -32256)
+    assert bool(np.all(np.diff(mu[0x80:0x100].astype(int)) < 0))
+
+
+def test_decode_audio_mulaw_and_alaw_wav():
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_audio_pcm,
+    )
+
+    pcm, rate = decode_audio_pcm(_g711_wav_bytes(7, bytes([0x80, 0xFF, 0x00])))
+    assert rate == 8000 and pcm.tolist() == [32124, 0, -32124]
+    pcm, rate = decode_audio_pcm(
+        _g711_wav_bytes(6, bytes([0xAA, 0xD5, 0x55]), rate=16000)
+    )
+    assert rate == 16000 and pcm.tolist() == [32256, 8, -8]
+    # stereo averages to mono
+    pcm, rate = decode_audio_pcm(
+        _g711_wav_bytes(7, bytes([0x80, 0x00, 0xFF, 0xFF]), channels=2)
+    )
+    assert pcm.tolist() == [0, 0]  # (32124 + -32124)/2, (0+0)/2
+
+
+def test_audio_features_uses_real_g711_decode(spark):
+    """audio_features must pick up the G.711 rate and REAL samples: a
+    mu-law payload of all 0x80 codes (constant +32124) yields per-band
+    mean |amplitude| 32124.0 and duration from the container rate —
+    the raw-PCM fake would read the same bytes as int16 garbage."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import audio_features
+
+    payload = _g711_wav_bytes(7, bytes([0x80]) * 4000, rate=4000)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = audio_features(df, sample_rate=999, bands=4).collect()[0]
+    assert row["duration_ms"] == 1000  # 4000 samples at the REAL 4000 Hz
+    assert [round(float(x), 2) for x in row["feat"]] == [32124.0] * 4
