@@ -324,19 +324,30 @@ def _png_unfilter(raw, h: int, w: int, bpp: int):
             rec = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) % 256
         elif ftype == 2:  # Up
             rec = (row + prev) % 256
-        elif ftype in (3, 4):  # Average / Paeth: sequential per pixel
-            rec = np.zeros(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if ftype == 3:
-                    rec[x] = (row[x] + (a + b) // 2) % 256
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
+        elif ftype in (3, 4):  # Average / Paeth: sequential per pixel.
+            # Plain-Python lists, not per-element numpy indexing: the
+            # x-loop is irreducible (recon[x] needs recon[x-bpp]) and
+            # scalar list ops are ~10× faster than ndarray item access —
+            # this is the executor-kernel hot loop for Paeth-heavy PNGs.
+            row_l = row.tolist()
+            prev_l = prev.tolist()
+            rec_l = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    a = rec_l[x - bpp] if x >= bpp else 0
+                    rec_l[x] = (row_l[x] + (a + prev_l[x]) // 2) & 0xFF
+            else:
+                for x in range(stride):
+                    a = rec_l[x - bpp] if x >= bpp else 0
+                    b = prev_l[x]
+                    c = prev_l[x - bpp] if x >= bpp else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
                     pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
-                    rec[x] = (row[x] + pred) % 256
+                    rec_l[x] = (row_l[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.int32)
         else:
             return None
         out[y] = rec.astype(np.uint8)
@@ -384,11 +395,19 @@ def _decode_png(payload: bytes):
         or not idat
     ):
         return None
+    expected = h * (w * channels + 1)
+    if expected > 512 * 1024 * 1024:  # absurd IHDR dims: refuse up front
+        return None
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bound the inflate to the size IHDR promises — an unbounded
+        # zlib.decompress on a crafted deflate bomb (or an IHDR claiming
+        # huge dims) would allocate gigabytes inside the executor kernel;
+        # this decoder's contract is return-None-never-crash
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    if len(raw) != h * (w * channels + 1):
+    if len(raw) != expected or dec.unconsumed_tail:
         return None
     mat = _png_unfilter(raw, h, w, channels)
     if mat is None:
@@ -473,11 +492,16 @@ def decode_image_pixels(payload: bytes | None):
 
 def _real_image_features(img, dim: int) -> list[float]:
     """Features from REAL pixels: [width, height, channels, mean, std,
-    luminance-histogram bins...] padded/truncated to ``dim``."""
+    luminance-histogram bins...] padded/truncated to ``dim``. For
+    gray+alpha / RGBA inputs the moments and luminance use the COLOR
+    planes only — averaging a constant-255 alpha plane into luminance
+    would make identical images differ from their RGB/gray twins and
+    poison downstream similarity/dedup consumers."""
     import numpy as np
 
     h, w, c = img.shape
-    px = img.astype(np.float64)
+    color = img[:, :, : c - 1] if c in (2, 4) else img
+    px = color.astype(np.float64)
     lum = px.mean(axis=2)
     nbins = max(dim - 5, 1)
     hist, _ = np.histogram(lum, bins=nbins, range=(0.0, 256.0))
@@ -583,6 +607,14 @@ def resize_images(
         ys = np.linspace(0, h - 1, min(edge, h)).round().astype(int)
         xs = np.linspace(0, w - 1, min(edge, w)).round().astype(int)
         thumb = img[np.ix_(ys, xs)]
+        # netpbm has no alpha: drop it before re-encode (a 2-channel
+        # gray+alpha or 4-channel RGBA raster written under a P5/P6
+        # header would silently corrupt the payload — wrong byte count
+        # per pixel for the promised format)
+        if thumb.shape[2] == 2:
+            thumb = thumb[:, :, :1]
+        elif thumb.shape[2] == 4:
+            thumb = np.ascontiguousarray(thumb[:, :, :3])
         th, tw, tc = thumb.shape
         magic = b"P6" if tc == 3 else b"P5"
         return magic + f"\n{tw} {th}\n255\n".encode() + thumb.tobytes()
@@ -657,22 +689,26 @@ def _decode_wav_g711(payload: bytes):
 
     pos, n = 12, len(payload)
     fmt_tag = nch = rate = None
-    data = None
+    data_span = None  # (offset, length) — never slice until fmt is known:
+    # this runs FIRST for every RIFF payload, and copying a plain PCM
+    # WAV's whole data chunk just to reject fmt_tag=1 would double the
+    # batch kernel's memory traffic
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
-        body = payload[pos + 8 : pos + 8 + clen]
-        if cid == b"fmt " and clen >= 16:
-            fmt_tag = int.from_bytes(body[0:2], "little")
-            nch = int.from_bytes(body[2:4], "little")
-            rate = int.from_bytes(body[4:8], "little")
+        if cid == b"fmt " and clen >= 16 and pos + 8 + 16 <= n:
+            fmt_tag = int.from_bytes(payload[pos + 8 : pos + 10], "little")
+            nch = int.from_bytes(payload[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(payload[pos + 12 : pos + 16], "little")
         elif cid == b"data":
-            data = body
+            data_span = (pos + 8, min(clen, n - pos - 8))
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-    if fmt_tag not in (6, 7) or not nch or not rate or data is None:
+    if fmt_tag not in (6, 7) or not nch or not rate or data_span is None:
         return None
+    off, dlen = data_span
+    dlen -= dlen % nch
     table = _g711_alaw_table() if fmt_tag == 6 else _g711_mulaw_table()
-    pcm = table[np.frombuffer(data[: len(data) - len(data) % nch], dtype=np.uint8)]
+    pcm = table[np.frombuffer(payload, dtype=np.uint8, count=dlen, offset=off)]
     if nch > 1:
         pcm = pcm.reshape(-1, nch).mean(axis=1).astype(np.int16)
     return pcm, rate

@@ -40,6 +40,10 @@ from etl_platform_nyc_taxi_spark.operators.joins import latest_per_key
 class CdcState:
     """Generation-numbered parquet state for a streaming CDC fold."""
 
+    #: engine-owned commit marker, written AFTER the parquet write
+    #: completes — independent of Spark's optional _SUCCESS
+    _MARKER = "_COMMITTED"
+
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
@@ -48,9 +52,12 @@ class CdcState:
         # persistent state_dir + checkpoint_dir, the streaming checkpoint
         # skips already-committed batches, so starting at gen=0 would
         # silently discard all previously folded state (ADVICE r4). A
-        # generation only counts if Spark's _SUCCESS marker landed — a
-        # crash mid write_next leaves a torn gen=K+1 dir that must not
-        # shadow the intact gen=K (ADVICE r5).
+        # generation only counts if a commit marker landed — a crash mid
+        # write_next leaves a torn gen=K+1 dir that must not shadow the
+        # intact gen=K (ADVICE r5). write_next drops its OWN marker
+        # (_COMMITTED) because Spark's _SUCCESS is optional
+        # (marksuccessfuljobs=false is common with cloud committers);
+        # _SUCCESS is accepted too for state dirs written before r6.
         gens = []
         for name in os.listdir(state_dir):
             if name.startswith("gen="):
@@ -58,7 +65,10 @@ class CdcState:
                     g = int(name.split("=", 1)[1])
                 except ValueError:
                     continue
-                if os.path.isfile(os.path.join(state_dir, name, "_SUCCESS")):
+                d = os.path.join(state_dir, name)
+                if os.path.isfile(
+                    os.path.join(d, self._MARKER)
+                ) or os.path.isfile(os.path.join(d, "_SUCCESS")):
                     gens.append(g)
         self.gen = max(gens, default=0)
 
@@ -73,7 +83,12 @@ class CdcState:
 
     def write_next(self, df: DataFrame) -> None:
         nxt = self.gen + 1
-        df.write.mode("overwrite").parquet(self._gen_path(nxt))
+        path = self._gen_path(nxt)
+        df.write.mode("overwrite").parquet(path)
+        # marker write is the commit point: a crash before this line
+        # leaves gen=nxt torn and resume stays on gen=self.gen
+        with open(os.path.join(path, self._MARKER), "w"):
+            pass
         old = self._gen_path(self.gen)
         self.gen = nxt
         shutil.rmtree(old, ignore_errors=True)

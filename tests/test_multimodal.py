@@ -694,3 +694,82 @@ def test_audio_features_uses_real_g711_decode(spark):
     row = audio_features(df, sample_rate=999, bands=4).collect()[0]
     assert row["duration_ms"] == 1000  # 4000 samples at the REAL 4000 Hz
     assert [round(float(x), 2) for x in row["feat"]] == [32124.0] * 4
+
+
+def test_resize_drops_alpha_before_netpbm_reencode(spark):
+    """An RGBA/gray+alpha PNG thumbnail must re-encode as valid P6/P5
+    (netpbm has no alpha) — the raw 4-byte-per-pixel raster under a P6
+    header would be silently corrupt."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, size=(8, 8, 4), dtype=np.uint8)
+    ga = rng.integers(0, 256, size=(8, 8, 2), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(_encode_png(rgba, [0]))), (2, bytearray(_encode_png(ga, [0])))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: bytes(r["resized"]) for r in resize_images(df, target_bytes=48).collect()}
+    dec_rgba = decode_image_pixels(out[1])
+    assert dec_rgba is not None and dec_rgba.shape[2] == 3  # alpha dropped
+    dec_ga = decode_image_pixels(out[2])
+    assert dec_ga is not None and dec_ga.shape[2] == 1  # P5, gray only
+    # pixel content comes from the COLOR planes of the source
+    assert int(dec_rgba[0, 0, 0]) == int(rgba[0, 0, 0])
+
+
+def test_png_decode_bounds_decompression():
+    """Bomb-resistance: an IHDR declaring absurd dims, and a deflate
+    stream inflating past the IHDR-promised size, must both return None
+    without allocating the full expansion."""
+    import struct
+    import zlib
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    # IHDR says 100000 x 100000 RGBA (> 512 MiB cap) with a tiny IDAT
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image_pixels(bomb) is None
+
+    # IHDR says 2x2 gray but the stream inflates to far more
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    over = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image_pixels(over) is None
+
+
+def test_image_features_exclude_alpha_plane():
+    """A gray+alpha image with opaque alpha must feature identically to
+    its pure-gray twin (alpha averaged into luminance would shift a
+    black image's histogram to mid-bin)."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        _real_image_features,
+    )
+
+    gray = np.zeros((4, 4, 1), dtype=np.uint8)
+    ga = np.zeros((4, 4, 2), dtype=np.uint8)
+    ga[:, :, 1] = 255  # opaque alpha
+    f_gray = _real_image_features(gray, 8)
+    f_ga = _real_image_features(ga, 8)
+    # same moments and histogram; only the channel-count feature differs
+    assert f_ga[3:] == f_gray[3:]
+    assert (f_gray[2], f_ga[2]) == (1.0, 2.0)

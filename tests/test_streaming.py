@@ -956,7 +956,12 @@ def test_cdc_state_resume_skips_torn_generation(spark, tmp_path):
     s2 = CdcState(spark, state_dir)
     assert s2.gen == 1  # resumed from the intact generation
     assert [r["event_id"] for r in s2.read().collect()] == [1]
-    # the next write overwrites the torn dir and completes normally
+    # the next write overwrites the torn dir and completes normally,
+    # dropping the engine's OWN commit marker (Spark's _SUCCESS is
+    # optional on cloud committers — resume must not depend on it)
     s2.write_next(df.withColumn("event_id", F.lit(2).cast("long")))
     assert s2.gen == 2
-    assert os.path.isfile(os.path.join(state_dir, "gen=2", "_SUCCESS"))
+    assert os.path.isfile(os.path.join(state_dir, "gen=2", "_COMMITTED"))
+    os.remove(os.path.join(state_dir, "gen=2", "_SUCCESS"))
+    s3 = CdcState(spark, state_dir)
+    assert s3.gen == 2  # _COMMITTED alone is enough

@@ -22,10 +22,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def load_history(repo_dir: str) -> tuple[dict[str, int], dict[str, int], int]:
-    """Return (last_green, last_sampled, max_round) per query name."""
+def load_history(
+    repo_dir: str,
+) -> tuple[dict[str, int], dict[str, int], dict[str, bool], int]:
+    """Return (last_green, last_sampled, latest_verdict, max_round) per
+    query name. ``latest_verdict[name]`` is the green/red outcome of the
+    most RECENT sample — a query green in r2 but red in r4 must surface
+    as a standing failure, not as ordinary staleness."""
     last_green: dict[str, int] = {}
     last_sampled: dict[str, int] = {}
+    latest_verdict: dict[str, bool] = {}
     max_round = 0
     for path in sorted(glob.glob(os.path.join(repo_dir, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -35,15 +41,17 @@ def load_history(repo_dir: str) -> tuple[dict[str, int], dict[str, int], int]:
         max_round = max(max_round, rnd)
         rows = json.load(open(path))
         for name, row in rows.items():
-            last_sampled[name] = max(last_sampled.get(name, 0), rnd)
-            ok = (
+            ok = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
+            if rnd >= last_sampled.get(name, 0):
+                latest_verdict[name] = ok
+            last_sampled[name] = max(last_sampled.get(name, 0), rnd)
             if ok:
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    return last_green, last_sampled, max_round
+    return last_green, last_sampled, latest_verdict, max_round
 
 
 def main() -> int:
@@ -57,7 +65,7 @@ def main() -> int:
         QUERIES,
     )
 
-    last_green, last_sampled, max_round = load_history(repo_dir)
+    last_green, last_sampled, latest_verdict, max_round = load_history(repo_dir)
     if upcoming is None:
         upcoming = max_round + 1
 
@@ -66,6 +74,13 @@ def main() -> int:
     never = [n for n in all_names if n not in last_sampled]
     sampled_never_green = [
         n for n in all_names if n in last_sampled and n not in last_green
+    ]
+    red_at_latest = [
+        n
+        for n in all_names
+        if n in last_sampled
+        and not latest_verdict.get(n, True)
+        and n in last_green  # never-green already reported separately
     ]
     # Age = rounds since last green as of the END of the upcoming round.
     # The two-round rule: by end of round R, last green must be >= R-2.
@@ -95,6 +110,15 @@ def main() -> int:
         print(f"    {n}")
     if sampled_never_green:
         print(f"\nSAMPLED BUT NEVER GREEN (fix first!): {sampled_never_green}")
+    if red_at_latest:
+        print(
+            "\nREGRESSED — red at latest sample despite an older green"
+            f" (fix + re-window first!): "
+            + ", ".join(
+                f"{n} (green r{last_green[n]}, red r{last_sampled[n]})"
+                for n in red_at_latest
+            )
+        )
     print(
         f"\ntwo-round-rule breaches at end of r{upcoming}"
         f" (last green <= r{upcoming - 3}, not in window): {len(breaches)}"
@@ -113,6 +137,7 @@ def main() -> int:
                 "never_sampled_total": len(never),
                 "backlog_after_round": len(out_win),
                 "sampled_never_green": sampled_never_green,
+                "red_at_latest": red_at_latest,
                 "rule_breaches": [n for _, n in breaches],
                 "stale_in_window": covered,
             }
