@@ -415,6 +415,48 @@ def _decode_png(payload: bytes):
     return mat.reshape(h, w, channels)
 
 
+def encode_png(img) -> bytes:
+    """Minimal REAL PNG encoder — stdlib ``zlib``, no PIL: (H, W, C)
+    uint8 with C ∈ {1, 2, 3, 4} → 8-bit non-interlaced PNG (filter 0
+    scanlines, one IDAT, real CRCs). The inverse of :func:`_decode_png`
+    for every image that decoder accepts; round-trip pinned in
+    tests/test_multimodal.py."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (H, W, 1|2|3|4) uint8, got {img.shape}")
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    # one 0x00 filter byte per scanline, then the raw row
+    raw = (
+        np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), img.reshape(h, w * c)], axis=1
+        )
+        .reshape(-1)
+        .tobytes()
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_pixels(payload: bytes | None):
     """REAL pixel decoding for the self-contained raster formats — pure
     Python + numpy + stdlib zlib, no decoder libraries:
@@ -574,9 +616,13 @@ def resize_images(
 
     The Spark contract (Arrow batches, explicit schema, executor-side
     per-blob work, batch memory bounded by
-    ``spark.sql.execution.arrow.maxRecordsPerBatch``) is production-real;
-    the kernel is a deterministic byte-stride downsample standing in for
-    PIL decode → resize → re-encode (`_HAVE_PIL` gate, same swap point as
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``) is production-real.
+    Payloads the REAL decoder reads (PPM/PGM/BMP/PNG) are thumbnailed
+    from actual pixels and re-encoded in kind — PNG in (any channel
+    count, alpha preserved) → PNG out via :func:`encode_png`; raster
+    formats → P6/P5 (alpha dropped: netpbm has none). Only payloads no
+    decoder reads (JPEG/GIF pending PIL) fall back to the deterministic
+    byte-stride downsample (`_HAVE_PIL` gate, same swap point as
     :func:`image_features`)."""
 
     out_schema = T.StructType(
@@ -598,8 +644,8 @@ def resize_images(
         img = decode_image_pixels(payload)
         if img is None:
             return _fake_resize(payload)
-        # REAL nearest-neighbor thumbnail re-encoded as P6/P5: edge sized
-        # so the raster lands near target_bytes
+        # REAL nearest-neighbor thumbnail, edge sized so the raster
+        # lands near target_bytes
         import numpy as np
 
         h, w, c = img.shape
@@ -607,15 +653,14 @@ def resize_images(
         ys = np.linspace(0, h - 1, min(edge, h)).round().astype(int)
         xs = np.linspace(0, w - 1, min(edge, w)).round().astype(int)
         thumb = img[np.ix_(ys, xs)]
-        # netpbm has no alpha: drop it before re-encode (a 2-channel
-        # gray+alpha or 4-channel RGBA raster written under a P5/P6
-        # header would silently corrupt the payload — wrong byte count
-        # per pixel for the promised format)
-        if thumb.shape[2] == 2:
-            thumb = thumb[:, :, :1]
-        elif thumb.shape[2] == 4:
-            thumb = np.ascontiguousarray(thumb[:, :, :3])
+        if payload[:8] == _PNG_MAGIC:
+            # PNG in → PNG out: alpha survives the round trip
+            return encode_png(thumb)
+        # non-PNG decodable inputs (P6/P5/BMP) are always 1 or 3
+        # channels, so the netpbm re-encode never sees an alpha plane —
+        # a 2/4-channel raster under a P5/P6 header would be corrupt
         th, tw, tc = thumb.shape
+        assert tc in (1, 3), f"unexpected {tc}-channel non-PNG raster"
         magic = b"P6" if tc == 3 else b"P5"
         return magic + f"\n{tw} {th}\n255\n".encode() + thumb.tobytes()
 

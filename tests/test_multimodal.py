@@ -696,10 +696,10 @@ def test_audio_features_uses_real_g711_decode(spark):
     assert [round(float(x), 2) for x in row["feat"]] == [32124.0] * 4
 
 
-def test_resize_drops_alpha_before_netpbm_reencode(spark):
-    """An RGBA/gray+alpha PNG thumbnail must re-encode as valid P6/P5
-    (netpbm has no alpha) — the raw 4-byte-per-pixel raster under a P6
-    header would be silently corrupt."""
+def test_resize_png_roundtrips_as_png_with_alpha(spark):
+    """PNG in → PNG out: an RGBA/gray+alpha source thumbnails to a
+    decodable PNG with the alpha plane intact (netpbm outputs are
+    reserved for the alpha-free raster formats)."""
     import numpy as np
 
     from etl_platform_nyc_taxi_spark.operators.multimodal import (
@@ -715,12 +715,33 @@ def test_resize_drops_alpha_before_netpbm_reencode(spark):
         "doc_id long, payload binary",
     )
     out = {r["doc_id"]: bytes(r["resized"]) for r in resize_images(df, target_bytes=48).collect()}
+    assert out[1][:8] == b"\x89PNG\r\n\x1a\n"
     dec_rgba = decode_image_pixels(out[1])
-    assert dec_rgba is not None and dec_rgba.shape[2] == 3  # alpha dropped
+    assert dec_rgba is not None and dec_rgba.shape[2] == 4  # alpha kept
     dec_ga = decode_image_pixels(out[2])
-    assert dec_ga is not None and dec_ga.shape[2] == 1  # P5, gray only
-    # pixel content comes from the COLOR planes of the source
-    assert int(dec_rgba[0, 0, 0]) == int(rgba[0, 0, 0])
+    assert dec_ga is not None and dec_ga.shape[2] == 2
+    # thumbnail pixels come from the source raster (nearest-neighbor
+    # includes the top-left source pixel, all 4 planes)
+    assert dec_rgba[0, 0].tolist() == rgba[0, 0].tolist()
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_encode_png_decode_roundtrip(channels):
+    """The production encoder (filter-0, stdlib zlib) is the exact
+    inverse of the decoder for every accepted shape."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11 + channels)
+    img = rng.integers(0, 256, size=(9, 6, channels), dtype=np.uint8)
+    dec = decode_image_pixels(encode_png(img))
+    assert dec is not None and np.array_equal(dec, img)
+    with pytest.raises(ValueError):
+        encode_png(img[:, :, 0])  # 2-D input: channel axis required
 
 
 def test_png_decode_bounds_decompression():
