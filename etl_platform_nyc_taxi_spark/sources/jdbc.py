@@ -139,6 +139,65 @@ def write_jdbc_upsert(
     write_jdbc_append(df, cfg, table)
 
 
+#: Above this many distinct keys in one keyed write, prefer the staged
+#: upsert over an O(keys) literal predicate (a 10^5-key batch would
+#: otherwise build a multi-megabyte WHERE clause on the driver and make
+#: the database parse it).
+DEFAULT_STAGING_KEY_THRESHOLD = 1000
+
+
+def write_jdbc_upsert_staged(
+    df: DataFrame,
+    cfg: JdbcConfig,
+    table: str,
+    key_cols: list[str],
+    stage_table: str | None = None,
+) -> None:
+    """Many-key idempotent upsert: write ``df`` to a staging table, then
+    one set-based ``DELETE ... WHERE EXISTS`` + ``INSERT ... SELECT`` —
+    two constant-size statements regardless of key count, with the row
+    data flowing executor→database through Spark's parallel JDBC writer
+    instead of a literal SQL string built on the driver.
+
+    ``WHERE EXISTS`` (not Postgres-only ``DELETE ... USING``) keeps the
+    statement portable across Derby and Postgres; the key match is
+    null-safe. Replays converge exactly like :func:`write_jdbc_upsert`:
+    the staging overwrite, delete, and insert are all idempotent per
+    batch. Primary consumer: the streaming keyed sink
+    (streaming/jdbc_sink.stream_upsert_jdbc) above its key threshold.
+    """
+    spark = df.sparkSession
+    stage = stage_table or f"{table}_stg"
+    # mode=overwrite drops and recreates the staging table from the
+    # frame's schema — also what makes a replayed batch start clean.
+    df.coalesce(cfg.num_partitions).write.format("jdbc").options(
+        dbtable=stage, **cfg.options()
+    ).mode("overwrite").save()
+    match = " AND ".join(
+        f'({table}."{c}" = s."{c}"'
+        f' OR ({table}."{c}" IS NULL AND s."{c}" IS NULL))'
+        for c in key_cols
+    )
+    cols = ", ".join(f'"{c}"' for c in df.columns)
+    try:
+        execute_statement(
+            spark,
+            cfg,
+            f"DELETE FROM {table} WHERE EXISTS"
+            f" (SELECT 1 FROM {stage} s WHERE {match})",
+        )
+        execute_statement(
+            spark,
+            cfg,
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+        )
+    finally:
+        try:
+            execute_statement(spark, cfg, f"DROP TABLE {stage}")
+        except Exception:
+            pass  # leftover staging table is rebuilt (overwrite) next run
+
+
 def upsert_sql_postgres(
     table: str, key_cols: list[str], cols: list[str]
 ) -> str:

@@ -35,9 +35,10 @@ import tempfile
 from pyspark.sql import DataFrame
 
 from etl_platform_nyc_taxi_spark.sources.jdbc import (
+    DEFAULT_STAGING_KEY_THRESHOLD,
     JdbcConfig,
-    execute_statement,
     write_jdbc_upsert,
+    write_jdbc_upsert_staged,
 )
 
 
@@ -101,61 +102,10 @@ def batch_key_predicate(batch: DataFrame, key_cols: list[str]) -> str | None:
     return keys_predicate(batch.select(*key_cols).distinct().collect(), key_cols)
 
 
-#: Above this many distinct keys in one micro-batch, the upsert routes
-#: through a staging table instead of rendering an O(keys) literal
-#: predicate (a 10^5-key batch would otherwise build a multi-megabyte
-#: WHERE clause on the driver and make the database parse it).
-DEFAULT_STAGING_KEY_THRESHOLD = 1000
-
-
-def upsert_via_staging(
-    batch: DataFrame,
-    cfg: JdbcConfig,
-    table: str,
-    key_cols: list[str],
-    stage_table: str | None = None,
-) -> None:
-    """Many-key upsert: write the micro-batch to a staging table, then
-    one set-based ``DELETE ... WHERE EXISTS`` + ``INSERT ... SELECT``
-    — two constant-size statements regardless of key count, with the
-    row data flowing executor→database through Spark's parallel JDBC
-    writer instead of a literal SQL string built on the driver.
-
-    ``WHERE EXISTS`` (not Postgres-only ``DELETE ... USING``) keeps the
-    statement portable across Derby and Postgres; the key match is
-    null-safe. Replays converge exactly like the literal path: the
-    staging overwrite, delete, and insert are all idempotent per batch.
-    """
-    spark = batch.sparkSession
-    stage = stage_table or f"{table}_stg"
-    # mode=overwrite drops and recreates the staging table from the
-    # batch schema — also what makes a replayed batch start clean.
-    batch.coalesce(cfg.num_partitions).write.format("jdbc").options(
-        dbtable=stage, **cfg.options()
-    ).mode("overwrite").save()
-    match = " AND ".join(
-        f'({table}."{c}" = s."{c}"'
-        f' OR ({table}."{c}" IS NULL AND s."{c}" IS NULL))'
-        for c in key_cols
-    )
-    cols = ", ".join(f'"{c}"' for c in batch.columns)
-    try:
-        execute_statement(
-            spark,
-            cfg,
-            f"DELETE FROM {table} WHERE EXISTS"
-            f" (SELECT 1 FROM {stage} s WHERE {match})",
-        )
-        execute_statement(
-            spark,
-            cfg,
-            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
-        )
-    finally:
-        try:
-            execute_statement(spark, cfg, f"DROP TABLE {stage}")
-        except Exception:
-            pass  # leftover staging table is rebuilt (overwrite) next batch
+#: Batch-generic staging upsert lives with the other JDBC sinks
+#: (sources/jdbc.write_jdbc_upsert_staged); re-exported here because the
+#: streaming sink is its primary consumer.
+upsert_via_staging = write_jdbc_upsert_staged
 
 
 def stream_upsert_jdbc(
