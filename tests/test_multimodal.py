@@ -794,3 +794,84 @@ def test_image_features_exclude_alpha_plane():
     # same moments and histogram; only the channel-count feature differs
     assert f_ga[3:] == f_gray[3:]
     assert (f_gray[2], f_ga[2]) == (1.0, 2.0)
+
+
+# --- round 6: property-based decoder coverage (no Spark jobs — pure
+# kernel properties, so examples are cheap) ---------------------------
+
+
+def test_png_roundtrip_property():
+    """Hypothesis: ANY (h, w, c) uint8 image round-trips pixel-exact
+    through encode_png -> decode_image_pixels, and through the
+    reference per-filter encoder for every filter type."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        c=st.sampled_from([1, 2, 3, 4]),
+        f=st.sampled_from([0, 1, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(h, w, c, f, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, c), dtype=np.uint8
+        )
+        assert np.array_equal(decode_image_pixels(encode_png(img)), img)
+        assert np.array_equal(
+            decode_image_pixels(_encode_png(img, [f])), img
+        )
+
+    prop()
+
+
+def _mulaw_encode_reference(x: int) -> int:
+    """Reference linear→µ-law compressor from the G.711 bit layout
+    (independent of the decoder's table construction)."""
+    BIAS = 0x84
+    sign = 0x80 if x < 0 else 0
+    mag = min((-x if x < 0 else x) + BIAS, 0x7FFF)
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not (mag & mask):
+        mask >>= 1
+        exp -= 1
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mant) & 0xFF
+
+
+def test_mulaw_encode_decode_quantization_property():
+    """Hypothesis: for any int16 sample, decode(encode(x)) lands within
+    the segment's quantization step (G.711 µ-law: step 8<<exp), and the
+    sign is preserved — proves the decode table against an independent
+    compressor, not against its own construction."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        _g711_mulaw_table,
+    )
+
+    table = _g711_mulaw_table()
+
+    @settings(max_examples=200, deadline=None)
+    @given(x=st.integers(-32124, 32124))
+    def prop(x):
+        y = int(table[_mulaw_encode_reference(x)])
+        exp = 0
+        mag = abs(x) + 0x84
+        while mag >= (0x100 << exp) and exp < 7:
+            exp += 1
+        step = 8 << exp
+        assert abs(y - x) <= step, (x, y, step)
+        if abs(x) > 8:  # inside the dead zone both zeros are legal
+            assert (y >= 0) == (x >= 0)
+
+    prop()
