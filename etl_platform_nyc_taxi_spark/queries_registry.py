@@ -10323,6 +10323,11 @@ def _rotate_registry() -> None:
     missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
     if missing:  # fail loudly at import: a typo here would silently
         raise KeyError(f"_VERIFY_FIRST names not registered: {missing}")
+    # A window name without an oracle scores as no_oracle = FAILURE at
+    # the driver gate — refuse to ship such a window at import time.
+    no_oracle = [n for n in _VERIFY_FIRST if n not in ORACLE_SQL]
+    if no_oracle:
+        raise KeyError(f"_VERIFY_FIRST names without oracles: {no_oracle}")
     order = _VERIFY_FIRST + [n for n in QUERIES if n not in _VERIFY_FIRST]
     for registry in (QUERIES, ORACLE_SQL):
         reordered = {n: registry[n] for n in order if n in registry}

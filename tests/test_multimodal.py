@@ -875,3 +875,39 @@ def test_mulaw_encode_decode_quantization_property():
             assert (y >= 0) == (x >= 0)
 
     prop()
+
+
+def test_bmp_row_order_bottom_up_and_top_down():
+    """Row-distinct raster pins the vertical flip: bottom-up BMPs store
+    the LAST image row first (decoder must flip); negative height means
+    top-down (no flip). A solid color can't catch this."""
+    import struct
+
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    w = 2
+    row_red = bytes([0, 0, 255]) * w + b"\x00" * 2  # BGR red, stride pad
+    row_blue = bytes([255, 0, 0]) * w + b"\x00" * 2  # BGR blue
+
+    def bmp(h_field, raster):
+        header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h_field, 1, 24, 0, len(raster), 0, 0, 0, 0
+        )
+        return header + dib + raster
+
+    # bottom-up (h=+2): file stores bottom row first -> decoder flips,
+    # so storing [blue, red] yields image rows [red, blue]
+    img = decode_image_pixels(bmp(2, row_blue + row_red))
+    assert img[0].tolist() == [[255, 0, 0]] * w  # top row red (RGB)
+    assert img[1].tolist() == [[0, 0, 255]] * w
+
+    # top-down (h=-2): stored order IS image order
+    img = decode_image_pixels(bmp(-2, row_blue + row_red))
+    assert img[0].tolist() == [[0, 0, 255]] * w  # top row blue
+    assert img[1].tolist() == [[255, 0, 0]] * w
+    assert np.asarray(img).flags["C_CONTIGUOUS"]
