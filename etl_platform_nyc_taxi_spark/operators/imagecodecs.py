@@ -1,0 +1,831 @@
+"""Pure-stdlib+numpy image codecs for the compressed container formats:
+GIF (LZW) decode/encode and baseline JPEG (Huffman + IDCT) decode/encode.
+
+These close the gap `operators/multimodal.py` previously left behind the
+`_HAVE_PIL` inverse gate: every format the corpus sniffers recognize as
+an image (`sniff_image_header`) now decodes to real pixels with zero
+external decoder libraries. The reference treats media payloads as
+opaque blobs (it has no decode step at all); this engine decodes them
+executor-side inside `mapInPandas` kernels, so the decoders follow the
+same contract as `_decode_png`: **return None, never crash** on
+malformed/truncated/unsupported payloads — a poison blob in a 100 TB
+corpus must cost one null row, not a task retry storm.
+
+Scope (deliberately the interoperable core of each spec):
+* GIF87a/GIF89a, first frame only, global or local color table,
+  interlaced or not, binary transparency via GCE → RGB or RGBA.
+* JPEG/JFIF baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+  with any sampling factors h,v ∈ {1,2}, restart markers honored.
+  Progressive (SOF2) and arithmetic coding return None.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+_MAX_PIXELS = 64 * 1024 * 1024  # refuse absurd dims up front (bomb guard)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int):
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR/EOI codes,
+    dict capped at 4096 entries. Returns index bytearray or None."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader state
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = reset_table()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= n:
+                # stream may legally end right at EOI; missing EOI is
+                # tolerated (common in the wild) once output exists
+                return out if out else None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = reset_table()
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return None
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW compressor — true dict-growing LZW (not the
+    uncompressed-GIF trick), inverse of :func:`_lzw_decode`."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the decoder's table lags the encoder's by exactly one
+            # entry (its first code after CLEAR defines nothing), so
+            # the encoder widens one entry LATER than its own count
+            # suggests — at 2^width + 1, not 2^width
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    """Undo GIF 4-pass interlacing (rows stored pass-major)."""
+    h = rows.shape[0]
+    order = np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def decode_gif(payload: bytes):
+    """First-frame GIF decode → (H, W, 3) uint8, or (H, W, 4) when the
+    frame's GCE marks a transparent index. Returns None on anything
+    malformed or out of scope (no color table, zero dims, bad LZW)."""
+    if len(payload) < 13 or payload[:6] not in _GIF_MAGICS:
+        return None
+    n = len(payload)
+    packed = payload[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        if pos + 3 * gct_len > n:
+            return None
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * gct_len], dtype=np.uint8
+        ).reshape(gct_len, 3)
+        pos += 3 * gct_len
+    transparent = -1
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension
+            if pos >= n:
+                return None
+            label = payload[pos]
+            pos += 1
+            # walk sub-blocks; remember GCE transparency for the frame
+            first_sub = True
+            while pos < n:
+                sublen = payload[pos]
+                pos += 1
+                if sublen == 0:
+                    break
+                if label == 0xF9 and first_sub and sublen >= 4:
+                    flags = payload[pos]
+                    if flags & 0x01:
+                        transparent = payload[pos + 3]
+                first_sub = False
+                pos += sublen
+            continue
+        if block != 0x2C:  # not an image descriptor
+            return None
+        if pos + 9 > n:
+            return None
+        _left, _top, w, h = struct.unpack_from("<4H", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            lct_len = 2 << (ipacked & 0x07)
+            if pos + 3 * lct_len > n:
+                return None
+            palette = np.frombuffer(
+                payload[pos : pos + 3 * lct_len], dtype=np.uint8
+            ).reshape(lct_len, 3)
+            pos += 3 * lct_len
+        if palette is None or w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            return None
+        if pos >= n:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:  # palette ≤ 256 ⇒ root codes are bytes
+            return None
+        chunks = bytearray()
+        while pos < n:
+            sublen = payload[pos]
+            pos += 1
+            if sublen == 0:
+                break
+            if pos + sublen > n:
+                return None
+            chunks += payload[pos : pos + sublen]
+            pos += sublen
+        idx = _lzw_decode(bytes(chunks), mcs, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        indices = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+        if indices.max(initial=0) >= palette.shape[0]:
+            return None
+        if ipacked & 0x40:
+            indices = _deinterlace(indices)
+        rgb = palette[indices]  # (h, w, 3)
+        if transparent < 0:
+            return np.ascontiguousarray(rgb)
+        alpha = np.where(indices == transparent, 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(
+            np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        )
+    return None
+
+
+def encode_gif(img) -> bytes:
+    """REAL GIF89a encoder (true LZW), inverse of :func:`decode_gif` for
+    in-scope images. Accepts (H, W, C) uint8 with C ∈ {1, 3, 4}; C=4
+    requires binary alpha (0 or 255 — GIF transparency is 1-bit) and the
+    opaque color count plus the transparent slot must fit 256. Raises
+    ValueError when the image cannot be represented losslessly."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected (H, W, 1|3|4) uint8, got {img.shape}")
+    h, w, c = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    transparent = -1
+    if c == 1:
+        rgb = np.repeat(img, 3, axis=2)
+        opaque_mask = np.ones((h, w), dtype=bool)
+    elif c == 3:
+        rgb = img
+        opaque_mask = np.ones((h, w), dtype=bool)
+    else:
+        alpha = img[:, :, 3]
+        if not np.isin(alpha, (0, 255)).all():
+            raise ValueError("GIF transparency is binary: alpha must be 0 or 255")
+        opaque_mask = alpha == 255
+        rgb = img[:, :, :3]
+    flat = rgb.reshape(-1, 3)
+    flat_opaque = flat[opaque_mask.reshape(-1)]
+    colors = np.unique(flat_opaque, axis=0) if flat_opaque.size else np.zeros((0, 3), np.uint8)
+    has_transparent = bool((~opaque_mask).any())
+    if colors.shape[0] + (1 if has_transparent else 0) > 256:
+        raise ValueError(
+            f"{colors.shape[0]} distinct colors; GIF palette holds ≤256"
+        )
+    # index map: transparent pixels get a dedicated palette slot
+    palette = colors
+    if has_transparent:
+        transparent = colors.shape[0]
+        palette = np.vstack([colors, np.zeros((1, 3), dtype=np.uint8)])
+    # vectorized color → index via lexicographic searchsorted
+    keys = (
+        colors[:, 0].astype(np.int64) << 16
+        | colors[:, 1].astype(np.int64) << 8
+        | colors[:, 2].astype(np.int64)
+    )
+    pix = (
+        flat[:, 0].astype(np.int64) << 16
+        | flat[:, 1].astype(np.int64) << 8
+        | flat[:, 2].astype(np.int64)
+    )
+    order = np.argsort(keys)
+    if colors.shape[0]:
+        # transparent pixels' colors may be absent from the opaque
+        # palette — clip, their index is overwritten by the mask below
+        slots = np.clip(np.searchsorted(keys[order], pix), 0, keys.size - 1)
+        lookup = order[slots]
+    else:
+        lookup = np.zeros(h * w, np.int64)
+    indices = lookup.astype(np.uint8)
+    if has_transparent:
+        indices = np.where(opaque_mask.reshape(-1), indices, transparent).astype(
+            np.uint8
+        )
+    # GCT size: power of two ≥ palette length, minimum 2 entries
+    bits = 1
+    while (1 << bits) < palette.shape[0]:
+        bits += 1
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[: palette.shape[0]] = palette
+    mcs = max(2, bits)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])  # GCT flag + size
+    out += gct.tobytes()
+    if has_transparent:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += bytes([0x2C]) + struct.pack("<4H", 0, 0, w, h) + bytes([0])
+    out += bytes([mcs])
+    lzw = _lzw_encode(indices.tobytes(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT)
+# ---------------------------------------------------------------------------
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _zigzag_order():
+    """The 64 (row, col) pairs of JPEG's zigzag scan, generated from the
+    anti-diagonal walk rather than transcribed as a constant table."""
+    out = []
+    for s in range(15):
+        rng = range(min(7, s), max(0, s - 7) - 1, -1) if s % 2 == 0 else range(
+            max(0, s - 7), min(7, s) + 1
+        )
+        for i in rng:
+            out.append((i, s - i))
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+_ZZ_ROWS = np.array([r for r, _ in _ZIGZAG])
+_ZZ_COLS = np.array([c for _, c in _ZIGZAG])
+
+
+def _dct_basis():
+    """8×8 DCT-II orthonormal basis A: spatial = A.T @ coef @ A."""
+    k = np.arange(8)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    a *= np.sqrt(2.0 / 8.0)
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+_DCT_A = _dct_basis()
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table (spec F.2.2.3 MINCODE/MAXCODE/VALPTR
+    decode). Built from the DHT wire form: 16 length counts + symbols."""
+
+    def __init__(self, counts, symbols):
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            if counts[ln - 1]:
+                self.valptr[ln] = k
+                self.mincode[ln] = code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                self.maxcode[ln] = code - 1
+            code <<= 1
+        self.nsymbols = k
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if code <= table.maxcode[ln]:
+                return table.symbols[table.valptr[ln] + code - table.mincode[ln]]
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline sequential JPEG decode → (H, W, 3) RGB or (H, W, 1)
+    grayscale uint8. Pure numpy: Huffman entropy decode per spec F.2.2,
+    batched orthonormal IDCT, nearest chroma upsample, restart markers.
+    Progressive/arithmetic/12-bit/hierarchical return None — as do all
+    malformed payloads (return-None-never-crash kernel contract)."""
+    if len(payload) < 4 or payload[:3] != _JPEG_MAGIC:
+        return None
+    n = len(payload)
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    frame = None  # (H, W, [(cid, h, v, tq), ...])
+    restart = 0
+    try:
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 2 + seglen]
+            if seglen < 2 or len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    i += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(body[i : i + 64], np.uint8).astype(
+                            np.int32
+                        )
+                        i += 64
+                    else:
+                        tbl = np.frombuffer(body[i : i + 128], ">u2").astype(
+                            np.int32
+                        )
+                        i += 128
+                    if tbl.size != 64:
+                        return None
+                    qt[tq] = tbl
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
+                if body[0] != 8:
+                    return None
+                hh = int.from_bytes(body[1:3], "big")
+                ww = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if hh == 0 or ww == 0 or nc not in (1, 3) or hh * ww > _MAX_PIXELS:
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                frame = (hh, ww, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    counts = list(body[i + 1 : i + 17])
+                    total = sum(counts)
+                    syms = list(body[i + 17 : i + 17 + total])
+                    if len(syms) != total:
+                        return None
+                    huff[(tc, th)] = _HuffTable(counts, syms)
+                    i += 17 + total
+            elif marker == 0xDD:  # DRI
+                restart = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    return None
+                ns = body[0]
+                scomp = []
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c : 3 + 2 * c]
+                    scomp.append((cs, tt >> 4, tt & 0x0F))
+                data_start = pos + 2 + seglen
+                return _jpeg_scan(
+                    payload, data_start, frame, scomp, qt, huff, restart
+                )
+            pos += 2 + seglen
+    except (IndexError, ValueError, EOFError, struct.error):
+        return None
+    return None
+
+
+def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
+    hh, ww, comps = frame
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    order = []
+    for cs, td, ta in scomp:
+        if cs not in by_id or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        h, v, tq = by_id[cs]
+        if tq not in qt or not (1 <= h <= 2 and 1 <= v <= 2):
+            return None
+        order.append((cs, h, v, qt[tq], huff[(0, td)], huff[(1, ta)]))
+    if len(order) != len(comps):
+        return None  # multi-scan files out of scope
+    hmax = max(h for _, h, _, _, _, _ in order)
+    vmax = max(v for _, _, v, _, _, _ in order)
+    mx = -(-ww // (8 * hmax))
+    my = -(-hh // (8 * vmax))
+    # split entropy data into restart segments with stuffing removed
+    segs = []
+    cur = bytearray()
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = payload[pos + 1] if pos + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next marker ends the scan
+            break
+    segs.append(bytes(cur))
+    # decode coefficient blocks
+    coefs = {cs: [] for cs, *_ in order}
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    pred = {cs: 0 for cs, *_ in order}
+    try:
+        for mcu in range(mx * my):
+            if restart and mcu and mcu % restart == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    return None
+                reader = _BitReader(segs[seg_i])
+                pred = {cs: 0 for cs, *_ in order}
+            for cs, h, v, q, dct, act in order:
+                for _ in range(h * v):
+                    blk = np.zeros(64, dtype=np.int32)
+                    s = reader.decode(dct)
+                    if s > 15:  # corrupt table: size beyond baseline range
+                        return None
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[cs] += diff
+                    blk[0] = pred[cs]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(act)
+                        r, sz = rs >> 4, rs & 0x0F
+                        if sz == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        blk[k] = _extend(reader.receive(sz), sz)
+                        k += 1
+                    coefs[cs].append(blk * q)
+    except (EOFError, ValueError, IndexError, OverflowError):
+        return None
+    # batched IDCT + plane assembly per component
+    planes = []
+    for cs, h, v, q, _, _ in order:
+        blocks = np.stack(coefs[cs]).reshape(-1, 64)
+        mat = np.zeros((blocks.shape[0], 8, 8), dtype=np.float64)
+        mat[:, _ZZ_ROWS, _ZZ_COLS] = blocks
+        spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, mat, _DCT_A) + 128.0
+        spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+        # blocks are MCU-major, row-major h×v inside each MCU
+        plane = np.zeros((my * v * 8, mx * h * 8), dtype=np.uint8)
+        bi = 0
+        for mcu in range(mx * my):
+            mcy, mcx = divmod(mcu, mx)
+            for bv in range(v):
+                for bh in range(h):
+                    y0 = (mcy * v + bv) * 8
+                    x0 = (mcx * h + bh) * 8
+                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
+                    bi += 1
+        plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        planes.append(plane[:hh, :ww])
+    if len(planes) == 1:
+        return np.ascontiguousarray(planes[0][:, :, None])
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit pad), then emit RSTm — a marker, so the two
+        bytes go out raw, never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 | (m & 7)])
+
+
+def _enc_tables():
+    """Encoder Huffman tables: every symbol at one uniform code length
+    (canonical ⇒ code == list index). Custom tables are fully legal
+    baseline JPEG — the DHT segment ships them — and sidestep
+    transcribing the (optional) Annex K defaults. DC: 12 symbols @ 4
+    bits; AC: the 162 meaningful run/size symbols @ 8 bits."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_syms = sorted(set(ac_syms))
+    dc_counts = [0] * 16
+    dc_counts[3] = len(dc_syms)  # 4-bit codes
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)  # 8-bit codes
+    dc_code = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+    return (dc_counts, dc_syms, dc_code), (ac_counts, ac_syms, ac_code)
+
+
+def _mag_bits(v: int):
+    """(size, raw bits) for a DC diff / AC coefficient per spec F.1.2."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def encode_jpeg(
+    img,
+    quant: int = 1,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder — pure numpy. ``sampling`` is
+    the luma (h, v) factor pair with chroma fixed at (1, 1): (1, 1) ⇒
+    4:4:4, (2, 1) ⇒ 4:2:2, (2, 2) ⇒ 4:2:0 (chroma box-averaged).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Uniform quantization of ``quant`` (1 ⇒ near-lossless at
+    4:4:4: the only loss is DCT rounding, so :func:`decode_jpeg`
+    round-trips within a few levels). Accepts (H, W, 1) grayscale or
+    (H, W, 3) RGB uint8. Exercises every decoder path: multi-block
+    MCUs, chroma upsample, restart resync."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError(f"expected (H, W, 1|3) uint8, got {img.shape}")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in [1, 255]")
+    sh, sv = sampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    h, w, c = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if c == 3:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        full = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        factors = [(sh, sv), (1, 1), (1, 1)]
+    else:
+        full = [img[:, :, 0].astype(np.float64)]
+        factors = [(1, 1)]
+        sh = sv = 1
+    hmax, vmax = sh, sv
+    mx = -(-w // (8 * hmax))
+    my = -(-h // (8 * vmax))
+    qtbl = np.full(64, quant, dtype=np.int32)
+    (dc_counts, dc_syms, dc_code), (ac_counts, ac_syms, ac_code) = _enc_tables()
+    grids = []  # per component: (rows, cols, 64) zigzag coefficient grid
+    for (fh, fv), p in zip(factors, full):
+        ph, pw = my * vmax * 8, mx * hmax * 8
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        ry, rx = vmax // fv, hmax // fh
+        if ry > 1 or rx > 1:  # chroma box-average downsample
+            p = p.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        th, tw = my * fv * 8, mx * fh * 8
+        blk = p.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,rcjk,lk->rcil", _DCT_A, blk - 128.0, _DCT_A)
+        qz = np.round(coef / quant).astype(np.int64)
+        grids.append(qz[:, :, _ZZ_ROWS, _ZZ_COLS])
+    bw = _BitWriter()
+    preds = [0] * len(full)
+    rst = 0
+    for mcu in range(mx * my):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.restart(rst & 7)
+            rst += 1
+            preds = [0] * len(full)
+        mcy, mcx = divmod(mcu, mx)
+        for ci, ((fh, fv), grid) in enumerate(zip(factors, grids)):
+            for bv in range(fv):
+                for bh in range(fh):
+                    blk = grid[mcy * fv + bv, mcx * fh + bh]
+                    diff = int(blk[0]) - preds[ci]
+                    preds[ci] = int(blk[0])
+                    s, bits = _mag_bits(diff)
+                    code, ln = dc_code[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(bits, s)
+                    run = 0
+                    nz = np.nonzero(blk[1:])[0]
+                    last = nz[-1] + 1 if nz.size else 0
+                    for k in range(1, last + 1):
+                        v = int(blk[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_code[0xF0]
+                            bw.write(code, ln)
+                            run -= 16
+                        s, bits = _mag_bits(v)
+                        code, ln = ac_code[(run << 4) | s]
+                        bw.write(code, ln)
+                        bw.write(bits, s)
+                        run = 0
+                    if last < 63:
+                        code, ln = ac_code[0x00]  # EOB
+                        bw.write(code, ln)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + bytes(qtbl.astype(np.uint8)))  # DQT 0
+    nc = len(full)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])  # id, sampling, qtable 0
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])  # Ss, Se, Ah/Al
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -5,18 +5,22 @@ metadata struct — Spark needs no new type for this (SURVEY.md §7.2 step 5).
 What must be REAL at 100 TB is the plumbing: schema, batch-wise Arrow
 transfer, partition sizing so one task's batch of blobs fits memory.
 
-Decode status (round 6): SELF-CONTAINED formats decode for REAL with
-zero external dependencies — PPM/PGM and 24-bit BMP pixels, 8-bit PNG
-(real DEFLATE via stdlib ``zlib`` + all 5 scanline filters —
-:func:`_decode_png`) (:func:`decode_image_pixels`, pure numpy), PCM WAV
-samples (:func:`decode_audio_pcm`, stdlib ``wave``), and G.711
-µ-law/A-law companded WAV (:func:`_decode_wav_g711`) — feeding real
-feature / resize kernels. The REMAINING compressed containers
-(JPEG/GIF, FLAC/OGG/MP3, video) still need PIL/soundfile/ffmpeg, which
-are NOT in this environment; for those payloads the kernels fall back
-to a deterministic fake that preserves the exact UDF signature, batch
-shape, and output schema, behind ``_HAVE_*`` gates that RAISE when a
-decoder appears so wiring it can't be forgotten.
+Decode status (round 6): EVERY image format the sniffer recognizes now
+decodes for REAL with zero external dependencies — PPM/PGM and 24-bit
+BMP pixels, 8-bit PNG (real DEFLATE via stdlib ``zlib`` + all 5
+scanline filters — :func:`_decode_png`), GIF87a/89a (true LZW +
+interlace + transparency) and baseline JPEG (Huffman entropy decode,
+batched IDCT, chroma upsample, restart markers) via
+``operators.imagecodecs`` (:func:`decode_image_pixels`, pure numpy) —
+plus PCM WAV samples (:func:`decode_audio_pcm`, stdlib ``wave``) and
+G.711 µ-law/A-law companded WAV (:func:`_decode_wav_g711`) — feeding
+real feature / resize kernels. The REMAINING compressed containers
+(progressive JPEG, WebP/TIFF, FLAC/OGG/MP3, video) still need
+PIL/soundfile/ffmpeg, which are NOT in this environment; for those
+payloads the kernels fall back to a deterministic fake that preserves
+the exact UDF signature, batch shape, and output schema, behind
+``_HAVE_*`` gates that RAISE when a decoder appears so wiring it can't
+be forgotten.
 """
 
 from __future__ import annotations
@@ -468,16 +472,28 @@ def decode_image_pixels(payload: bytes | None):
     * PNG 8-bit non-interlaced gray/gray+alpha/RGB/RGBA → (H, W, C)
       uint8 (:func:`_decode_png` — real DEFLATE + all 5 scanline
       filters; palette/16-bit/interlaced return None)
+    * GIF87a/89a first frame → (H, W, 3), or (H, W, 4) when the frame
+      marks a transparent index (``imagecodecs.decode_gif`` — true LZW,
+      interlace, local color tables)
+    * baseline sequential JPEG → (H, W, 3) RGB or (H, W, 1) gray
+      (``imagecodecs.decode_jpeg`` — Huffman entropy decode per spec
+      F.2.2, batched IDCT, chroma upsample, restart markers;
+      progressive/arithmetic return None)
 
-    JPEG/GIF still need PIL (the ``_HAVE_PIL`` gate); unrecognized or
-    truncated payloads return None.
+    Unrecognized or truncated payloads return None.
     """
     import numpy as np
+
+    from .imagecodecs import decode_gif, decode_jpeg
 
     if not payload or len(payload) < 12:  # smallest viable netpbm
         return None
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(payload)
     if payload[:2] in (b"P6", b"P5"):
         # netpbm header: magic, width, height, maxval — whitespace-token
         # stream with '#' comments, then one whitespace byte, then raster
@@ -579,7 +595,7 @@ def image_features(
 
     def _feat(b: bytes) -> list[float]:
         img = decode_image_pixels(b)
-        if img is not None:  # REAL pixels (PPM/PGM/BMP — no libs needed)
+        if img is not None:  # REAL pixels (PPM/PGM/BMP/PNG/GIF/JPEG)
             return _real_image_features(img, dim)
         return _fake_image_features(b, dim)
 
@@ -598,9 +614,10 @@ def image_features(
 
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "compressed-format decoder present but not wired: PPM/PGM/BMP/"
-            "PNG already decode for real in decode_image_pixels; route "
-            "JPEG/GIF through PIL in _feat here"
+            "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
+            "GIF/baseline-JPEG already decode natively in "
+            "decode_image_pixels; route the formats only PIL reads "
+            "(WebP/TIFF/progressive JPEG) through PIL in _feat here"
         )
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -617,13 +634,14 @@ def resize_images(
     The Spark contract (Arrow batches, explicit schema, executor-side
     per-blob work, batch memory bounded by
     ``spark.sql.execution.arrow.maxRecordsPerBatch``) is production-real.
-    Payloads the REAL decoder reads (PPM/PGM/BMP/PNG) are thumbnailed
-    from actual pixels and re-encoded in kind — PNG in (any channel
-    count, alpha preserved) → PNG out via :func:`encode_png`; raster
-    formats → P6/P5 (alpha dropped: netpbm has none). Only payloads no
-    decoder reads (JPEG/GIF pending PIL) fall back to the deterministic
-    byte-stride downsample (`_HAVE_PIL` gate, same swap point as
-    :func:`image_features`)."""
+    Payloads the REAL decoder reads (PPM/PGM/BMP/PNG/GIF/JPEG) are
+    thumbnailed from actual pixels and re-encoded in kind — PNG in (any
+    channel count, alpha preserved) → PNG out via :func:`encode_png`;
+    GIF in → GIF out (true LZW; falls back to PNG when the thumbnail
+    exceeds a 256-color palette, since GIF can't hold it); JPEG in →
+    baseline JPEG out; raster formats → P6/P5. Only payloads no decoder
+    reads fall back to the deterministic byte-stride downsample
+    (`_HAVE_PIL` gate, same swap point as :func:`image_features`)."""
 
     out_schema = T.StructType(
         [
@@ -656,7 +674,18 @@ def resize_images(
         if payload[:8] == _PNG_MAGIC:
             # PNG in → PNG out: alpha survives the round trip
             return encode_png(thumb)
-        # non-PNG decodable inputs (P6/P5/BMP) are always 1 or 3
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from .imagecodecs import encode_gif
+
+            try:  # GIF in → GIF out, lossless when the palette fits
+                return encode_gif(thumb)
+            except ValueError:  # >256 colors / non-binary alpha → PNG
+                return encode_png(thumb)
+        if payload[:3] == b"\xff\xd8\xff":
+            from .imagecodecs import encode_jpeg
+
+            return encode_jpeg(thumb)  # JPEG in → baseline JPEG out
+        # remaining decodable inputs (P6/P5/BMP) are always 1 or 3
         # channels, so the netpbm re-encode never sees an alpha plane —
         # a 2/4-channel raster under a P5/P6 header would be corrupt
         th, tw, tc = thumb.shape
@@ -679,9 +708,10 @@ def resize_images(
 
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "compressed-format decoder present but not wired: PPM/PGM/BMP/"
-            "PNG resize for real via decode_image_pixels; route JPEG/GIF "
-            "through PIL in _resize here"
+            "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
+            "GIF/baseline-JPEG already resize natively via "
+            "decode_image_pixels; route the formats only PIL reads "
+            "(WebP/TIFF/progressive JPEG) through PIL in _resize here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
