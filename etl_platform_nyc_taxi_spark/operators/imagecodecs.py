@@ -17,6 +17,11 @@ Scope (deliberately the interoperable core of each spec):
 * JPEG/JFIF baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
   with any sampling factors h,v ∈ {1,2}, restart markers honored.
   Progressive (SOF2) and arithmetic coding return None.
+* MJPEG-in-AVI video (RIFF container): real per-frame extraction —
+  `parse_avi_mjpeg` walks hdrl/movi, returns the JPEG frame payloads
+  plus true frame timing from `avih`, feeding
+  `multimodal.frame_sample`'s real-video path; `encode_avi_mjpeg`
+  writes a spec-shaped AVI (avih/strh/strf/movi/idx1) for tests.
 """
 
 from __future__ import annotations
@@ -829,3 +834,158 @@ def encode_jpeg(
     out += data
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (RIFF container)
+# ---------------------------------------------------------------------------
+
+_MAX_AVI_FRAMES = 100_000  # bomb guard: bounded frame index per payload
+
+
+def parse_avi_mjpeg(payload: bytes):
+    """REAL video-frame extraction from an MJPEG AVI: walk the RIFF
+    tree (LIST hdrl → avih for timing/dims, LIST movi for the frame
+    chunks), collect every ``..dc``/``..db`` video chunk payload in
+    stream order, and return::
+
+        (frames, usec_per_frame, width, height)
+
+    where ``frames`` is a list of per-frame byte strings (each one a
+    complete JPEG for MJPEG files — feed :func:`decode_jpeg`).
+    Timing comes from ``avih.dwMicroSecPerFrame`` (0 → caller picks a
+    default). Returns None on anything that is not a RIFF/AVI or is
+    malformed — same return-None-never-crash contract as the image
+    decoders. Audio chunks (``..wb``) and index chunks are skipped, so
+    interleaved files parse fine."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    usec = 0
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int, depth: int) -> bool:
+        nonlocal usec, width, height
+        i = start
+        while i + 8 <= end:
+            ckid = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = i + 8
+            if body + size > end:
+                return False  # torn chunk
+            if ckid == b"LIST" and size >= 4 and depth < 8:
+                if not walk(body + 4, body + size, depth + 1):
+                    return False
+            elif ckid == b"avih" and size >= 40:
+                usec = int.from_bytes(payload[body : body + 4], "little")
+                width = int.from_bytes(payload[body + 32 : body + 36], "little")
+                height = int.from_bytes(payload[body + 36 : body + 40], "little")
+            elif (
+                len(ckid) == 4
+                and ckid[2:4] in (b"dc", b"db")
+                and ckid[:2].isdigit()
+            ):
+                if len(frames) >= _MAX_AVI_FRAMES:
+                    return False
+                frames.append(payload[body : body + size])
+            i = body + size + (size & 1)  # chunks are word-aligned
+        return True
+
+    riff_size = int.from_bytes(payload[4:8], "little")
+    end = min(8 + riff_size, n)
+    if not walk(12, end, 0):
+        return None
+    if not frames:
+        return None
+    return frames, usec, width, height
+
+
+def encode_avi_mjpeg(frames, fps: int = 25, width: int = 0, height: int = 0) -> bytes:
+    """Minimal REAL AVI writer for MJPEG frame payloads: RIFF('AVI ')
+    with LIST hdrl (avih + one 'vids'/'MJPG' strl with strh + a
+    BITMAPINFOHEADER strf), LIST movi of ``00dc`` chunks (word-padded),
+    and a flat idx1. ``frames`` is a list of JPEG byte strings (use
+    :func:`encode_jpeg`); when width/height are 0 they are sniffed from
+    the first frame's SOF0. The inverse of :func:`parse_avi_mjpeg`."""
+    frames = [bytes(f) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    if not width or not height:
+        probe = decode_jpeg(frames[0])
+        if probe is None:
+            raise ValueError("first frame is not decodable JPEG; pass dims")
+        height, width = probe.shape[:2]
+    usec = 1_000_000 // fps
+
+    def chunk(ckid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return ckid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        usec,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIII",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            len(frames),  # dwLength
+            max_bytes,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality
+            0,  # dwSampleSize (0 = variable, one sample per chunk)
+            0,  # rcFrame (packed 4x u16 = two u32 zeros -> one here)
+        )
+        + struct.pack("<I", 0)  # rcFrame tail
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame — offset is from the start of 'movi'
+    # (the fourcc), the common convention
+    entries = []
+    off = 4
+    for f in frames:
+        entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

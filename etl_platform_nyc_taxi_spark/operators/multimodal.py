@@ -152,7 +152,9 @@ def sniff_video_header(
     payload: bytes | None,
 ) -> tuple[str | None, int | None, int | None, int | None]:
     """(format, width, height, duration_ms) from a real MP4 / ISO-BMFF
-    container header — pure Python box walk, no decoder libs.
+    or AVI / RIFF container header — pure Python box walk, no decoder
+    libs. AVI reads dims + duration from the ``avih`` main header
+    (always inside the probe window since hdrl leads the file).
 
     Layout: top-level boxes are [u32be size][4cc type]; an ``ftyp`` box
     first marks the file as ISO-BMFF. Duration lives in
@@ -165,6 +167,18 @@ def sniff_video_header(
     probe can honestly claim."""
     if not payload or len(payload) < 12:
         return (None, None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        # AVI: avih sits in LIST hdrl near the start, inside any probe
+        # window — find the chunk id and read dims + frame timing
+        i = payload.find(b"avih")
+        if i >= 0 and i + 48 <= len(payload):
+            usec = int.from_bytes(payload[i + 8 : i + 12], "little")
+            total = int.from_bytes(payload[i + 24 : i + 28], "little")
+            w = int.from_bytes(payload[i + 40 : i + 44], "little")
+            h = int.from_bytes(payload[i + 44 : i + 48], "little")
+            dur = total * usec // 1000 if usec else None
+            return ("avi", w or None, h or None, dur)
+        return ("avi", None, None, None)
     if payload[4:8] != b"ftyp":
         return (None, None, None, None)
 
@@ -917,11 +931,16 @@ def frame_sample(
     PER SAMPLED FRAME (doc_id, frame_idx, frame_ms, frame binary) — the
     row-expanding shape a real keyframe extractor produces.
 
-    Deterministic stand-in geometry: the payload is treated as a 25 fps
-    stream of 256-byte frames; every ``every_ms`` the corresponding frame
-    slice is emitted. Swap the slicing for ffmpeg keyframe decode when a
-    video decoder exists — the schema, the 1→N row expansion, and the
-    Arrow batching are the production contract."""
+    MJPEG-in-AVI payloads sample REAL frames: the RIFF container is
+    walked (``imagecodecs.parse_avi_mjpeg``), the stream's true frame
+    period comes from ``avih.dwMicroSecPerFrame``, and each emitted
+    ``frame`` is the complete JPEG chunk for that frame — decodable by
+    ``decode_image_pixels``. ``frame_idx`` is the stream frame number,
+    ``frame_ms`` its true presentation time, one sampled row per
+    ``every_ms``. Other payloads keep the deterministic stand-in
+    geometry (25 fps stream of 256-byte slices) so the 1→N row
+    expansion, schema, and Arrow batching contract hold for any input
+    (remaining codecs pend ffmpeg)."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -932,21 +951,41 @@ def frame_sample(
     )
     step = max(1, every_ms // _FAKE_FRAME_MS)
 
+    def emit_rows(doc_id, payload, ids, idxs, mss, frames) -> None:
+        from .imagecodecs import parse_avi_mjpeg
+
+        payload = payload or b""
+        parsed = (
+            parse_avi_mjpeg(bytes(payload))
+            if payload[:4] == b"RIFF"
+            else None
+        )
+        if parsed is not None:  # REAL frames with REAL timing
+            fr, usec, _w, _h = parsed
+            usec = usec or _FAKE_FRAME_MS * 1000
+            real_step = max(1, (every_ms * 1000) // usec)
+            for i in range(0, len(fr), real_step):
+                ids.append(doc_id)
+                idxs.append(i)
+                mss.append(i * usec // 1000)
+                frames.append(fr[i])
+            return
+        n_frames = len(payload) // _FAKE_FRAME_BYTES
+        for i in range(0, n_frames, step):
+            ids.append(doc_id)
+            idxs.append(i)
+            mss.append(i * _FAKE_FRAME_MS)
+            frames.append(
+                payload[i * _FAKE_FRAME_BYTES : (i + 1) * _FAKE_FRAME_BYTES]
+            )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, mss, frames = [], [], [], []
             for doc_id, payload in zip(
                 pdf[id_col].astype("int64"), pdf[payload_col]
             ):
-                payload = payload or b""
-                n_frames = len(payload) // _FAKE_FRAME_BYTES
-                for i in range(0, n_frames, step):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    mss.append(i * _FAKE_FRAME_MS)
-                    frames.append(
-                        payload[i * _FAKE_FRAME_BYTES : (i + 1) * _FAKE_FRAME_BYTES]
-                    )
+                emit_rows(doc_id, payload, ids, idxs, mss, frames)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -9922,55 +9922,101 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_roundtrip",
     """
-    SELECT doc_id,
-           CAST(14 + 8 * 2 * 3 AS BIGINT) AS size_bytes,
+    SELECT doc_id, k.kind,
+           CAST(CASE k.kind WHEN 'ppm' THEN 14 + 8 * 2 * 3
+                            WHEN 'gif' THEN 37 ELSE 328 END AS BIGINT)
+               AS size_bytes,
            CAST(8 AS DOUBLE) AS f_width,
            CAST(2 AS DOUBLE) AS f_height,
            CAST(3 AS DOUBLE) AS f_channels,
            CAST(32 + n_chars % 95 AS DOUBLE) AS f_mean,
            CAST(0 AS DOUBLE) AS f_std
     FROM documents
+    CROSS JOIN (SELECT UNNEST(['ppm', 'gif', 'jpeg']) AS kind) k
     """,
 )
 def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gated proof the REAL image decoder runs: each doc is given
-    a CONSTRUCTED solid-color P6 payload (8x2 RGB, color byte 32 +
-    n_chars % 95 — ASCII range so the string→binary UTF-8 cast is
-    byte-exact), pushed through the production mapInPandas feature
-    kernel (operators/multimodal.image_features → decode_image_pixels,
-    pure-numpy netpbm decode), and the decoded width/height/channels/
+    """Driver-gated proof the REAL image decoders run — all three
+    codec families: each doc's color byte c = 32 + n_chars % 95 (ASCII
+    range so the string→binary UTF-8 cast is byte-exact) becomes a
+    solid-color 8x2 RGB image in THREE encodings, each pushed through
+    the production mapInPandas feature kernel
+    (operators/multimodal.image_features → decode_image_pixels):
+
+    * ``ppm`` — P6 built from pure SQL string ops ('P6\\n#x\\n8 2\\n
+      255\\n' = 14 header bytes incl. the comment line + 48 raster =
+      62 total);
+    * ``gif`` — true-LZW GIF89a (imagecodecs.encode_gif): solid color
+      ⇒ 1-entry palette, wire size a constant 37 bytes for every c;
+    * ``jpeg`` — baseline JPEG at quant=1 (imagecodecs.encode_jpeg):
+      R=G=B ⇒ constant Y plane, Cb=Cr=128, so DCT/IDCT reconstructs
+      the EXACT color; wire size a constant 328 bytes.
+
+    GIF/JPEG payloads come from a 95-row driver-built lookup (one per
+    possible color) broadcast-joined to documents — at 100 TB the LUT
+    is a few KB, the join map-side. Decoded width/height/channels/
     mean/std must equal what the ORACLE predicts from n_chars alone —
-    a payload-bytes→pixels→stats round trip the fake byte-histogram
-    kernel cannot fake (its features depend on header bytes too; only a
-    real decode yields std = 0 and mean = the raster byte). Constructed
-    header: 'P6\\n#x\\n8 2\\n255\\n' = 14 bytes including the embedded
-    comment line, + 48 raster bytes = 62 total (the oracle's
-    size_bytes formula)."""
+    a payload-bytes→entropy-decode→pixels→stats round trip the fake
+    byte-histogram kernel cannot fake (only a real decode yields
+    std = 0 and mean = c across three different wire formats)."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_gif,
+        encode_jpeg,
+    )
     from etl_platform_nyc_taxi_spark.operators.multimodal import (
         image_features,
     )
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.lit("P6\n#x\n8 2\n255\n"),
-            F.repeat(
-                F.chr(F.lit(32) + F.col("n_chars") % F.lit(95)), 8 * 2 * 3
+    import numpy as np
+
+    lut = [
+        (
+            c,
+            bytearray(encode_gif(np.full((2, 8, 3), c, dtype=np.uint8))),
+            bytearray(
+                encode_jpeg(np.full((2, 8, 3), c, dtype=np.uint8), quant=1)
             ),
         )
-        .cast("binary")
-        .alias("payload"),
-    )
-    feats = image_features(d, dim=8)
-    return feats.select(
+        for c in range(32, 127)
+    ]
+    lut_df = spark.createDataFrame(lut, "color int, gif binary, jpg binary")
+    base = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        "size_bytes",
-        F.element_at("feat", 1).cast("double").alias("f_width"),
-        F.element_at("feat", 2).cast("double").alias("f_height"),
-        F.element_at("feat", 3).cast("double").alias("f_channels"),
-        F.element_at("feat", 4).cast("double").alias("f_mean"),
-        F.element_at("feat", 5).cast("double").alias("f_std"),
+        (F.lit(32) + F.col("n_chars") % F.lit(95)).cast("int").alias("color"),
     )
+    joined = base.join(F.broadcast(lut_df), "color")
+    branches = {
+        "ppm": base.select(
+            "doc_id",
+            F.concat(
+                F.lit("P6\n#x\n8 2\n255\n"),
+                F.repeat(F.chr(F.col("color")), 8 * 2 * 3),
+            )
+            .cast("binary")
+            .alias("payload"),
+        ),
+        "gif": joined.select("doc_id", F.col("gif").alias("payload")),
+        "jpeg": joined.select("doc_id", F.col("jpg").alias("payload")),
+    }
+    outs = []
+    for kind, df in branches.items():
+        feats = image_features(df, dim=8)
+        outs.append(
+            feats.select(
+                "doc_id",
+                F.lit(kind).alias("kind"),
+                "size_bytes",
+                F.element_at("feat", 1).cast("double").alias("f_width"),
+                F.element_at("feat", 2).cast("double").alias("f_height"),
+                F.element_at("feat", 3).cast("double").alias("f_channels"),
+                F.element_at("feat", 4).cast("double").alias("f_mean"),
+                F.element_at("feat", 5).cast("double").alias("f_std"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 #: Format-conversion artifacts, built once per (format, sf_dir) and reused

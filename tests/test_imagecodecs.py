@@ -318,3 +318,120 @@ def test_resize_gif_palette_overflow_falls_back_to_png(spark):
     # the payload must decode
     assert out[:6] in (b"GIF87a", b"GIF89a") or out[:8] == _PNG_MAGIC
     assert decode_image_pixels(out) is not None
+
+
+# ------------------------------------------------------ MJPEG-in-AVI
+
+
+def test_avi_mjpeg_roundtrip_and_timing():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    frames = [
+        encode_jpeg(np.full((16, 24, 3), c, np.uint8))
+        for c in range(20, 220, 20)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    fr, usec, w, h = parse_avi_mjpeg(avi)
+    assert fr == frames  # byte-exact chunk extraction
+    assert usec == 100_000 and (w, h) == (24, 16)
+    # every extracted frame decodes to its solid color
+    for i, f in enumerate(fr):
+        img = decode_jpeg(f)
+        assert int(img[0, 0, 0]) == 20 + 20 * i
+
+
+def test_avi_parse_skips_audio_chunks_and_rejects_garbage():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+
+    frames = [encode_jpeg(np.full((8, 8, 3), 50, np.uint8))] * 3
+    avi = bytearray(encode_avi_mjpeg(frames, fps=25))
+    # splice an audio chunk ('01wb') into movi right before idx1
+    i = avi.index(b"idx1")
+    audio = b"01wb" + (4).to_bytes(4, "little") + b"\x01\x02\x03\x04"
+    avi[i:i] = audio
+    # fix sizes: RIFF size and the movi LIST size grew by len(audio)
+    riff_size = int.from_bytes(avi[4:8], "little") + len(audio)
+    avi[4:8] = riff_size.to_bytes(4, "little")
+    j = avi.index(b"movi") - 8  # the movi LIST chunk header
+    movi_size = int.from_bytes(avi[j + 4 : j + 8], "little") + len(audio)
+    avi[j + 4 : j + 8] = movi_size.to_bytes(4, "little")
+    fr, usec, w, h = parse_avi_mjpeg(bytes(avi))
+    assert len(fr) == 3  # audio chunk ignored, not treated as a frame
+
+    assert parse_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert parse_avi_mjpeg(b"") is None
+    r = rng()
+    for cut in range(0, len(avi), 11):
+        parse_avi_mjpeg(bytes(avi[:cut]))  # never raises
+    for _ in range(300):
+        b = bytearray(avi)
+        for _ in range(int(r.integers(1, 5))):
+            b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+        parse_avi_mjpeg(bytes(b))
+
+
+def test_frame_sample_real_avi_frames(spark):
+    """frame_sample extracts REAL JPEG frames with REAL timing from an
+    MJPEG AVI; non-AVI payloads keep the stand-in geometry."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_avi_mjpeg,
+    )
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        frame_sample,
+    )
+
+    # 10 fps video, 8 frames, sampled every 500 ms → frames 0 and 5
+    # every 500ms at 100ms/frame → step 5 → frames 0 and 5
+    frames = [
+        encode_jpeg(np.full((8, 8, 3), 10 + 25 * i, np.uint8))
+        for i in range(8)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=10)
+    fake = bytes(range(256)) * 13  # 13 fake 256-byte frames
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(fake))],
+        "doc_id long, payload binary",
+    )
+    rows = frame_sample(df, every_ms=500).collect()
+    real = sorted(
+        ((r.frame_idx, r.frame_ms, bytes(r.frame)) for r in rows if r.doc_id == 1)
+    )
+    assert [(i, ms) for i, ms, _ in real] == [(0, 0), (5, 500)]
+    img5 = decode_image_pixels(real[1][2])
+    assert int(img5[0, 0, 0]) == 10 + 25 * 5
+    # stand-in geometry: step = 500 // 40 ms = 12 → frames 0 and 12
+    fake_rows = sorted(r.frame_idx for r in rows if r.doc_id == 2)
+    assert fake_rows == [0, 12]
+
+
+def test_sniff_video_header_avi(spark):
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_avi_mjpeg,
+    )
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        attach_media_meta,
+        sniff_video_header,
+    )
+
+    frames = [encode_jpeg(np.full((12, 20, 3), 99, np.uint8))] * 5
+    avi = encode_avi_mjpeg(frames, fps=25)
+    assert sniff_video_header(avi) == ("avi", 20, 12, 200)
+    assert sniff_video_header(avi[:4096]) == ("avi", 20, 12, 200)
+    df = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id long, payload binary"
+    )
+    meta = (
+        attach_media_meta(df, "payload", media_type="video", fmt=None)
+        .select("payload_meta.*")
+        .first()
+    )
+    assert meta["format"] == "avi"
+    assert meta["width"] == 20 and meta["height"] == 12
+    assert meta["duration_ms"] == 200
