@@ -808,8 +808,10 @@ def decode_audio_pcm(payload: bytes | None):
     numpy, no decoder libraries: returns ``(mono_int16_samples, rate)``
     (multi-channel averaged to mono; 8-bit unsigned recentred).
     Uncompressed PCM decodes via stdlib ``wave``; G.711 µ-law/A-law WAV
-    (format tags 7/6 — genuinely COMPANDED payloads ``wave`` rejects)
-    decode via :func:`_decode_wav_g711`. Non-WAV or other compressed
+    (format tags 7/6) via :func:`_decode_wav_g711`; IMA ADPCM WAV
+    (format tag 0x11, the 4:1 compressed variant) via
+    ``audiocodecs.decode_wav_ima_adpcm`` — all genuinely COMPRESSED
+    payloads stdlib ``wave`` rejects. Non-WAV or other compressed
     payloads return None (FLAC/OGG/MP3 need soundfile, the
     ``_HAVE_AUDIO`` gate)."""
     import io
@@ -817,11 +819,16 @@ def decode_audio_pcm(payload: bytes | None):
 
     import numpy as np
 
+    from .audiocodecs import decode_wav_ima_adpcm
+
     if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     g711 = _decode_wav_g711(payload)
     if g711 is not None:
         return g711
+    adpcm = decode_wav_ima_adpcm(payload)
+    if adpcm is not None:
+        return adpcm
     try:
         with wave.open(io.BytesIO(payload)) as w:
             rate = w.getframerate()
