@@ -373,18 +373,44 @@ def _png_unfilter(raw, h: int, w: int, bpp: int):
     return out
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unpack_row_bits(mat, w: int, depth: int):
+    """(h, rowbytes) packed sub-byte samples → (h, w) sample values.
+    PNG packs MSB-first within each byte (spec §7.2)."""
+    import numpy as np
+
+    bits = np.unpackbits(mat, axis=1)  # (h, rowbytes*8), MSB first
+    vals = bits.reshape(mat.shape[0], -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (vals * weights).sum(axis=2)[:, :w].astype(np.uint8)
+
+
 def _decode_png(payload: bytes):
-    """Minimal REAL PNG decode — stdlib ``zlib`` + numpy, no PIL: 8-bit
-    non-interlaced gray / gray+alpha / RGB / RGBA (color types 0/4/2/6)
-    → (H, W, C) uint8. Palette, 16-bit, and Adam7-interlaced images
-    return None (fall back to the fake kernel); chunk CRCs are not
-    validated (this is a decoder, not an integrity checker)."""
+    """REAL PNG decode — stdlib ``zlib`` + numpy, no PIL: gray (bit
+    depth 1/2/4/8), gray+alpha, RGB, RGBA (8-bit), and PALETTE images
+    (color type 3, depth 1/2/4/8, PLTE + optional tRNS alpha), both
+    sequential and Adam7-INTERLACED → (H, W, C) uint8. Only 16-bit
+    stays out of scope (returns None → fake kernel); chunk CRCs are
+    not validated (this is a decoder, not an integrity checker)."""
     import zlib
 
     import numpy as np
 
     pos, n = 8, len(payload)
     w = h = bitdepth = color = interlace = None
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= n:
         clen = int.from_bytes(payload[pos : pos + 4], "big")
@@ -398,24 +424,50 @@ def _decode_png(payload: bytes):
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             bitdepth, color, interlace = body[8], body[9], body[12]
+        elif ctype == b"PLTE":
+            if clen % 3:
+                return None
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
         pos += 12 + clen  # len + type + body + crc
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if (
-        not w
-        or not h
-        or channels is None
-        or bitdepth != 8
-        or interlace != 0
-        or not idat
-    ):
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)  # raw samples/pixel
+    ok_depth = (
+        bitdepth == 8
+        if color in (2, 4, 6)
+        else bitdepth in (1, 2, 4, 8)
+        if color in (0, 3)
+        else False
+    )
+    if not w or not h or spp is None or not ok_depth or not idat:
         return None
-    expected = h * (w * channels + 1)
-    if expected > 512 * 1024 * 1024:  # absurd IHDR dims: refuse up front
+    if interlace not in (0, 1):
         return None
+    if color == 3 and plte is None:
+        return None
+
+    def rowbytes(pw: int) -> int:
+        return (pw * spp * bitdepth + 7) // 8
+
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    )
+    spans = []  # (x0, y0, dx, dy, pw, ph, raw_bytes)
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        raw_len = ph * (1 + rowbytes(pw))
+        spans.append((x0, y0, dx, dy, pw, ph, raw_len))
+        expected += raw_len
+    if expected == 0 or expected > 512 * 1024 * 1024:
+        return None  # absurd IHDR dims: refuse up front (bomb guard)
     try:
         # bound the inflate to the size IHDR promises — an unbounded
         # zlib.decompress on a crafted deflate bomb (or an IHDR claiming
@@ -427,10 +479,39 @@ def _decode_png(payload: bytes):
         return None
     if len(raw) != expected or dec.unconsumed_tail:
         return None
-    mat = _png_unfilter(raw, h, w, channels)
-    if mat is None:
-        return None
-    return mat.reshape(h, w, channels)
+    # reconstruct each pass independently (filters never cross passes)
+    samples = np.zeros((h, w, spp), dtype=np.uint8)
+    off = 0
+    bpp_filter = max(1, spp * bitdepth // 8)
+    for x0, y0, dx, dy, pw, ph, raw_len in spans:
+        # stride = rowbytes(pw); the filter byte-distance is bpp_filter
+        # (= spp at depth 8, 1 for packed sub-byte rows — spec §9)
+        mat = _png_unfilter(
+            raw[off : off + raw_len], ph, rowbytes(pw) // bpp_filter, bpp_filter
+        )
+        off += raw_len
+        if mat is None:
+            return None
+        if bitdepth < 8:
+            vals = _png_unpack_row_bits(mat, pw * spp, bitdepth)
+        else:
+            vals = mat
+        samples[y0::dy, x0::dx, :] = vals.reshape(ph, pw, spp)
+    if color == 3:  # palette lookup (+ tRNS alpha when present)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            return None
+        rgb = plte[idx]
+        if trns is None:
+            return np.ascontiguousarray(rgb)
+        alpha_lut = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha_lut[: min(len(trns), plte.shape[0])] = trns[: plte.shape[0]]
+        return np.ascontiguousarray(
+            np.concatenate([rgb, alpha_lut[idx][:, :, None]], axis=2)
+        )
+    if color == 0 and bitdepth < 8:  # scale gray levels to full range
+        samples = samples * np.uint8(255 // ((1 << bitdepth) - 1))
+    return samples
 
 
 def encode_png(img) -> bytes:
@@ -483,9 +564,10 @@ def decode_image_pixels(payload: bytes | None):
     * PGM ``P5`` (binary grayscale, maxval ≤ 255) → (H, W, 1) uint8
     * BMP 24-bit uncompressed BI_RGB (bottom-up or top-down) → (H, W, 3)
       uint8, rows de-padded, BGR→RGB
-    * PNG 8-bit non-interlaced gray/gray+alpha/RGB/RGBA → (H, W, C)
-      uint8 (:func:`_decode_png` — real DEFLATE + all 5 scanline
-      filters; palette/16-bit/interlaced return None)
+    * PNG gray (depth 1/2/4/8), gray+alpha, RGB, RGBA, and PALETTE
+      (PLTE + tRNS alpha, depth 1/2/4/8), sequential or
+      Adam7-interlaced → (H, W, C) uint8 (:func:`_decode_png` — real
+      DEFLATE + all 5 scanline filters; only 16-bit returns None)
     * GIF87a/89a first frame → (H, W, 3), or (H, W, 4) when the frame
       marks a transparent index (``imagecodecs.decode_gif`` — true LZW,
       interlace, local color tables)

@@ -561,8 +561,9 @@ def test_png_decode_roundtrip_all_filters_and_color_types(channels, filters):
 
 def test_png_decode_multi_idat_and_rejections():
     """IDAT may be split across chunks (decoder must concatenate);
-    palette/16-bit/interlaced/truncated payloads return None (fall back
-    to the deterministic fake kernel, never crash the executor)."""
+    16-bit, PLTE-less palette, stream-size-mismatched, and truncated
+    payloads return None (fall back to the deterministic fake kernel,
+    never crash the executor)."""
     import struct
     import zlib
 
@@ -594,13 +595,13 @@ def test_png_decode_multi_idat_and_rejections():
 
     assert decode_image_pixels(whole[:40]) is None  # truncated
     bad = bytearray(whole)
-    bad[24] = 16  # bit depth 16
+    bad[24] = 16  # bit depth 16 — genuinely out of scope
     assert decode_image_pixels(bytes(bad)) is None
     bad = bytearray(whole)
-    bad[25] = 3  # palette color type
+    bad[25] = 3  # claims palette but carries no PLTE chunk
     assert decode_image_pixels(bytes(bad)) is None
     bad = bytearray(whole)
-    bad[28] = 1  # Adam7 interlace
+    bad[28] = 1  # claims Adam7 but the stream is sequential-sized
     assert decode_image_pixels(bytes(bad)) is None
 
 
@@ -911,3 +912,160 @@ def test_bmp_row_order_bottom_up_and_top_down():
     assert img[0].tolist() == [[0, 0, 255]] * w  # top row blue
     assert img[1].tolist() == [[255, 0, 0]] * w
     assert np.asarray(img).flags["C_CONTIGUOUS"]
+
+
+def _png_file(w, h, depth, color, interlace, raw, plte=None, trns=None):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+_ADAM7_PASSES = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def test_png_decode_palette_with_trns_alpha():
+    """Color type 3: PLTE lookup, sub-byte packed indices, tRNS alpha
+    (padded to 255 for entries beyond the tRNS table)."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    idx = rng.integers(0, 7, (5, 9)).astype(np.uint8)
+
+    # depth 8, no tRNS → RGB
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    out = decode_image_pixels(_png_file(9, 5, 8, 3, 0, raw, plte=pal.tobytes()))
+    assert np.array_equal(out, pal[idx])
+
+    # depth 4 + short tRNS (3 entries; rest default opaque) → RGBA
+    def pack4(row):
+        p = np.concatenate([row, np.zeros((-len(row)) % 2, np.uint8)])
+        return ((p[0::2] << 4) | p[1::2]).astype(np.uint8).tobytes()
+
+    raw = b"".join(b"\x00" + pack4(idx[y]) for y in range(5))
+    trns = bytes([255, 0, 128])
+    out = decode_image_pixels(
+        _png_file(9, 5, 4, 3, 0, raw, plte=pal.tobytes(), trns=trns)
+    )
+    assert out.shape == (5, 9, 4)
+    assert np.array_equal(out[:, :, :3], pal[idx])
+    alut = np.array([255, 0, 128, 255, 255, 255, 255], np.uint8)
+    assert np.array_equal(out[:, :, 3], alut[idx])
+
+    # out-of-palette index → None, never crash
+    bad_idx = np.full((2, 2), 7, np.uint8)  # palette has 7 entries (0-6)
+    raw = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(2))
+    assert decode_image_pixels(_png_file(2, 2, 8, 3, 0, raw, plte=pal.tobytes())) is None
+
+
+def test_png_decode_subbyte_grayscale():
+    """Gray depths 1/2/4 unpack MSB-first and scale to full range
+    (×255, ×85, ×17)."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(4)
+    for depth, scale in ((1, 255), (2, 85), (4, 17)):
+        g = rng.integers(0, 1 << depth, (6, 11)).astype(np.uint8)
+        per = 8 // depth
+        rows = []
+        for y in range(6):
+            p = np.concatenate([g[y], np.zeros((-11) % per, np.uint8)])
+            packed = np.zeros(len(p) // per, np.int32)
+            for k in range(per):
+                packed |= p[k::per].astype(np.int32) << (8 - depth * (k + 1))
+            rows.append(b"\x00" + packed.astype(np.uint8).tobytes())
+        out = decode_image_pixels(_png_file(11, 6, depth, 0, 0, b"".join(rows)))
+        assert out is not None and out.shape == (6, 11, 1), depth
+        assert np.array_equal(out[:, :, 0], g * scale), depth
+
+
+def test_png_decode_adam7_interlaced():
+    """Adam7: per-pass scanline filtering (exercised with Up) and the
+    7-pass scatter reassemble the sequential image exactly — for RGB,
+    RGBA, and sub-byte palette images, including sizes where some
+    passes are empty."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w, ch in ((13, 17, 3), (8, 8, 4), (3, 2, 3), (1, 1, 3), (16, 5, 4)):
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        parts = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * ch, np.int64)
+            for y in range(sub.shape[0]):
+                row = sub[y].reshape(-1).astype(np.int64)
+                parts.append(
+                    b"\x02" + ((row - prev) % 256).astype(np.uint8).tobytes()
+                )
+                prev = row
+        color = 2 if ch == 3 else 6
+        out = decode_image_pixels(_png_file(w, h, 8, color, 1, b"".join(parts)))
+        assert out is not None and np.array_equal(out, img), (h, w, ch)
+
+    # interlaced depth-2 palette
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (9, 9)).astype(np.uint8)
+
+    def pack2(row):
+        p = np.concatenate([row, np.zeros((-len(row)) % 4, np.uint8)])
+        return (
+            (p[0::4] << 6) | (p[1::4] << 4) | (p[2::4] << 2) | p[3::4]
+        ).astype(np.uint8).tobytes()
+
+    parts = []
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            parts.append(b"\x00" + pack2(sub[y]))
+    out = decode_image_pixels(
+        _png_file(9, 9, 2, 3, 1, b"".join(parts), plte=pal.tobytes())
+    )
+    assert np.array_equal(out, pal[idx])
+
+
+def test_png_new_paths_never_crash_on_garbage():
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (9, 9)).astype(np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+    payload = _png_file(9, 9, 8, 3, 0, raw, plte=pal.tobytes(), trns=b"\x80")
+    for cut in range(len(payload)):
+        decode_image_pixels(payload[:cut])
+    for _ in range(400):
+        b = bytearray(payload)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        decode_image_pixels(bytes(b))
