@@ -264,12 +264,11 @@ def decode_gif(payload: bytes):
     return None
 
 
-def encode_gif(img) -> bytes:
-    """REAL GIF89a encoder (true LZW), inverse of :func:`decode_gif` for
-    in-scope images. Accepts (H, W, C) uint8 with C ∈ {1, 3, 4}; C=4
-    requires binary alpha (0 or 255 — GIF transparency is 1-bit) and the
-    opaque color count plus the transparent slot must fit 256. Raises
-    ValueError when the image cannot be represented losslessly."""
+def _gif_palettize(img):
+    """Shared encoder core: (H, W, 1|3|4) uint8 → (padded power-of-two
+    palette, size bits, LZW min-code-size, flat index bytes,
+    transparent slot or -1). Raises ValueError when the image cannot be
+    represented losslessly (palette overflow, non-binary alpha)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
         raise ValueError(f"expected (H, W, 1|3|4) uint8, got {img.shape}")
@@ -326,13 +325,28 @@ def encode_gif(img) -> bytes:
         indices = np.where(opaque_mask.reshape(-1), indices, transparent).astype(
             np.uint8
         )
-    # GCT size: power of two ≥ palette length, minimum 2 entries
+    # palette size: power of two ≥ palette length, minimum 2 entries
     bits = 1
     while (1 << bits) < palette.shape[0]:
         bits += 1
     gct = np.zeros((1 << bits, 3), dtype=np.uint8)
     gct[: palette.shape[0]] = palette
     mcs = max(2, bits)
+    return gct, bits, mcs, indices.tobytes(), transparent
+
+
+def encode_gif(img) -> bytes:
+    """REAL GIF89a encoder (true LZW), inverse of :func:`decode_gif` for
+    in-scope images. Accepts (H, W, C) uint8 with C ∈ {1, 3, 4}; C=4
+    requires binary alpha (0 or 255 — GIF transparency is 1-bit) and the
+    opaque color count plus the transparent slot must fit 256. Raises
+    ValueError when the image cannot be represented losslessly."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3:
+        raise ValueError(f"expected (H, W, C) uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    gct, bits, mcs, indices, transparent = _gif_palettize(img)
+    has_transparent = transparent >= 0
     out = bytearray()
     out += b"GIF89a"
     out += struct.pack("<HH", w, h)
@@ -342,12 +356,179 @@ def encode_gif(img) -> bytes:
         out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
     out += bytes([0x2C]) + struct.pack("<4H", 0, 0, w, h) + bytes([0])
     out += bytes([mcs])
-    lzw = _lzw_encode(indices.tobytes(), mcs)
+    lzw = _lzw_encode(indices, mcs)
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     out += bytes([0, 0x3B])
     return bytes(out)
+
+
+def encode_gif_animated(frames, delays_ms) -> bytes:
+    """REAL animated GIF89a writer: one full-canvas frame per entry,
+    each with its own LOCAL color table (palettes may differ across
+    frames), a GCE carrying the per-frame delay (10 ms units, rounded),
+    and disposal method 1 (leave in place — every frame fully covers
+    the canvas). The inverse of :func:`decode_gif_frames` for opaque
+    same-size frames."""
+    frames = [np.ascontiguousarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("need at least one frame")
+    if len(delays_ms) != len(frames):
+        raise ValueError("one delay per frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("all frames must share the canvas size")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out += bytes([0, 0, 0])  # no GCT — every frame ships an LCT
+    for img, delay in zip(frames, delays_ms):
+        lct, bits, mcs, indices, transparent = _gif_palettize(img)
+        delay_cs = max(0, int(round(delay / 10)))
+        gce_flags = 0x04 | (0x01 if transparent >= 0 else 0)  # disposal 1
+        out += bytes(
+            [0x21, 0xF9, 4, gce_flags]
+        ) + struct.pack("<H", min(delay_cs, 0xFFFF)) + bytes(
+            [transparent if transparent >= 0 else 0, 0]
+        )
+        out += bytes([0x2C]) + struct.pack("<4H", 0, 0, w, h)
+        out += bytes([0x80 | ((bits - 1) & 0x07)])  # LCT flag + size
+        out += lct.tobytes()
+        out += bytes([mcs])
+        lzw = _lzw_encode(indices, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes):
+    """Full ANIMATED GIF decode with real compositing → ``(frames,
+    delays_ms)`` where each frame is the COMPOSITED (H, W, 4) RGBA
+    canvas at that point of the animation and ``delays_ms`` the
+    per-frame GCE delays (0 when absent). Honors frame offsets
+    (left/top sub-rectangles), per-frame transparency (transparent
+    pixels leave the canvas untouched — that is GIF's delta encoding),
+    interlacing, and disposal methods 0/1 (leave), 2 (restore
+    background = clear region to transparent), 3 (restore previous).
+    Returns None on malformed payloads — never crashes."""
+    if len(payload) < 13 or payload[:6] not in _GIF_MAGICS:
+        return None
+    n = len(payload)
+    cw, ch = struct.unpack_from("<HH", payload, 6)
+    if cw <= 0 or ch <= 0 or cw * ch > _MAX_PIXELS:
+        return None
+    packed = payload[10]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        gct_len = 2 << (packed & 0x07)
+        if pos + 3 * gct_len > n:
+            return None
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * gct_len], dtype=np.uint8
+        ).reshape(gct_len, 3)
+        pos += 3 * gct_len
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)  # transparent
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    transparent = -1
+    delay_cs = 0
+    disposal = 0
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= n:
+                return None
+            label = payload[pos]
+            pos += 1
+            first_sub = True
+            while pos < n:
+                sublen = payload[pos]
+                pos += 1
+                if sublen == 0:
+                    break
+                if label == 0xF9 and first_sub and sublen >= 4 and pos + 4 <= n:
+                    flags = payload[pos]
+                    disposal = (flags >> 2) & 0x07
+                    delay_cs = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+                    transparent = payload[pos + 3] if flags & 0x01 else -1
+                first_sub = False
+                pos += sublen
+            continue
+        if block != 0x2C or pos + 9 > n:
+            return None
+        left, top, w, h = struct.unpack_from("<4H", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        palette = gct
+        if ipacked & 0x80:
+            lct_len = 2 << (ipacked & 0x07)
+            if pos + 3 * lct_len > n:
+                return None
+            palette = np.frombuffer(
+                payload[pos : pos + 3 * lct_len], dtype=np.uint8
+            ).reshape(lct_len, 3)
+            pos += 3 * lct_len
+        if (
+            palette is None
+            or w <= 0
+            or h <= 0
+            or left + w > cw
+            or top + h > ch
+        ):
+            return None
+        if pos >= n:
+            return None
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            return None
+        chunks = bytearray()
+        while pos < n:
+            sublen = payload[pos]
+            pos += 1
+            if sublen == 0:
+                break
+            if pos + sublen > n:
+                return None
+            chunks += payload[pos : pos + sublen]
+            pos += sublen
+        idx = _lzw_decode(bytes(chunks), mcs, w * h)
+        if idx is None or len(idx) < w * h:
+            return None
+        indices = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+        if indices.max(initial=0) >= palette.shape[0]:
+            return None
+        if ipacked & 0x40:
+            indices = _deinterlace(indices)
+        region = canvas[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
+        draw = indices != transparent if transparent >= 0 else np.ones(
+            (h, w), dtype=bool
+        )
+        region[draw, :3] = palette[indices[draw]]
+        region[draw, 3] = 255
+        frames.append(canvas.copy())
+        delays.append(delay_cs * 10)
+        if disposal == 2:  # restore background → transparent region
+            region[:] = 0
+        elif disposal == 3 and saved is not None:
+            region[:] = saved
+        transparent = -1
+        delay_cs = 0
+        disposal = 0
+        if len(frames) >= 10_000:  # bomb guard: bounded animation length
+            return None
+    if not frames:
+        return None
+    return frames, delays
 
 
 # ---------------------------------------------------------------------------

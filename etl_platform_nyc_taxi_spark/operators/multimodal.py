@@ -1020,16 +1020,25 @@ def frame_sample(
     PER SAMPLED FRAME (doc_id, frame_idx, frame_ms, frame binary) — the
     row-expanding shape a real keyframe extractor produces.
 
-    MJPEG-in-AVI payloads sample REAL frames: the RIFF container is
-    walked (``imagecodecs.parse_avi_mjpeg``), the stream's true frame
-    period comes from ``avih.dwMicroSecPerFrame``, and each emitted
-    ``frame`` is the complete JPEG chunk for that frame — decodable by
-    ``decode_image_pixels``. ``frame_idx`` is the stream frame number,
-    ``frame_ms`` its true presentation time, one sampled row per
-    ``every_ms``. Other payloads keep the deterministic stand-in
-    geometry (25 fps stream of 256-byte slices) so the 1→N row
-    expansion, schema, and Arrow batching contract hold for any input
-    (remaining codecs pend ffmpeg)."""
+    TWO container families sample REAL frames:
+
+    * MJPEG-in-AVI — the RIFF tree is walked
+      (``imagecodecs.parse_avi_mjpeg``), the true frame period comes
+      from ``avih.dwMicroSecPerFrame``, and each emitted ``frame`` is
+      the complete JPEG chunk for that frame.
+    * animated GIF — frames are COMPOSITED for real
+      (``imagecodecs.decode_gif_frames``: offsets, transparency
+      deltas, disposal 0–3), timed by their GCE delays (a 0 delay
+      counts as the de-facto 100 ms), and each emitted ``frame`` is
+      the composited RGBA canvas re-encoded as PNG.
+
+    Both emit ``frame_idx`` = source frame number and ``frame_ms`` =
+    true presentation time, sampling the frame on display at each
+    ``every_ms`` tick; every emitted frame decodes via
+    ``decode_image_pixels``. Other payloads keep the deterministic
+    stand-in geometry (25 fps stream of 256-byte slices) so the 1→N
+    row expansion, schema, and Arrow batching contract hold for any
+    input (remaining codecs pend ffmpeg)."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -1041,7 +1050,7 @@ def frame_sample(
     step = max(1, every_ms // _FAKE_FRAME_MS)
 
     def emit_rows(doc_id, payload, ids, idxs, mss, frames) -> None:
-        from .imagecodecs import parse_avi_mjpeg
+        from .imagecodecs import decode_gif_frames, parse_avi_mjpeg
 
         payload = payload or b""
         parsed = (
@@ -1059,6 +1068,21 @@ def frame_sample(
                 mss.append(i * usec // 1000)
                 frames.append(fr[i])
             return
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            gif = decode_gif_frames(bytes(payload))
+            if gif is not None:  # composited RGBA frames, GCE timing
+                fr, delays = gif
+                t = 0
+                next_tick = 0
+                for i, (img, d) in enumerate(zip(fr, delays)):
+                    if t >= next_tick:  # frame on display at this tick
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        mss.append(t)
+                        frames.append(encode_png(img))
+                        next_tick = (t // every_ms + 1) * every_ms
+                    t += d if d > 0 else 100  # 0-delay: de-facto 100 ms
+                return
         n_frames = len(payload) // _FAKE_FRAME_BYTES
         for i in range(0, n_frames, step):
             ids.append(doc_id)

@@ -435,3 +435,129 @@ def test_sniff_video_header_avi(spark):
     assert meta["format"] == "avi"
     assert meta["width"] == 20 and meta["height"] == 12
     assert meta["duration_ms"] == 200
+
+
+# ------------------------------------------------------- animated GIF
+
+
+def test_gif_animated_roundtrip_with_per_frame_palettes():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    r = rng()
+    frames = [
+        r.integers(0, 256, (16, 3), dtype=np.uint8)[
+            r.integers(0, 16, (9, 12))
+        ]
+        for _ in range(5)
+    ]
+    anim = encode_gif_animated(frames, [100, 50, 200, 0, 30])
+    fr, delays = decode_gif_frames(anim)
+    assert delays == [100, 50, 200, 0, 30]
+    for f, g in zip(fr, frames):
+        assert np.array_equal(f[:, :, :3], g)
+        assert (f[:, :, 3] == 255).all()
+    # decode_gif still reads the first frame
+    assert np.array_equal(decode_gif(anim), frames[0])
+
+
+def test_gif_frames_compositing_offsets_transparency_disposal():
+    """Hand-built animation: full frame, offset patch with disposal 2
+    (restore-background), transparent-delta frame — the composited
+    canvases must reflect GIF's delta encoding exactly."""
+    import struct
+
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    gct = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+
+    def img_block(left, top, w, h, indices, transparent=-1, disposal=0, delay_cs=7):
+        out = bytearray()
+        flags = (disposal << 2) | (1 if transparent >= 0 else 0)
+        out += bytes([0x21, 0xF9, 4, flags])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([max(transparent, 0), 0])
+        out += bytes([0x2C]) + struct.pack("<4H", left, top, w, h) + bytes([0, 2])
+        lzw = _lzw_encode(bytes(indices), 2)
+        for i in range(0, len(lzw), 255):
+            out += bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        out += bytes([0])
+        return out
+
+    p = bytearray(
+        b"GIF89a"
+        + struct.pack("<HH", 4, 4)
+        + bytes([0x81, 0, 0])
+        + gct.tobytes()
+    )
+    p += img_block(0, 0, 4, 4, [0] * 16, delay_cs=10)  # full red
+    p += img_block(1, 1, 2, 2, [1] * 4, disposal=2, delay_cs=5)  # green patch
+    p += img_block(0, 0, 1, 1, [2], delay_cs=3)  # single blue pixel delta
+    p += bytes([0x3B])
+    fr, delays = decode_gif_frames(bytes(p))
+    assert delays == [100, 50, 30]
+    f1, f2, f3 = fr
+    assert (f1[:, :, :3] == [255, 0, 0]).all() and (f1[:, :, 3] == 255).all()
+    assert (f2[1:3, 1:3, :3] == [0, 255, 0]).all()
+    assert (f2[0, 0, :3] == [255, 0, 0]).all()  # untouched canvas shows
+    assert (f3[1:3, 1:3, 3] == 0).all()  # disposal 2 cleared the patch
+    assert (f3[0, 0, :3] == [0, 0, 255]).all()
+    assert (f3[0, 1, :3] == [255, 0, 0]).all()
+
+
+def test_gif_frames_never_crash_on_garbage():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    r = rng()
+    pal = r.integers(0, 256, (8, 3), dtype=np.uint8)
+    anim = encode_gif_animated(
+        [pal[r.integers(0, 8, (7, 9))] for _ in range(3)], [40, 40, 40]
+    )
+    for cut in range(len(anim)):
+        decode_gif_frames(anim[:cut])
+    for _ in range(300):
+        b = bytearray(anim)
+        for _ in range(int(r.integers(1, 5))):
+            b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+        decode_gif_frames(bytes(b))
+
+
+def test_frame_sample_real_animated_gif(spark):
+    """frame_sample samples composited GIF frames on GCE timing: 40 ms
+    frames sampled every 200 ms → every 5th frame, re-encoded as PNG."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_gif_animated,
+    )
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        frame_sample,
+    )
+
+    pal = np.stack(
+        [np.arange(12, dtype=np.uint8) * 20] * 3, axis=1
+    )  # 12 grays
+    frames = [np.full((6, 8, 3), pal[i], np.uint8) for i in range(12)]
+    anim = encode_gif_animated(frames, [40] * 12)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        frame_sample(df, every_ms=200).collect(), key=lambda r: r.frame_idx
+    )
+    assert [(r.frame_idx, r.frame_ms) for r in rows] == [
+        (0, 0), (5, 200), (10, 400),
+    ]
+    for r in rows:
+        img = decode_image_pixels(bytes(r.frame))
+        assert img is not None and img.shape == (6, 8, 4)
+        assert int(img[0, 0, 0]) == int(pal[r.frame_idx][0])
