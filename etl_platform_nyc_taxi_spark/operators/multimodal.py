@@ -7,20 +7,23 @@ transfer, partition sizing so one task's batch of blobs fits memory.
 
 Decode status (round 6): EVERY image format the sniffer recognizes now
 decodes for REAL with zero external dependencies — PPM/PGM and 24-bit
-BMP pixels, 8-bit PNG (real DEFLATE via stdlib ``zlib`` + all 5
-scanline filters — :func:`_decode_png`), GIF87a/89a (true LZW +
-interlace + transparency) and baseline JPEG (Huffman entropy decode,
-batched IDCT, chroma upsample, restart markers) via
-``operators.imagecodecs`` (:func:`decode_image_pixels`, pure numpy) —
-plus PCM WAV samples (:func:`decode_audio_pcm`, stdlib ``wave``) and
-G.711 µ-law/A-law companded WAV (:func:`_decode_wav_g711`) — feeding
-real feature / resize kernels. The REMAINING compressed containers
-(progressive JPEG, WebP/TIFF, FLAC/OGG/MP3, video) still need
-PIL/soundfile/ffmpeg, which are NOT in this environment; for those
-payloads the kernels fall back to a deterministic fake that preserves
-the exact UDF signature, batch shape, and output schema, behind
-``_HAVE_*`` gates that RAISE when a decoder appears so wiring it can't
-be forgotten.
+BMP pixels; PNG in every legal IHDR combination (real DEFLATE via
+stdlib ``zlib``, all 5 scanline filters, palette/tRNS, sub-byte and
+16-bit depths, Adam7 — :func:`_decode_png`); GIF87a/89a (true LZW,
+interlace, transparency, ANIMATED multi-frame compositing) and
+baseline JPEG (Huffman entropy decode, batched IDCT, chroma upsample,
+restart markers) via ``operators.imagecodecs``
+(:func:`decode_image_pixels`, pure numpy); MJPEG-in-AVI video frames
+with real timing (:func:`frame_sample`); plus PCM WAV samples
+(:func:`decode_audio_pcm`, stdlib ``wave``), G.711 µ-law/A-law
+companded WAV (:func:`_decode_wav_g711`), and IMA ADPCM WAV
+(``operators.audiocodecs``) — feeding real feature / resize kernels.
+The REMAINING compressed containers (progressive JPEG, WebP/TIFF,
+FLAC/OGG/MP3, non-MJPEG video) still need PIL/soundfile/ffmpeg, which
+are NOT in this environment; for those payloads the kernels fall back
+to a deterministic fake that preserves the exact UDF signature, batch
+shape, and output schema, behind ``_HAVE_*`` gates that RAISE when a
+decoder appears so wiring it can't be forgotten.
 """
 
 from __future__ import annotations
@@ -397,12 +400,13 @@ def _png_unpack_row_bits(mat, w: int, depth: int):
 
 
 def _decode_png(payload: bytes):
-    """REAL PNG decode — stdlib ``zlib`` + numpy, no PIL: gray (bit
-    depth 1/2/4/8), gray+alpha, RGB, RGBA (8-bit), and PALETTE images
-    (color type 3, depth 1/2/4/8, PLTE + optional tRNS alpha), both
-    sequential and Adam7-INTERLACED → (H, W, C) uint8. Only 16-bit
-    stays out of scope (returns None → fake kernel); chunk CRCs are
-    not validated (this is a decoder, not an integrity checker)."""
+    """REAL PNG decode — stdlib ``zlib`` + numpy, no PIL: EVERY legal
+    IHDR combination — gray at depth 1/2/4/8/16, gray+alpha / RGB /
+    RGBA at 8/16-bit (16-bit downscales to the high byte, the
+    standard v>>8), and PALETTE images (color type 3, depth 1/2/4/8,
+    PLTE + optional tRNS alpha) — sequential or Adam7-INTERLACED →
+    (H, W, C) uint8. Chunk CRCs are not validated (this is a decoder,
+    not an integrity checker)."""
     import zlib
 
     import numpy as np
@@ -437,10 +441,12 @@ def _decode_png(payload: bytes):
         pos += 12 + clen  # len + type + body + crc
     spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)  # raw samples/pixel
     ok_depth = (
-        bitdepth == 8
+        bitdepth in (8, 16)
         if color in (2, 4, 6)
+        else bitdepth in (1, 2, 4, 8, 16)
+        if color == 0
         else bitdepth in (1, 2, 4, 8)
-        if color in (0, 3)
+        if color == 3
         else False
     )
     if not w or not h or spp is None or not ok_depth or not idat:
@@ -494,6 +500,10 @@ def _decode_png(payload: bytes):
             return None
         if bitdepth < 8:
             vals = _png_unpack_row_bits(mat, pw * spp, bitdepth)
+        elif bitdepth == 16:
+            # big-endian u16 samples → keep the high byte (the standard
+            # 16→8 downscale, v >> 8); engine pixel contract is uint8
+            vals = mat.reshape(ph, pw * spp, 2)[:, :, 0]
         else:
             vals = mat
         samples[y0::dy, x0::dx, :] = vals.reshape(ph, pw, spp)
@@ -564,10 +574,11 @@ def decode_image_pixels(payload: bytes | None):
     * PGM ``P5`` (binary grayscale, maxval ≤ 255) → (H, W, 1) uint8
     * BMP 24-bit uncompressed BI_RGB (bottom-up or top-down) → (H, W, 3)
       uint8, rows de-padded, BGR→RGB
-    * PNG gray (depth 1/2/4/8), gray+alpha, RGB, RGBA, and PALETTE
-      (PLTE + tRNS alpha, depth 1/2/4/8), sequential or
+    * PNG — every legal IHDR combination: gray 1/2/4/8/16-bit,
+      gray+alpha/RGB/RGBA 8/16-bit (16-bit keeps the high byte),
+      palette 1/2/4/8-bit with tRNS alpha, sequential or
       Adam7-interlaced → (H, W, C) uint8 (:func:`_decode_png` — real
-      DEFLATE + all 5 scanline filters; only 16-bit returns None)
+      DEFLATE + all 5 scanline filters)
     * GIF87a/89a first frame → (H, W, 3), or (H, W, 4) when the frame
       marks a transparent index (``imagecodecs.decode_gif`` — true LZW,
       interlace, local color tables)

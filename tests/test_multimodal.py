@@ -595,7 +595,7 @@ def test_png_decode_multi_idat_and_rejections():
 
     assert decode_image_pixels(whole[:40]) is None  # truncated
     bad = bytearray(whole)
-    bad[24] = 16  # bit depth 16 — genuinely out of scope
+    bad[24] = 16  # claims 16-bit but the stream is 8-bit-sized
     assert decode_image_pixels(bytes(bad)) is None
     bad = bytearray(whole)
     bad[25] = 3  # claims palette but carries no PLTE chunk
@@ -1069,3 +1069,28 @@ def test_png_new_paths_never_crash_on_garbage():
         for _ in range(int(rng.integers(1, 5))):
             b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
         decode_image_pixels(bytes(b))
+
+
+def test_png_decode_16bit_high_byte_downscale():
+    """16-bit samples decode by keeping the high byte (v >> 8) — for
+    gray, RGB, and RGBA, with per-pass filtering intact (Up filter)."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+    )
+
+    rng = np.random.default_rng(8)
+    for ch, color in ((1, 0), (3, 2), (4, 6)):
+        img16 = rng.integers(0, 65536, (6, 9, ch), dtype=np.uint16)
+        raw = bytearray()
+        prev = np.zeros(9 * ch * 2, np.int64)
+        for y in range(6):
+            row = (
+                img16[y].reshape(-1).astype(">u2").view(np.uint8).astype(np.int64)
+            )
+            raw += b"\x02" + ((row - prev) % 256).astype(np.uint8).tobytes()
+            prev = row
+        out = decode_image_pixels(_png_file(9, 6, 16, color, 0, bytes(raw)))
+        assert out is not None and out.shape == (6, 9, ch), (ch, color)
+        assert np.array_equal(out, (img16 >> 8).astype(np.uint8)), (ch, color)
