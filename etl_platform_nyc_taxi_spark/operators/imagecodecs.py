@@ -14,9 +14,11 @@ corpus must cost one null row, not a task retry storm.
 Scope (deliberately the interoperable core of each spec):
 * GIF87a/GIF89a, first frame only, global or local color table,
   interlaced or not, binary transparency via GCE → RGB or RGBA.
-* JPEG/JFIF baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-  with any sampling factors h,v ∈ {1,2}, restart markers honored.
-  Progressive (SOF2) and arithmetic coding return None.
+* JPEG/JFIF baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  T.81 Annex G: spectral selection + successive approximation, EOB
+  runs, AC refinement), 8-bit, grayscale or YCbCr with any sampling
+  factors h,v ∈ {1,2}, restart markers honored in every scan type.
+  Arithmetic coding and lossless/hierarchical return None.
 * MJPEG-in-AVI video (RIFF container): real per-frame extraction —
   `parse_avi_mjpeg` walks hdrl/movi, returns the JPEG frame payloads
   plus true frame timing from `avih`, feeding
@@ -630,12 +632,241 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+class _ProgState:
+    """Accumulated coefficient state for PROGRESSIVE JPEG (SOF2) decode
+    per ITU T.81 Annex G: each SOS refines a (spectral band, bit
+    plane) slice of the per-component DCT coefficient grids; pixels
+    exist only after all scans land. Interleaved (DC) scans walk the
+    padded MCU grid; non-interleaved scans walk the component's TRUE
+    block grid (spec G.1 — the padded MCU columns do not exist there).
+
+    The invariant the tests pin: after a full scan script, the
+    coefficient grids equal what the sequential decoder produces for
+    the same image, so progressive and baseline decodes of the same
+    source are bit-identical."""
+
+    def __init__(self, frame):
+        hh, ww, comps = frame
+        self.hh, self.ww = hh, ww
+        self.comps = comps  # [(cid, h, v, tq)]
+        self.hmax = max(h for _, h, _, _ in comps)
+        self.vmax = max(v for _, _, v, _ in comps)
+        if not all(
+            1 <= h <= 2 and 1 <= v <= 2 for _, h, v, _ in comps
+        ):
+            raise ValueError("sampling factors out of scope")
+        self.mx = -(-ww // (8 * self.hmax))
+        self.my = -(-hh // (8 * self.vmax))
+        self.grids: dict[int, np.ndarray] = {}
+        self.true_dims: dict[int, tuple[int, int]] = {}  # cid -> (tby, tbx)
+        for cid, h, v, _tq in comps:
+            self.grids[cid] = np.zeros(
+                (self.my * v, self.mx * h, 64), dtype=np.int32
+            )
+            cw = -(-ww * h // self.hmax)
+            ch = -(-hh * v // self.vmax)
+            self.true_dims[cid] = (-(-ch // 8), -(-cw // 8))
+
+    def _blocks_interleaved(self, order):
+        """Yield (restart_unit_index, block_view, comp_slot) MCU-major."""
+        for mcu in range(self.mx * self.my):
+            mcy, mcx = divmod(mcu, self.mx)
+            for slot, (cid, h, v) in enumerate(order):
+                g = self.grids[cid]
+                for bv in range(v):
+                    for bh in range(h):
+                        yield mcu, g[mcy * v + bv, mcx * h + bh], slot
+
+    def _blocks_single(self, cid):
+        tby, tbx = self.true_dims[cid]
+        g = self.grids[cid]
+        for i in range(tby * tbx):
+            yield i, g[i // tbx, i % tbx], 0
+
+    def decode_scan(self, payload, pos, scomp, ss, se, ah, al, huff, restart):
+        """Decode one progressive SOS; returns the payload position of
+        the marker that ended the scan, or None on any malformation."""
+        by_id = {cid: (h, v) for cid, h, v, _tq in self.comps}
+        ns = len(scomp)
+        if ns < 1 or any(cs not in by_id for cs, _td, _ta in scomp):
+            return None
+        if ss == 0:
+            if se != 0:
+                return None  # DC scan is exactly the (0, 0) band
+        else:
+            if ns != 1 or not ss <= se <= 63:
+                return None
+        if ah not in (0,) and al != ah - 1:
+            return None  # successive approximation refines one bit
+        segs, end_pos = _split_entropy(payload, pos)
+        reader = _BitReader(segs[0])
+        seg_i = 0
+        preds = [0] * ns
+        eobrun = 0
+        if ns > 1:
+            order = [(cs, *by_id[cs]) for cs, _td, _ta in scomp]
+            blocks = self._blocks_interleaved(order)
+        else:
+            blocks = self._blocks_single(scomp[0][0])
+        tables = []
+        for cs, td, ta in scomp:
+            if ss == 0 and ah > 0:  # DC refinement reads raw bits only
+                tables.append(None)
+                continue
+            key = (0, td) if ss == 0 else (1, ta)
+            if key not in huff:
+                return None
+            tables.append(huff[key])
+        try:
+            for unit, blk, slot in blocks:
+                if restart and unit and unit % restart == 0 and (
+                    seg_i < unit // restart
+                ):
+                    seg_i = unit // restart
+                    if seg_i >= len(segs):
+                        return None
+                    reader = _BitReader(segs[seg_i])
+                    preds = [0] * ns
+                    eobrun = 0
+                if ss == 0 and ah == 0:  # DC first
+                    s = reader.decode(tables[slot])
+                    if s > 15:
+                        return None
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    preds[slot] += diff
+                    blk[0] = preds[slot] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        blk[0] |= 1 << al
+                elif ah == 0:  # AC first (ns == 1)
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    act = tables[0]
+                    while k <= se:
+                        rs = reader.decode(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            return None
+                        blk[k] = _extend(reader.receive(s), s) << al
+                        k += 1
+                else:  # AC refinement (ns == 1)
+                    eobrun = self._ac_refine_block(
+                        reader, tables[0], blk, ss, se, al, eobrun
+                    )
+                    if eobrun < 0:
+                        return None
+        except (EOFError, ValueError, IndexError, OverflowError):
+            return None
+        return end_pos
+
+    @staticmethod
+    def _ac_refine_block(reader, act, blk, ss, se, al, eobrun):
+        """One block of an AC successive-approximation refinement scan
+        (T.81 G.1.2.3 / the libjpeg decode_mcu_AC_refine structure).
+        Returns the updated EOBRUN, or -1 on malformation."""
+        p1 = 1 << al
+        m1 = -p1
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r < 15:
+                        # unlike AC-first, the CURRENT block still reads
+                        # its correction bits below and decrements the
+                        # run — so no -1 here (total ended = (1<<r)+ext)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    newval = 0  # ZRL: pass 16 zero-history coefficients
+                elif s == 1:
+                    newval = p1 if reader.read_bit() else m1
+                else:
+                    return -1  # refine scans carry only size-1 values
+                # advance over r zero-history positions, emitting
+                # correction bits for every nonzero-history coefficient
+                # passed on the way
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if reader.read_bit() and (v & p1) == 0:
+                            blk[k] = v + (p1 if v > 0 else m1)
+                    else:
+                        if r == 0:
+                            if newval:
+                                blk[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # inside an EOB run: correction bits only, for the rest of
+            # this block's nonzero-history coefficients
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def reconstruct(self, qt):
+        """Dequantize + IDCT the accumulated grids → (H, W, 1|3) uint8
+        (same assembly math as the sequential path)."""
+        planes = []
+        for cid, h, v, tq in self.comps:
+            if tq not in qt:
+                return None
+            g = self.grids[cid]
+            by, bx = g.shape[0], g.shape[1]
+            blocks = (g.reshape(-1, 64) * qt[tq]).astype(np.float64)
+            mat = np.zeros((blocks.shape[0], 8, 8), dtype=np.float64)
+            mat[:, _ZZ_ROWS, _ZZ_COLS] = blocks
+            spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, mat, _DCT_A) + 128.0
+            spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+            plane = (
+                spatial.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)
+            )
+            plane = np.repeat(
+                np.repeat(plane, self.vmax // v, axis=0), self.hmax // h, axis=1
+            )
+            planes.append(plane[: self.hh, : self.ww])
+        if len(planes) == 1:
+            return np.ascontiguousarray(planes[0][:, :, None])
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes):
-    """Baseline sequential JPEG decode → (H, W, 3) RGB or (H, W, 1)
-    grayscale uint8. Pure numpy: Huffman entropy decode per spec F.2.2,
-    batched orthonormal IDCT, nearest chroma upsample, restart markers.
-    Progressive/arithmetic/12-bit/hierarchical return None — as do all
-    malformed payloads (return-None-never-crash kernel contract)."""
+    """JPEG decode → (H, W, 3) RGB or (H, W, 1) grayscale uint8 — both
+    BASELINE sequential (SOF0/1, one scan) and PROGRESSIVE (SOF2,
+    multi-scan spectral selection + successive approximation via
+    :class:`_ProgState`). Pure numpy: Huffman entropy decode per spec
+    F.2.2 / G.1.2, batched orthonormal IDCT, nearest chroma upsample,
+    restart markers. Arithmetic/12-bit/hierarchical return None — as
+    do all malformed payloads (return-None-never-crash contract)."""
     if len(payload) < 4 or payload[:3] != _JPEG_MAGIC:
         return None
     n = len(payload)
@@ -644,11 +875,15 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (H, W, [(cid, h, v, tq), ...])
     restart = 0
+    progressive = False
+    prog = None  # _ProgState once the first progressive SOS arrives
     try:
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI — reconstruct accumulated scans
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
@@ -674,7 +909,7 @@ def decode_jpeg(payload: bytes):
                     if tbl.size != 64:
                         return None
                     qt[tq] = tbl
-            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline huffman
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 if body[0] != 8:
                     return None
                 hh = int.from_bytes(body[1:3], "big")
@@ -687,8 +922,9 @@ def decode_jpeg(payload: bytes):
                     cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 0x0F, tq))
                 frame = (hh, ww, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # arithmetic / lossless / hierarchical
             elif marker == 0xC4:  # DHT
                 i = 0
                 while i + 17 <= len(body):
@@ -711,33 +947,34 @@ def decode_jpeg(payload: bytes):
                     cs, tt = body[1 + 2 * c : 3 + 2 * c]
                     scomp.append((cs, tt >> 4, tt & 0x0F))
                 data_start = pos + 2 + seglen
-                return _jpeg_scan(
-                    payload, data_start, frame, scomp, qt, huff, restart
+                if not progressive:
+                    return _jpeg_scan(
+                        payload, data_start, frame, scomp, qt, huff, restart
+                    )
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if prog is None:
+                    prog = _ProgState(frame)
+                pos = prog.decode_scan(
+                    payload, data_start, scomp, ss, se,
+                    ahal >> 4, ahal & 0x0F, huff, restart,
                 )
+                if pos is None:
+                    return None
+                continue
             pos += 2 + seglen
     except (IndexError, ValueError, EOFError, struct.error):
         return None
+    if prog is not None:
+        return prog.reconstruct(qt)
     return None
 
 
-def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
-    hh, ww, comps = frame
-    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
-    order = []
-    for cs, td, ta in scomp:
-        if cs not in by_id or (0, td) not in huff or (1, ta) not in huff:
-            return None
-        h, v, tq = by_id[cs]
-        if tq not in qt or not (1 <= h <= 2 and 1 <= v <= 2):
-            return None
-        order.append((cs, h, v, qt[tq], huff[(0, td)], huff[(1, ta)]))
-    if len(order) != len(comps):
-        return None  # multi-scan files out of scope
-    hmax = max(h for _, h, _, _, _, _ in order)
-    vmax = max(v for _, _, v, _, _, _ in order)
-    mx = -(-ww // (8 * hmax))
-    my = -(-hh // (8 * vmax))
-    # split entropy data into restart segments with stuffing removed
+def _split_entropy(payload: bytes, pos: int):
+    """Consume one scan's entropy-coded data starting at ``pos``:
+    remove 0xFF00 byte stuffing, split on RSTn markers. Returns
+    ``(segments, next_pos)`` where ``next_pos`` points at the 0xFF of
+    the marker that ended the scan (EOI, next SOS, DHT, ...)."""
     segs = []
     cur = bytearray()
     n = len(payload)
@@ -758,6 +995,27 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
         else:  # EOI or next marker ends the scan
             break
     segs.append(bytes(cur))
+    return segs, pos
+
+
+def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
+    hh, ww, comps = frame
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    order = []
+    for cs, td, ta in scomp:
+        if cs not in by_id or (0, td) not in huff or (1, ta) not in huff:
+            return None
+        h, v, tq = by_id[cs]
+        if tq not in qt or not (1 <= h <= 2 and 1 <= v <= 2):
+            return None
+        order.append((cs, h, v, qt[tq], huff[(0, td)], huff[(1, ta)]))
+    if len(order) != len(comps):
+        return None  # multi-scan files out of scope
+    hmax = max(h for _, h, _, _, _, _ in order)
+    vmax = max(v for _, _, v, _, _, _ in order)
+    mx = -(-ww // (8 * hmax))
+    my = -(-hh // (8 * vmax))
+    segs, _ = _split_entropy(payload, pos)
     # decode coefficient blocks
     coefs = {cs: [] for cs, *_ in order}
     seg_i = 0
@@ -872,7 +1130,9 @@ def _enc_tables():
     transcribing the (optional) Annex K defaults. DC: 12 symbols @ 4
     bits; AC: the 162 meaningful run/size symbols @ 8 bits."""
     dc_syms = list(range(12))
-    ac_syms = [0x00, 0xF0] + [
+    # (r << 4) | 0 for r ≤ 14 are the progressive EOBn symbols; 0xF0 is
+    # ZRL; all coexist with the run/size pairs in one 8-bit table
+    ac_syms = [r << 4 for r in range(16)] + [
         (r << 4) | s for r in range(16) for s in range(1, 11)
     ]
     ac_syms = sorted(set(ac_syms))
@@ -894,21 +1154,12 @@ def _mag_bits(v: int):
     return s, v if v > 0 else v + (1 << s) - 1
 
 
-def encode_jpeg(
-    img,
-    quant: int = 1,
-    sampling: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline sequential JPEG encoder — pure numpy. ``sampling`` is
-    the luma (h, v) factor pair with chroma fixed at (1, 1): (1, 1) ⇒
-    4:4:4, (2, 1) ⇒ 4:2:2, (2, 2) ⇒ 4:2:0 (chroma box-averaged).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs. Uniform quantization of ``quant`` (1 ⇒ near-lossless at
-    4:4:4: the only loss is DCT rounding, so :func:`decode_jpeg`
-    round-trips within a few levels). Accepts (H, W, 1) grayscale or
-    (H, W, 3) RGB uint8. Exercises every decoder path: multi-block
-    MCUs, chroma upsample, restart resync."""
+def _jpeg_coef_grids(img, quant: int, sampling: tuple[int, int]):
+    """Shared encoder front half: colorspace + (optional) chroma
+    downsample + blocked DCT + uniform quantization. Returns
+    ``(grids, factors, h, w, mx, my, hmax, vmax)`` where each grid is
+    the component's (rows, cols, 64) ZIGZAG coefficient array on the
+    padded MCU grid."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError(f"expected (H, W, 1|3) uint8, got {img.shape}")
@@ -937,8 +1188,6 @@ def encode_jpeg(
     hmax, vmax = sh, sv
     mx = -(-w // (8 * hmax))
     my = -(-h // (8 * vmax))
-    qtbl = np.full(64, quant, dtype=np.int32)
-    (dc_counts, dc_syms, dc_code), (ac_counts, ac_syms, ac_code) = _enc_tables()
     grids = []  # per component: (rows, cols, 64) zigzag coefficient grid
     for (fh, fv), p in zip(factors, full):
         ph, pw = my * vmax * 8, mx * hmax * 8
@@ -951,14 +1200,36 @@ def encode_jpeg(
         coef = np.einsum("ij,rcjk,lk->rcil", _DCT_A, blk - 128.0, _DCT_A)
         qz = np.round(coef / quant).astype(np.int64)
         grids.append(qz[:, :, _ZZ_ROWS, _ZZ_COLS])
+    return grids, factors, h, w, mx, my, hmax, vmax
+
+
+def encode_jpeg(
+    img,
+    quant: int = 1,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG encoder — pure numpy. ``sampling`` is
+    the luma (h, v) factor pair with chroma fixed at (1, 1): (1, 1) ⇒
+    4:4:4, (2, 1) ⇒ 4:2:2, (2, 2) ⇒ 4:2:0 (chroma box-averaged).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Uniform quantization of ``quant`` (1 ⇒ near-lossless at
+    4:4:4: the only loss is DCT rounding, so :func:`decode_jpeg`
+    round-trips within a few levels). Accepts (H, W, 1) grayscale or
+    (H, W, 3) RGB uint8. Exercises every decoder path: multi-block
+    MCUs, chroma upsample, restart resync."""
+    grids, factors, h, w, mx, my, hmax, vmax = _jpeg_coef_grids(
+        img, quant, sampling
+    )
+    (dc_counts, dc_syms, dc_code), (ac_counts, ac_syms, ac_code) = _enc_tables()
     bw = _BitWriter()
-    preds = [0] * len(full)
+    preds = [0] * len(grids)
     rst = 0
     for mcu in range(mx * my):
         if restart_interval and mcu and mcu % restart_interval == 0:
             bw.restart(rst & 7)
             rst += 1
-            preds = [0] * len(full)
+            preds = [0] * len(grids)
         mcy, mcx = divmod(mcu, mx)
         for ci, ((fh, fv), grid) in enumerate(zip(factors, grids)):
             for bv in range(fv):
@@ -997,8 +1268,8 @@ def encode_jpeg(
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xDB, bytes([0x00]) + bytes(qtbl.astype(np.uint8)))  # DQT 0
-    nc = len(full)
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))  # DQT 0 (uniform)
+    nc = len(grids)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for ci, (fh, fv) in enumerate(factors):
         sof += bytes([ci + 1, (fh << 4) | fv, 0])  # id, sampling, qtable 0
@@ -1170,3 +1441,232 @@ def encode_avi_mjpeg(frames, fps: int = 25, width: int = 0, height: int = 0) -> 
     idx1 = chunk(b"idx1", b"".join(entries))
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _emit_eobrun(bw, ac_code, eobrun: int, pending: list) -> int:
+    """Flush a pending EOB run: the EOBn symbol ((r << 4) | 0 with r
+    extension bits encoding run = (1 << r) + ext), then the buffered
+    correction bits that belong to the blocks in the run."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_code[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+    for bit in pending:
+        bw.write(bit, 1)
+    pending.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    img,
+    quant: int = 1,
+    sampling: tuple[int, int] = (1, 1),
+    band_split: int = 5,
+    restart_interval: int = 0,
+) -> bytes:
+    """PROGRESSIVE JPEG encoder (SOF2, T.81 Annex G) — pure numpy, the
+    test-harness inverse of the progressive decode path. Scan script
+    (spectral selection × one level of successive approximation):
+
+    1. DC first, all components interleaved, Al=1 (diffs of the
+       arithmetically-shifted DC values);
+    2. DC refinement, Ah=1 Al=0 (one raw bit per block);
+    3. per component: AC first scans for bands [1..band_split] and
+       [band_split+1..63] at Al=1 (run/size with EOBn run ends);
+    4. per component: AC refinement scans for both bands at Ah=1 Al=0
+       (newly-significant ±1 insertions + correction bits, EOB-run
+       buffered bits — the G.1.2.3 structure).
+
+    ``restart_interval`` applies per scan (MCUs for the interleaved DC
+    scans, blocks for the AC scans), resetting predictors/EOB runs.
+    The coefficients are identical to :func:`encode_jpeg`'s for the
+    same (img, quant, sampling), so the progressive decode must match
+    the sequential decode bit-for-bit — the cross-path test invariant."""
+    grids, factors, h, w, mx, my, hmax, vmax = _jpeg_coef_grids(
+        img, quant, sampling
+    )
+    nc = len(grids)
+    (dc_counts, dc_syms, dc_code), (ac_counts, ac_syms, ac_code) = _enc_tables()
+    if not 1 <= band_split <= 62:
+        raise ValueError("band_split must be in [1, 62]")
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + bytes([quant] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    def dc_blocks():  # interleaved MCU-major over the padded grids
+        for mcu in range(mx * my):
+            mcy, mcx = divmod(mcu, mx)
+            for ci, ((fh, fv), grid) in enumerate(zip(factors, grids)):
+                for bv in range(fv):
+                    for bh in range(fh):
+                        yield mcu, ci, grid[mcy * fv + bv, mcx * fh + bh]
+
+    # ---- scan 1: DC first, Al=1 ------------------------------------
+    out += sos_header(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    for unit, ci, blk in dc_blocks():
+        if restart_interval and unit and unit % restart_interval == 0 and (
+            rst < unit // restart_interval
+        ):
+            bw.restart((rst := rst + 1) - 1 & 7)
+            preds = [0] * nc
+        v = int(blk[0]) >> 1  # arithmetic shift = DC point transform
+        diff = v - preds[ci]
+        preds[ci] = v
+        s, bits = _mag_bits(diff)
+        code, ln = dc_code[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits, s)
+    out += bw.flush()
+
+    # ---- scan 2: DC refinement, Ah=1 Al=0 --------------------------
+    out += sos_header(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    rst = 0
+    for unit, ci, blk in dc_blocks():
+        if restart_interval and unit and unit % restart_interval == 0 and (
+            rst < unit // restart_interval
+        ):
+            bw.restart((rst := rst + 1) - 1 & 7)
+        bw.write(int(blk[0]) & 1, 1)
+    out += bw.flush()
+
+    bands = [(1, band_split), (band_split + 1, 63)]
+
+    def true_blocks(ci):
+        fh, fv = factors[ci]
+        cw = -(-w * fh // hmax)
+        chh = -(-h * fv // vmax)
+        tbx, tby = -(-cw // 8), -(-chh // 8)
+        g = grids[ci]
+        for i in range(tby * tbx):
+            yield i, g[i // tbx, i % tbx]
+
+    # ---- AC first scans, Al=1 --------------------------------------
+    for ci in range(nc):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 0, 1)
+            bw = _BitWriter()
+            eobrun = 0
+            rst = 0
+            for bi, blk in true_blocks(ci):
+                if restart_interval and bi and bi % restart_interval == 0 and (
+                    rst < bi // restart_interval
+                ):
+                    eobrun = _emit_eobrun(bw, ac_code, eobrun, [])
+                    bw.restart((rst := rst + 1) - 1 & 7)
+                vals = [
+                    (int(blk[k]) >> 1) if blk[k] >= 0 else -((-int(blk[k])) >> 1)
+                    for k in range(ss, se + 1)
+                ]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(bw, ac_code, eobrun, [])
+                    continue
+                eobrun = _emit_eobrun(bw, ac_code, eobrun, [])
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_code[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s, bits = _mag_bits(v)
+                    code, ln = ac_code[(run << 4) | s]
+                    bw.write(code, ln)
+                    bw.write(bits, s)
+                    run = 0
+                if nz[-1] < se - ss:  # band ends early → join an EOB run
+                    eobrun += 1
+            _emit_eobrun(bw, ac_code, eobrun, [])
+            out += bw.flush()
+
+    # ---- AC refinement scans, Ah=1 Al=0 ----------------------------
+    for ci in range(nc):
+        for ss, se in bands:
+            out += sos_header([ci], ss, se, 1, 0)
+            bw = _BitWriter()
+            eobrun = 0
+            pending: list = []
+            rst = 0
+            for bi, blk in true_blocks(ci):
+                if restart_interval and bi and bi % restart_interval == 0 and (
+                    rst < bi // restart_interval
+                ):
+                    eobrun = _emit_eobrun(bw, ac_code, eobrun, pending)
+                    bw.restart((rst := rst + 1) - 1 & 7)
+                vals = [int(blk[k]) for k in range(ss, se + 1)]
+                newsig = [i for i, v in enumerate(vals) if abs(v) == 1]
+                if not newsig:
+                    # whole block joins the EOB run; its correction bits
+                    # (for already-significant coefficients) are buffered
+                    eobrun += 1
+                    pending.extend(abs(v) & 1 for v in vals if abs(v) > 1)
+                    if eobrun == 0x7FFF:
+                        eobrun = _emit_eobrun(bw, ac_code, eobrun, pending)
+                    continue
+                eobrun = _emit_eobrun(bw, ac_code, eobrun, pending)
+                run = 0  # run of zero-HISTORY zero-now positions
+                corr: list = []  # correction bits since the last token
+                for i in range(newsig[-1] + 1):
+                    v = vals[i]
+                    a = abs(v)
+                    if a > 1:  # already significant: correction bit
+                        corr.append(a & 1)
+                    elif a == 1:  # newly significant: token
+                        while run > 15:
+                            code, ln = ac_code[0xF0]
+                            bw.write(code, ln)
+                            for bit in corr:
+                                bw.write(bit, 1)
+                            corr = []
+                            run -= 16
+                        code, ln = ac_code[(run << 4) | 1]
+                        bw.write(code, ln)
+                        bw.write(1 if v > 0 else 0, 1)
+                        for bit in corr:
+                            bw.write(bit, 1)
+                        corr = []
+                        run = 0
+                    else:
+                        run += 1
+                if newsig[-1] < se - ss:
+                    # band tail: this block starts (or joins) an EOB run;
+                    # its remaining correction bits ride the run buffer
+                    eobrun += 1
+                    pending.extend(
+                        abs(v) & 1 for v in vals[newsig[-1] + 1 :] if abs(v) > 1
+                    )
+            _emit_eobrun(bw, ac_code, eobrun, pending)
+            out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

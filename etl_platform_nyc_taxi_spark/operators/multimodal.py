@@ -10,15 +10,16 @@ decodes for REAL with zero external dependencies — PPM/PGM and 24-bit
 BMP pixels; PNG in every legal IHDR combination (real DEFLATE via
 stdlib ``zlib``, all 5 scanline filters, palette/tRNS, sub-byte and
 16-bit depths, Adam7 — :func:`_decode_png`); GIF87a/89a (true LZW,
-interlace, transparency, ANIMATED multi-frame compositing) and
-baseline JPEG (Huffman entropy decode, batched IDCT, chroma upsample,
+interlace, transparency, ANIMATED multi-frame compositing) and JPEG —
+baseline AND progressive SOF2 (Huffman entropy decode, spectral
+selection + successive approximation, batched IDCT, chroma upsample,
 restart markers) via ``operators.imagecodecs``
 (:func:`decode_image_pixels`, pure numpy); MJPEG-in-AVI video frames
 with real timing (:func:`frame_sample`); plus PCM WAV samples
 (:func:`decode_audio_pcm`, stdlib ``wave``), G.711 µ-law/A-law
 companded WAV (:func:`_decode_wav_g711`), and IMA ADPCM WAV
 (``operators.audiocodecs``) — feeding real feature / resize kernels.
-The REMAINING compressed containers (progressive JPEG, WebP/TIFF,
+The REMAINING compressed containers (WebP/TIFF,
 FLAC/OGG/MP3, non-MJPEG video) still need PIL/soundfile/ffmpeg, which
 are NOT in this environment; for those payloads the kernels fall back
 to a deterministic fake that preserves the exact UDF signature, batch
@@ -582,10 +583,11 @@ def decode_image_pixels(payload: bytes | None):
     * GIF87a/89a first frame → (H, W, 3), or (H, W, 4) when the frame
       marks a transparent index (``imagecodecs.decode_gif`` — true LZW,
       interlace, local color tables)
-    * baseline sequential JPEG → (H, W, 3) RGB or (H, W, 1) gray
-      (``imagecodecs.decode_jpeg`` — Huffman entropy decode per spec
-      F.2.2, batched IDCT, chroma upsample, restart markers;
-      progressive/arithmetic return None)
+    * JPEG, baseline sequential AND progressive SOF2 → (H, W, 3) RGB
+      or (H, W, 1) gray (``imagecodecs.decode_jpeg`` — Huffman entropy
+      decode per T.81 F.2.2/G.1.2, spectral selection + successive
+      approximation, batched IDCT, chroma upsample, restart markers;
+      arithmetic returns None)
 
     Unrecognized or truncated payloads return None.
     """
@@ -722,9 +724,9 @@ def image_features(
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
             "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
-            "GIF/baseline-JPEG already decode natively in "
-            "decode_image_pixels; route the formats only PIL reads "
-            "(WebP/TIFF/progressive JPEG) through PIL in _feat here"
+            "GIF/JPEG (baseline + progressive) already decode natively "
+            "in decode_image_pixels; route the formats only PIL reads "
+            "(WebP/TIFF) through PIL in _feat here"
         )
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -816,9 +818,9 @@ def resize_images(
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
             "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
-            "GIF/baseline-JPEG already resize natively via "
-            "decode_image_pixels; route the formats only PIL reads "
-            "(WebP/TIFF/progressive JPEG) through PIL in _resize here"
+            "GIF/JPEG (baseline + progressive) already resize natively "
+            "via decode_image_pixels; route the formats only PIL reads "
+            "(WebP/TIFF) through PIL in _resize here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

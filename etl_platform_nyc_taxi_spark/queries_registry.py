@@ -9924,7 +9924,7 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, k.kind,
            CAST(CASE k.kind WHEN 'ppm' THEN 14 + 8 * 2 * 3
-                            WHEN 'gif' THEN 37 ELSE 328 END AS BIGINT)
+                            WHEN 'gif' THEN 37 ELSE 342 END AS BIGINT)
                AS size_bytes,
            CAST(8 AS DOUBLE) AS f_width,
            CAST(2 AS DOUBLE) AS f_height,
@@ -9950,7 +9950,8 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
       ⇒ 1-entry palette, wire size a constant 37 bytes for every c;
     * ``jpeg`` — baseline JPEG at quant=1 (imagecodecs.encode_jpeg):
       R=G=B ⇒ constant Y plane, Cb=Cr=128, so DCT/IDCT reconstructs
-      the EXACT color; wire size a constant 328 bytes.
+      the EXACT color; wire size a constant 342 bytes (the shared
+      DHT now also carries the progressive EOBn symbols).
 
     GIF/JPEG payloads come from a 95-row driver-built lookup (one per
     possible color) broadcast-joined to documents — at 100 TB the LUT

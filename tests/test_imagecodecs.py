@@ -561,3 +561,109 @@ def test_frame_sample_real_animated_gif(spark):
         img = decode_image_pixels(bytes(r.frame))
         assert img is not None and img.shape == (6, 8, 4)
         assert int(img[0, 0, 0]) == int(pal[r.frame_idx][0])
+
+
+# --------------------------------------------------- progressive JPEG
+
+
+def test_progressive_decode_matches_sequential_bit_for_bit():
+    """The load-bearing cross-path invariant: encode_jpeg_progressive
+    emits the SAME quantized coefficients as encode_jpeg, so the
+    progressive decode (multi-scan, spectral selection + successive
+    approximation) must reproduce the sequential decode EXACTLY —
+    across shapes, samplings, and quant levels."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_jpeg_progressive,
+    )
+
+    r = rng()
+    for shape in ((8, 8, 3), (13, 17, 3), (24, 40, 3), (9, 7, 1)):
+        img = r.integers(0, 256, shape, np.uint8)
+        samps = [(1, 1)] if shape[2] == 1 else [(1, 1), (2, 2), (2, 1)]
+        for samp in samps:
+            for q in (1, 8):
+                seq = decode_jpeg(encode_jpeg(img, quant=q, sampling=samp))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quant=q, sampling=samp)
+                )
+                assert prog is not None, (shape, samp, q)
+                assert np.array_equal(prog, seq), (shape, samp, q)
+
+
+def test_progressive_wire_is_sof2_multiscan():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_jpeg_progressive,
+    )
+
+    img = rng().integers(0, 256, (16, 16, 3), np.uint8)
+    data = encode_jpeg_progressive(img, band_split=5)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data  # SOF2 only
+    # scan count: DC first + DC refine + 3 comps x 2 bands x (first+refine)
+    assert data.count(b"\xff\xda") == 2 + 3 * 2 * 2
+
+
+@pytest.mark.parametrize("restart", [1, 3])
+@pytest.mark.parametrize("band_split", [1, 20, 62])
+def test_progressive_restart_and_band_split(restart, band_split):
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_jpeg_progressive,
+    )
+
+    img = rng().integers(0, 256, (24, 40, 3), np.uint8)
+    seq = decode_jpeg(encode_jpeg(img, quant=1, sampling=(2, 2)))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img,
+            quant=1,
+            sampling=(2, 2),
+            band_split=band_split,
+            restart_interval=restart,
+        )
+    )
+    assert prog is not None and np.array_equal(prog, seq)
+
+
+def test_progressive_decode_never_crashes_on_garbage():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_jpeg_progressive,
+    )
+
+    r = rng()
+    img = r.integers(0, 256, (16, 24, 3), np.uint8)
+    payload = encode_jpeg_progressive(
+        img, sampling=(2, 2), band_split=5, restart_interval=2
+    )
+    for cut in range(0, len(payload), 5):
+        decode_jpeg(payload[:cut])
+    for _ in range(400):
+        b = bytearray(payload)
+        for _ in range(int(r.integers(1, 5))):
+            b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+        decode_jpeg(bytes(b))
+
+
+def test_progressive_flows_through_multimodal_kernels(spark):
+    """A progressive JPEG rides the REAL decode path end-to-end:
+    image_features reads true dims, resize re-encodes in kind."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_jpeg_progressive,
+    )
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        image_features,
+        resize_images,
+        sniff_image_header,
+    )
+
+    img = np.full((20, 30, 3), 150, np.uint8)
+    payload = encode_jpeg_progressive(img, quant=1)
+    assert sniff_image_header(payload) == ("jpeg", 30, 20)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    feat = image_features(df, dim=5).collect()[0].feat
+    assert feat[:3] == [30.0, 20.0, 3.0]
+    assert abs(feat[3] - 150.0) < 1.5  # solid color decoded for real
+    row = resize_images(df, target_bytes=48).collect()[0]
+    thumb = decode_image_pixels(bytes(row.resized))
+    assert thumb is not None and int(np.abs(thumb.astype(int) - 150).max()) <= 2
