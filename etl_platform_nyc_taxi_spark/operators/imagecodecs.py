@@ -1670,3 +1670,368 @@ def encode_jpeg_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed / PackBits / TIFF-LZW, 8-bit, chunky)
+# ---------------------------------------------------------------------------
+
+
+def _packbits_decode(data: bytes, max_out: int):
+    """Apple PackBits RLE (TIFF compression 32773). Returns bytes or
+    None on malformation / output overflow."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:  # no-op
+            continue
+        if c < 128:  # literal run of c+1 bytes
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        if len(out) > max_out:
+            return None
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits compressor (repeat runs >= 3 coded, else literals)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + run
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int):
+    """TIFF-flavor LZW (compression 5): MSB-first bit packing and the
+    EARLY code-width change (width grows one code sooner than GIF's) —
+    TIFF 6.0 §13. 8-bit roots, CLEAR=256, EOI=257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = 258
+        prev = None
+
+    width = 9
+    next_code = 258
+    prev: bytes | None = None
+    reset()
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if len(out) > max_out:
+                return None
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            # EARLY CHANGE (TIFF 6.0 §13): the decoder widens when the
+            # next free index reaches 2^width - 1 — one code earlier
+            # than GIF — compensating its one-entry lag vs the encoder
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+            prev = entry
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW compressor, inverse of :func:`_tiff_lzw_decode`
+    (MSB-first, early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        # the encoder's next_code runs one ahead of the decoder's next
+        # free index, so it widens at 2^width where the decoder widens
+        # at 2^width - 1 — the pair lands on the same code boundary
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+        # the decoder still ADDS an entry for this final code (the
+        # encoder doesn't), which can cross a width boundary right
+        # before EOI — widen so EOI is read at the decoder's width
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(payload: bytes):
+    """Baseline TIFF decode — pure numpy, TIFF 6.0: both byte orders,
+    first IFD, 8-bit chunky (PlanarConfiguration=1) gray/RGB/RGBA,
+    strip-organized, compression 1 (none), 5 (TIFF-LZW with early
+    change) or 32773 (PackBits) → (H, W, C) uint8. Tiled, planar,
+    16-bit, palette, and predictor!=1 images return None — same
+    return-None-never-crash contract as the other decoders."""
+    n = len(payload)
+    if n < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        return None
+
+    def u16(off):
+        return int.from_bytes(payload[off : off + 2], bo)
+
+    def u32(off):
+        return int.from_bytes(payload[off : off + 4], bo)
+
+    ifd = u32(4)
+    if ifd + 2 > n:
+        return None
+    count = u16(ifd)
+    tags: dict[int, tuple[int, int, int]] = {}  # tag -> (type, n, value_off)
+    for i in range(count):
+        e = ifd + 2 + 12 * i
+        if e + 12 > n:
+            return None
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None:
+            continue
+        voff = e + 8 if size * cnt <= 4 else u32(e + 8)
+        tags[tag] = (typ, cnt, voff)
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, voff = tags[tag]
+        size = _TIFF_TYPE_SIZES[typ]
+        if voff + size * cnt > n:
+            return default
+        if typ == 3:
+            return [u16(voff + 2 * i) for i in range(cnt)]
+        if typ == 4:
+            return [u32(voff + 4 * i) for i in range(cnt)]
+        if typ == 1:
+            return list(payload[voff : voff + cnt])
+        return default
+
+    def one(tag, default=None):
+        v = values(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    spp = one(277, 1)
+    comp = one(259, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    bits = values(258, [8])
+    offsets = values(273)
+    counts = values(279)
+    rows_per_strip = one(278, h or 0)
+    if (
+        not w
+        or not h
+        or w * h > _MAX_PIXELS
+        or spp not in (1, 3, 4)
+        or planar != 1
+        or predictor != 1
+        or comp not in (1, 5, 32773)
+        or not bits
+        or any(b != 8 for b in bits)
+        or not offsets
+        or not counts
+        or len(offsets) != len(counts)
+    ):
+        return None
+    stride = w * spp
+    out = bytearray()
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > n or remaining <= 0:
+            return None
+        strip_rows = min(rows_per_strip, remaining)
+        want = strip_rows * stride
+        raw = payload[off : off + cnt]
+        if comp == 1:
+            dec = raw
+        elif comp == 32773:
+            dec = _packbits_decode(raw, want)
+        else:
+            dec = _tiff_lzw_decode(raw, want)
+        if dec is None or len(dec) < want:
+            return None
+        out += dec[:want]
+        remaining -= strip_rows
+    if remaining != 0:
+        return None
+    return np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+
+
+def encode_tiff(img, compression: int = 1, rows_per_strip: int = 8) -> bytes:
+    """Baseline TIFF writer (little-endian, one IFD, strip-organized,
+    8-bit chunky), inverse of :func:`decode_tiff`. ``compression``:
+    1 = none, 5 = TIFF-LZW, 32773 = PackBits."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+        raise ValueError(f"expected (H, W, 1|3|4) uint8, got {img.shape}")
+    if compression not in (1, 5, 32773):
+        raise ValueError("compression must be 1, 5 or 32773")
+    h, w, spp = img.shape
+    flat = img.reshape(h, w * spp)
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = flat[y0 : y0 + rows_per_strip].tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+    photometric = 1 if spp == 1 else 2  # BlackIsZero / RGB
+
+    entries = []  # (tag, type, count, value) — value inline or offset
+
+    # layout: header(8) + strip data + [bits array][offsets][counts] + IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    if pos & 1:
+        pos += 1
+    aux = bytearray()
+
+    def aux_array(vals, typ):
+        nonlocal pos
+        size = _TIFF_TYPE_SIZES[typ]
+        off = pos
+        for v in vals:
+            aux.extend(int(v).to_bytes(size, "little"))
+        pos += size * len(vals)
+        return off
+
+    bits_val = (
+        8 if spp == 1 else aux_array([8] * spp, 3)
+    )
+    off_val = (
+        strip_offsets[0] if n_strips == 1 else aux_array(strip_offsets, 4)
+    )
+    cnt_val = (
+        len(strips[0]) if n_strips == 1 else aux_array([len(s) for s in strips], 4)
+    )
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, spp, bits_val),
+        (259, 3, 1, compression),
+        (262, 3, 1, photometric),
+        (273, 4, n_strips, off_val),
+        (277, 3, 1, spp),
+        (278, 4, 1, rows_per_strip),
+        (279, 4, n_strips, cnt_val),
+        (284, 3, 1, 1),  # chunky
+    ]
+    ifd_off = pos
+    out = bytearray(b"II*\x00")
+    out += ifd_off.to_bytes(4, "little")
+    for s in strips:
+        out += s
+    if len(out) & 1:
+        out += b"\x00"
+    out += aux
+    out += len(entries).to_bytes(2, "little")
+    for tag, typ, cnt, val in entries:
+        out += tag.to_bytes(2, "little")
+        out += typ.to_bytes(2, "little")
+        out += cnt.to_bytes(4, "little")
+        size = _TIFF_TYPE_SIZES[typ]
+        if size * cnt <= 4:
+            out += int(val).to_bytes(size, "little") * (1 if cnt == 1 else 0) or b""
+            if cnt == 1:
+                out += b"\x00" * (4 - size)
+            else:  # small arrays inline (bits for spp<=2) — not used
+                out += b"\x00" * (4 - size * cnt)
+        else:
+            out += int(val).to_bytes(4, "little")
+    out += b"\x00\x00\x00\x00"  # no next IFD
+    return bytes(out)

@@ -14,12 +14,15 @@ interlace, transparency, ANIMATED multi-frame compositing) and JPEG —
 baseline AND progressive SOF2 (Huffman entropy decode, spectral
 selection + successive approximation, batched IDCT, chroma upsample,
 restart markers) via ``operators.imagecodecs``
-(:func:`decode_image_pixels`, pure numpy); MJPEG-in-AVI video frames
+(:func:`decode_image_pixels`, pure numpy); baseline TIFF
+(uncompressed / PackBits / TIFF-LZW with early change, both byte
+orders, strip-organized — ``imagecodecs.decode_tiff``); MJPEG-in-AVI
+video frames
 with real timing (:func:`frame_sample`); plus PCM WAV samples
 (:func:`decode_audio_pcm`, stdlib ``wave``), G.711 µ-law/A-law
 companded WAV (:func:`_decode_wav_g711`), and IMA ADPCM WAV
 (``operators.audiocodecs``) — feeding real feature / resize kernels.
-The REMAINING compressed containers (WebP/TIFF,
+The REMAINING compressed containers (WebP/JPEG2000,
 FLAC/OGG/MP3, non-MJPEG video) still need PIL/soundfile/ffmpeg, which
 are NOT in this environment; for those payloads the kernels fall back
 to a deterministic fake that preserves the exact UDF signature, batch
@@ -67,10 +70,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 def sniff_image_header(
     payload: bytes | None,
 ) -> tuple[str | None, int | None, int | None]:
-    """(format, width, height) from real PNG/JPEG/GIF container headers —
-    pure Python, no decoder libs. This is NOT a stub: it reads the actual
-    byte layout of the three most common image containers. Unrecognized or
-    truncated payloads return (None, None, None).
+    """(format, width, height) from real PNG/JPEG/GIF/TIFF container
+    headers — pure Python, no decoder libs. This is NOT a stub: it
+    reads the actual byte layout of the most common image containers.
+    Unrecognized or truncated payloads return (None, None, None).
 
     * PNG: 8-byte signature, then the IHDR chunk must come first — width
       and height are big-endian u32 at offsets 16 and 20.
@@ -79,6 +82,8 @@ def sniff_image_header(
     * JPEG: ``FF D8`` SOI, then a marker scan to the first SOF frame header
       (C0–CF excluding C4/C8/CC): height/width big-endian u16 at payload
       offsets 3 and 5 inside the segment.
+    * TIFF: ``II*\\0``/``MM\\0*``, first-IFD walk for tags 256/257 (dims
+      None when the IFD sits past the probe window).
     """
     if not payload or len(payload) < 10:
         return (None, None, None)
@@ -92,6 +97,30 @@ def sniff_image_header(
         w = int.from_bytes(payload[6:8], "little")
         h = int.from_bytes(payload[8:10], "little")
         return ("gif", w, h)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: walk the first IFD for ImageWidth(256)/ImageLength(257).
+        # The IFD may sit past the probe window (TIFF allows it at the
+        # file end) — then format is known, dims honestly unknown.
+        bo = "little" if payload[:2] == b"II" else "big"
+        ifd = int.from_bytes(payload[4:8], bo)
+        w = h = None
+        if ifd + 2 <= len(payload):
+            cnt = int.from_bytes(payload[ifd : ifd + 2], bo)
+            for k in range(cnt):
+                e = ifd + 2 + 12 * k
+                if e + 12 > len(payload):
+                    break
+                tag = int.from_bytes(payload[e : e + 2], bo)
+                typ = int.from_bytes(payload[e + 2 : e + 4], bo)
+                if tag in (256, 257) and typ in (3, 4):
+                    v = int.from_bytes(
+                        payload[e + 8 : e + 10 if typ == 3 else e + 12], bo
+                    )
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+        return ("tiff", w, h)
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
         while i + 9 < n:
@@ -589,6 +618,10 @@ def decode_image_pixels(payload: bytes | None):
       approximation, batched IDCT, chroma upsample, restart markers;
       arithmetic returns None)
 
+    * baseline TIFF, both byte orders, 8-bit chunky gray/RGB/RGBA,
+      strips with compression none/PackBits/TIFF-LZW
+      (``imagecodecs.decode_tiff``; tiled/planar/16-bit return None)
+
     Unrecognized or truncated payloads return None.
     """
     import numpy as np
@@ -603,6 +636,10 @@ def decode_image_pixels(payload: bytes | None):
         return decode_gif(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .imagecodecs import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:2] in (b"P6", b"P5"):
         # netpbm header: magic, width, height, maxval — whitespace-token
         # stream with '#' comments, then one whitespace byte, then raster
@@ -724,9 +761,9 @@ def image_features(
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
             "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
-            "GIF/JPEG (baseline + progressive) already decode natively "
+            "GIF/JPEG (baseline + progressive)/TIFF already decode natively "
             "in decode_image_pixels; route the formats only PIL reads "
-            "(WebP/TIFF) through PIL in _feat here"
+            "(WebP, JPEG2000, ...) through PIL in _feat here"
         )
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -794,6 +831,11 @@ def resize_images(
             from .imagecodecs import encode_jpeg
 
             return encode_jpeg(thumb)  # JPEG in → baseline JPEG out
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            from .imagecodecs import encode_tiff
+
+            # TIFF in → PackBits TIFF out (lossless, any channel count)
+            return encode_tiff(thumb, compression=32773)
         # remaining decodable inputs (P6/P5/BMP) are always 1 or 3
         # channels, so the netpbm re-encode never sees an alpha plane —
         # a 2/4-channel raster under a P5/P6 header would be corrupt
@@ -818,9 +860,9 @@ def resize_images(
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
             "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
-            "GIF/JPEG (baseline + progressive) already resize natively "
+            "GIF/JPEG (baseline + progressive)/TIFF already resize natively "
             "via decode_image_pixels; route the formats only PIL reads "
-            "(WebP/TIFF) through PIL in _resize here"
+            "(WebP, JPEG2000, ...) through PIL in _resize here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

@@ -667,3 +667,117 @@ def test_progressive_flows_through_multimodal_kernels(spark):
     row = resize_images(df, target_bytes=48).collect()[0]
     thumb = decode_image_pixels(bytes(row.resized))
     assert thumb is not None and int(np.abs(thumb.astype(int) - 150).max()) <= 2
+
+
+# ---------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_all_compressions():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    r = rng()
+    for shape in ((9, 13, 3), (16, 8, 1), (5, 5, 4), (64, 64, 3)):
+        img = r.integers(0, 256, shape, np.uint8)
+        for comp in (1, 5, 32773):
+            for rps in (4, 100):
+                out = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=rps))
+                assert out is not None and np.array_equal(out, img), (shape, comp, rps)
+
+
+def test_tiff_lzw_early_change_and_clear():
+    """The TIFF-LZW width switch happens one code earlier than GIF's
+    (TIFF 6.0 'early change'), including for the final code before
+    EOI; long inputs force a table CLEAR."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    r = rng()
+    for trial in range(300):
+        n = int(r.integers(0, 2000))
+        data = bytes(r.integers(0, int(r.integers(2, 257)), n, dtype=np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data, n
+    big = bytes((np.arange(300000) * 7919 % 256).astype(np.uint8))
+    assert _tiff_lzw_decode(_tiff_lzw_encode(big), len(big)) == big
+
+
+def test_tiff_packbits_unit():
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    r = rng()
+    for data in (b"", b"\x07", b"\x07" * 200, bytes(r.integers(0, 4, 999, dtype=np.uint8))):
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+    # compression actually engages on runs
+    run = b"\x42" * 1000
+    assert len(_packbits_encode(run)) < 20
+
+
+def test_tiff_big_endian_and_rejections():
+    import struct
+
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    # hand-build a minimal big-endian uncompressed 2x3 gray TIFF
+    img = np.arange(6, dtype=np.uint8).reshape(2, 3, 1) * 40
+    data = img.tobytes()
+    entries = [
+        (256, 3, 1, 3), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, 2),
+        (279, 4, 1, len(data)), (284, 3, 1, 1),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        size = {3: 2, 4: 4}[typ]
+        ifd += struct.pack(">HHI", tag, typ, cnt)
+        ifd += val.to_bytes(size, "big") + b"\x00" * (4 - size)
+    ifd += b"\x00" * 4
+    payload = b"MM\x00*" + struct.pack(">I", 8 + len(data)) + data + ifd
+    out = decode_tiff(payload)
+    assert out is not None and np.array_equal(out, img)
+
+    # rejections: 16-bit, planar, unknown compression
+    base = encode_tiff(np.zeros((4, 4, 3), np.uint8))
+    assert decode_tiff(b"II*\x00") is None
+    assert decode_tiff(b"garbage!") is None
+    r = rng()
+    for cut in range(0, len(base), 3):
+        decode_tiff(base[:cut])  # never raises
+    for _ in range(400):
+        b = bytearray(base)
+        for _ in range(int(r.integers(1, 5))):
+            b[int(r.integers(0, len(b)))] = int(r.integers(0, 256))
+        decode_tiff(bytes(b))
+
+
+def test_tiff_flows_through_multimodal(spark):
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import encode_tiff
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        decode_image_pixels,
+        image_features,
+        resize_images,
+        sniff_image_header,
+    )
+
+    img = np.full((20, 30, 3), 99, np.uint8)
+    payload = encode_tiff(img, compression=5)
+    assert sniff_image_header(payload) == ("tiff", 30, 20)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    feat = image_features(df, dim=5).collect()[0].feat
+    assert feat[:4] == [30.0, 20.0, 3.0, 99.0]
+    row = resize_images(df, target_bytes=48).collect()[0]
+    resized = bytes(row.resized)
+    assert resized[:4] == b"II*\x00"  # TIFF in -> TIFF out
+    thumb = decode_image_pixels(resized)
+    assert thumb is not None and (thumb == 99).all()
