@@ -9924,7 +9924,8 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, k.kind,
            CAST(CASE k.kind WHEN 'ppm' THEN 14 + 8 * 2 * 3
-                            WHEN 'gif' THEN 37 ELSE 342 END AS BIGINT)
+                            WHEN 'gif' THEN 37
+                            WHEN 'tiff' THEN 142 ELSE 342 END AS BIGINT)
                AS size_bytes,
            CAST(8 AS DOUBLE) AS f_width,
            CAST(2 AS DOUBLE) AS f_height,
@@ -9932,14 +9933,14 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(32 + n_chars % 95 AS DOUBLE) AS f_mean,
            CAST(0 AS DOUBLE) AS f_std
     FROM documents
-    CROSS JOIN (SELECT UNNEST(['ppm', 'gif', 'jpeg']) AS kind) k
+    CROSS JOIN (SELECT UNNEST(['ppm', 'gif', 'jpeg', 'tiff']) AS kind) k
     """,
 )
 def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-gated proof the REAL image decoders run — all three
     codec families: each doc's color byte c = 32 + n_chars % 95 (ASCII
     range so the string→binary UTF-8 cast is byte-exact) becomes a
-    solid-color 8x2 RGB image in THREE encodings, each pushed through
+    solid-color 8x2 RGB image in FOUR encodings, each pushed through
     the production mapInPandas feature kernel
     (operators/multimodal.image_features → decode_image_pixels):
 
@@ -9951,7 +9952,9 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     * ``jpeg`` — baseline JPEG at quant=1 (imagecodecs.encode_jpeg):
       R=G=B ⇒ constant Y plane, Cb=Cr=128, so DCT/IDCT reconstructs
       the EXACT color; wire size a constant 342 bytes (the shared
-      DHT now also carries the progressive EOBn symbols).
+      DHT now also carries the progressive EOBn symbols);
+    * ``tiff`` — PackBits TIFF (imagecodecs.encode_tiff): solid rows
+      RLE to a constant 142 bytes, lossless.
 
     GIF/JPEG payloads come from a 95-row driver-built lookup (one per
     possible color) broadcast-joined to documents — at 100 TB the LUT
@@ -9963,6 +9966,7 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
         encode_gif,
         encode_jpeg,
+        encode_tiff,
     )
     from etl_platform_nyc_taxi_spark.operators.multimodal import (
         image_features,
@@ -9977,10 +9981,17 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
             bytearray(
                 encode_jpeg(np.full((2, 8, 3), c, dtype=np.uint8), quant=1)
             ),
+            bytearray(
+                encode_tiff(
+                    np.full((2, 8, 3), c, dtype=np.uint8), compression=32773
+                )
+            ),
         )
         for c in range(32, 127)
     ]
-    lut_df = spark.createDataFrame(lut, "color int, gif binary, jpg binary")
+    lut_df = spark.createDataFrame(
+        lut, "color int, gif binary, jpg binary, tif binary"
+    )
     base = _t(spark, sf_dir, "documents").select(
         "doc_id",
         (F.lit(32) + F.col("n_chars") % F.lit(95)).cast("int").alias("color"),
@@ -9998,6 +10009,7 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "gif": joined.select("doc_id", F.col("gif").alias("payload")),
         "jpeg": joined.select("doc_id", F.col("jpg").alias("payload")),
+        "tiff": joined.select("doc_id", F.col("tif").alias("payload")),
     }
     outs = []
     for kind, df in branches.items():
