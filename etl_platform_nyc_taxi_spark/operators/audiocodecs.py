@@ -239,3 +239,533 @@ def encode_wav_ima_adpcm(
     if len(data) & 1:
         out += b"\x00"
     return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+# ---------------------------------------------------------------------------
+# FLAC (free lossless audio codec — decoder + test-harness encoder)
+# ---------------------------------------------------------------------------
+#
+# Pure-Python/numpy implementation of the public FLAC format
+# (xiph.org/flac/format.html; also RFC 9639): STREAMINFO metadata,
+# frame sync + UTF-8-style coded numbers, CRC-8/CRC-16 verification,
+# all four subframe types (CONSTANT / VERBATIM / FIXED 0-4 / LPC),
+# partitioned Rice residuals with escape codes, wasted bits, and the
+# four stereo decorrelation modes (independent, left/side, right/side,
+# mid/side). Same kernel contract as the rest of the module: decode
+# returns None on anything malformed, never raises.
+
+_FLAC_BLOCK_SIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096, 13: 8192,
+    14: 16384, 15: 32768,
+}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+#: Warmup-differencing coefficients of the FIXED predictors, order 0-4
+#: (successive finite differences — spec §"fixed predictors").
+_FIXED_COEFS = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _FlacBitReader:
+    """MSB-first bit reader with byte-position access (for CRC spans)."""
+
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.bitpos = bitpos
+
+    def read(self, n: int) -> int:
+        end = self.bitpos + n
+        if end > len(self.data) * 8:
+            raise EOFError
+        v = 0
+        pos = self.bitpos
+        while n > 0:
+            byte = self.data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n)
+            shift = avail - take
+            v = (v << take) | ((byte >> shift) & ((1 << take) - 1))
+            pos += take
+            n -= take
+        self.bitpos = pos
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:  # runaway guard on corrupt data
+                raise ValueError("unary overflow")
+        return q
+
+    def align(self) -> None:
+        self.bitpos = (self.bitpos + 7) & ~7
+
+
+def _flac_utf8_number(br: _FlacBitReader) -> int:
+    """FLAC's UTF-8-style coded frame/sample number (up to 36 bits)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("bad utf8 number")
+    v = b0 & (0xFF >> (nbytes + 1))
+    for _ in range(nbytes - 1):
+        b = br.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("bad utf8 continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _flac_residual(br: _FlacBitReader, blocksize: int, order: int):
+    """Partitioned Rice residual (spec §residual coding)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize // nparts <= order and nparts == 1:
+        pass
+    out = []
+    for p in range(nparts):
+        cnt = blocksize // nparts - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("bad partition order")
+        param = br.read(plen)
+        if param == escape:
+            bits = br.read(5)
+            for _ in range(cnt):
+                out.append(br.read_signed(bits) if bits else 0)
+        else:
+            for _ in range(cnt):
+                q = br.read_unary()
+                low = br.read(param) if param else 0
+                z = (q << param) | low
+                out.append((z >> 1) ^ -(z & 1))  # un-zigzag
+    return out
+
+
+def _flac_subframe(br: _FlacBitReader, blocksize: int, bps: int):
+    if br.read(1) != 0:
+        raise ValueError("subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):  # wasted-bits flag: unary count - 1
+        wasted = 1 + br.read_unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("no effective bits")
+    if stype == 0:  # CONSTANT
+        v = br.read_signed(eff)
+        samples = [v] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order = stype - 8
+        order = stype - 8
+        warm = [br.read_signed(eff) for _ in range(order)]
+        resid = _flac_residual(br, blocksize, order)
+        samples = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for i in range(order, blocksize):
+            pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            samples.append(resid[i - order] + pred)
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 15:
+            raise ValueError("invalid lpc precision")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative lpc shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _flac_residual(br, blocksize, order)
+        samples = list(warm)
+        for i in range(order, blocksize):
+            acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            samples.append(resid[i - order] + (acc >> shift))
+    else:
+        raise ValueError("reserved subframe type")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(payload: bytes):
+    """REAL FLAC decode → ``(mono_int16, rate)`` or None. Walks the
+    metadata blocks (STREAMINFO required), then every frame: sync +
+    CRC-8-verified header, subframes per channel with the four stereo
+    decorrelation modes undone, CRC-16-verified frame tail. Sample
+    sizes 8/16/24 scale to int16 (>> for wider, << for narrower);
+    channels average to mono — the contract every WAV path shares."""
+    if len(payload) < 42 or payload[:4] != b"fLaC":
+        return None
+    try:
+        pos = 4
+        streaminfo = None
+        while pos + 4 <= len(payload):
+            hdr = payload[pos]
+            btype = hdr & 0x7F
+            blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 4 + blen]
+            if len(body) != blen:
+                return None
+            if btype == 0:
+                streaminfo = body
+            pos += 4 + blen
+            if hdr & 0x80:  # last-metadata-block flag
+                break
+        if streaminfo is None or len(streaminfo) < 18:
+            return None
+        si = _FlacBitReader(streaminfo)
+        si.read(16)  # min block size
+        si.read(16)  # max block size
+        si.read(24)
+        si.read(24)  # min/max frame size
+        rate = si.read(20)
+        nch = si.read(3) + 1
+        bps = si.read(5) + 1
+        total = si.read(36)
+        if rate == 0 or nch > 8 or bps not in (8, 16, 24):
+            return None
+        chans = [[] for _ in range(nch)]
+        data = payload
+        n = len(data)
+        while pos + 2 <= n:
+            if data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8:
+                return None  # lost sync
+            frame_start = pos
+            br = _FlacBitReader(data, pos * 8)
+            br.read(14)  # sync
+            br.read(1)  # reserved
+            br.read(1)  # blocking strategy
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            ch_code = br.read(4)
+            ss_code = br.read(3)
+            br.read(1)  # reserved
+            _num = _flac_utf8_number(br)
+            if bs_code == 0:
+                return None
+            if bs_code == 6:
+                blocksize = br.read(8) + 1
+            elif bs_code == 7:
+                blocksize = br.read(16) + 1
+            else:
+                blocksize = _FLAC_BLOCK_SIZES[bs_code]
+            if sr_code == 12:
+                br.read(8)
+            elif sr_code in (13, 14):
+                br.read(16)
+            elif sr_code == 15:
+                return None
+            fbps = _FLAC_BPS.get(ss_code, bps) if ss_code else bps
+            hdr_end = (br.bitpos + 7) // 8
+            if _crc8(data[frame_start:hdr_end]) != br.read(8):
+                return None
+            if ch_code < 8:
+                if ch_code + 1 != nch:
+                    return None
+                subs = [_flac_subframe(br, blocksize, fbps) for _ in range(nch)]
+            elif ch_code in (8, 9, 10):  # left/side, right/side, mid/side
+                if nch != 2:
+                    return None
+                a_bits = fbps + (1 if ch_code in (9, 10) else 0)
+                b_bits = fbps + (1 if ch_code in (8, 10) else 0)
+                if ch_code == 10:
+                    a_bits, b_bits = fbps, fbps + 1
+                sub_a = _flac_subframe(br, blocksize, a_bits)
+                sub_b = _flac_subframe(br, blocksize, b_bits)
+                if ch_code == 8:  # left + side (side = left - right)
+                    subs = [sub_a, [l - s for l, s in zip(sub_a, sub_b)]]
+                elif ch_code == 9:  # side + right
+                    subs = [[r + s for r, s in zip(sub_b, sub_a)], sub_b]
+                else:  # mid + side
+                    left, right = [], []
+                    for m, s in zip(sub_a, sub_b):
+                        m = (m << 1) | (s & 1)
+                        left.append((m + s) >> 1)
+                        right.append((m - s) >> 1)
+                    subs = [left, right]
+            else:
+                return None
+            br.align()
+            crc_end = br.bitpos // 8
+            if _crc16(data[frame_start:crc_end]) != br.read(16):
+                return None
+            for c in range(nch):
+                chans[c].extend(subs[c])
+            pos = crc_end + 2
+            if total and len(chans[0]) >= total:
+                break
+        if not chans[0]:
+            return None
+        arr = np.array(chans, dtype=np.int64)
+        if total:
+            arr = arr[:, :total]
+        mono = arr.mean(axis=0)
+        if bps == 24:
+            mono = mono / 256.0
+        elif bps == 8:
+            mono = mono * 256.0
+        return np.clip(np.round(mono), -32768, 32767).astype(np.int16), rate
+    except (EOFError, ValueError, IndexError, KeyError, OverflowError):
+        return None
+
+
+class _FlacBitWriter:
+    """MSB-first bit writer for FLAC frames."""
+
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def _flac_write_utf8(bw: _FlacBitWriter, v: int) -> None:
+    if v < 0x80:
+        bw.write(v, 8)
+        return
+    payload_bits = v.bit_length()
+    nbytes = 2
+    while payload_bits > 6 * (nbytes - 1) + (7 - nbytes):
+        nbytes += 1
+    lead = (0xFF << (8 - nbytes)) & 0xFF
+    bw.write(lead | (v >> (6 * (nbytes - 1))), 8)
+    for i in range(nbytes - 2, -1, -1):
+        bw.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+
+
+def _flac_write_residual(bw, resid, blocksize, order, porder, force_escape):
+    bw.write(0, 2)  # method 0: 4-bit rice params
+    bw.write(porder, 4)
+    nparts = 1 << porder
+    idx = 0
+    for p in range(nparts):
+        cnt = blocksize // nparts - (order if p == 0 else 0)
+        part = resid[idx : idx + cnt]
+        idx += cnt
+        zig = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v << 1) - 1) for v in part]
+        zig = [((v << 1) if v >= 0 else (-(v << 1) - 1)) for v in part]
+        if force_escape:
+            bits = max((abs(v).bit_length() + 1 for v in part), default=1)
+            bw.write(0xF, 4)
+            bw.write(bits, 5)
+            for v in part:
+                bw.write(v & ((1 << bits) - 1), bits)
+            continue
+        mean = (sum(zig) // max(cnt, 1)) if cnt else 0
+        param = max(0, mean.bit_length() - 1)
+        param = min(param, 14)
+        bw.write(param, 4)
+        for z in zig:
+            bw.write_unary(z >> param)
+            if param:
+                bw.write(z & ((1 << param) - 1), param)
+
+
+def _flac_write_subframe(bw, samples, bps, mode, porder, force_escape):
+    blocksize = len(samples)
+    bw.write(0, 1)  # padding
+    if mode == "constant" and len(set(samples)) == 1:
+        bw.write(0, 6)
+        bw.write(0, 1)  # no wasted bits
+        bw.write(samples[0] & ((1 << bps) - 1), bps)
+        return
+    if mode == "verbatim":
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(s & ((1 << bps) - 1), bps)
+        return
+    if mode == "lpc":
+        # order-2 LPC with quantized coefficients ~ the FIXED order-2
+        # predictor scaled by 2^5: a1=2, a2=-1 → coefs [64, -32], shift 5
+        order, prec, shift = 2, 12, 5
+        coefs = [64, -32]
+        bw.write(32 + order - 1, 6)
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write(s & ((1 << bps) - 1), bps)
+        bw.write(prec - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c & ((1 << prec) - 1), prec)
+        resid = [
+            samples[i]
+            - ((coefs[0] * samples[i - 1] + coefs[1] * samples[i - 2]) >> shift)
+            for i in range(order, blocksize)
+        ]
+        _flac_write_residual(bw, resid, blocksize, order, porder, force_escape)
+        return
+    # FIXED order 2 (default): resid = s[i] - 2 s[i-1] + s[i-2]
+    order = min(2, blocksize - 1) if blocksize > 1 else 0
+    coefs = _FIXED_COEFS[order]
+    bw.write(8 + order, 6)
+    bw.write(0, 1)
+    for s in samples[:order]:
+        bw.write(s & ((1 << bps) - 1), bps)
+    resid = [
+        samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        for i in range(order, blocksize)
+    ]
+    _flac_write_residual(bw, resid, blocksize, order, porder, force_escape)
+
+
+def encode_flac(
+    samples,
+    rate: int,
+    channels: int = 1,
+    block_size: int = 1024,
+    mode: str = "fixed",
+    stereo_mode: str = "independent",
+    porder: int = 0,
+    force_escape: bool = False,
+) -> bytes:
+    """Test-harness FLAC writer, inverse of :func:`decode_flac`:
+    STREAMINFO + fixed-blocking frames with real CRC-8/CRC-16.
+    ``samples`` is mono int16; ``channels=2`` encodes (left=samples,
+    right=samples>>1) to exercise decorrelation. ``mode``:
+    constant-aware ``fixed`` (order 2), ``verbatim``, or ``lpc``
+    (order-2 quantized coefficients). ``stereo_mode``: independent /
+    left_side / right_side / mid_side. ``porder`` partitions the Rice
+    residual; ``force_escape`` uses raw-bit escape partitions."""
+    samples = [int(s) for s in np.asarray(samples, dtype=np.int16)]
+    if not samples:
+        raise ValueError("need samples")
+    if rate <= 0 or not 1 <= rate < (1 << 20):
+        raise ValueError("bad rate")
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    if block_size % (1 << porder):
+        raise ValueError("porder must divide block_size")
+    bps = 16
+    total = len(samples)
+    # STREAMINFO
+    si = _FlacBitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    si_body = bytes(si.out) + b"\x00" * 16  # md5 unset
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si_body).to_bytes(3, "big") + si_body
+    ch_codes = {
+        "independent": None,
+        "left_side": 8,
+        "right_side": 9,
+        "mid_side": 10,
+    }
+    if stereo_mode not in ch_codes:
+        raise ValueError("bad stereo_mode")
+    frame_no = 0
+    for start in range(0, total, block_size):
+        blk = samples[start : start + block_size]
+        bs = len(blk)
+        bw = _FlacBitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocking
+        bw.write(7, 4)  # blocksize: explicit 16-bit field
+        bw.write(0, 4)  # sample rate: from STREAMINFO
+        if channels == 1:
+            bw.write(0, 4)
+        elif stereo_mode == "independent":
+            bw.write(1, 4)
+        else:
+            bw.write(ch_codes[stereo_mode], 4)
+        bw.write(4, 3)  # bps: 16
+        bw.write(0, 1)
+        _flac_write_utf8(bw, frame_no)
+        bw.write(bs - 1, 16)
+        hdr = bytes(bw.out)
+        assert bw.nbits == 0
+        bw.write(_crc8(hdr), 8)
+        if channels == 1:
+            _flac_write_subframe(bw, blk, bps, mode, porder, force_escape)
+        else:
+            left = blk
+            right = [s >> 1 for s in blk]
+            if stereo_mode == "independent":
+                _flac_write_subframe(bw, left, bps, mode, porder, force_escape)
+                _flac_write_subframe(bw, right, bps, mode, porder, force_escape)
+            else:
+                side = [l - r for l, r in zip(left, right)]
+                if stereo_mode == "left_side":
+                    _flac_write_subframe(bw, left, bps, mode, porder, force_escape)
+                    _flac_write_subframe(bw, side, bps + 1, mode, porder, force_escape)
+                elif stereo_mode == "right_side":
+                    _flac_write_subframe(bw, side, bps + 1, mode, porder, force_escape)
+                    _flac_write_subframe(bw, right, bps, mode, porder, force_escape)
+                else:
+                    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+                    _flac_write_subframe(bw, mid, bps, mode, porder, force_escape)
+                    _flac_write_subframe(bw, side, bps + 1, mode, porder, force_escape)
+        bw.align()
+        frame = bytes(bw.out)
+        bw.write(_crc16(frame), 16)
+        out += bytes(bw.out)
+        frame_no += 1
+    return bytes(out)

@@ -20,10 +20,12 @@ orders, strip-organized — ``imagecodecs.decode_tiff``); MJPEG-in-AVI
 video frames
 with real timing (:func:`frame_sample`); plus PCM WAV samples
 (:func:`decode_audio_pcm`, stdlib ``wave``), G.711 µ-law/A-law
-companded WAV (:func:`_decode_wav_g711`), and IMA ADPCM WAV
+companded WAV (:func:`_decode_wav_g711`), IMA ADPCM WAV, and full
+FLAC — CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned Rice
+residuals, the four stereo decorrelations, CRC-8/16 verified
 (``operators.audiocodecs``) — feeding real feature / resize kernels.
 The REMAINING compressed containers (WebP/JPEG2000,
-FLAC/OGG/MP3, non-MJPEG video) still need PIL/soundfile/ffmpeg, which
+OGG/MP3, non-MJPEG video) still need PIL/soundfile/ffmpeg, which
 are NOT in this environment; for those payloads the kernels fall back
 to a deterministic fake that preserves the exact UDF signature, batch
 shape, and output schema, behind ``_HAVE_*`` gates that RAISE when a
@@ -148,9 +150,10 @@ def sniff_image_header(
 def sniff_audio_header(
     payload: bytes | None,
 ) -> tuple[str | None, int | None]:
-    """(format, duration_ms) from a real WAV/RIFF container header — pure
-    Python, no decoder libs, and NOT a stub: it walks the actual RIFF
-    chunk layout. Unrecognized or truncated payloads → (None, None).
+    """(format, duration_ms) from a real WAV/RIFF or FLAC container
+    header — pure Python, no decoder libs, and NOT a stub: it walks the
+    actual layout (RIFF chunks; FLAC's mandatory-first STREAMINFO).
+    Unrecognized or truncated payloads → (None, None).
 
     WAV: ``RIFF``<u32le size>``WAVE``, then a chunk walk; the ``fmt ``
     chunk carries byte_rate (u32le at chunk offset 8) and the ``data``
@@ -161,6 +164,18 @@ def sniff_audio_header(
     """
     if not payload or len(payload) < 12:
         return (None, None)
+    if payload[:4] == b"fLaC":
+        # STREAMINFO is mandatory and first: rate is the 20 bits at bit
+        # offset 80 of the block body, total samples the 36 bits at 108
+        if len(payload) >= 42:
+            body = payload[8:42]
+            bits = int.from_bytes(body, "big")
+            nbits = len(body) * 8
+            rate = (bits >> (nbits - 80 - 20)) & 0xFFFFF
+            total = (bits >> (nbits - 108 - 36)) & ((1 << 36) - 1)
+            if rate:
+                return ("flac", total * 1000 // rate if total else None)
+        return ("flac", None)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return (None, None)
     byte_rate: int | None = None
@@ -956,8 +971,10 @@ def decode_audio_pcm(payload: bytes | None):
 
     import numpy as np
 
-    from .audiocodecs import decode_wav_ima_adpcm
+    from .audiocodecs import decode_flac, decode_wav_ima_adpcm
 
+    if payload and payload[:4] == b"fLaC":
+        return decode_flac(bytes(payload))
     if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     g711 = _decode_wav_g711(payload)
@@ -1053,9 +1070,10 @@ def audio_features(
 
     if _HAVE_AUDIO:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
-            "compressed-format decoder present but not wired: PCM WAV "
-            "already decodes for real in decode_audio_pcm; route "
-            "FLAC/OGG/MP3 through soundfile in _audio here"
+            "extra-format decoder present but not wired: PCM/G.711/"
+            "ADPCM WAV and FLAC already decode natively in "
+            "decode_audio_pcm; route the formats only soundfile reads "
+            "(OGG/MP3) through it in _audio here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 

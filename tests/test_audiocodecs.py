@@ -157,3 +157,132 @@ def test_audio_features_real_adpcm(spark):
     got = [float(x) for x in row["feat"]]
     for g, e in zip(got, expect):
         assert abs(g - e) < 0.05 * max(e, 1.0) + 30
+
+
+# ---------------------------------------------------------------- FLAC
+
+
+def _flac_sig(n=3000):
+    t = np.arange(n)
+    return (3000 * np.sin(t / 30) + 1500 * np.sin(t / 7)).astype(np.int16)
+
+
+def test_flac_lossless_roundtrip_all_subframe_types():
+    from etl_platform_nyc_taxi_spark.operators.audiocodecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sig = _flac_sig()
+    for mode in ("fixed", "verbatim", "lpc"):
+        pcm, rate = decode_flac(encode_flac(sig, 22_050, mode=mode, block_size=512))
+        assert rate == 22_050 and np.array_equal(pcm, sig), mode
+
+
+def test_flac_stereo_decorrelation_modes_exact():
+    """left/side, right/side, and mid/side must all reconstruct the
+    channels exactly (side carries bps+1 bits)."""
+    from etl_platform_nyc_taxi_spark.operators.audiocodecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sig = _flac_sig(2000)
+    left = sig.astype(np.int64)
+    right = left >> 1  # what the encoder derives for channel 2
+    expect = np.clip(np.round((left + right) / 2), -32768, 32767).astype(np.int16)
+    for sm in ("independent", "left_side", "right_side", "mid_side"):
+        pcm, rate = decode_flac(
+            encode_flac(sig, 16_000, channels=2, stereo_mode=sm, block_size=512)
+        )
+        assert np.array_equal(pcm, expect), sm
+
+
+def test_flac_rice_partitions_and_escape():
+    from etl_platform_nyc_taxi_spark.operators.audiocodecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sig = _flac_sig(2048)
+    for porder in (0, 1, 3):
+        for esc in (False, True):
+            pcm, _ = decode_flac(
+                encode_flac(
+                    sig, 8_000, porder=porder, force_escape=esc, block_size=1024
+                )
+            )
+            assert np.array_equal(pcm, sig), (porder, esc)
+
+
+def test_flac_constant_and_edge_signals():
+    from etl_platform_nyc_taxi_spark.operators.audiocodecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    for s in ([5] * 700, [0], [-32768] * 10, [32767, -32768] * 50):
+        arr = np.array(s, np.int16)
+        pcm, _ = decode_flac(encode_flac(arr, 8_000, block_size=256))
+        assert np.array_equal(pcm, arr), len(s)
+
+
+def test_flac_crc_rejects_corruption_and_never_crashes():
+    from etl_platform_nyc_taxi_spark.operators.audiocodecs import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sig = _flac_sig(1500)
+    payload = encode_flac(sig, 16_000, channels=2, stereo_mode="mid_side", porder=2, block_size=512)
+    # flip one bit in the middle of frame data: CRC-16 must catch it
+    b = bytearray(payload)
+    b[len(b) // 2] ^= 0x01
+    assert decode_flac(bytes(b)) is None
+    assert decode_flac(b"") is None
+    assert decode_flac(b"fLaC") is None
+    r = np.random.default_rng(11)
+    for cut in range(0, len(payload), 9):
+        decode_flac(payload[:cut])  # never raises
+    for _ in range(300):
+        bb = bytearray(payload)
+        for _ in range(int(r.integers(1, 5))):
+            bb[int(r.integers(0, len(bb)))] = int(r.integers(0, 256))
+        decode_flac(bytes(bb))
+
+
+def test_flac_through_audio_surface(spark):
+    """FLAC rides the real audio path end-to-end: sniffer reads
+    STREAMINFO duration, audio_features uses decoded samples at the
+    container rate."""
+    from etl_platform_nyc_taxi_spark.operators.audiocodecs import encode_flac
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        attach_media_meta,
+        audio_features,
+        decode_audio_pcm,
+        sniff_audio_header,
+    )
+
+    sig = _flac_sig(4000)
+    payload = encode_flac(sig, 32_000)
+    assert sniff_audio_header(payload) == ("flac", 125)
+    assert sniff_audio_header(payload[:4096]) == ("flac", 125)
+    pcm, rate = decode_audio_pcm(payload)
+    assert rate == 32_000 and np.array_equal(pcm, sig)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = audio_features(df, sample_rate=999, bands=4).collect()[0]
+    assert row["duration_ms"] == 4000 * 1000 // 32_000
+    expect = [
+        float(np.abs(chunk.astype(float)).mean())
+        for chunk in np.array_split(sig, 4)
+    ]
+    for g, e in zip(row["feat"], expect):
+        assert abs(float(g) - e) < 1.0
+    meta = (
+        attach_media_meta(df, "payload", media_type="audio", fmt=None)
+        .select("payload_meta.*")
+        .first()
+    )
+    assert meta["format"] == "flac" and meta["duration_ms"] == 125
