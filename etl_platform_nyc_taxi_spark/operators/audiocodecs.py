@@ -362,8 +362,8 @@ def _flac_residual(br: _FlacBitReader, blocksize: int, order: int):
     escape = (1 << plen) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize // nparts <= order and nparts == 1:
-        pass
+    if blocksize % nparts:
+        raise ValueError("partition count must divide block size")
     out = []
     for p in range(nparts):
         cnt = blocksize // nparts - (order if p == 0 else 0)
@@ -603,7 +603,6 @@ def _flac_write_residual(bw, resid, blocksize, order, porder, force_escape):
         cnt = blocksize // nparts - (order if p == 0 else 0)
         part = resid[idx : idx + cnt]
         idx += cnt
-        zig = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v << 1) - 1) for v in part]
         zig = [((v << 1) if v >= 0 else (-(v << 1) - 1)) for v in part]
         if force_escape:
             bits = max((abs(v).bit_length() + 1 for v in part), default=1)

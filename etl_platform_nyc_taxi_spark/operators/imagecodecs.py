@@ -207,7 +207,7 @@ def decode_gif(payload: bytes):
                 pos += 1
                 if sublen == 0:
                     break
-                if label == 0xF9 and first_sub and sublen >= 4:
+                if label == 0xF9 and first_sub and sublen >= 4 and pos + 4 <= n:
                     flags = payload[pos]
                     if flags & 0x01:
                         transparent = payload[pos + 3]
@@ -277,6 +277,8 @@ def _gif_palettize(img):
     h, w, c = img.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("GIF dimensions are 16-bit: max 65535")
     transparent = -1
     if c == 1:
         rgb = np.repeat(img, 3, axis=2)
@@ -526,7 +528,11 @@ def decode_gif_frames(payload: bytes):
         transparent = -1
         delay_cs = 0
         disposal = 0
-        if len(frames) >= 10_000:  # bomb guard: bounded animation length
+        # bomb guards: bound the AGGREGATE allocation (each composited
+        # frame is a full canvas copy — a few-KB payload declaring a
+        # huge canvas with many tiny frames would otherwise OOM the
+        # executor), not just the frame count
+        if len(frames) >= 10_000 or len(frames) * cw * ch > _MAX_PIXELS * 4:
             return None
     if not frames:
         return None
@@ -825,38 +831,16 @@ class _ProgState:
         return eobrun
 
     def reconstruct(self, qt):
-        """Dequantize + IDCT the accumulated grids → (H, W, 1|3) uint8
-        (same assembly math as the sequential path)."""
-        planes = []
+        """Dequantize the accumulated grids, then the shared IDCT +
+        assembly back half (:func:`_grids_to_image` — identical math to
+        the sequential path, which is what makes the bit-identity
+        invariant testable)."""
+        specs = []
         for cid, h, v, tq in self.comps:
             if tq not in qt:
                 return None
-            g = self.grids[cid]
-            by, bx = g.shape[0], g.shape[1]
-            blocks = (g.reshape(-1, 64) * qt[tq]).astype(np.float64)
-            mat = np.zeros((blocks.shape[0], 8, 8), dtype=np.float64)
-            mat[:, _ZZ_ROWS, _ZZ_COLS] = blocks
-            spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, mat, _DCT_A) + 128.0
-            spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-            plane = (
-                spatial.reshape(by, bx, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(by * 8, bx * 8)
-            )
-            plane = np.repeat(
-                np.repeat(plane, self.vmax // v, axis=0), self.hmax // h, axis=1
-            )
-            planes.append(plane[: self.hh, : self.ww])
-        if len(planes) == 1:
-            return np.ascontiguousarray(planes[0][:, :, None])
-        y = planes[0].astype(np.float64)
-        cb = planes[1].astype(np.float64) - 128.0
-        cr = planes[2].astype(np.float64) - 128.0
-        rgb = np.stack(
-            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-            axis=2,
-        )
-        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            specs.append((self.grids[cid].astype(np.int64) * qt[tq], h, v))
+        return _grids_to_image(specs, self.hh, self.ww, self.hmax, self.vmax)
 
 
 def decode_jpeg(payload: bytes):
@@ -882,6 +866,9 @@ def decode_jpeg(payload: bytes):
             if payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
+            if marker == 0xFF:  # fill byte (T.81 B.1.1.2: any number
+                pos += 1  # of 0xFF pad bytes may precede a marker)
+                continue
             if marker == 0xD9:  # EOI — reconstruct accumulated scans
                 break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -1016,8 +1003,11 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
     mx = -(-ww // (8 * hmax))
     my = -(-hh // (8 * vmax))
     segs, _ = _split_entropy(payload, pos)
-    # decode coefficient blocks
-    coefs = {cs: [] for cs, *_ in order}
+    # decode coefficient blocks into (rows, cols, 64) DEQUANTIZED grids
+    grids = {
+        cs: np.zeros((my * v, mx * h, 64), dtype=np.int64)
+        for cs, h, v, *_ in order
+    }
     seg_i = 0
     reader = _BitReader(segs[0])
     pred = {cs: 0 for cs, *_ in order}
@@ -1029,8 +1019,9 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
                     return None
                 reader = _BitReader(segs[seg_i])
                 pred = {cs: 0 for cs, *_ in order}
+            mcy, mcx = divmod(mcu, mx)
             for cs, h, v, q, dct, act in order:
-                for _ in range(h * v):
+                for bi in range(h * v):
                     blk = np.zeros(64, dtype=np.int32)
                     s = reader.decode(dct)
                     if s > 15:  # corrupt table: size beyond baseline range
@@ -1052,28 +1043,32 @@ def _jpeg_scan(payload, pos, frame, scomp, qt, huff, restart):
                             return None
                         blk[k] = _extend(reader.receive(sz), sz)
                         k += 1
-                    coefs[cs].append(blk * q)
+                    grids[cs][mcy * v + bi // h, mcx * h + bi % h] = blk * q
     except (EOFError, ValueError, IndexError, OverflowError):
         return None
-    # batched IDCT + plane assembly per component
+    return _grids_to_image(
+        [(grids[cs], h, v) for cs, h, v, *_ in order], hh, ww, hmax, vmax
+    )
+
+
+def _grids_to_image(grid_specs, hh, ww, hmax, vmax):
+    """Shared back half of both JPEG decode paths: DEQUANTIZED zigzag
+    coefficient grids (rows, cols, 64) → batched orthonormal IDCT →
+    vectorized plane assembly → chroma upsample → crop → YCbCr→RGB.
+    ``grid_specs`` is a list of (grid, h, v) per component."""
     planes = []
-    for cs, h, v, q, _, _ in order:
-        blocks = np.stack(coefs[cs]).reshape(-1, 64)
+    for grid, h, v in grid_specs:
+        by, bx = grid.shape[0], grid.shape[1]
+        blocks = grid.reshape(-1, 64).astype(np.float64)
         mat = np.zeros((blocks.shape[0], 8, 8), dtype=np.float64)
         mat[:, _ZZ_ROWS, _ZZ_COLS] = blocks
         spatial = np.einsum("ij,njk,kl->nil", _DCT_A.T, mat, _DCT_A) + 128.0
         spatial = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-        # blocks are MCU-major, row-major h×v inside each MCU
-        plane = np.zeros((my * v * 8, mx * h * 8), dtype=np.uint8)
-        bi = 0
-        for mcu in range(mx * my):
-            mcy, mcx = divmod(mcu, mx)
-            for bv in range(v):
-                for bh in range(h):
-                    y0 = (mcy * v + bv) * 8
-                    x0 = (mcx * h + bh) * 8
-                    plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
-                    bi += 1
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         plane = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
         planes.append(plane[:hh, :ww])
     if len(planes) == 1:
@@ -1171,6 +1166,8 @@ def _jpeg_coef_grids(img, quant: int, sampling: tuple[int, int]):
     h, w, c = img.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("JPEG dimensions are 16-bit: max 65535")
     if c == 3:
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
@@ -1634,31 +1631,39 @@ def encode_jpeg_progressive(
                         eobrun = _emit_eobrun(bw, ac_code, eobrun, pending)
                     continue
                 eobrun = _emit_eobrun(bw, ac_code, eobrun, pending)
-                run = 0  # run of zero-HISTORY zero-now positions
-                corr: list = []  # correction bits since the last token
-                for i in range(newsig[-1] + 1):
-                    v = vals[i]
-                    a = abs(v)
-                    if a > 1:  # already significant: correction bit
-                        corr.append(a & 1)
-                    elif a == 1:  # newly significant: token
-                        while run > 15:
-                            code, ln = ac_code[0xF0]
-                            bw.write(code, ln)
-                            for bit in corr:
-                                bw.write(bit, 1)
-                            corr = []
-                            run -= 16
-                        code, ln = ac_code[(run << 4) | 1]
+                # emit tokens by SIMULATING the decoder's walk: each
+                # token (run, s=1) or ZRL spans a window of positions,
+                # and the correction bits that follow it belong ONLY to
+                # the already-significant coefficients inside that
+                # window — flushing later bits early desyncs the stream
+                last_new = newsig[-1]
+                i = 0
+                while i <= last_new:
+                    target = i
+                    while abs(vals[target]) != 1:
+                        target += 1
+                    zeros = sum(1 for j in range(i, target) if vals[j] == 0)
+                    while zeros > 15:
+                        code, ln = ac_code[0xF0]
                         bw.write(code, ln)
-                        bw.write(1 if v > 0 else 0, 1)
-                        for bit in corr:
-                            bw.write(bit, 1)
-                        corr = []
-                        run = 0
-                    else:
-                        run += 1
-                if newsig[-1] < se - ss:
+                        cnt = 0  # ZRL window: 16 zero-history positions
+                        while cnt < 16:
+                            a = abs(vals[i])
+                            if a > 1:
+                                bw.write(a & 1, 1)
+                            else:
+                                cnt += 1
+                            i += 1
+                        zeros -= 16
+                    code, ln = ac_code[(zeros << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if vals[target] > 0 else 0, 1)
+                    while i <= target:
+                        a = abs(vals[i])
+                        if a > 1:
+                            bw.write(a & 1, 1)
+                        i += 1
+                if last_new < se - ss:
                     # band tail: this block starts (or joins) an EOB run;
                     # its remaining correction bits ride the run buffer
                     eobrun += 1
@@ -1903,6 +1908,7 @@ def decode_tiff(payload: bytes):
     comp = one(259, 1)
     planar = one(284, 1)
     predictor = one(317, 1)
+    photometric = one(262, 1 if spp == 1 else 2)
     bits = values(258, [8])
     offsets = values(273)
     counts = values(279)
@@ -1915,6 +1921,12 @@ def decode_tiff(payload: bytes):
         or planar != 1
         or predictor != 1
         or comp not in (1, 5, 32773)
+        # photometric must MATCH the sample layout: 0/1 = grayscale
+        # (WhiteIsZero inverted below), 2 = RGB(A); palette (3) and
+        # the separation/YCbCr spaces are out of scope -> None, never
+        # raw index values masquerading as gray pixels
+        or (spp == 1 and photometric not in (0, 1))
+        or (spp > 1 and photometric != 2)
         or not bits
         or any(b != 8 for b in bits)
         or not offsets
@@ -1943,7 +1955,10 @@ def decode_tiff(payload: bytes):
         remaining -= strip_rows
     if remaining != 0:
         return None
-    return np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+    img = np.frombuffer(bytes(out), np.uint8).reshape(h, w, spp)
+    if photometric == 0:  # WhiteIsZero: min value is white → invert
+        img = 255 - img
+    return np.ascontiguousarray(img)
 
 
 def encode_tiff(img, compression: int = 1, rows_per_strip: int = 8) -> bytes:
@@ -2026,11 +2041,10 @@ def encode_tiff(img, compression: int = 1, rows_per_strip: int = 8) -> bytes:
         out += cnt.to_bytes(4, "little")
         size = _TIFF_TYPE_SIZES[typ]
         if size * cnt <= 4:
-            out += int(val).to_bytes(size, "little") * (1 if cnt == 1 else 0) or b""
-            if cnt == 1:
-                out += b"\x00" * (4 - size)
-            else:  # small arrays inline (bits for spp<=2) — not used
-                out += b"\x00" * (4 - size * cnt)
+            # every inline entry this writer emits is single-valued
+            # (multi-value arrays always exceed 4 bytes for spp 1/3/4)
+            assert cnt == 1, "inline multi-value IFD entries unsupported"
+            out += int(val).to_bytes(size, "little") + b"\x00" * (4 - size)
         else:
             out += int(val).to_bytes(4, "little")
     out += b"\x00\x00\x00\x00"  # no next IFD

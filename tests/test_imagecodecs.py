@@ -781,3 +781,99 @@ def test_tiff_flows_through_multimodal(spark):
     assert resized[:4] == b"II*\x00"  # TIFF in -> TIFF out
     thumb = decode_image_pixels(resized)
     assert thumb is not None and (thumb == 99).all()
+
+
+# ------------------------------------------------ review regressions
+
+
+def test_gif_truncated_gce_returns_none():
+    """Truncated-GCE payloads must return None, not IndexError — the
+    return-None-never-crash contract (round-6 review finding)."""
+    assert decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x21\xf9\x04") is None
+    assert decode_gif(b"GIF89a" + b"\x00" * 7 + b"\x21\xf9\x04\x01") is None
+
+
+def test_jpeg_fill_bytes_between_segments_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker — the decoder must skip them, not desync."""
+    img = rng().integers(0, 256, (16, 16, 3), np.uint8)
+    data = bytearray(encode_jpeg(img))
+    i = data.index(b"\xff\xdb")
+    data[i:i] = b"\xff\xff"  # two fill bytes before DQT
+    out = decode_jpeg(bytes(data))
+    assert out is not None and out.shape == (16, 16, 3)
+
+
+def test_encoders_reject_dims_over_u16_with_valueerror():
+    with pytest.raises(ValueError, match="65535"):
+        encode_gif(np.zeros((1, 70000, 3), np.uint8))
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((70000, 1, 3), np.uint8))
+
+
+def test_progressive_refine_zrl_window_alignment():
+    """The AC-refinement encoder must scope correction bits to each
+    token's 16-zero-history window (review finding: a block with >=16
+    zero-history zeros, then an already-significant coefficient, then
+    a newly-significant one desynced the stream). High-quant noise
+    reliably produces this coefficient shape."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_jpeg_progressive,
+    )
+
+    r = rng()
+    for q in (32, 64, 80):
+        for _ in range(10):
+            img = r.integers(0, 256, (24, 24, 3), np.uint8)
+            seq = decode_jpeg(encode_jpeg(img, quant=q))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quant=q, band_split=1)
+            )
+            assert prog is not None and np.array_equal(prog, seq), q
+
+
+def test_gif_frames_aggregate_memory_bound():
+    """A small payload declaring a huge canvas with many frames must
+    reject on the AGGREGATE frames x canvas budget, not just the frame
+    count (executor-OOM bomb guard)."""
+    import struct
+
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    gct = bytes(6)  # 2-entry palette
+    one_px = bytearray()
+    one_px += bytes([0x2C]) + struct.pack("<4H", 0, 0, 1, 1) + bytes([0, 2])
+    lzw = _lzw_encode(b"\x00", 2)
+    one_px += bytes([len(lzw)]) + lzw + bytes([0])
+    # 8192 x 8192 canvas (passes _MAX_PIXELS) x 200 one-pixel frames
+    p = bytearray(b"GIF89a" + struct.pack("<HH", 8192, 8192) + bytes([0x80, 0, 0]) + gct)
+    for _ in range(200):
+        p += one_px
+    p += bytes([0x3B])
+    assert decode_gif_frames(bytes(p)) is None
+
+
+def test_tiff_photometric_semantics():
+    """WhiteIsZero grayscale inverts; palette photometric rejects
+    (review finding: silent index-as-gray corruption)."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    t = bytearray(encode_tiff(np.full((4, 4, 1), 100, np.uint8)))
+    ifd = int.from_bytes(t[4:8], "little")
+    cnt = int.from_bytes(t[ifd : ifd + 2], "little")
+    photo_off = None
+    for k in range(cnt):
+        e = ifd + 2 + 12 * k
+        if int.from_bytes(t[e : e + 2], "little") == 262:
+            photo_off = e + 8
+    t[photo_off] = 0  # WhiteIsZero
+    out = decode_tiff(bytes(t))
+    assert out is not None and int(out[0, 0, 0]) == 155
+    t[photo_off] = 3  # palette: out of scope, must reject
+    assert decode_tiff(bytes(t)) is None
