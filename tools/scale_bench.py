@@ -112,6 +112,13 @@ HEAVY = [
     # disjoint-user replica corpus).
     "ewma_smooth",
     "capped_balance",
+    # Round 6: the four-format native image decode (PPM + LZW-GIF +
+    # baseline-JPEG + PackBits-TIFF through mapInPandas). A per-payload
+    # kernel's honest shape is cost ∝ rows (ratio ≈ data factor); the
+    # figure that must stay flat is per-payload cost. The 95-color
+    # encode LUT is driver-built once and broadcast — invariant to
+    # corpus size.
+    "multimodal_decode_roundtrip",
 ]
 
 REPLICA_STRIDE = 10_000_000
