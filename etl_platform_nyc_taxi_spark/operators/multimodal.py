@@ -217,8 +217,30 @@ def sniff_video_header(
         return (None, None, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         # AVI: avih sits in LIST hdrl near the start, inside any probe
-        # window — find the chunk id and read dims + frame timing
-        i = payload.find(b"avih")
+        # window. Walk the RIFF chunk structure to reach it — a raw
+        # byte search for the 4cc could match those bytes inside
+        # unrelated chunk DATA (e.g. JPEG frame bytes once the window
+        # reaches movi) and return garbage dims/duration.
+        def _find_avih() -> int:
+            n = len(payload)
+            i = 12
+            while i + 8 <= n:
+                cid = payload[i : i + 4]
+                clen = int.from_bytes(payload[i + 4 : i + 8], "little")
+                if cid == b"LIST" and payload[i + 8 : i + 12] == b"hdrl":
+                    j, jend = i + 12, min(i + 8 + clen, n)
+                    while j + 8 <= jend:
+                        if payload[j : j + 4] == b"avih":
+                            return j
+                        slen = int.from_bytes(
+                            payload[j + 4 : j + 8], "little"
+                        )
+                        j += 8 + slen + (slen & 1)
+                    return -1  # hdrl walked, no avih: malformed
+                i += 8 + clen + (clen & 1)  # chunks are word-aligned
+            return -1
+
+        i = _find_avih()
         if i >= 0 and i + 48 <= len(payload):
             usec = int.from_bytes(payload[i + 8 : i + 12], "little")
             total = int.from_bytes(payload[i + 24 : i + 28], "little")

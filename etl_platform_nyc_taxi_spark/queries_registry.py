@@ -9746,8 +9746,9 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
              GREATEST(0.0, LEAST(100.0, r.bal + s.delta))
       FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1
     )
-    SELECT user_id, ts, event_id, ROUND(delta, 6) AS delta,
-           ROUND(bal, 6) AS balance
+    SELECT user_id, ts, event_id,
+           CAST(FLOOR(delta * 1000000.0 + 0.5) AS BIGINT) AS delta_micro,
+           CAST(FLOOR(bal * 1000000.0 + 0.5) AS BIGINT) AS balance_micro
     FROM r
     """,
 )
@@ -9758,7 +9759,12 @@ def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain cumsum clamped at the end answers a different question. Same
     applyInPandas scan skeleton as ewma_smooth
     (operators/scans.capped_running_sum_per_key); recursive-CTE
-    oracle."""
+    oracle. Compared surface quantizes to integer MICRO-UNITS via
+    floor(x*1e6 + 0.5), not ROUND — clamped balances over 2-dp inputs
+    land on exact decimal half-points where Spark's BigDecimal half-up
+    and DuckDB's multiply-round-divide legitimately disagree; the floor
+    form is the same IEEE sequence in both engines (also for negative
+    deltas: floor is identical, not symmetric-away-from-zero)."""
     from etl_platform_nyc_taxi_spark.operators.scans import (
         capped_running_sum_per_key,
     )
@@ -9772,12 +9778,15 @@ def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = capped_running_sum_per_key(
         e, "user_id", ["ts", "event_id"], "delta", lo=0.0, hi=100.0
     )
+    micro = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    )
     return out.select(
         "user_id",
         "ts",
         "event_id",
-        F.round("delta", 6).alias("delta"),
-        F.round("balance", 6).alias("balance"),
+        micro("delta").alias("delta_micro"),
+        micro("balance").alias("balance_micro"),
     )
 
 
@@ -10278,100 +10287,91 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 6).
+# Driver-verification window rotation (round 7).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-6 window = the allocation VERDICT r5 task 1
-# prescribes: 6 mandatory re-checks + 44 first-time names, ZERO slots
-# spent on new queries (registry growth frozen at 206 until the
-# never-sampled backlog clears -- VERDICT r5 task 2):
-#   * the six SS2-core veterans whose last driver green is r3
-#     (scan_project, daily_transactions, top5_zones, filter_range,
-#     union_slices, scalar_functions) -- the r4 "no green older than two
-#     rounds" rule fires for them this round;
-#   * all 44 of the 55 never-sampled names except the 11 lowest-risk
-#     single-table analytics deferred to r7 (listed below): the full
-#     TPC-H q4/q9/q11-q22 backlog block, the 14 r5-new queries that
-#     missed the r5 window (ewma_smooth, capped_balance,
-#     multimodal_decode_roundtrip, the format round-trips, ...), and
-#     the older attribution / SQL-pattern / streaming backlog.
-# After this window: never-sampled backlog 55 -> 11.
+# insertion order).  Round-7 window = the allocation VERDICT r6 task 1
+# prescribes -- clear the never-sampled backlog (11 -> 0) and re-green
+# the oldest stales; registry growth stays frozen at 206:
+#   * first-timers (11, the r6 deferrals -- after this window every
+#     registered query has at least one driver row);
+#   * the 10 r1-greens, the oldest stales in the registry (age 6);
+#   * 29 of the 44 remaining r3-greens, family-prioritized per the r6
+#     rotation comment (window/join/agg/streaming cores, then the
+#     dedup_* and text_* families, then multimodal/corpus stragglers).
 #
-# Round-7 plan (age table as of end of r5; window = 50 slots):
-#   * first-timers (11, the r6 deferrals): regression_price_qty,
-#     moving_average_hourly, top_percent_orders, embedding_dim_stats,
-#     corpus_diff, surrogate_keys, user_event_profile, table_inventory,
-#     weekday_seasonality, hourly_latency_bands, missing_id_ranges;
-#   * last green r1 (10, oldest stales): agg_cube, agg_grouping_sets,
-#     agg_rollup, agg_salted, explode_tokens, join_fact_fact,
-#     join_snowflake, pivot_event_counts, sessionize_events,
-#     sql_tpch_q1;
-#   * last green r3 (~54 remain after this window re-greens 6): fill
-#     the remaining ~29 slots oldest-first (window/join/agg/streaming
-#     families: window_lag_lead, window_running_sum,
-#     window_topk_per_group, join_anti, join_semi, join_salted,
-#     join_star_dims, agg_family, streaming_daily_counts,
-#     streaming_dedup, the dedup_* and text_* families, ...), leaving
-#     ~25 r3-greens for r8.
+# Round-8 plan (age table as of end of r6, tools/window_age.py):
+#   * the 15 r3-greens deferred here: length_buckets,
+#     embedding_quantize, embedding_label_stats, doc_fingerprint,
+#     distinct_pairs, dataset_stratified, dataset_split, dataset_mix,
+#     corpus_top_ngrams, corpus_stats, corpus_shuffle, corpus_prepare,
+#     contamination_check, chunk_documents, cdc_latest_state;
+#   * then ~35 of the 41 r4-greens oldest-first (zscore_outliers,
+#     zorder_layout, winsorize_stats, window_time_range,
+#     window_distribution, vector_normalize, unpivot_metrics, the
+#     streaming_* r4 block, sql_tpch_q5/q10/q18, ...), leaving the
+#     remainder + the r5/r6 greens for r9.
 # Steady-state honesty: with 206 queries and a 50-slot window, full
-# re-green cadence is ceil(206/50) = 5 rounds once the backlog is gone;
-# priority order is first-timers, then oldest-green, per VERDICT r5.
+# re-green cadence is ceil(206/50) = 5 rounds; priority order is
+# first-timers (none remain after r7), then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
-    # Re-checks: SS2-core veterans, last driver green r3 (two-round rule):
-    "scan_project",
-    "daily_transactions",
-    "top5_zones",
-    "filter_range",
-    "union_slices",
-    "scalar_functions",
-    # First-timers: TPC-H backlog block (never driver-sampled):
-    "sql_tpch_q4",
-    "sql_tpch_q9",
-    "sql_tpch_q11",
-    "sql_tpch_q12",
-    "sql_tpch_q13",
-    "sql_tpch_q15",
-    "sql_tpch_q16",
-    "sql_tpch_q17",
-    "sql_tpch_q19",
-    "sql_tpch_q20",
-    "sql_tpch_q22",
-    # First-timers: r5-new queries that missed the r5 window:
-    "ewma_smooth",
-    "capped_balance",
-    "multimodal_decode_roundtrip",
-    "chi2_independence",
-    "neyman_allocation",
-    "dedup_survivor_weights",
-    "join_asof_forward_tol",
-    "attribution_time_decay",
-    "sequence_pattern_counts",
-    "orc_roundtrip_scan",
-    "csv_quarantine_stats",
-    "json_roundtrip_extract",
-    "topk_with_other_bucket",
-    "dq_freshness_lag",
-    # First-timers: older never-sampled backlog:
-    "weighted_sample_pps",
-    "sql_exists_late_ship",
-    "streaming_cdc_apply",
-    "label_centroid_sim",
-    "sql_scalar_subquery",
-    "dq_referential",
-    "first_touch_attribution",
-    "time_to_convert",
-    "market_concentration",
-    "abc_classification",
-    "dedup_containment",
-    "streaming_error_monitor",
-    "sql_lateral_topn",
-    "window_value_family",
-    "twap_daily",
-    "ks_drift",
-    "gini_by_nation",
-    "attribution_linear",
-    "sql_relational_division",
+    # First-timers (never driver-sampled; the r6 deferrals):
+    "regression_price_qty",
+    "moving_average_hourly",
+    "top_percent_orders",
+    "embedding_dim_stats",
+    "corpus_diff",
+    "surrogate_keys",
+    "user_event_profile",
+    "table_inventory",
+    "weekday_seasonality",
+    "hourly_latency_bands",
+    "missing_id_ranges",
+    # Oldest stales: last driver green r1 (age 6):
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_salted",
+    "explode_tokens",
+    "join_fact_fact",
+    "join_snowflake",
+    "pivot_event_counts",
+    "sessionize_events",
+    "sql_tpch_q1",
+    # Last green r3 (age 4), family-prioritized -- window/join/agg cores:
+    "window_lag_lead",
+    "window_running_sum",
+    "window_topk_per_group",
+    "join_anti",
+    "join_semi",
+    "join_salted",
+    "join_star_dims",
+    "agg_family",
+    "streaming_daily_counts",
+    "streaming_dedup",
+    # Last green r3 -- dedup family:
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_image",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    # Last green r3 -- text family:
+    "text_stats",
+    "text_repetition",
+    "text_quality_filter",
+    "text_pii_redact",
+    "text_language_id",
+    "tfidf_terms",
+    # Last green r3 -- multimodal / sequence / ANN / SS2 stragglers:
+    "multimodal_meta",
+    "multimodal_frames",
+    "pack_sequences",
+    "daily_transactions_day",
+    "ann_lsh",
+    "ann_cosine_topk",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -121,6 +121,36 @@ def execute_statement(spark: SparkSession, cfg: JdbcConfig, sql: str) -> None:
         conn.close()
 
 
+def execute_statements_txn(
+    spark: SparkSession, cfg: JdbcConfig, sqls: list[str]
+) -> None:
+    """Run several DML statements as ONE transaction (autocommit off,
+    explicit commit; rollback on any failure). This is what makes the
+    staged upsert's DELETE+INSERT atomic: a crash between the two can no
+    longer leave the key window deleted-but-not-reinserted until a replay
+    heals it, and a reader never observes the half-applied state."""
+    jvm = spark._jvm  # noqa: SLF001 — sanctioned Py4J escape hatch
+    jvm.java.lang.Class.forName(cfg.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try:
+        conn.setAutoCommit(False)
+        stmt = conn.createStatement()
+        try:
+            for sql in sqls:
+                stmt.execute(sql)
+            conn.commit()
+        except Exception:
+            try:
+                conn.rollback()
+            except Exception:
+                pass  # original failure is the one to surface
+            raise
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc_upsert(
     df: DataFrame,
     cfg: JdbcConfig,
@@ -146,12 +176,23 @@ def write_jdbc_upsert(
 DEFAULT_STAGING_KEY_THRESHOLD = 1000
 
 
+#: Width for string KEY columns on the staging table. Spark's Derby
+#: dialect maps StringType to CLOB and Derby rejects ``=`` comparisons on
+#: CLOB, so the DELETE..WHERE EXISTS key match would throw; pinning the
+#: staging key columns to VARCHAR fixes that on Derby and is a no-op
+#: semantically on Postgres. Key values longer than this are rejected at
+#: write time by the database rather than silently truncated.
+DEFAULT_STRING_KEY_WIDTH = 4096
+
+
 def write_jdbc_upsert_staged(
     df: DataFrame,
     cfg: JdbcConfig,
     table: str,
     key_cols: list[str],
     stage_table: str | None = None,
+    batch_id: int | None = None,
+    string_key_width: int = DEFAULT_STRING_KEY_WIDTH,
 ) -> None:
     """Many-key idempotent upsert: write ``df`` to a staging table, then
     one set-based ``DELETE ... WHERE EXISTS`` + ``INSERT ... SELECT`` —
@@ -161,18 +202,56 @@ def write_jdbc_upsert_staged(
 
     ``WHERE EXISTS`` (not Postgres-only ``DELETE ... USING``) keeps the
     statement portable across Derby and Postgres; the key match is
-    null-safe. Replays converge exactly like :func:`write_jdbc_upsert`:
-    the staging overwrite, delete, and insert are all idempotent per
-    batch. Primary consumer: the streaming keyed sink
+    null-safe, and string key columns are pinned to
+    ``VARCHAR(string_key_width)`` on the staging write (Derby's default
+    StringType mapping is CLOB, which its ``=`` operator rejects).
+    DELETE and INSERT run in ONE transaction
+    (:func:`execute_statements_txn`), so no reader or crash window ever
+    sees the key window deleted without its replacement rows.
+
+    The staging name is unique per invocation — ``{table}_stg_{batch_id}``
+    when the caller supplies a batch id (a replayed batch then reuses and
+    overwrites ITS OWN stage), else a random suffix — so two concurrent
+    writers to the same target cannot clobber each other's stage
+    mid-flight. The stage is dropped in ``finally``; a hard crash can
+    orphan one, which is harmless (unique names never collide with a
+    later run) but worth a periodic ``DROP`` sweep on long-lived targets.
+
+    Replays converge exactly like :func:`write_jdbc_upsert`: the staging
+    overwrite, delete, and insert are all idempotent per batch. Primary
+    consumer: the streaming keyed sink
     (streaming/jdbc_sink.stream_upsert_jdbc) above its key threshold.
     """
+    import uuid
+
+    from pyspark.sql.types import StringType
+
     spark = df.sparkSession
-    stage = stage_table or f"{table}_stg"
+    if stage_table is not None:
+        stage = stage_table
+    elif batch_id is not None:
+        stage = f"{table}_stg_{batch_id:x}"
+    else:
+        stage = f"{table}_stg_{uuid.uuid4().hex[:10]}"
+    writer = df.coalesce(cfg.num_partitions).write.format("jdbc").options(
+        dbtable=stage, **cfg.options()
+    )
+    string_keys = [
+        f.name
+        for f in df.schema.fields
+        if f.name in key_cols and isinstance(f.dataType, StringType)
+    ]
+    if string_keys:
+        # Parsed by Spark's DDL parser — backtick-quote the identifiers.
+        writer = writer.option(
+            "createTableColumnTypes",
+            ", ".join(
+                f"`{c}` VARCHAR({string_key_width})" for c in string_keys
+            ),
+        )
     # mode=overwrite drops and recreates the staging table from the
     # frame's schema — also what makes a replayed batch start clean.
-    df.coalesce(cfg.num_partitions).write.format("jdbc").options(
-        dbtable=stage, **cfg.options()
-    ).mode("overwrite").save()
+    writer.mode("overwrite").save()
     match = " AND ".join(
         f'({table}."{c}" = s."{c}"'
         f' OR ({table}."{c}" IS NULL AND s."{c}" IS NULL))'
@@ -180,22 +259,20 @@ def write_jdbc_upsert_staged(
     )
     cols = ", ".join(f'"{c}"' for c in df.columns)
     try:
-        execute_statement(
+        execute_statements_txn(
             spark,
             cfg,
-            f"DELETE FROM {table} WHERE EXISTS"
-            f" (SELECT 1 FROM {stage} s WHERE {match})",
-        )
-        execute_statement(
-            spark,
-            cfg,
-            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+            [
+                f"DELETE FROM {table} WHERE EXISTS"
+                f" (SELECT 1 FROM {stage} s WHERE {match})",
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+            ],
         )
     finally:
         try:
             execute_statement(spark, cfg, f"DROP TABLE {stage}")
         except Exception:
-            pass  # leftover staging table is rebuilt (overwrite) next run
+            pass  # orphaned stage is unique-named; never collides later
 
 
 def upsert_sql_postgres(

@@ -58,7 +58,7 @@ class CdcState:
         # (_COMMITTED) because Spark's _SUCCESS is optional
         # (marksuccessfuljobs=false is common with cloud committers);
         # _SUCCESS is accepted too for state dirs written before r6.
-        gens = []
+        marked, unmarked = [], []
         for name in os.listdir(state_dir):
             if name.startswith("gen="):
                 try:
@@ -69,8 +69,33 @@ class CdcState:
                 if os.path.isfile(
                     os.path.join(d, self._MARKER)
                 ) or os.path.isfile(os.path.join(d, "_SUCCESS")):
-                    gens.append(g)
-        self.gen = max(gens, default=0)
+                    marked.append(g)
+                else:
+                    unmarked.append(g)
+        if marked:
+            self.gen = max(marked)
+        elif unmarked:
+            # Legacy pre-marker state dir (ADVICE r6): written before the
+            # marker scheme, under marksuccessfuljobs=false, so NO gen has
+            # either marker — yet its committed state must not be dropped
+            # as torn. Safe to distinguish from a torn write because any
+            # post-upgrade write leaves a marked gen (handled above);
+            # here, adopt the highest gen that VALIDATES as readable
+            # parquet and backfill _COMMITTED once. A torn legacy tail
+            # (unreadable) falls through to the next lower gen.
+            self.gen = 0
+            for g in sorted(unmarked, reverse=True):
+                d = self._gen_path(g)
+                try:
+                    self.spark.read.parquet(d).schema  # footer validation
+                except Exception:
+                    continue
+                with open(os.path.join(d, self._MARKER), "w"):
+                    pass
+                self.gen = g
+                break
+        else:
+            self.gen = 0
 
     def _gen_path(self, gen: int) -> str:
         return os.path.join(self.state_dir, f"gen={gen}")

@@ -145,7 +145,9 @@ def stream_upsert_jdbc(
         if not keys:
             return
         if len(keys) > staging_key_threshold:
-            upsert_via_staging(batch, cfg, table, key_cols)
+            # batch_id-derived staging name: a REPLAYED batch reuses and
+            # overwrites its own stage; distinct batches never collide.
+            upsert_via_staging(batch, cfg, table, key_cols, batch_id=batch_id)
         else:
             write_jdbc_upsert(batch, cfg, table, keys_predicate(keys, key_cols))
 

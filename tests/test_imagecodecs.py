@@ -437,6 +437,42 @@ def test_sniff_video_header_avi(spark):
     assert meta["duration_ms"] == 200
 
 
+def test_sniff_video_header_avi_ignores_avih_bytes_in_chunk_data():
+    """ADVICE r6: the sniffer must walk the RIFF chunk structure, not
+    raw-search for the 'avih' 4cc — those four bytes can occur inside
+    unrelated chunk DATA (here: a JUNK chunk before hdrl, standing in
+    for JPEG frame bytes in movi) and would yield garbage dims."""
+    from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
+        encode_avi_mjpeg,
+    )
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        sniff_video_header,
+    )
+
+    frames = [encode_jpeg(np.full((12, 20, 3), 99, np.uint8))] * 5
+    avi = encode_avi_mjpeg(frames, fps=25)
+    # splice a JUNK chunk containing a decoy 'avih' between the RIFF
+    # header and the original chunk stream; fix up the RIFF size field
+    decoy = b"avih" + b"\xff" * 44  # garbage "header" a raw find hits
+    junk = b"JUNK" + len(decoy).to_bytes(4, "little") + decoy
+    body = avi[12:]
+    spliced = (
+        b"RIFF"
+        + (4 + len(junk) + len(body)).to_bytes(4, "little")
+        + b"AVI "
+        + junk
+        + body
+    )
+    assert spliced.find(b"avih") < spliced.find(b"LIST")  # decoy is first
+    assert sniff_video_header(spliced) == ("avi", 20, 12, 200)
+    # malformed: hdrl list with no avih inside → format-only answer
+    nohdr = (
+        b"RIFF" + (4 + 12).to_bytes(4, "little") + b"AVI "
+        + b"LIST" + (8).to_bytes(4, "little") + b"hdrl" + b"\x00" * 4
+    )
+    assert sniff_video_header(nohdr) == ("avi", None, None, None)
+
+
 # ------------------------------------------------------- animated GIF
 
 

@@ -227,8 +227,14 @@ def test_streaming_upsert_many_keys_uses_staging_path(spark, cfg, tmp_path):
     assert calls["staging"] >= 1  # the 20-key batch staged
     got = {r["k"]: r["cnt"] for r in read_jdbc(spark, cfg, "many_keys").collect()}
     assert got == {k: (2 if k < 5 else 1) for k in range(20)}
-    # staging table dropped after the upsert
-    assert not table_exists(spark, cfg, "many_keys_stg")
+    # staging tables (unique-named per invocation) all dropped afterwards
+    leftover = read_jdbc(
+        spark,
+        cfg,
+        "(SELECT TABLENAME FROM SYS.SYSTABLES"
+        " WHERE TABLENAME LIKE 'MANY_KEYS_STG%') q",
+    ).collect()
+    assert leftover == []
 
     # full replay, fresh checkpoint: identical state, no PK violation
     jdbc_sink.stream_upsert_jdbc(
@@ -254,6 +260,41 @@ def test_upsert_via_staging_null_safe_keys(spark, cfg):
     upsert_via_staging(batch, cfg, "nullk", ["k"])  # replay
     got = {(r["k"], r["v"]) for r in read_jdbc(spark, cfg, "nullk").collect()}
     assert got == {(None, 1), (7, 2)}
+
+
+def test_upsert_via_staging_string_keys_derby(spark, cfg):
+    """ADVICE r6: Spark's Derby dialect creates staging STRING columns as
+    CLOB, and Derby rejects ``=`` on CLOB — so without the VARCHAR pin on
+    the staging write, a string-keyed staged upsert throws at the
+    DELETE..WHERE EXISTS. Pin + replay-convergence, end to end."""
+    from etl_platform_nyc_taxi_spark.streaming.jdbc_sink import upsert_via_staging
+
+    ensure_table(spark, cfg, "strk", '"name" VARCHAR(64) PRIMARY KEY, "v" INTEGER')
+    batch = spark.createDataFrame(
+        [("alice", 1), ("bob", 2)], "name string, v int"
+    )
+    upsert_via_staging(batch, cfg, "strk", ["name"])
+    upsert_via_staging(batch, cfg, "strk", ["name"])  # replay: converges
+    batch2 = spark.createDataFrame([("alice", 9)], "name string, v int")
+    upsert_via_staging(batch2, cfg, "strk", ["name"])  # keyed update
+    got = {(r["name"], r["v"]) for r in read_jdbc(spark, cfg, "strk").collect()}
+    assert got == {("alice", 9), ("bob", 2)}
+
+
+def test_upsert_via_staging_atomic_on_insert_failure(spark, cfg):
+    """ADVICE r6: DELETE and INSERT run in ONE transaction. If the INSERT
+    fails (here: the batch itself violates the target PK), the DELETE
+    must roll back — the pre-existing row survives instead of the key
+    window being left deleted until a replay heals it."""
+    from etl_platform_nyc_taxi_spark.streaming.jdbc_sink import upsert_via_staging
+
+    ensure_table(spark, cfg, "atomik", '"k" INTEGER PRIMARY KEY, "v" INTEGER')
+    execute_statement(spark, cfg, "INSERT INTO atomik VALUES (1, 0)")
+    bad = spark.createDataFrame([(1, 5), (1, 6)], "k int, v int")  # dup key
+    with pytest.raises(Exception):
+        upsert_via_staging(bad, cfg, "atomik", ["k"])
+    got = read_jdbc(spark, cfg, "atomik").collect()
+    assert len(got) == 1 and got[0]["k"] == 1 and got[0]["v"] == 0
 
 
 def test_upsert_subsecond_timestamp_key_replay_converges(spark, cfg):

@@ -965,3 +965,37 @@ def test_cdc_state_resume_skips_torn_generation(spark, tmp_path):
     os.remove(os.path.join(state_dir, "gen=2", "_SUCCESS"))
     s3 = CdcState(spark, state_dir)
     assert s3.gen == 2  # _COMMITTED alone is enough
+
+
+def test_cdc_state_resume_legacy_markerless_generation(spark, tmp_path):
+    """ADVICE r6: a pre-upgrade state dir written with
+    marksuccessfuljobs=false has NEITHER _COMMITTED nor _SUCCESS on any
+    gen; its committed state must be adopted (readable parquet →
+    backfill _COMMITTED), not silently dropped as torn. A torn legacy
+    TAIL (unreadable parquet) still falls back to the next lower gen."""
+    import os
+
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+
+    state_dir = str(tmp_path / "state")
+    schema = "event_id long, user_id long, ts timestamp"
+    df = spark.createDataFrame([(1, 10, dt.datetime(2024, 1, 1))], schema)
+    # legacy layout: real parquet in gen=3, no markers anywhere
+    df.write.parquet(os.path.join(state_dir, "gen=3"))
+    for m in ("_SUCCESS", "_COMMITTED"):
+        p = os.path.join(state_dir, "gen=3", m)
+        if os.path.isfile(p):
+            os.remove(p)
+    # torn legacy tail: gen=4 with a garbage part file
+    torn = os.path.join(state_dir, "gen=4")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00\x01torn")
+
+    s = CdcState(spark, state_dir)
+    assert s.gen == 3  # legacy-committed adopted, torn tail skipped
+    assert [r["event_id"] for r in s.read().collect()] == [1]
+    # marker backfilled once: a second init takes the fast path
+    assert os.path.isfile(os.path.join(state_dir, "gen=3", "_COMMITTED"))
+    s2 = CdcState(spark, state_dir)
+    assert s2.gen == 3
