@@ -86,9 +86,33 @@ def sniff_image_header(
       offsets 3 and 5 inside the segment.
     * TIFF: ``II*\\0``/``MM\\0*``, first-IFD walk for tags 256/257 (dims
       None when the IFD sits past the probe window).
+    * WebP: ``RIFF``<size>``WEBP``, then the first chunk's layout per
+      the public container spec — ``VP8X`` (24-bit LE canvas dims − 1
+      at payload offsets 4/7), ``VP8L`` (14-bit packed dims − 1 after
+      the 0x2F signature), or lossy ``VP8 `` (u16le dims after the
+      9D 01 2A sync code). The pixel DECODE for WebP stays with the
+      optional PIL fallback (see image_features) — sniffing the
+      container is pure byte layout and belongs here.
     """
     if not payload or len(payload) < 10:
         return (None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        cid = payload[12:16]
+        if cid == b"VP8X" and len(payload) >= 30:
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return ("webp", w, h)
+        if cid == b"VP8L" and len(payload) >= 25 and payload[20] == 0x2F:
+            bits = int.from_bytes(payload[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return ("webp", w, h)
+        if cid == b"VP8 " and len(payload) >= 30:
+            if payload[23:26] == b"\x9d\x01\x2a":
+                w = int.from_bytes(payload[26:28], "little") & 0x3FFF
+                h = int.from_bytes(payload[28:30], "little") & 0x3FFF
+                return ("webp", w or None, h or None)
+        return ("webp", None, None)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         if len(payload) >= 24 and payload[12:16] == b"IHDR":
             w = int.from_bytes(payload[16:20], "big")
@@ -164,6 +188,12 @@ def sniff_audio_header(
     """
     if not payload or len(payload) < 12:
         return (None, None)
+    if payload[:4] == b"OggS":
+        # Ogg container: format is certain from the capture pattern;
+        # duration would need the LAST page's granule position (file
+        # tail, outside a header probe) — honestly unknown here. The
+        # sample DECODE stays with the optional soundfile fallback.
+        return ("ogg", None)
     if payload[:4] == b"fLaC":
         # STREAMINFO is mandatory and first: rate is the 20 bits at bit
         # offset 80 of the block body, total samples the 36 bits at 108

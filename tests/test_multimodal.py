@@ -198,6 +198,44 @@ def test_sniff_image_header_parses_real_containers():
     assert sniff_image_header(b"\x89PNG\r\n\x1a\n\x00\x00") == ("png", None, None)
 
 
+def test_sniff_image_header_webp_all_three_chunk_layouts():
+    """WebP container sniffing (VERDICT r6 task 5: the capability
+    ceiling beyond the native decoders must still RECOGNIZE the
+    format): VP8X 24-bit canvas dims, VP8L 14-bit packed dims, lossy
+    VP8 u16le dims after the 9D 01 2A sync — all per the public spec.
+    Decode stays with the PIL fallback; only the byte layout is read."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_image_header
+
+    def le(v, n):
+        return v.to_bytes(n, "little")
+
+    vp8x = (
+        b"RIFF" + le(22, 4) + b"WEBP" + b"VP8X" + le(10, 4)
+        + b"\x00" * 4 + le(639, 3) + le(479, 3)
+    )
+    assert sniff_image_header(vp8x) == ("webp", 640, 480)
+    bits = (31) | (15 << 14)  # 32x16 - 1, 14-bit packed
+    vp8l = (
+        b"RIFF" + le(17, 4) + b"WEBP" + b"VP8L" + le(5, 4)
+        + b"\x2f" + le(bits, 4)
+    )
+    assert sniff_image_header(vp8l) == ("webp", 32, 16)
+    vp8 = (
+        b"RIFF" + le(22, 4) + b"WEBP" + b"VP8 " + le(10, 4)
+        + b"\x00" * 3 + b"\x9d\x01\x2a" + le(800, 2) + le(600, 2)
+    )
+    assert sniff_image_header(vp8) == ("webp", 800, 600)
+    # unknown first chunk / truncation: format known, dims unknown
+    unk = b"RIFF" + le(20, 4) + b"WEBP" + b"XXXX" + b"\x00" * 8
+    assert sniff_image_header(unk) == ("webp", None, None)
+    assert sniff_image_header(vp8x[:20]) == ("webp", None, None)
+    # lossy chunk without the sync code: no dim guess
+    nosync = (
+        b"RIFF" + le(22, 4) + b"WEBP" + b"VP8 " + le(10, 4) + b"\x00" * 10
+    )
+    assert sniff_image_header(nosync) == ("webp", None, None)
+
+
 def test_attach_media_meta_fills_dims_from_real_headers(spark):
     rows = [
         (1, _png_bytes(640, 480)),
@@ -245,6 +283,10 @@ def test_sniff_audio_header_parses_real_wav():
     assert sniff_audio_header(b"RIFF\x00\x00\x00\x00WAVE") == ("wav", None)
     assert sniff_audio_header(b"not audio") == (None, None)
     assert sniff_audio_header(None) == (None, None)
+    # Ogg capture pattern: format certain, duration honestly unknown
+    # (it lives in the LAST page's granule position, past any header
+    # probe window) — the decode stays with the soundfile fallback.
+    assert sniff_audio_header(b"OggS" + b"\x00" * 60) == ("ogg", None)
 
 
 def test_sniff_audio_header_from_header_window_only():
