@@ -176,6 +176,27 @@ def write_jdbc_upsert(
 DEFAULT_STAGING_KEY_THRESHOLD = 1000
 
 
+def staged_upsert_sqls(
+    table: str, stage: str, key_cols: list[str], cols: list[str]
+) -> list[str]:
+    """The staged upsert's DELETE+INSERT statement pair (one transaction
+    via :func:`execute_statements_txn`). Exposed so the dialect tests
+    can run the EXACT statements against real engines (Derby in
+    tests/test_jdbc_e2e.py; real Postgres in tests/test_postgres_real.py
+    when the server binaries are present). Key match is null-safe."""
+    match = " AND ".join(
+        f'({table}."{c}" = s."{c}"'
+        f' OR ({table}."{c}" IS NULL AND s."{c}" IS NULL))'
+        for c in key_cols
+    )
+    collist = ", ".join(f'"{c}"' for c in cols)
+    return [
+        f"DELETE FROM {table} WHERE EXISTS"
+        f" (SELECT 1 FROM {stage} s WHERE {match})",
+        f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {stage}",
+    ]
+
+
 #: Width for string KEY columns on the staging table. Spark's Derby
 #: dialect maps StringType to CLOB and Derby rejects ``=`` comparisons on
 #: CLOB, so the DELETE..WHERE EXISTS key match would throw; pinning the
@@ -252,21 +273,11 @@ def write_jdbc_upsert_staged(
     # mode=overwrite drops and recreates the staging table from the
     # frame's schema — also what makes a replayed batch start clean.
     writer.mode("overwrite").save()
-    match = " AND ".join(
-        f'({table}."{c}" = s."{c}"'
-        f' OR ({table}."{c}" IS NULL AND s."{c}" IS NULL))'
-        for c in key_cols
-    )
-    cols = ", ".join(f'"{c}"' for c in df.columns)
     try:
         execute_statements_txn(
             spark,
             cfg,
-            [
-                f"DELETE FROM {table} WHERE EXISTS"
-                f" (SELECT 1 FROM {stage} s WHERE {match})",
-                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
-            ],
+            staged_upsert_sqls(table, stage, key_cols, df.columns),
         )
     finally:
         try:
@@ -288,8 +299,13 @@ def upsert_sql_postgres(
     per-batch statement does the same idempotent write in one round trip
     per row batch with no delete window; pass it to a JDBC batch
     executor with positional parameters. Generated SQL is validated
-    statement-level in tests/test_jdbc_dialect.py (executed under a
-    PG-grammar engine, not just string-compared)."""
+    statement-level in tests/test_jdbc_dialect.py (PG-grammar engine)
+    AND against a REAL PostgreSQL 15 server — actual ON CONFLICT
+    update/no-op behavior, staged-upsert transaction atomicity, TRUNCATE
+    PK survival, CAST literal round-trips — in
+    tests/test_postgres_real.py (skips when server binaries are absent;
+    the Spark JDBC WIRE path remains Derby-proven since no PG JDBC jar
+    ships in the sandbox)."""
     if not key_cols or not cols:
         raise ValueError("key_cols and cols must be non-empty")
     missing = [k for k in key_cols if k not in cols]
