@@ -24,12 +24,15 @@ companded WAV (:func:`_decode_wav_g711`), IMA ADPCM WAV, and full
 FLAC — CONSTANT/VERBATIM/FIXED/LPC subframes, partitioned Rice
 residuals, the four stereo decorrelations, CRC-8/16 verified
 (``operators.audiocodecs``) — feeding real feature / resize kernels.
-The REMAINING compressed containers (WebP/JPEG2000,
-OGG/MP3, non-MJPEG video) still need PIL/soundfile/ffmpeg, which
-are NOT in this environment; for those payloads the kernels fall back
-to a deterministic fake that preserves the exact UDF signature, batch
+Round 7 adds lossless WebP (VP8L) — prefix codes, LZ77 + color cache,
+all four transforms (``operators.webplossless``). The REMAINING
+compressed containers (lossy-VP8 WebP, JPEG2000, OGG/MP3, non-MJPEG
+video) still need PIL/soundfile/ffmpeg, which are NOT in this
+environment; for those payloads the kernels fall back to a
+deterministic fake that preserves the exact UDF signature, batch
 shape, and output schema, behind ``_HAVE_*`` gates that RAISE when a
-decoder appears so wiring it can't be forgotten.
+decoder appears so wiring it can't be forgotten. The fallback contract
+itself is driver-gated (queries_registry.multimodal_decode_fallback).
 """
 
 from __future__ import annotations
@@ -90,9 +93,9 @@ def sniff_image_header(
       the public container spec — ``VP8X`` (24-bit LE canvas dims − 1
       at payload offsets 4/7), ``VP8L`` (14-bit packed dims − 1 after
       the 0x2F signature), or lossy ``VP8 `` (u16le dims after the
-      9D 01 2A sync code). The pixel DECODE for WebP stays with the
-      optional PIL fallback (see image_features) — sniffing the
-      container is pure byte layout and belongs here.
+      9D 01 2A sync code). Lossless (VP8L) pixels decode natively
+      (``webplossless.decode_webp``); lossy-VP8 pixel decode stays
+      with the optional PIL fallback (see image_features).
     """
     if not payload or len(payload) < 10:
         return (None, None, None)
@@ -688,6 +691,9 @@ def decode_image_pixels(payload: bytes | None):
     * baseline TIFF, both byte orders, 8-bit chunky gray/RGB/RGBA,
       strips with compression none/PackBits/TIFF-LZW
       (``imagecodecs.decode_tiff``; tiled/planar/16-bit return None)
+    * lossless WebP (VP8L) → (H, W, 3|4) (``webplossless.decode_webp``
+      — prefix codes, LZ77 + color cache, all four transforms; lossy
+      VP8 returns None and stays with the optional-PIL fallback)
 
     Unrecognized or truncated payloads return None.
     """
@@ -707,6 +713,12 @@ def decode_image_pixels(payload: bytes | None):
         from .imagecodecs import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless WebP (VP8L) decodes natively; lossy VP8 (a full
+        # video-intra codec) returns None and stays with the fallback
+        from .webplossless import decode_webp
+
+        return decode_webp(payload)
     if payload[:2] in (b"P6", b"P5"):
         # netpbm header: magic, width, height, maxval — whitespace-token
         # stream with '#' comments, then one whitespace byte, then raster
@@ -828,9 +840,10 @@ def image_features(
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
             "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
-            "GIF/JPEG (baseline + progressive)/TIFF already decode natively "
-            "in decode_image_pixels; route the formats only PIL reads "
-            "(WebP, JPEG2000, ...) through PIL in _feat here"
+            "GIF/JPEG (baseline + progressive)/TIFF/lossless-WebP already "
+            "decode natively in decode_image_pixels; route the formats "
+            "only PIL reads (lossy-VP8 WebP, JPEG2000, ...) through PIL "
+            "in _feat here"
         )
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
@@ -903,6 +916,11 @@ def resize_images(
 
             # TIFF in → PackBits TIFF out (lossless, any channel count)
             return encode_tiff(thumb, compression=32773)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            from .webplossless import encode_vp8l
+
+            # lossless WebP in → lossless WebP out (alpha preserved)
+            return encode_vp8l(thumb)
         # remaining decodable inputs (P6/P5/BMP) are always 1 or 3
         # channels, so the netpbm re-encode never sees an alpha plane —
         # a 2/4-channel raster under a P5/P6 header would be corrupt
@@ -927,9 +945,10 @@ def resize_images(
     if _HAVE_PIL:  # pragma: no cover - not installed in this image
         raise NotImplementedError(
             "extra-format decoder present but not wired: PPM/PGM/BMP/PNG/"
-            "GIF/JPEG (baseline + progressive)/TIFF already resize natively "
-            "via decode_image_pixels; route the formats only PIL reads "
-            "(WebP, JPEG2000, ...) through PIL in _resize here"
+            "GIF/JPEG (baseline + progressive)/TIFF/lossless-WebP already "
+            "resize natively via decode_image_pixels; route the formats "
+            "only PIL reads (lossy-VP8 WebP, JPEG2000, ...) through PIL "
+            "in _resize here"
         )
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
