@@ -45,6 +45,26 @@ def _flac_payloads(k: int) -> list[bytes]:
     return out
 
 
+def _vp8l_payloads(k: int) -> list[bytes]:
+    from etl_platform_nyc_taxi_spark.operators.webplossless import (
+        encode_vp8l,
+    )
+
+    out = []
+    for i in range(k):
+        yy, xx = np.mgrid[0:32, 0:32]
+        img = np.stack(
+            [
+                ((yy * (i + 2) + xx) % 256),
+                ((xx + i * 11) % 256),
+                ((yy + xx * (i % 3 + 1)) % 256),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        out.append(encode_vp8l(img, use_lz77_runs=True))
+    return out
+
+
 def _pjpeg_payloads(k: int) -> list[bytes]:
     from etl_platform_nyc_taxi_spark.operators.imagecodecs import (
         encode_jpeg_progressive,
@@ -88,6 +108,7 @@ def main() -> int:
     k_distinct = 48
     flac = _flac_payloads(k_distinct)
     pjpg = _pjpeg_payloads(k_distinct)
+    vp8l = _vp8l_payloads(k_distinct)
 
     def mk(payloads, n):
         rows = [
@@ -109,6 +130,7 @@ def main() -> int:
     for name, payloads, run in (
         ("kernel:flac_decode", flac, run_audio),
         ("kernel:progressive_jpeg_decode", pjpg, run_image),
+        ("kernel:vp8l_decode", vp8l, run_image),
     ):
         base_s = _time_kernel(mk(payloads, n_base), run)
         scaled_s = _time_kernel(mk(payloads, n_base * factor), run)
