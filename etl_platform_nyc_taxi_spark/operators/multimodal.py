@@ -295,9 +295,17 @@ def sniff_video_header(
         while i + 8 <= min(end, len(payload)) and depth < 6:
             size = int.from_bytes(payload[i : i + 4], "big")
             typ = payload[i + 4 : i + 8]
-            if size < 8:  # size==1 (64-bit largesize) unsupported in probe
+            body = i + 8
+            if size == 1:  # 64-bit largesize follows the 4cc
+                if i + 16 > len(payload):
+                    return
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body = i + 16
+                if size < 16:
+                    return
+            elif size < 8:  # size==0 (to-EOF) ambiguous in a probe window
                 return
-            body, nxt = i + 8, i + size
+            nxt = i + size
             if typ in (b"moov", b"trak"):
                 walk(body, min(nxt, len(payload)), depth + 1)
             elif typ == b"mvhd" and body + 4 <= len(payload):

@@ -10499,6 +10499,10 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     dedup_* and text_* families, then multimodal/corpus stragglers).
 #
 # Round-8 plan (age table as of end of r6, tools/window_age.py):
+#   * extend multimodal_decode_roundtrip with a 5th wire format (the
+#     r7-native lossless WebP, operators/webplossless) and give it a
+#     same-round slot — deferred from r7 because the query was not in
+#     this window and material changes require one;
 #   * ann_cosine_topk (r3-green displaced by the r7-new
 #     multimodal_decode_fallback slot) plus
 #   * the 15 r3-greens deferred here: length_buckets,

@@ -358,6 +358,25 @@ def test_sniff_video_header_parses_real_mp4_layout():
     assert sniff_video_header(None) == (None, None, None, None)
 
 
+def test_sniff_video_header_mp4_largesize_box():
+    """ISO-BMFF size==1 boxes carry a 64-bit largesize after the 4cc;
+    the probe must step over them instead of bailing (common for a
+    large mdat placed before moov)."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import sniff_video_header
+
+    full = _mp4_bytes(3.0, 1280, 720)
+    ftyp, moov = full[: full.index(b"moov") - 4], full[full.index(b"moov") - 4 :]
+    mdat_payload = b"\x00" * 32
+    largesize = 16 + len(mdat_payload)
+    mdat = (
+        (1).to_bytes(4, "big") + b"mdat"
+        + largesize.to_bytes(8, "big") + mdat_payload
+    )
+    assert sniff_video_header(ftyp + mdat + moov) == ("mp4", 1280, 720, 3000)
+    # truncated largesize header: honest format-only answer
+    assert sniff_video_header(ftyp + mdat[:10]) == ("mp4", None, None, None)
+
+
 def test_attach_media_meta_fills_video_dims_and_duration(spark):
     rows = [(1, _mp4_bytes(2.0, 640, 360)), (2, b"opaque"), (3, None)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
