@@ -166,9 +166,13 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _HuffDecoder:
         num_symbols = br.bit() + 1
         first_8bit = br.bit()
         s0 = br.bits(8 if first_8bit else 1)
+        if s0 >= alphabet_size:
+            raise ValueError("VP8L: simple-code symbol out of alphabet")
         lengths[s0] = 1
         if num_symbols == 2:
             s1 = br.bits(8)
+            if s1 >= alphabet_size:
+                raise ValueError("VP8L: simple-code symbol out of alphabet")
             lengths[s1] = 1
         return _HuffDecoder(lengths)
     # normal code: 19-symbol code-length code

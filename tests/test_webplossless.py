@@ -310,6 +310,30 @@ def test_webp_through_production_kernels(spark):
     assert thumb is not None and (thumb == 77).all()  # lossless thumb
 
 
+def test_fuzz_mutations_never_crash():
+    """Byte-mutated valid payloads must decode, return None, or raise
+    ValueError — never IndexError/OverflowError/hangs (same fuzz
+    contract as the GIF/JPEG/FLAC codecs). Found in r7: simple-form
+    prefix codes with out-of-alphabet symbols."""
+    for seed, kwargs in [
+        (3, dict(use_lz77_runs=True, cache_bits=3)),
+        (5, dict(use_palette=True)),
+        (9, dict(meta_bits=2)),
+    ]:
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 5, (10, 12, 3), dtype=np.uint8) * 50
+        base = bytearray(encode_vp8l(img, **kwargs))
+        for trial in range(400):
+            b = bytearray(base)
+            r = np.random.default_rng(trial * 17 + seed)
+            for _ in range(int(r.integers(1, 5))):
+                b[int(r.integers(12, len(b)))] = int(r.integers(0, 256))
+            try:
+                decode_webp(bytes(b))
+            except ValueError:
+                pass  # the only sanctioned failure mode
+
+
 def test_decode_rejects_bad_streams():
     with pytest.raises(ValueError):
         decode_vp8l(b"\x00\x00\x00\x00")  # bad signature
