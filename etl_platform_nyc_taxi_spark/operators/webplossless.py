@@ -282,99 +282,132 @@ def _color_transform_delta(t: int, c: int) -> int:
     return (ts * cs) >> 5
 
 
-def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return (a.astype(np.int32) + b.astype(np.int32)) >> 1
+def _predict(mode: int, left, top, tl, tr) -> tuple[int, int, int, int]:
+    """One of the 14 predictor modes over 4-tuples of plain ints.
 
-
-def _predict(mode: int, left, top, tl, tr) -> np.ndarray:
-    """One of the 14 predictor modes over 4-channel ARGB vectors."""
+    Plain-int math, not numpy vectors: the inverse predictor is
+    inherently sequential (each pixel needs already-decoded neighbors),
+    so this runs per pixel — Python ints are ~30x cheaper per call than
+    allocating numpy scalars. Mode 13's half-delta uses TRUNCATING
+    division toward zero (C ``(a-b)/2``), not an arithmetic shift —
+    they differ by one for negative odd deltas."""
     if mode == 0:
-        return np.array([255, 0, 0, 0], np.int32)  # opaque black (ARGB)
+        return (255, 0, 0, 0)  # opaque black (ARGB)
     if mode == 1:
-        return left.astype(np.int32)
+        return left
     if mode == 2:
-        return top.astype(np.int32)
+        return top
     if mode == 3:
-        return tr.astype(np.int32)
+        return tr
     if mode == 4:
-        return tl.astype(np.int32)
+        return tl
     if mode == 5:
-        return _avg2(_avg2(left, tr), top)
-    if mode == 6:
-        return _avg2(left, tl)
-    if mode == 7:
-        return _avg2(left, top)
-    if mode == 8:
-        return _avg2(tl, top)
-    if mode == 9:
-        return _avg2(top, tr)
-    if mode == 10:
-        return _avg2(_avg2(left, tl), _avg2(top, tr))
-    if mode == 11:  # Select
-        li = left.astype(np.int32)
-        ti = top.astype(np.int32)
-        ci = tl.astype(np.int32)
-        pa_minus_pb = int(
-            (np.abs(li - ci) - np.abs(ti - ci)).sum()
+        return tuple(
+            ((((lv + tv) >> 1) + pv) >> 1)
+            for lv, tv, pv in zip(left, tr, top)
         )
-        return ti if pa_minus_pb <= 0 else li
+    if mode == 6:
+        return tuple((a + b) >> 1 for a, b in zip(left, tl))
+    if mode == 7:
+        return tuple((a + b) >> 1 for a, b in zip(left, top))
+    if mode == 8:
+        return tuple((a + b) >> 1 for a, b in zip(tl, top))
+    if mode == 9:
+        return tuple((a + b) >> 1 for a, b in zip(top, tr))
+    if mode == 10:
+        return tuple(
+            ((((lv + cv) >> 1) + ((tv + rv) >> 1)) >> 1)
+            for lv, cv, tv, rv in zip(left, tl, top, tr)
+        )
+    if mode == 11:  # Select
+        pa_minus_pb = sum(
+            abs(lv - cv) - abs(tv - cv)
+            for lv, tv, cv in zip(left, top, tl)
+        )
+        return top if pa_minus_pb <= 0 else left
     if mode == 12:  # ClampAddSubtractFull
-        v = left.astype(np.int32) + top.astype(np.int32) - tl.astype(np.int32)
-        return np.clip(v, 0, 255)
-    if mode == 13:  # ClampAddSubtractHalf
-        ave = _avg2(left, top)
-        d = ave - tl.astype(np.int32)
-        # arithmetic >> 1 on possibly-negative values
-        v = ave + (d >> 1)
-        return np.clip(v, 0, 255)
+        return tuple(
+            min(255, max(0, lv + tv - cv))
+            for lv, tv, cv in zip(left, top, tl)
+        )
+    if mode == 13:  # ClampAddSubtractHalf: C-truncating (a-b)/2
+        out = []
+        for lv, tv, cv in zip(left, top, tl):
+            a = (lv + tv) >> 1
+            d = a - cv
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return tuple(out)
     raise ValueError(f"VP8L: bad predictor mode {mode}")
 
 
 def _inverse_predictor(img: np.ndarray, pred_img: np.ndarray, bits: int) -> None:
-    """In-place inverse predictor transform over (h, w, 4) ARGB."""
+    """In-place inverse predictor transform over (h, w, 4) ARGB.
+    Sequential by nature; runs on plain-int tuples for speed."""
     h, w, _ = img.shape
-    flat = img.reshape(-1, 4)
-    zero = np.zeros(4, np.int32)
+    res = img.reshape(-1, 4).astype(np.int32).tolist()
+    modes = pred_img[:, :, 2].tolist()
+    out: list[tuple[int, int, int, int]] = [None] * (h * w)  # type: ignore[list-item]
     for y in range(h):
+        mode_row = modes[y >> bits]
         for x in range(w):
             i = y * w + x
+            r = res[i]
             if x == 0 and y == 0:
-                pred = _predict(0, zero, zero, zero, zero)
+                pred = (255, 0, 0, 0)
             elif y == 0:
-                pred = _predict(1, flat[i - 1], zero, zero, zero)
+                pred = out[i - 1]
             elif x == 0:
-                pred = _predict(2, zero, flat[i - w], zero, zero)
+                pred = out[i - w]
             else:
-                mode = int(pred_img[y >> bits, x >> bits, 2])  # green
+                mode = mode_row[x >> bits]
                 # contiguous-memory TR semantics: at x = w-1 the
                 # top-right slot is the first pixel of the current row
                 pred = _predict(
                     mode,
-                    flat[i - 1],
-                    flat[i - w],
-                    flat[i - w - 1],
-                    flat[i - w + 1],
+                    out[i - 1],
+                    out[i - w],
+                    out[i - w - 1],
+                    out[i - w + 1],
                 )
-            flat[i] = (flat[i].astype(np.int32) + pred) & 0xFF
+            out[i] = (
+                (r[0] + pred[0]) & 0xFF,
+                (r[1] + pred[1]) & 0xFF,
+                (r[2] + pred[2]) & 0xFF,
+                (r[3] + pred[3]) & 0xFF,
+            )
+    img[:] = np.asarray(out, np.uint8).reshape(h, w, 4)
 
 
 def _inverse_color_transform(img: np.ndarray, ct_img: np.ndarray, bits: int) -> None:
+    """In-place inverse cross-channel color transform, vectorized per
+    tile (multipliers are constant within a tile; green is untouched,
+    so red and blue invert with whole-tile numpy expressions)."""
     h, w, _ = img.shape
-    for y in range(h):
-        for x in range(w):
-            tx, ty = x >> bits, y >> bits
+
+    def delta(t: int, c: np.ndarray) -> np.ndarray:
+        ts = t - 256 if t >= 128 else t
+        cs = np.where(c >= 128, c - 256, c).astype(np.int32)
+        return (ts * cs) >> 5
+
+    th, tw = ct_img.shape[0], ct_img.shape[1]
+    bs = 1 << bits
+    for ty in range(th):
+        for tx in range(tw):
             g2r = int(ct_img[ty, tx, 3])  # blue channel
             g2b = int(ct_img[ty, tx, 2])  # green channel
             r2b = int(ct_img[ty, tx, 1])  # red channel
-            g = int(img[y, x, 2])
-            r = (int(img[y, x, 1]) + _color_transform_delta(g2r, g)) & 0xFF
+            ys, xs = ty * bs, tx * bs
+            tile = img[ys : min(ys + bs, h), xs : min(xs + bs, w)]
+            g = tile[:, :, 2].astype(np.int32)
+            r = (tile[:, :, 1].astype(np.int32) + delta(g2r, g)) & 0xFF
             b = (
-                int(img[y, x, 3])
-                + _color_transform_delta(g2b, g)
-                + _color_transform_delta(r2b, r)
+                tile[:, :, 3].astype(np.int32)
+                + delta(g2b, g)
+                + delta(r2b, r)
             ) & 0xFF
-            img[y, x, 1] = r
-            img[y, x, 3] = b
+            tile[:, :, 1] = r
+            tile[:, :, 3] = b
 
 
 def _inverse_subtract_green(img: np.ndarray) -> None:
@@ -400,17 +433,19 @@ def _inverse_palette(img: np.ndarray, palette: np.ndarray, true_width: int) -> n
     size = palette.shape[0]
     wb = _palette_width_bits(size)
     h = img.shape[0]
-    out = np.zeros((h, true_width, 4), np.uint8)
     px_per = 1 << wb
     bits_per = 8 >> wb
     mask = (1 << bits_per) - 1
-    for y in range(h):
-        for x in range(true_width):
-            packed = int(img[y, x >> wb, 2])
-            idx = (packed >> ((x % px_per) * bits_per)) & mask
-            if idx < size:
-                out[y, x] = palette[idx]
-    return out
+    packed = img[:, :, 2].astype(np.int32)  # (h, coded_w)
+    # unbundle: shift each packed byte by every sub-position at once
+    shifts = (np.arange(px_per, dtype=np.int32) * bits_per)[None, None, :]
+    idx = ((packed[:, :, None] >> shifts) & mask).reshape(h, -1)[
+        :, :true_width
+    ]
+    # out-of-range indices map to transparent black (extra palette row)
+    pal_ext = np.vstack([palette, np.zeros((1, 4), np.uint8)])
+    idx = np.where(idx < size, idx, size)
+    return pal_ext[idx]
 
 
 # --------------------------------------------------------------- decode

@@ -10490,11 +10490,17 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver oracles the FIRST 50 registered queries (dict
 # insertion order).  Round-7 window = the allocation VERDICT r6 task 1
 # prescribes -- clear the never-sampled backlog (11 -> 0) and re-green
-# the oldest stales; registry growth stays frozen at 206:
-#   * first-timers (11, the r6 deferrals -- after this window every
-#     registered query has at least one driver row);
+# the oldest stales.  Registry growth: one r7-new query
+# (multimodal_decode_fallback, VERDICT r6 task 5), 206 -> 207, taking
+# a same-round slot per the frozen-registry rule:
+#   * first-timers (12 = the 11 r6 deferrals + the r7-new fallback
+#     gate -- after this window every registered query has a driver
+#     row);
 #   * the 10 r1-greens, the oldest stales in the registry (age 6);
-#   * 29 of the 44 remaining r3-greens, family-prioritized per the r6
+#   * capped_balance: its compared surface changed this round
+#     (ROUND -> integer micro-units, VERDICT r6 task 3), and a material
+#     change requires a same-round slot;
+#   * 27 of the 44 remaining r3-greens, family-prioritized per the r6
 #     rotation comment (window/join/agg/streaming cores, then the
 #     dedup_* and text_* families, then multimodal/corpus stragglers).
 #
@@ -10503,20 +10509,20 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     r7-native lossless WebP, operators/webplossless) and give it a
 #     same-round slot — deferred from r7 because the query was not in
 #     this window and material changes require one;
-#   * ann_cosine_topk (r3-green displaced by the r7-new
-#     multimodal_decode_fallback slot) plus
+#   * ann_cosine_topk and pack_sequences (r3-greens displaced by the
+#     multimodal_decode_fallback and capped_balance slots) plus
 #   * the 15 r3-greens deferred here: length_buckets,
 #     embedding_quantize, embedding_label_stats, doc_fingerprint,
 #     distinct_pairs, dataset_stratified, dataset_split, dataset_mix,
 #     corpus_top_ngrams, corpus_stats, corpus_shuffle, corpus_prepare,
 #     contamination_check, chunk_documents, cdc_latest_state;
-#   * then ~35 of the 41 r4-greens oldest-first (zscore_outliers,
+#   * then ~32 of the 41 r4-greens oldest-first (zscore_outliers,
 #     zorder_layout, winsorize_stats, window_time_range,
 #     window_distribution, vector_normalize, unpivot_metrics, the
 #     streaming_* r4 block, sql_tpch_q5/q10/q18, ...), leaving the
 #     remainder + the r5/r6 greens for r9.
-# Steady-state honesty: with 206 queries and a 50-slot window, full
-# re-green cadence is ceil(206/50) = 5 rounds; priority order is
+# Steady-state honesty: with 207 queries and a 50-slot window, full
+# re-green cadence is ceil(207/50) = 5 rounds; priority order is
 # first-timers (none remain after r7), then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -10572,7 +10578,6 @@ _VERIFY_FIRST = [
     # Last green r3 -- multimodal / sequence / ANN / SS2 stragglers:
     "multimodal_meta",
     "multimodal_frames",
-    "pack_sequences",
     "daily_transactions_day",
     "ann_lsh",
     # r7-new (VERDICT r6 task 5: codec-fallback contract), taking its
@@ -10580,6 +10585,10 @@ _VERIFY_FIRST = [
     # ann_cosine_topk (quadratic eval baseline, lowest re-green risk)
     # to the r8 window:
     "multimodal_decode_fallback",
+    # Materially changed this round (compared surface ROUND -> integer
+    # micro-units, VERDICT r6 task 3) -- a material change requires a
+    # same-round slot; displaces pack_sequences to the r8 window:
+    "capped_balance",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -230,13 +230,16 @@ def write_jdbc_upsert_staged(
     (:func:`execute_statements_txn`), so no reader or crash window ever
     sees the key window deleted without its replacement rows.
 
-    The staging name is unique per invocation — ``{table}_stg_{batch_id}``
-    when the caller supplies a batch id (a replayed batch then reuses and
-    overwrites ITS OWN stage), else a random suffix — so two concurrent
-    writers to the same target cannot clobber each other's stage
-    mid-flight. The stage is dropped in ``finally``; a hard crash can
-    orphan one, which is harmless (unique names never collide with a
-    later run) but worth a periodic ``DROP`` sweep on long-lived targets.
+    The staging name must be unique per writer: by default a random
+    suffix (collision-free); with ``batch_id`` a replay-stable
+    ``{table}_stg_{batch_id}`` (a replayed batch reuses and overwrites
+    ITS OWN stage) — but batch ids are only unique WITHIN one streaming
+    query, so a caller running multiple writers against the same target
+    must pass ``stage_table`` carrying a per-writer discriminator (the
+    streaming sink derives one from its checkpoint location). The stage
+    is dropped in ``finally``; a hard crash can orphan one, which is
+    harmless (unique names never collide with a later run) but worth a
+    periodic ``DROP`` sweep on long-lived targets.
 
     Replays converge exactly like :func:`write_jdbc_upsert`: the staging
     overwrite, delete, and insert are all idempotent per batch. Primary

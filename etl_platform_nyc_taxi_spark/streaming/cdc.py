@@ -79,12 +79,26 @@ class CdcState:
             # marker scheme, under marksuccessfuljobs=false, so NO gen has
             # either marker — yet its committed state must not be dropped
             # as torn. Safe to distinguish from a torn write because any
-            # post-upgrade write leaves a marked gen (handled above);
-            # here, adopt the highest gen that VALIDATES as readable
-            # parquet and backfill _COMMITTED once. A torn legacy tail
-            # (unreadable) falls through to the next lower gen.
+            # post-upgrade write leaves a marked gen (handled above).
+            #
+            # When MULTIPLE legacy gens exist, the HIGHEST is suspect and
+            # is skipped even if its parquet reads: write_next retires
+            # gen K only AFTER gen K+1 completes, so K and K+1 coexisting
+            # means the K+1 write never finished — and a task-commit
+            # committer can leave a readable-but-incomplete part subset
+            # (footer validation cannot detect missing part files).
+            # Adopting K is always safe: the streaming checkpoint marks a
+            # batch committed only after foreachBatch returns, so the
+            # batch that was building K+1 is uncommitted and will replay
+            # onto K (the fold is idempotent). With exactly one legacy
+            # gen, adopt it if readable; backfill _COMMITTED once either
+            # way. An unreadable candidate falls through to the next
+            # lower gen.
             self.gen = 0
-            for g in sorted(unmarked, reverse=True):
+            candidates = sorted(unmarked, reverse=True)
+            if len(candidates) > 1:
+                candidates = candidates[1:]  # drop the suspect tail
+            for g in candidates:
                 d = self._gen_path(g)
                 try:
                     self.spark.read.parquet(d).schema  # footer validation

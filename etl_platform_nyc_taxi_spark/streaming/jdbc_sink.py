@@ -135,6 +135,19 @@ def stream_upsert_jdbc(
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
 
+    owned = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_jdbc_upsert_")
+    # Per-QUERY staging discriminator: batch ids alone collide when two
+    # independent streams (separate checkpoints, both numbering batches
+    # from 0) upsert the same target concurrently — one would overwrite
+    # the other's stage mid-flight. The checkpoint location is the
+    # stable identity of a streaming query, so hash it into the stage
+    # name; a replayed batch (same checkpoint, same batch_id) still
+    # reuses and overwrites ITS OWN stage.
+    import hashlib
+
+    qtag = hashlib.md5(ckpt.encode()).hexdigest()[:8]
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         keys = (
             batch.select(*key_cols)
@@ -145,14 +158,15 @@ def stream_upsert_jdbc(
         if not keys:
             return
         if len(keys) > staging_key_threshold:
-            # batch_id-derived staging name: a REPLAYED batch reuses and
-            # overwrites its own stage; distinct batches never collide.
-            upsert_via_staging(batch, cfg, table, key_cols, batch_id=batch_id)
+            upsert_via_staging(
+                batch,
+                cfg,
+                table,
+                key_cols,
+                stage_table=f"{table}_stg_{qtag}_{batch_id:x}",
+            )
         else:
             write_jdbc_upsert(batch, cfg, table, keys_predicate(keys, key_cols))
-
-    owned = checkpoint_dir is None
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_jdbc_upsert_")
     try:
         q = (
             stream.writeStream.foreachBatch(apply)

@@ -999,3 +999,51 @@ def test_cdc_state_resume_legacy_markerless_generation(spark, tmp_path):
     assert os.path.isfile(os.path.join(state_dir, "gen=3", "_COMMITTED"))
     s2 = CdcState(spark, state_dir)
     assert s2.gen == 3
+
+
+def test_cdc_state_legacy_readable_tail_still_suspect(spark, tmp_path):
+    """Code-review r7: a torn legacy tail can be READABLE parquet (a
+    task-commit committer moved some part files in before the crash) —
+    footer validation cannot tell it from complete. With multiple
+    legacy gens the highest never finished its write_next (the prior
+    gen is retired only after the new one completes), so resume must
+    adopt the LOWER gen; the uncommitted batch replays onto it."""
+    import os
+
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+
+    state_dir = str(tmp_path / "state")
+    schema = "event_id long, user_id long, ts timestamp"
+    full = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1)), (2, 20, dt.datetime(2024, 1, 2))],
+        schema,
+    )
+    partial = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1))], schema
+    )
+    # gen=5: complete legacy snapshot; gen=6: READABLE but incomplete
+    # (stands in for a partial part-file subset), both marker-less
+    full.write.parquet(os.path.join(state_dir, "gen=5"))
+    partial.write.parquet(os.path.join(state_dir, "gen=6"))
+    for g in (5, 6):
+        for m in ("_SUCCESS", "_COMMITTED"):
+            p = os.path.join(state_dir, f"gen={g}", m)
+            if os.path.isfile(p):
+                os.remove(p)
+
+    s = CdcState(spark, state_dir)
+    assert s.gen == 5  # suspect readable tail skipped
+    assert sorted(r["event_id"] for r in s.read().collect()) == [1, 2]
+    assert not os.path.isfile(
+        os.path.join(state_dir, "gen=6", "_COMMITTED")
+    )
+
+    # a SINGLE legacy gen is not suspect (write_next retired the prior
+    # one, so the write completed): adopt it directly
+    solo_dir = str(tmp_path / "solo")
+    full.write.parquet(os.path.join(solo_dir, "gen=7"))
+    for m in ("_SUCCESS", "_COMMITTED"):
+        p = os.path.join(solo_dir, "gen=7", m)
+        if os.path.isfile(p):
+            os.remove(p)
+    assert CdcState(spark, solo_dir).gen == 7

@@ -123,20 +123,31 @@ def test_plane_code_distance_map():
 
 
 def test_predictor_modes_hand_computed():
-    left = np.array([255, 100, 0, 0], np.int32)
-    top = np.array([255, 0, 100, 0], np.int32)
-    tl = np.array([255, 90, 90, 0], np.int32)
-    tr = np.array([255, 10, 20, 30], np.int32)
-    assert (_predict(0, left, top, tl, tr) == [255, 0, 0, 0]).all()
-    assert (_predict(1, left, top, tl, tr) == left).all()
-    assert (_predict(7, left, top, tl, tr) == [255, 50, 50, 0]).all()
+    left = (255, 100, 0, 0)
+    top = (255, 0, 100, 0)
+    tl = (255, 90, 90, 0)
+    tr = (255, 10, 20, 30)
+    assert _predict(0, left, top, tl, tr) == (255, 0, 0, 0)
+    assert _predict(1, left, top, tl, tr) == left
+    assert _predict(7, left, top, tl, tr) == (255, 50, 50, 0)
     # ClampAddSubtractFull: clamp(L + T - TL)
-    assert (_predict(12, left, top, tl, tr) == [255, 10, 10, 0]).all()
+    assert _predict(12, left, top, tl, tr) == (255, 10, 10, 0)
     # ClampAddSubtractHalf: ave=(255,50,50,0), d=ave-TL=(0,-40,-40,0),
-    # arithmetic >>1 = (0,-20,-20,0) -> (255,30,30,0)
-    assert (_predict(13, left, top, tl, tr) == [255, 30, 30, 0]).all()
+    # C-truncating /2 = (0,-20,-20,0) -> (255,30,30,0)
+    assert _predict(13, left, top, tl, tr) == (255, 30, 30, 0)
     # Select: sum|L-TL| - sum|T-TL| = (10+90) - (90+10) = 0 -> top
-    assert (_predict(11, left, top, tl, tr) == top).all()
+    assert _predict(11, left, top, tl, tr) == top
+
+
+def test_predictor_mode13_truncates_toward_zero():
+    """Spec/libwebp ClampAddSubtractHalf uses C division (a-b)/2 which
+    truncates toward zero; an arithmetic >>1 floors and decodes one too
+    low on negative ODD deltas. ave=(10)=((7+13)>>1), TL=13: d=-3,
+    trunc(-3/2)=-1 -> 9 (a >>1 would give 10+(-2)=8)."""
+    left = (0, 7, 7, 7)
+    top = (0, 13, 13, 13)
+    tl = (0, 13, 13, 13)
+    assert _predict(13, left, top, tl, (0, 0, 0, 0)) == (0, 9, 9, 9)
 
 
 def test_color_transform_delta_signed():
@@ -159,14 +170,16 @@ def _forward_predict(img_argb: np.ndarray, modes: np.ndarray, bits: int):
     """Independent forward predictor (encoder side) producing the
     residual stream the decoder must invert back to img_argb."""
     h, w, _ = img_argb.shape
-    flat = img_argb.astype(np.int32).reshape(-1, 4)
-    res = np.zeros_like(flat)
-    zero = np.zeros(4, np.int32)
+    flat = [
+        tuple(int(v) for v in row)
+        for row in img_argb.astype(np.int32).reshape(-1, 4)
+    ]
+    res = np.zeros((h * w, 4), np.int32)
     for y in range(h):
         for x in range(w):
             i = y * w + x
             if x == 0 and y == 0:
-                pred = np.array([255, 0, 0, 0], np.int32)
+                pred = (255, 0, 0, 0)
             elif y == 0:
                 pred = flat[i - 1]
             elif x == 0:
@@ -177,7 +190,9 @@ def _forward_predict(img_argb: np.ndarray, modes: np.ndarray, bits: int):
                     mode, flat[i - 1], flat[i - w], flat[i - w - 1],
                     flat[i - w + 1],
                 )
-            res[i] = (flat[i] - pred) & 0xFF
+            res[i] = [
+                (pv - qv) & 0xFF for pv, qv in zip(flat[i], pred)
+            ]
     return res.reshape(h, w, 4)
 
 
@@ -211,6 +226,39 @@ def test_predictor_transform_stream():
     _encode_literal_stream(bw, residual)
     out = decode_vp8l(bw.done())
     assert out.shape == (8, 8, 3)
+    assert (out == rgb).all()
+
+
+def test_predictor_transform_all_modes_random_map():
+    """All 14 predictor modes under a random 8x8-block mode map over a
+    64x64 random image — the full sequential inverse must reproduce the
+    source exactly (catches any mode formula or edge-rule slip)."""
+    rng = np.random.default_rng(33)
+    h = w = 64
+    bits = 3
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    argb = np.concatenate(
+        [np.full((h, w, 1), 255, np.uint8), rgb], axis=2
+    ).astype(np.int32)
+    modes = rng.integers(0, 14, (h >> bits, w >> bits), dtype=np.int32)
+    residual = _forward_predict(argb, modes, bits)
+    bw = _BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bit(0)
+    bw.bits(0, 3)
+    bw.bit(1)
+    bw.bits(0, 2)
+    bw.bits(bits - 2, 3)
+    sub = np.zeros((h >> bits, w >> bits, 4), np.int32)
+    sub[:, :, 0] = 255
+    sub[:, :, 2] = modes
+    _encode_literal_stream(bw, sub, level0=False)
+    bw.bit(0)
+    _encode_literal_stream(bw, residual)
+    out = decode_vp8l(bw.done())
+    assert out.shape == (h, w, 3)
     assert (out == rgb).all()
 
 
