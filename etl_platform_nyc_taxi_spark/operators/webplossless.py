@@ -48,25 +48,54 @@ import numpy as np
 # --------------------------------------------------------------- bit IO
 
 
+#: lazily built bit-reversal tables: k -> list of 2^k reversed values
+_REV_TABLES: dict[int, list[int]] = {}
+
+
+def _rev_table(k: int) -> list[int]:
+    t = _REV_TABLES.get(k)
+    if t is None:
+        t = [int(format(v, f"0{k}b")[::-1], 2) for v in range(1 << k)]
+        _REV_TABLES[k] = t
+    return t
+
+
 class _BitReader:
-    """LSB-first bit reader over bytes (VP8L convention)."""
+    """LSB-first bit reader over bytes (VP8L convention). Exposes a
+    zero-padded MSB-first ``peek`` so table-based prefix decoders can
+    consume a whole code in one lookup."""
 
     def __init__(self, data: bytes):
-        self.data = data
+        # pad so a 5-byte window read never slices short near the end
+        self.data = data + b"\x00\x00\x00\x00\x00"
         self.pos = 0  # bit position
+        self.nbits = len(data) * 8
 
     def bit(self) -> int:
         i = self.pos
-        if (i >> 3) >= len(self.data):
+        if i >= self.nbits:
             raise ValueError("VP8L: bitstream truncated")
         self.pos = i + 1
         return (self.data[i >> 3] >> (i & 7)) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for k in range(n):
-            v |= self.bit() << k
-        return v
+        """Read n ≤ 30 bits LSB-first (a 5-byte window covers 33+ bits
+        after the intra-byte shift)."""
+        i = self.pos
+        if i + n > self.nbits:
+            raise ValueError("VP8L: bitstream truncated")
+        self.pos = i + n
+        j = i >> 3
+        window = int.from_bytes(self.data[j : j + 5], "little") >> (i & 7)
+        return window & ((1 << n) - 1)
+
+    def peek_msb(self, k: int) -> int:
+        """Next k ≤ 15 bits in tree-walk (MSB-first) order, zero-padded
+        past the stream end; does not consume."""
+        i = self.pos
+        j = i >> 3
+        window = int.from_bytes(self.data[j : j + 5], "little") >> (i & 7)
+        return _rev_table(k)[window & ((1 << k) - 1)]
 
 
 class _BitWriter:
@@ -121,9 +150,12 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _HuffDecoder:
-    """Prefix decoder from a code-length array. A single-symbol code
-    (the simple form with one symbol, or one nonzero length) consumes
-    ZERO bits per decode, per the spec."""
+    """Table-based prefix decoder from a code-length array: one
+    ``peek_msb(max_len)`` lookup consumes a whole code (the classic
+    full-width decode table — every code of length L fills
+    2^(max_len-L) slots). A single-symbol code (the simple form with
+    one symbol, or one nonzero length) consumes ZERO bits per decode,
+    per the spec."""
 
     def __init__(self, lengths: list[int]):
         nonzero = [s for s, ln in enumerate(lengths) if ln > 0]
@@ -131,30 +163,30 @@ class _HuffDecoder:
             raise ValueError("VP8L: empty prefix code")
         if len(nonzero) == 1:
             self.single: int | None = nonzero[0]
-            self.map: dict[tuple[int, int], int] = {}
             return
         # completeness (Kraft) check — incomplete codes are invalid
         kraft = sum(2.0 ** -ln for ln in lengths if ln > 0)
         if abs(kraft - 1.0) > 1e-9:
             raise ValueError("VP8L: incomplete prefix code")
         self.single = None
-        self.map = {
-            (ln, code): s
-            for s, (code, ln) in _canonical_codes(lengths).items()
-        }
+        self.max_len = max(lengths)
+        size = 1 << self.max_len
+        table: list[tuple[int, int]] = [(-1, 0)] * size
+        for s, (code, ln) in _canonical_codes(lengths).items():
+            base = code << (self.max_len - ln)
+            for i in range(base, base + (1 << (self.max_len - ln))):
+                table[i] = (s, ln)
+        self.table = table
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code, ln = 0, 0
-        while True:
-            code = (code << 1) | br.bit()
-            ln += 1
-            s = self.map.get((ln, code))
-            if s is not None:
-                return s
-            if ln > 15:
-                raise ValueError("VP8L: bad prefix code in stream")
+        s, ln = self.table[br.peek_msb(self.max_len)]
+        pos = br.pos + ln
+        if s < 0 or pos > br.nbits:
+            raise ValueError("VP8L: bad prefix code in stream")
+        br.pos = pos
+        return s
 
 
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
