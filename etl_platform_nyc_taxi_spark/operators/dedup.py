@@ -240,7 +240,16 @@ def _banded_signature(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """Explode a (__id, __m0..__m{n-1}) signature relation to one
     (__id, band, key, __sig) row per band; ``__sig`` is the full
     concatenated signature, the content hash the hot-bucket guard salts
-    by (identical docs ⇒ identical __sig ⇒ same salt in every band)."""
+    by (identical docs ⇒ identical __sig ⇒ same salt in every band).
+
+    ``bands`` must divide ``num_hashes`` exactly: a remainder would
+    silently drop trailing hashes from every band key (shifting the LSH
+    s-curve), and ``bands > num_hashes`` would make every band key the
+    EMPTY string — one global bucket, an O(n²) self-join."""
+    if bands <= 0 or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     return sig.select(
         "__id",
@@ -592,8 +601,12 @@ def simhash_near_dups(
                 *[
                     F.struct(
                         F.lit(i).alias("block"),
+                        # width == 64 (blocks=1): (1<<64)-1 overflows an
+                        # int64 literal; -1 is the same all-bits mask
                         F.shiftrightunsigned(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .bitwiseAND(
+                            F.lit(-1 if width == 64 else (1 << width) - 1)
+                        )
                         .alias("key"),
                     )
                     for i in range(blocks)
@@ -620,6 +633,63 @@ def simhash_near_dups(
 # ---------------------------------------------------------------------------
 
 
+def _word_ngrams(text_col: str, n: int):
+    """Distinct word-n-gram array. The token array is BOUND ONCE via a
+    1-element-array transform (the functions/hashing.py minhash_sig
+    pattern): HOF lambdas run interpreted with no common-subexpression
+    elimination, so naming the split result keeps the per-gram slice
+    from re-running split() once per index — without the binding, gram
+    building is O(tokens² · chars) per row."""
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(tokens_ws(text_col)),
+                lambda toks: F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            )
+        )
+    )
+
+
+def _gram_base(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple[str, ...],
+    n: int,
+    partitions: int | None,
+) -> DataFrame:
+    """Shared (block..., __id, __g, __n) gram relation for the blocked
+    pair generators, materialized once: both self-join branches would
+    otherwise re-execute the tokenize→gram→distinct subtree (the
+    dominant per-row cost) — measured ~2× on the whole pipeline. The
+    checkpointed relation is (block, id, gram-array), far smaller than
+    the quadratic join it feeds."""
+    src = df
+    if partitions:
+        src = src.repartition(partitions)
+    base = src.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("__id"),
+        _word_ngrams(text_col, n).alias("__g"),
+    ).withColumn("__n", F.size("__g"))
+    return base.localCheckpoint(eager=False)
+
+
+def _block_match(block_cols: tuple[str, ...]):
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] or [
+        F.lit(True)
+    ]
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return cond
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -643,29 +713,9 @@ def ngram_jaccard_pairs(
             "ngram_jaccard_pairs without block_cols is a full cross-pair; "
             "pass allow_unblocked=True to opt in on provably small inputs"
         )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens_ws(text_col)) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tokens_ws(text_col), i + 1, n)),
-        )
-    )
-    src = df
-    if partitions:
-        src = src.repartition(partitions)
-    base = src.select(
-        *[F.col(c) for c in block_cols], F.col(id_col).alias("__id"), grams.alias("__g")
-    ).withColumn("__n", F.size("__g"))
-    # Materialize the gram relation once: both self-join branches would
-    # otherwise re-execute the tokenize→gram→distinct subtree (the
-    # dominant per-row cost) — measured ~2× on the whole pipeline. The
-    # checkpointed relation is (block, id, gram-array), far smaller than
-    # the quadratic join it feeds.
-    base = base.localCheckpoint(eager=False)
+    base = _gram_base(df, id_col, text_col, block_cols, n, partitions)
     a, b = base.alias("a"), base.alias("b")
-    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] or [F.lit(True)]
-    cond = on[0]
-    for c in on[1:]:
-        cond = cond & c
+    cond = _block_match(block_cols)
     # Sound size prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs
     # whose gram counts differ by more than the threshold ratio can never
     # reach it — prune BEFORE the O(|A|+|B|) intersect. Same result set.
@@ -718,24 +768,9 @@ def containment_pairs(
             "containment_pairs without block_cols is a full cross-pair; "
             "pass allow_unblocked=True to opt in on provably small inputs"
         )
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(tokens_ws(text_col)) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(tokens_ws(text_col), i + 1, n)),
-        )
-    )
-    src = df
-    if partitions:
-        src = src.repartition(partitions)
-    base = src.select(
-        *[F.col(c) for c in block_cols], F.col(id_col).alias("__id"), grams.alias("__g")
-    ).withColumn("__n", F.size("__g"))
-    base = base.localCheckpoint(eager=False)
+    base = _gram_base(df, id_col, text_col, block_cols, n, partitions)
     a, b = base.alias("a"), base.alias("b")
-    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] or [F.lit(True)]
-    cond = on[0]
-    for c in on[1:]:
-        cond = cond & c
+    cond = _block_match(block_cols)
     canonical = (F.col("a.__n") < F.col("b.__n")) | (
         (F.col("a.__n") == F.col("b.__n")) & (F.col("a.__id") < F.col("b.__id"))
     )

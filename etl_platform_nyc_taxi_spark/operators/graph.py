@@ -103,6 +103,17 @@ def connected_components(
         if changed == 0:
             break
     LAST_CC_ROUNDS = rounds
+    if changed != 0:
+        # Min-label propagation converges in O(graph diameter) rounds;
+        # exhausting max_iter means labels are NOT a fixpoint and one
+        # true component would be returned as several — silently wrong
+        # dedup clusters. Fail loudly instead: the caller raises
+        # max_iter (diameter-bound) for chain-shaped graphs.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"round(s) ({changed} labels still moving); the graph "
+            "diameter exceeds max_iter — raise max_iter"
+        )
     logger.info("connected_components converged in %d round(s)", rounds)
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
@@ -223,6 +234,11 @@ def count_triangles(
     to O(E^1.5) worst-case) on the same join skeleton. Hot vertices are
     a data property — the caller bounds them upstream (here: per-group
     co-occurrence with bounded group size)."""
+    # Four consumers of the edge relation (three join branches + the
+    # edge count) — checkpoint first so a join-heavy upstream pipeline
+    # is not re-executed per consumer (the three scans shuffle on
+    # different keys, so ReuseExchange cannot merge them).
+    edges = edges.localCheckpoint(eager=False)
     e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
     e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
@@ -262,6 +278,10 @@ def bfs_distances(
     final MIN(dist) GROUP BY."""
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    # checkpoint BEFORE the two-branch symmetrize union, or both
+    # branches re-execute the upstream edge pipeline once each (same
+    # lineage discipline as connected_components)
+    edges = edges.localCheckpoint(eager=False)
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))

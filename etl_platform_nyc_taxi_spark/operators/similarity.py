@@ -347,6 +347,7 @@ def embedding_near_dups(
     block_cols: tuple[str, ...] = (),
     threshold: float = 0.99,
     partitions: int | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) within blocking-key groups — the vector twin of
@@ -356,7 +357,14 @@ def embedding_near_dups(
     blocking key for LSH buckets from :func:`lsh_topk`'s signature
     (same join structure, data-dependent candidate count). The
     size-prefilter trick has no analog here, so blocks must be kept
-    small by the caller."""
+    small by the caller. Like its text twins, empty ``block_cols`` is
+    refused unless ``allow_unblocked=True`` — the unblocked shape is a
+    full O(n²) cross join, valid only for small eval corpora."""
+    if not block_cols and not allow_unblocked:
+        raise ValueError(
+            "empty block_cols plans a full O(n^2) cross join; pass "
+            "blocking keys or allow_unblocked=True for a small eval corpus"
+        )
     src = df
     if partitions:
         src = src.repartition(partitions)
@@ -621,12 +629,18 @@ def ivf_topk_from_index(
 ) -> DataFrame:
     """Serve IVF ANN from a :func:`write_ivf_index` layout: each query's
     nprobe nearest lists are computed driver-side in numpy (queries are
-    small at serve time; ties broken by list id, matching
-    :func:`_nearest_lists`) and their union compiles into a static
-    partition filter — the scan prunes to those directories and the exact
-    cosine rerank runs inside them. ``index`` may be a path or a
-    pre-opened DataFrame. Result parity with :func:`ivf_topk` (same
-    centroids) is pinned in tests/test_similarity.py."""
+    small at serve time; EXACT ties broken by list id, matching
+    :func:`_nearest_lists`'s struct sort) and their union compiles into
+    a static partition filter — the scan prunes to those directories and
+    the exact cosine rerank runs inside them. ``index`` may be a path or
+    a pre-opened DataFrame. Result parity with :func:`ivf_topk` (same
+    centroids) is pinned in tests/test_similarity.py, with one honest
+    caveat: numpy's pairwise summation and Spark's sequential
+    ``F.aggregate`` fold can differ in the last ulp of a squared
+    distance, so a query sitting within float rounding of equidistant
+    between the nprobe-th and (nprobe+1)-th centroids could probe a
+    different list than the in-plan path — rerank results still agree
+    whenever the true neighbors live in the shared probed lists."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     rows, mat = _collect_queries(queries, query_id_col, vec_col)

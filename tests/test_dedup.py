@@ -481,3 +481,41 @@ def test_minhash_estimate_audit_properties(spark):
     ).collect()
     for v in verified:
         assert (v["id_a"], v["id_b"]) in by_pair
+
+
+def test_banding_rejects_non_divisible_bands(spark):
+    """Code-review r7: bands must divide num_hashes — a remainder would
+    silently drop trailing hashes from every band key (shifting the LSH
+    s-curve), and bands > num_hashes would make every band key the
+    empty string: ONE global bucket, an O(n^2) self-join."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_near_dups(df, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="evenly divide"):
+        minhash_candidates(df, num_hashes=8, bands=16)
+
+
+def test_simhash_full_width_single_block(spark):
+    """Code-review r7: blocks=1 with max_hamming=0 is the legitimate
+    'exact 64-bit signature match' configuration; the full-width mask
+    must not overflow the int64 literal ((1<<64)-1 did)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import simhash_near_dups
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(df, max_hamming=0, blocks=1).collect()
+    }
+    assert got == {(1, 2)}  # identical docs match, distinct do not

@@ -49,13 +49,21 @@ def test_dedup_clusters_canonical_and_singletons(spark):
     assert sum(1 for c, canon in out.values() if canon) == 2
 
 
-def test_max_iter_guard_returns_partial_labels(spark):
-    # with max_iter=1 a long chain cannot fully converge — the operator
-    # must still return a complete (node -> label) relation, no crash
-    out = connected_components(
-        _edges(spark, [(5, 4), (4, 3), (3, 2), (2, 1)]), max_iter=1
-    )
+def test_max_iter_exhaustion_fails_loud(spark):
+    """Code-review r7: exhausting max_iter means the labels are NOT a
+    fixpoint — one true component would silently split into several and
+    duplicates would survive dedup. The operator must raise, not return
+    wrong components (the old behavior returned partial labels AND
+    logged 'converged')."""
+    import pytest
+
+    chain = _edges(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # the same chain with enough rounds converges to ONE component
+    out = connected_components(chain, max_iter=10)
     assert out.count() == 5
+    assert out.select("component").distinct().count() == 1
 
 
 def test_round_count_logged_and_fixture_shallow(spark):

@@ -107,7 +107,9 @@ def test_embedding_lsh_near_dups_vs_exact(spark):
     corpus = emb.unionByName(mut)
     exact = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in embedding_near_dups(corpus, threshold=0.999).collect()
+        for r in embedding_near_dups(
+            corpus, threshold=0.999, allow_unblocked=True
+        ).collect()
     }
     approx = {
         (r["id_a"], r["id_b"]): r["cosine"]
