@@ -115,18 +115,36 @@ def asof_join(
     than the bound nulls out like no-match.
 
     Implementation: tag + union both sides, one window partitioned by the
-    keys ordered by time carrying the last (or next) right-side payload
-    forward, then keep left rows. One shuffle on the keys, no driver
-    loops, no pandas — scales with key parallelism. Right payload columns
-    come back nullable (no match ⇒ NULL), matching SQL ASOF LEFT JOIN.
-    The tolerance is a pure post-projection on the already-joined row
-    (no second window, no extra shuffle).
+    keys ordered by time carrying the last (or next) right-side ROW
+    forward as one struct, then keep left rows. One shuffle on the keys,
+    no driver loops, no pandas — scales with key parallelism. Right
+    payload columns come back nullable (no match ⇒ NULL), matching SQL
+    ASOF LEFT JOIN. The whole payload travels as a SINGLE struct so the
+    matched row is atomic: filling each column independently with
+    last(ignorenulls) would let a NULL in one payload column inherit
+    that column's value from an OLDER right row — a frankenrow belonging
+    to no actual right record. The tolerance is a pure post-projection
+    on the already-joined row (no second window, no extra shuffle).
     """
     on = list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = [c for c in payload if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"right payload columns collide with left columns: {clash}; "
+            "rename them — the union-based fill would otherwise mix left "
+            "values into the as-of match"
+        )
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rhs = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
+    # the matched right row as ONE value: payload + its ts, atomically
+    row_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(c) for c in payload], F.col("__ts").alias("__mts")
+        ),
+    )
 
     if direction == "backward":
         w = (
@@ -134,35 +152,33 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        fill = {c: F.last(F.col(c), ignorenulls=True).over(w) for c in payload}
-        fill["__match_ts"] = F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w)
+        match = F.last(row_struct, ignorenulls=True).over(w)
     elif direction == "forward":
         w = (
             Window.partitionBy(*on)
             .orderBy(F.col("__ts").asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        fill = {c: F.first(F.col(c), ignorenulls=True).over(w) for c in payload}
-        fill["__match_ts"] = F.first(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w)
+        match = F.first(row_struct, ignorenulls=True).over(w)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
-    out = merged.withColumns(fill).filter(F.col("__side") == 1)
+    out = merged.withColumn("__match", match).filter(F.col("__side") == 1)
+    ok = F.col("__match").isNotNull()
     if tolerance_seconds is not None:
         # NTZ timestamps can't cast straight to double; the session TZ is
         # pinned UTC so the NTZ->LTZ hop is wall-clock preserving
-        def _secs(c: str) -> Column:
-            return F.col(c).cast("timestamp").cast("double")
+        def _secs(c: Column) -> Column:
+            return c.cast("timestamp").cast("double")
 
-        gap = F.abs(_secs("__ts") - _secs("__match_ts"))
-        ok = F.col("__match_ts").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
-        out = out.withColumns(
-            {c: F.when(ok, F.col(c)) for c in [*payload, "__match_ts"]}
-        )
+        gap = F.abs(_secs(F.col("__ts")) - _secs(F.col("__match.__mts")))
+        ok = ok & (gap <= F.lit(float(tolerance_seconds)))
+    out = out.withColumns(
+        {
+            **{c: F.when(ok, F.col(f"__match.{c}")) for c in payload},
+            "__match_ts": F.when(ok, F.col("__match.__mts")),
+        }
+    )
     keep = [c for c in left.columns] + payload + ["__match_ts"]
     return out.select(*keep).withColumnRenamed("__match_ts", f"{right_ts}_matched")
 
@@ -202,7 +218,14 @@ def salted_join(
             f"dim rows), got how={how!r}"
         )
     sc = F.col(salt_col) if isinstance(salt_col, str) else salt_col
-    f = fact.withColumn("__salt", F.pmod(sc, F.lit(buckets)).cast("int"))
+    # NULL-safe salt: pmod(NULL) is NULL, which matches none of the
+    # dim's exploded 0..buckets-1 salts — the fact row would silently
+    # drop (inner) or null out (left), breaking the equals-unsalted-join
+    # contract. NULL salts all land in bucket 0; only pathological NULL
+    # density in salt_col would re-create skew there.
+    f = fact.withColumn(
+        "__salt", F.coalesce(F.pmod(sc, F.lit(buckets)).cast("int"), F.lit(0))
+    )
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
@@ -237,7 +260,13 @@ def merge_changes(
     if broadcast_keys:
         keys = F.broadcast(keys)
     kept = base.join(keys, on=list(key_cols), how="left_anti")
-    applied = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+    # null-safe op test: the key was already evicted above, so a change
+    # row with a NULL/dirty op must survive as an upsert — a plain
+    # ``op != 'D'`` filter is NULL for it, silently turning dirty ops
+    # into deletes (key vanishes from the merge with no error)
+    applied = changes.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).drop(op_col)
     return kept.unionByName(applied)
 
 

@@ -198,11 +198,16 @@ def pack_sequences(
         if isinstance(token_count_col, str)
         else token_count_col
     )
+    # Explicit ROWS frame: the default frame for an ordered window is
+    # RANGE, under which rows TIED on order_cols are peers sharing one
+    # inclusive cumsum — start offsets would collide/overlap. ROWS gives
+    # each row its own prefix; order_cols should still carry a unique
+    # tiebreak for run-to-run determinism of WHICH tied row packs first.
     w = (
         Window.partitionBy(*group_cols).orderBy(*order_cols)
         if group_cols
         else Window.orderBy(*order_cols)
-    )
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum_end = F.sum(tc).over(w)  # inclusive cumsum: offset AFTER this doc
     start = (cum_end - tc).cast("long")
     return df.withColumns(

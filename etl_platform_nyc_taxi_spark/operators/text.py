@@ -115,7 +115,23 @@ def quality_flags(
 ) -> DataFrame:
     """Per-rule boolean columns + a ``keep`` conjunction — the audit view
     of quality filtering (downstream dashboards need WHY a doc dropped,
-    not just that it did). Pure expressions at scan speed; one pass."""
+    not just that it did). Pure expressions at scan speed; one pass.
+
+    Refuses input frames already carrying ``keep`` or any of the
+    prefixed flag names: silently overwriting a user column (which
+    :func:`quality_filter` then DROPS) is the failure mode the
+    prefix-scoped-drop design exists to prevent — pass a different
+    ``prefix`` or rename the clashing column."""
+    clash = [
+        c
+        for c in (*quality_flag_names(prefix), "keep")
+        if c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            f"quality_flags would overwrite existing column(s) {clash}; "
+            "pass a different prefix or rename them"
+        )
     toks = tokens_ws(text_col)
     c = F.col(text_col)
     n_tok = F.size(toks)

@@ -10516,6 +10516,15 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     distinct_pairs, dataset_stratified, dataset_split, dataset_mix,
 #     corpus_top_ngrams, corpus_stats, corpus_shuffle, corpus_prepare,
 #     contamination_check, chunk_documents, cdc_latest_state;
+#   * two deferred SEMANTICS findings from the r7 operator review, each
+#     an oracle-pinned behavior change needing a same-round slot:
+#     (a) chunk_documents emits a trailing chunk that is a strict
+#     subset of the previous one when size > stride and the prior
+#     chunk already reached the doc end — stop starts once
+#     start + size >= n_tokens; (b) tokens_ws('') returns [''] (split
+#     semantics), inflating token counts to 1 for empty docs and
+#     emitting an empty-string tf-idf term — fix Spark AND oracle
+#     sides together (both engines currently share the quirk);
 #   * then ~32 of the 41 r4-greens oldest-first (zscore_outliers,
 #     zorder_layout, winsorize_stats, window_time_range,
 #     window_distribution, vector_normalize, unpivot_metrics, the

@@ -218,3 +218,71 @@ def test_merge_changes_idempotent_on_replay(spark):
     once = merge_changes(base, changes, ["k"])
     twice = merge_changes(once, changes, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_asof_join_matched_row_is_atomic(spark):
+    """Code-review r7: a matched right row with a NULL payload column
+    must NOT inherit that column from an OLDER right row (per-column
+    ignorenulls fill built frankenrows belonging to no real record)."""
+    import datetime as dt
+
+    from etl_platform_nyc_taxi_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [("A", t(1), 5.0, 6.0), ("A", t(2), None, 7.0)],
+        "sym string, qts timestamp, bid double, ask double",
+    )
+    trades = spark.createDataFrame(
+        [("A", t(3))], "sym string, tts timestamp"
+    )
+    row = asof_join(trades, quotes, on=["sym"], left_ts="tts", right_ts="qts").first()
+    assert row["qts_matched"] == t(2)
+    assert row["ask"] == 7.0
+    assert row["bid"] is None  # NOT 5.0 from the older quote
+
+
+def test_asof_join_rejects_payload_name_collision(spark):
+    import datetime as dt
+
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("A", t0, 1.0)], "sym string, tts timestamp, price double"
+    )
+    right = spark.createDataFrame(
+        [("A", t0, 2.0)], "sym string, qts timestamp, price double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on=["sym"], left_ts="tts", right_ts="qts")
+
+
+def test_merge_changes_null_op_upserts_not_deletes(spark):
+    """Code-review r7: a NULL/dirty op must act as an upsert — the key
+    is already evicted by the anti-join, so filtering it out of the
+    union made a dirty op an unintended DELETE."""
+    from etl_platform_nyc_taxi_spark.operators.joins import merge_changes
+
+    base = spark.createDataFrame([(7, "old"), (8, "keep")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(7, "new", None), (8, "gone", "D")], "k int, v string, op string"
+    )
+    got = {(r["k"], r["v"]) for r in merge_changes(base, changes, ["k"]).collect()}
+    assert got == {(7, "new")}  # 7 upserted despite NULL op; 8 deleted
+
+
+def test_salted_join_null_salt_still_matches(spark):
+    """Code-review r7: pmod(NULL) is NULL and matched no dim salt, so a
+    fact row with a NULL salt column silently vanished from the inner
+    join — breaking the equals-unsalted-join contract."""
+    from etl_platform_nyc_taxi_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [("z1", 10), ("z1", None)], "k string, row_id int"
+    )
+    dim = spark.createDataFrame([("z1", "Zone One")], "k string, name string")
+    got = salted_join(fact, dim, key="k", salt_col="row_id", buckets=4)
+    assert got.count() == 2  # both fact rows match, NULL salt included

@@ -275,3 +275,18 @@ def test_tfidf_cosine_pairs_absolute_df_cap(spark):
     ).collect()
     pairs_rel = {(r["id_a"], r["id_b"]) for r in without_abs}
     assert {(18, 19), (18, 20), (19, 20)} <= pairs_rel
+
+
+def test_quality_flags_rejects_column_clash(spark):
+    """Code-review r7: silently overwriting a pre-existing user 'keep'
+    (or prefixed flag) column — which quality_filter then DROPS — must
+    fail loudly instead."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.text import quality_flags
+
+    df = spark.createDataFrame(
+        [("some text here", True)], "text string, keep boolean"
+    )
+    with pytest.raises(ValueError, match="overwrite"):
+        quality_flags(df)

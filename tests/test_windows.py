@@ -162,3 +162,47 @@ def test_scd2_ts_tie_is_deterministic_by_tiebreak(spark):
     by_state = {r["state"]: r for r in out}
     assert by_state["a"]["is_current"] is False  # eid 1 ordered first
     assert by_state["b"]["is_current"] is True
+
+
+def test_scd2_null_first_state_gets_interval(spark):
+    """Code-review r7: a key whose FIRST state is NULL must still get
+    its initial interval (bare lag(state) conflated 'no previous row'
+    with 'previous state was NULL')."""
+    import datetime as dt
+
+    from etl_platform_nyc_taxi_spark.operators.windows import scd2_intervals
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [("A", t(1), None), ("A", t(5), "active")],
+        "k string, ts timestamp, state string",
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "ts", "state").collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["state"] is None and rows[0]["valid_from"] == t(1)
+    assert rows[0]["valid_to"] == t(5)
+    assert rows[1]["state"] == "active" and rows[1]["is_current"]
+    # all-NULL states: one open interval, not zero rows
+    allnull = spark.createDataFrame(
+        [("B", t(1), None), ("B", t(2), None)],
+        "k string, ts timestamp, state string",
+    )
+    out = scd2_intervals(allnull, ["k"], "ts", "state").collect()
+    assert len(out) == 1 and out[0]["is_current"]
+
+
+def test_top_k_global_plans_take_ordered(spark):
+    """Code-review r7: the single-window form must plan as
+    TakeOrderedAndProject with no Exchange (the old two-phase __pid
+    variant forced a hash exchange Catalyst could not elide)."""
+    from etl_platform_nyc_taxi_spark.operators.windows import top_k_global
+
+    df = spark.range(0, 10000, 1, 8).withColumnRenamed("id", "v")
+    out = top_k_global(df, "v", 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert [r["v"] for r in out.collect()] == [9999, 9998, 9997, 9996, 9995]
