@@ -214,6 +214,30 @@ _REPR = {
     "timestamp": lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
 }
 
+#: Spark dtype-string synonyms accepted by profile_columns, so feeding
+#: ``df.dtypes`` output directly works (code-review r7: 'bigint' raised
+#: a bare KeyError because the map spells it 'long').
+_REPR_SYNONYMS = {
+    "bigint": "long",
+    "integer": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "varchar": "string",
+    "float": "double",
+    "date": "timestamp",
+}
+
+
+def _repr_for(name: str, kind: str):
+    k = _REPR_SYNONYMS.get(kind, kind)
+    if k not in _REPR:
+        raise ValueError(
+            f"profile_columns: unsupported type {kind!r} for column "
+            f"{name!r}; supported kinds: "
+            f"{sorted(set(_REPR) | set(_REPR_SYNONYMS))}"
+        )
+    return _REPR[k]
+
 
 def profile_columns(
     df: DataFrame, cols: Sequence[tuple[str, str]]
@@ -253,8 +277,8 @@ def profile_columns(
                         F.col("__rows").alias("n_rows"),
                         (F.col("__rows") - F.col(f"__nn_{i}")).alias("n_nulls"),
                         F.col(f"__nd_{i}").alias("n_distinct"),
-                        _REPR[kind](F.col(f"__rawmin_{i}")).alias("min_repr"),
-                        _REPR[kind](F.col(f"__rawmax_{i}")).alias("max_repr"),
+                        _repr_for(name, kind)(F.col(f"__rawmin_{i}")).alias("min_repr"),
+                        _repr_for(name, kind)(F.col(f"__rawmax_{i}")).alias("max_repr"),
                     )
                     for i, (name, kind) in enumerate(cols)
                 ]
@@ -327,7 +351,10 @@ def winsorized_mean(
     bounds broadcast back onto the facts, and the clipped sum
     accumulates in exact DECIMAL so the mean is summation-order-free.
     At 100 TB swap the exact rank for approx_percentile bounds on the
-    same skeleton; the oracle pins the exact variant."""
+    same skeleton; the oracle pins the exact variant. NULL values are
+    excluded up front — ranked, they'd sort first and shift every
+    quantile rank while still counting into ``n`` (code-review r7)."""
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(value_col, id_col)
     r = df.select(
         F.col(key_col).alias("pri"),
@@ -378,7 +405,10 @@ def mad_outliers(
     (rank-selected data points) and every per-row test is single-op
     IEEE arithmetic, so the oracle replays bit-identically. Groups with
     MAD = 0 (majority-constant) are excluded rather than flagging every
-    non-modal value."""
+    non-modal value. NULL values are excluded up front — they'd rank
+    first in both median windows and shift or null the selected median
+    (code-review r7)."""
+    df = df.filter(F.col(value_col).isNotNull())
     kc, vc = F.col(key_col), F.col(value_col)
     w = Window.partitionBy(key_col).orderBy(value_col, id_col)
     r = df.select(
@@ -530,6 +560,11 @@ def fixed_width_histogram(
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1, got {nbins}")
     v = F.col(value_col)
+    # NULL/NaN values are excluded BEFORE the bounds pass (a NaN max
+    # poisons step into NaN and collapses every row into one bin; a
+    # NULL value would ride F.least's null-skipping into the top bin —
+    # code-review r7). A histogram counts values, not holes.
+    df = df.filter(v.isNotNull() & ~F.isnan(v.cast("double")))
     bounds = df.agg(
         F.min(v).cast("double").alias("__lo"), F.max(v).cast("double").alias("__hi")
     )
@@ -641,12 +676,18 @@ def group_regression_stats(
     cov_n = n * sxy - sx * sy  # n² × covariance
     var_x_n = n * sxx - sx * sx
     var_y_n = n * syy - sy * sy
+    # zero-variance guard (code-review r7): a constant-x group (or n=1)
+    # gives 0/0 = NaN for corr/beta/intercept under IEEE float division
+    # (ANSI mode does not change float division) — emit NULL instead,
+    # the same convention as group_zscore_outliers' variance gate.
+    ok_x = var_x_n > F.lit(0.0)
+    ok_xy = ok_x & (var_y_n > F.lit(0.0))
     return agg.select(
         group_col,
         F.col("n"),
-        (cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n))).alias("corr"),
-        (cov_n / var_x_n).alias("beta"),
-        ((sy - (cov_n / var_x_n) * sx) / n).alias("intercept"),
+        F.when(ok_xy, cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n))).alias("corr"),
+        F.when(ok_x, cov_n / var_x_n).alias("beta"),
+        F.when(ok_x, (sy - (cov_n / var_x_n) * sx) / n).alias("intercept"),
     )
 
 

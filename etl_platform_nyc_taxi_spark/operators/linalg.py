@@ -63,6 +63,11 @@ def fit_pca(
             if not vals:
                 continue
             dims = {len(v) for v in vals}
+            # also compare against earlier batches of this partition —
+            # a per-batch-only check lets cross-batch mismatches fail
+            # opaquely in the `s + x.sum` broadcast (code-review r7)
+            if s is not None:
+                dims.add(len(s))
             if len(dims) != 1:  # ragged input would silently build an
                 # object array and fail deep inside the matmul
                 raise ValueError(
@@ -84,6 +89,12 @@ def fit_pca(
     rows = df.select(vec_col).mapInPandas(partials, partial_schema).collect()
     if not rows:
         raise ValueError("fit_pca: empty input")
+    cross = {len(r["s"]) for r in rows}
+    if len(cross) != 1:  # per-PARTITION partials can still disagree
+        raise ValueError(
+            f"fit_pca: mixed embedding dimensions {sorted(cross)} "
+            f"across partitions in column {vec_col!r}"
+        )
     n = sum(r["n"] for r in rows)
     d = len(rows[0]["s"])
     s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)

@@ -34,9 +34,14 @@ BUCKETS = 10_000
 def _bucket(id_col: str | Column, salt: str) -> Column:
     """Deterministic bucket in [0, BUCKETS): md5-prefix hash of
     ``salt:id``. Different salts give independent assignments from the
-    same ids (split vs sample vs mix must not correlate)."""
+    same ids (split vs sample vs mix must not correlate). NULL ids hash
+    the literal string '<null>' instead of null-propagating — otherwise
+    every ``bucket < threshold`` test is NULL=false and all null-id rows
+    silently fall through to the LAST split label (code-review r7:
+    100% of null-id docs landed in 'test')."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return portable_hash64(F.concat(F.lit(salt + ":"), c.cast("string")), 60) % BUCKETS
+    key = F.concat(F.lit(salt + ":"), F.coalesce(c.cast("string"), F.lit("<null>")))
+    return portable_hash64(key, 60) % BUCKETS
 
 
 def split_column(
@@ -426,8 +431,12 @@ def pps_systematic_per_key(
         .withColumn("__cum", cum)
         .withColumn("__tot", total)
         .filter(
-            F.expr(f"__cum * {k} DIV __tot")
-            > F.expr(f"(__cum - __w) * {k} DIV __tot")
+            # DECIMAL(38,0) product: __cum * k in int64 silently wraps
+            # once a per-key weight total reaches 2^63/k (weights scaled
+            # to integers get there fast), corrupting the crossing test
+            # (code-review r7); 38 digits hold any int64 × int32 exactly
+            F.expr(f"CAST(__cum AS DECIMAL(38,0)) * {k} DIV __tot")
+            > F.expr(f"CAST(__cum - __w AS DECIMAL(38,0)) * {k} DIV __tot")
         )
         .drop("__w", "__cum", "__tot")
     )

@@ -50,7 +50,14 @@ def _scan_apply(
     any oracle see the same input). Inside the recurrence a null has no
     meaningful step — pandas would coerce it to NaN and poison every
     subsequent output of that key, silently diverging from an oracle
-    that propagates NULL (ADVICE r5)."""
+    that propagates NULL (ADVICE r5).
+
+    ``order_cols`` MUST be a unique key within each group (append a
+    unique tiebreak like an event id): the fold is order-dependent by
+    definition and the stable sort preserves arbitrary shuffle arrival
+    order for tied rows, so ties make outputs differ across reruns /
+    repartitionings (code-review r7). Both registry consumers order by
+    (ts, event_id)."""
 
     schema = ", ".join(
         [f"{key_col} {dict(df.dtypes)[key_col]}"]

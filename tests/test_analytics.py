@@ -584,3 +584,71 @@ def test_missing_ranges_matches_global_lead(spark):
         if b > a + 1
     ]
     assert got == want
+
+
+def test_winsorized_mean_and_mad_exclude_nulls(spark):
+    """Code-review r7: NULL values ranked first in the quantile windows
+    and counted into n — corrupting bounds, medians, and the mean."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        mad_outliers,
+        winsorized_mean,
+    )
+
+    rows = [("g", float(i), i) for i in range(1, 21)] + [
+        ("g", None, 100 + i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, id int")
+    wm = winsorized_mean(df, "k", "v", "id").first()
+    assert wm["n_rows"] == 20  # nulls excluded from the count
+    assert wm["lo"] == 1.0 and wm["hi"] == 19.0  # 5%/95% of 20 values
+    # median over non-nulls is value at rank ceil(.5*20)=10 -> 10.0
+    out = mad_outliers(df, "k", "v", "id", k=1.0)
+    meds = {r["med"] for r in out.collect()}
+    assert meds == {10.0} or meds == set()  # med from non-null ranks
+
+
+def test_histogram_excludes_null_and_nan(spark):
+    """Code-review r7: NULL/NaN values rode F.least's null-skipping into
+    the TOP bin, inflating its count."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        fixed_width_histogram,
+    )
+
+    rows = [(float(i),) for i in range(10)] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "v double")
+    hist = fixed_width_histogram(df, "v", nbins=3)
+    assert hist.agg({"n": "sum"}).first()[0] == 10  # only real values
+    top = hist.orderBy(F.col("bin").desc()).first()
+    assert top["n"] <= 4  # not inflated by the 2 excluded rows
+
+
+def test_regression_stats_null_on_zero_variance(spark):
+    """Code-review r7: constant-x groups emitted NaN corr/beta/intercept
+    (IEEE 0/0); they must come back NULL like the z-score variance
+    gate's convention."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        group_regression_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 1.0, 2.0), ("c", 1.0, 3.0), ("ok", 1.0, 1.0), ("ok", 2.0, 2.0)],
+        "g string, x double, y double",
+    )
+    rows = {r["g"]: r for r in group_regression_stats(df, "g", "x", "y").collect()}
+    assert rows["c"]["beta"] is None and rows["c"]["corr"] is None
+    assert rows["c"]["intercept"] is None
+    assert abs(rows["ok"]["beta"] - 1.0) < 1e-9
+
+
+def test_profile_columns_dtype_synonyms_and_errors(spark):
+    """Code-review r7: df.dtypes spellings ('bigint') raised a bare
+    KeyError; unknown kinds now raise a named ValueError."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import profile_columns
+
+    df = spark.createDataFrame([(1, "a")], "n long, s string")
+    out = profile_columns(df, df.dtypes)  # dtypes says 'bigint'
+    assert {r["col_name"] for r in out.collect()} == {"n", "s"}
+    with pytest.raises(ValueError, match="unsupported type"):
+        profile_columns(df, [("n", "binary")])

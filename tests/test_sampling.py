@@ -379,3 +379,21 @@ def test_pps_systematic_rejects_bad_k(spark):
     df = spark.createDataFrame([("a", 1, 1)], "key string, rid long, w long")
     with pytest.raises(ValueError):
         pps_systematic_per_key(df, ["key"], "rid", "w", 0)
+
+
+def test_hash_split_null_ids_are_hashed_not_dumped(spark):
+    """Code-review r7: null ids made every bucket comparison NULL and
+    ALL null-id rows fell through to the LAST split label ('test');
+    they now hash a sentinel and distribute like any other key."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(None,)] * 10 + [(i,) for i in range(10)], "doc_id int"
+    )
+    splits = hash_split(df).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in splits}
+    # all 10 null rows share one deterministic bucket — they must land
+    # together in whichever split that bucket maps to, and with 90/5/5
+    # weights that is overwhelmingly 'train'; the old bug pinned them
+    # to 'test' unconditionally
+    assert by.get("test", 0) < 10
