@@ -24,9 +24,17 @@ from pyspark.sql import types as T
 
 def _ts_type(df: DataFrame | None, ts_col: str | Column) -> T.DataType:
     """The column's own timestamp flavor (NTZ vs LTZ), so literals compare
-    without an analyzer-inserted cast that would defeat pushdown."""
-    if df is not None and isinstance(ts_col, str):
-        return df.schema[ts_col].dataType
+    without an analyzer-inserted cast that would defeat pushdown. When
+    ``ts_col`` is a Column, the type is resolved by selecting the
+    expression against ``df`` — ignoring ``df`` for Column inputs
+    silently defaulted NTZ columns to an LTZ literal, wrapping the
+    column in a cast and dropping the predicate from PushedFilters
+    (code-review r7: the exact pushdown regression this module exists
+    to prevent)."""
+    if df is not None:
+        if isinstance(ts_col, str):
+            return df.schema[ts_col].dataType
+        return df.select(ts_col).schema[0].dataType
     return T.TimestampType()
 
 

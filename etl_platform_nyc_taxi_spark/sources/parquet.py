@@ -71,13 +71,21 @@ def read_parquet_dir(
     return read_parquet(spark, os.path.join(data_path, pattern), schema=schema)
 
 
+#: Footer-probe budget for schema-drifted directories: a nanos column
+#: present only in later file generations must still be found, but a
+#: 100k-file directory must not pay 100k footer reads on the driver.
+_NANOS_PROBE_MAX_FILES = 16
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Footer-only probe for TIMESTAMP(NANOS) columns (driver-side, cheap).
 
     Spark's parquet reader rejects nanosecond timestamps outright; with
     ``spark.sql.legacy.parquet.nanosAsLong`` they surface as int64 and need
     an explicit restore to timestamp (see :func:`read_parquet_auto`).
-    """
+    Probes up to ``_NANOS_PROBE_MAX_FILES`` files and unions the result —
+    a single-file probe missed nanos columns introduced by later file
+    generations under schema drift (code-review r7)."""
     try:
         import pyarrow.parquet as pq
         import pyarrow as pa
@@ -86,12 +94,39 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     candidates = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
     if not candidates:
         return []
-    schema = pq.read_schema(candidates[0])
-    return [
-        f.name
-        for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
+    cols: set[str] = set()
+    for f in candidates[:_NANOS_PROBE_MAX_FILES]:
+        try:
+            schema = pq.read_schema(f)
+        except Exception:
+            continue  # unreadable footer: Spark will surface it anyway
+        cols.update(
+            fld.name
+            for fld in schema
+            if pa.types.is_timestamp(fld.type) and fld.type.unit == "ns"
+        )
+    return sorted(cols)
+
+
+def _restore_nanos_cols(df: DataFrame, probe_path: str) -> DataFrame:
+    """Shared restore projection for nanos-surfaced int64 columns (used
+    by both the batch and streaming auto readers — one copy, one set of
+    semantics). Guards on the surfaced type: INT96 timestamps also read
+    as ns in the pyarrow probe, but Spark loads them as proper TIMESTAMP
+    and need no restore. The ns→µs conversion FLOORS: a bare ``DIV
+    1000`` truncates toward zero, restoring pre-1970 sub-µs values 1 µs
+    high and diverging from Arrow/DuckDB's floor (code-review r7);
+    subtracting ``pmod`` first keeps the division exact in int64."""
+    dtypes = dict(df.dtypes)
+    for c in _nanos_timestamp_cols(probe_path):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(
+                    F.expr(f"(`{c}` - pmod(`{c}`, 1000)) DIV 1000")
+                ).cast("timestamp_ntz"),
+            )
+    return df
 
 
 def read_parquet_auto(spark: SparkSession, path: str) -> DataFrame:
@@ -103,17 +138,7 @@ def read_parquet_auto(spark: SparkSession, path: str) -> DataFrame:
     conversion is a pure projection (no shuffle, stays in codegen).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
-        # guard on the surfaced type: INT96 timestamps also read as ns in
-        # the pyarrow probe, but Spark loads them as proper TIMESTAMP and
-        # they need no restore
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(
-                c,
-                F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz"),
-            )
-    return df
+    return _restore_nanos_cols(spark.read.parquet(path), path)
 
 
 def write_partitioned(
@@ -219,7 +244,11 @@ def compact_files(
     Returns the file count target (unpartitioned) or 0 (partitioned —
     count is data-dependent).
     """
-    if os.path.abspath(dest) == os.path.abspath(src):
+    # realpath, not abspath: a symlinked dest resolving to src passed the
+    # string compare and the overwrite destroyed the source mid-read
+    # (code-review r7). Remote URIs can't be resolved locally — refuse
+    # exact-string equality for them as the best available guard.
+    if os.path.realpath(dest) == os.path.realpath(src) or dest == src:
         # Spark reads the source lazily while the overwrite deletes it —
         # in-place compaction corrupts/loses data. Stage elsewhere + rename.
         raise ValueError("compact_files: dest must differ from src")

@@ -20,6 +20,19 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 
+
+def ensure_event_time_ltz(stream, ts_col: str):
+    """Cast an NTZ event-time column to TIMESTAMP (LTZ) for event-time
+    ops (watermark/window/stateful timeouts require LTZ). The session TZ
+    is pinned UTC, so the cast preserves wall-clock values and window
+    boundaries match the batch/oracle path. Shared by every streaming
+    module — the 2-line idiom used to be copy-pasted at four sites
+    (code-review r7)."""
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def read_stream_auto(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Streaming parquet source tolerating TIMESTAMP(NANOS) columns — the
     streaming twin of ``sources.parquet.read_parquet_auto`` (file sources
@@ -28,7 +41,7 @@ def read_stream_auto(spark: SparkSession, path: str, **options: str) -> DataFram
 
     ``options`` pass through to the reader (e.g. ``maxFilesPerTrigger="1"``
     to bound micro-batch size / replay a directory file-by-file)."""
-    from etl_platform_nyc_taxi_spark.sources.parquet import _nanos_timestamp_cols
+    from etl_platform_nyc_taxi_spark.sources.parquet import _restore_nanos_cols
 
     import os
 
@@ -38,21 +51,19 @@ def read_stream_auto(spark: SparkSession, path: str, **options: str) -> DataFram
     if options:
         reader = reader.options(**options)
     probe_path = path
-    if not os.path.isdir(path):
-        # file-stream sources only accept directories: stream the parent
-        # dir with a glob filter selecting just this file
+    # file-stream sources only accept directories: stream the parent dir
+    # with a glob filter selecting just this file. Gate on isfile, NOT
+    # "not isdir" — os.path.isdir is False for every remote URI
+    # (s3a://, hdfs://), and the old test silently glob-filtered a
+    # remote DIRECTORY down to zero files (code-review r7). Remote
+    # single-FILE streaming stays unsupported (os.path can't split
+    # URIs); remote directories — the actual production shape — work.
+    if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    for c in _nanos_timestamp_cols(probe_path):
-        # same INT96 guard as read_parquet_auto: only restore columns that
-        # actually surfaced as int64 epoch-nanos
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(
-                c,
-                F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz"),
-            )
-    return df
+    # same restore projection (shared helper) as read_parquet_auto
+    return _restore_nanos_cols(df, probe_path)
 
 
 def run_available_now(
@@ -97,11 +108,7 @@ def daily_window_counts(
     """Watermark → 1-day tumbling window → count, on any streaming (or
     batch) DataFrame. Output columns match the batch pipeline:
     (transaction_date, total_transactions)."""
-    # Event-time ops (watermark/window) require TIMESTAMP (LTZ); fixture
-    # timestamps are NTZ. Session TZ is pinned UTC, so the cast preserves
-    # wall-clock values and window boundaries match the batch/oracle path.
-    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = ensure_event_time_ltz(stream, ts_col)
     return (
         stream.filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)
@@ -128,8 +135,7 @@ def windowed_key_counts(
     would force complete-mode materialization of all state, while the
     aggregate output is tiny (windows × keys) and ranks in one batch
     pass per refresh."""
-    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    stream = ensure_event_time_ltz(stream, ts_col)
     return (
         stream.filter(F.col(ts_col).isNotNull())
         .withWatermark(ts_col, watermark)

@@ -53,8 +53,11 @@ def fingerprint_dedup_stream_watermarked(
     first copy are dropped; state evicts with the watermark (bounded
     memory). Event-time ops need TIMESTAMP (LTZ) — NTZ columns are cast
     (session TZ pinned UTC, values preserved)."""
-    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        ensure_event_time_ltz,
+    )
+
+    stream = ensure_event_time_ltz(stream, ts_col)
     return (
         stream.withColumn("__fp", fingerprint(text_col))
         .withWatermark(ts_col, delay)

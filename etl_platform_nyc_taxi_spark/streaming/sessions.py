@@ -38,8 +38,25 @@ _US = 1_000_000
 
 
 def _make_session_fn(gap_seconds: int):
-    """Build the per-group stateful function (closure over the gap)."""
-    gap_us = gap_seconds * _US
+    """Build the per-group stateful function (closure over the gap).
+
+    Semantics contract (code-review r7): identical to the batch twin
+    (operators/windows.sessionize) on any event multiset —
+
+    * the gap test compares FLOOR-SECOND epochs, exactly the batch
+      twin's and the DuckDB oracle's ``floor(epoch(ts))`` arithmetic;
+      comparing raw microseconds diverged at boundary gaps for
+      sub-second timestamps (fixture events all carry µs);
+    * the batch's open session and every new event enter ONE interval
+      fold (sorted by start, merge when within gap, else close), so
+      multiple late events that are mutually within the gap but each
+      beyond the gap from the open session merge into one session the
+      way a global sort would — per-event singleton emission split
+      them;
+    * timestamps convert via datetime64[us] (Spark's own unit), not a
+      datetime64[ns] hop that raises OutOfBoundsDatetime for valid
+      far-future/past µs values.
+    """
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -52,33 +69,30 @@ def _make_session_fn(gap_seconds: int):
             closed.append((start_us, last_us, n))
             state.remove()
         else:
-            cur = list(state.get) if state.exists else None
-            ts_us: list[int] = []
+            items: list[list[int]] = []
+            if state.exists:
+                items.append(list(state.get))
             for pdf in pdfs:
-                # pandas datetime64[us/ns] -> epoch µs (int64); dropna guards
-                # malformed rows the batch path also ignores
+                # dropna guards malformed rows the batch path also ignores
                 s = pd.to_datetime(pdf["ts"]).dropna()
-                ts_us.extend(int(v) // 1000 for v in s.astype("datetime64[ns]").astype("int64"))
-            for t in sorted(ts_us):
+                items.extend(
+                    [t, t, 1]
+                    for t in (
+                        int(v)
+                        for v in s.astype("datetime64[us]").astype("int64")
+                    )
+                )
+            items.sort(key=lambda it: (it[0], it[1]))
+            cur: list[int] | None = None
+            for it in items:
                 if cur is None:
-                    cur = [t, t, 1]
-                elif t - cur[1] > gap_us:
+                    cur = list(it)
+                elif it[0] // _US - cur[1] // _US > gap_seconds:
                     closed.append(tuple(cur))
-                    cur = [t, t, 1]
-                elif cur[0] - t > gap_us:
-                    # late-but-above-watermark event more than one gap BEFORE
-                    # the open session's start (possible when watermark delay
-                    # > gap): the batch twin, sorting globally, would emit it
-                    # as its own session — do the same instead of merging
-                    closed.append((t, t, 1))
+                    cur = list(it)
                 else:
-                    # late-but-accepted events (above watermark, within the
-                    # gap, possibly earlier than the open session's start —
-                    # cross-micro-batch reordering) extend the session in
-                    # BOTH directions, matching the batch twin's semantics
-                    cur[0] = min(cur[0], t)
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
+                    cur[1] = max(cur[1], it[1])
+                    cur[2] += it[2]
             if cur is not None:
                 state.update(tuple(cur))
                 # flush when watermark passes last event + gap (ms API)
@@ -114,9 +128,11 @@ def sessionize_stream(
     pauses stay in state — exactly the semantics an unbounded pipeline
     needs (they may yet continue).
     """
-    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
-        # event-time ops need LTZ; session TZ is pinned UTC so values hold
-        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        ensure_event_time_ltz,
+    )
+
+    stream = ensure_event_time_ltz(stream, ts_col)
     prepared = (
         stream.filter(F.col(ts_col).isNotNull())
         .select(F.col(user_col).alias("user_id"), F.col(ts_col).alias("ts"))

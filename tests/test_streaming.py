@@ -1047,3 +1047,91 @@ def test_cdc_state_legacy_readable_tail_still_suspect(spark, tmp_path):
         if os.path.isfile(p):
             os.remove(p)
     assert CdcState(spark, solo_dir).gen == 7
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing the session fold."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+        self.updated = None
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+    def remove(self):
+        self._v = None
+
+
+def _run_session_fn(gap_seconds, state_tuple, ts_list):
+    import pandas as pd
+
+    from etl_platform_nyc_taxi_spark.streaming.sessions import _make_session_fn
+
+    fn = _make_session_fn(gap_seconds)
+    state = _StubState(state_tuple)
+    pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list)})
+    out = list(fn((1,), [pdf], state))
+    closed = (
+        []
+        if not out
+        else list(
+            zip(
+                out[0]["session_start"].tolist(),
+                out[0]["session_end"].tolist(),
+                out[0]["n_events"].tolist(),
+            )
+        )
+    )
+    return closed, state
+
+
+def test_session_fold_merges_mutually_close_late_events():
+    """Code-review r7: two late events each more than one gap BEFORE the
+    open session but within the gap of each other must form ONE closed
+    session (the batch twin's global sort merges them); per-event
+    singleton emission split them."""
+    import pandas as pd
+
+    us = lambda s: int(pd.Timestamp(s).value // 1000)  # noqa: E731
+    state = (us("2024-01-01 12:00:00"), us("2024-01-01 12:10:00"), 5)
+    closed, st = _run_session_fn(
+        1800, state, ["2024-01-01 11:21:00", "2024-01-01 11:22:00"]
+    )
+    assert [(str(s), str(e), n) for s, e, n in closed] == [
+        ("2024-01-01 11:21:00", "2024-01-01 11:22:00", 2)
+    ]
+    assert st.updated == state  # open session unchanged in state
+
+
+def test_session_fold_gap_uses_floor_seconds_like_batch():
+    """Code-review r7: the gap test must compare floor-second epochs
+    (the batch twin / oracle arithmetic), not raw microseconds — they
+    disagree for sub-second timestamps at the boundary."""
+    # µs gap = 1800.05 s, floor-second diff = exactly 1800 -> ONE session
+    closed, st = _run_session_fn(
+        1800,
+        None,
+        ["2024-01-01 10:00:00.900000", "2024-01-01 10:30:00.950000"],
+    )
+    assert closed == [] and st.updated[2] == 2
+    # floor-second diff 1801 -> split
+    closed, st = _run_session_fn(
+        1800,
+        None,
+        ["2024-01-01 10:00:00.900000", "2024-01-01 10:30:01.050000"],
+    )
+    assert len(closed) == 1 and closed[0][2] == 1 and st.updated[2] == 1
