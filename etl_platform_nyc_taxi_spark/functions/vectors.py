@@ -80,7 +80,7 @@ def mean_center(a: Column) -> Column:
     )[0]
 
 
-def quantize_int8(a: Column, out_scale: str | None = None) -> Column:
+def quantize_int8(a: Column) -> Column:
     """Symmetric per-vector int8 quantization: round(x · 127 / max|x|) as
     array<tinyint> — 4× smaller than float32 (the storage/bandwidth lever
     for billion-vector ANN corpora; recall loss is negligible at 8 bits

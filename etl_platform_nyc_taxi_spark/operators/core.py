@@ -70,11 +70,15 @@ def union_all(*dfs: DataFrame) -> DataFrame:
     dags/spark_jobs/calculate_top_taxi_zones.py:77-79). Prefer a single
     multi-file scan over unioning per-file results — the reference's loop
     is its defect D1."""
+    if not dfs:
+        raise ValueError("union_all needs at least one DataFrame")
     return reduce(DataFrame.union, dfs)
 
 
 def union_by_name(*dfs: DataFrame, allow_missing: bool = False) -> DataFrame:
     """Name-resolved union — survives column-order drift across sources."""
+    if not dfs:
+        raise ValueError("union_by_name needs at least one DataFrame")
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing), dfs
     )
@@ -114,8 +118,18 @@ def salted_aggregate(
     EXACTLY the direct groupBy (oracle-identical). Use when one key holds
     an outsized share of rows and AQE's skew handling can't help because
     the skew is in the aggregate itself, not a join.
+
+    The salt is a DETERMINISTIC content hash (code-review r7): the old
+    spark_partition_id + monotonically_increasing_id salt changed values
+    when a failed map task re-ran, so a mid-shuffle retry could
+    double-count rows into one (key, salt) partial and drop them from
+    another — the exact rand()-class hazard salted_join's contract
+    forbids. Hashing the full row spreads a hot key's DISTINCT rows;
+    only a hot key of byte-identical duplicate rows stays unsplit
+    (no deterministic function can separate identical inputs — dedupe
+    or pre-count such data upstream).
     """
-    salt = (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

@@ -23,10 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_platform_nyc_taxi_spark.functions.dates import derive_date, ts_on_date
-from etl_platform_nyc_taxi_spark.plans.quality import (
-    require_nonnegative,
-    zero_fill_date,
-)
+from etl_platform_nyc_taxi_spark.plans.quality import zero_fill_date
 
 
 def daily_counts(
@@ -68,7 +65,13 @@ def daily_transactions(
         .agg(F.count(F.lit(1)).alias(count_name))
     )
     out = zero_fill_date(agg, date_name, count_name, day)
-    require_nonnegative(out, count_name)
+    # C4 sanity parity note: the reference asserts count >= 0 here. That
+    # check is vacuous by construction (the column comes from F.count,
+    # always >= 0, coalesced with 0) and require_nonnegative runs an
+    # EAGER action — it executed the whole pruned-scan→agg→join plan at
+    # build time, doubling the job (code-review r7). The assertion stays
+    # available in plans/quality.py for genuinely-unknown inputs and is
+    # pytest-proven there; this hot path keeps its one-plan contract.
     if audit:
         out = out.withColumn("calculated_at", F.current_timestamp())
     return out
