@@ -56,6 +56,21 @@ def main() -> None:
     # unpersist sweep in _gc_sweep is the supported hygiene mechanism.
     recycle_every = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "0"))
 
+    # Untimed warmup (VERDICT r7 task 6): the suite runs in registry
+    # order and the verification-window rotation reorders that every
+    # round, so whichever queries rotate to the head used to absorb the
+    # JVM cold-start (codegen compiler, classloader, parquet footer
+    # caches) and read 1.5-2.5x hot vs their record — position noise
+    # polluting round-over-round comparisons (SCALING.md lesson 3).
+    # Burn the cold-start on a fixed trio of cheap, diverse plans
+    # (scan+project, shuffle agg, documents-table expression work)
+    # BEFORE any timing starts.
+    for wname in ("scan_project", "daily_transactions", "text_stats"):
+        wfn = queries.get(wname)
+        if wfn is not None:
+            wfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _gc_sweep(spark)
+
     timings: dict[str, float] = {}
     for i, (name, fn) in enumerate(queries.items()):
         if recycle_every and i and i % recycle_every == 0:

@@ -101,11 +101,31 @@ def count_star(name: str = "cnt") -> Column:
     return F.count(F.lit(1)).alias(name)
 
 
+def _hashable_salt_cols(df: DataFrame) -> list[str]:
+    """Columns usable inside ``F.hash`` for the deterministic salt:
+    Spark's ``hash()`` raises AnalysisException on MapType (maps have no
+    canonical order), including maps nested in arrays/structs — walk the
+    type tree and drop any column that contains one."""
+    from pyspark.sql import types as T
+
+    def has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if not has_map(f.dataType)]
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
     aggs: Mapping[str, tuple[Column, Column]],
     salt_buckets: int = 16,
+    pre_count: bool = False,
 ) -> DataFrame:
     """Skew-tolerant two-stage aggregation: group by (keys, salt) first so
     a hot key's rows spread over ``salt_buckets`` reducers, then combine
@@ -124,12 +144,35 @@ def salted_aggregate(
     when a failed map task re-ran, so a mid-shuffle retry could
     double-count rows into one (key, salt) partial and drop them from
     another — the exact rand()-class hazard salted_join's contract
-    forbids. Hashing the full row spreads a hot key's DISTINCT rows;
-    only a hot key of byte-identical duplicate rows stays unsplit
-    (no deterministic function can separate identical inputs — dedupe
-    or pre-count such data upstream).
+    forbids. Hashing the full row spreads a hot key's DISTINCT rows.
+    Map-typed columns (which ``hash()`` rejects) are excluded from the
+    salt automatically. Two degenerate shapes stay unsplit, because no
+    deterministic function can separate identical inputs: a hot key of
+    byte-identical duplicate rows, and more generally a hot key whose
+    non-key values are LOW-CARDINALITY — every distinct (key, payload)
+    tuple lands in one salt bucket, so at most
+    distinct-payloads-per-key buckets fill. For that shape pass
+    ``pre_count=True``: identical rows are first collapsed to one row
+    plus a ``__mult`` multiplicity column (the collapsing groupBy keys on
+    the row CONTENT, so it spreads over reducers by itself), and your
+    partial exprs must then weight by it — count → ``F.sum("__mult")``,
+    sum(v) → ``F.sum(F.col("v") * F.col("__mult"))``; min/max unchanged.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    salt_cols = _hashable_salt_cols(df)
+    if pre_count:
+        df = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__mult"))
+        # __mult is derived FROM the hashed content, so including it in
+        # the salt is harmless; after collapsing, each row is a distinct
+        # content tuple and the hash spreads them.
+    elif not salt_cols:
+        raise ValueError(
+            "salted_aggregate: every column contains a MapType — no "
+            "deterministic salt is possible; drop or serialize the map "
+            "columns first"
+        )
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in (salt_cols or keys)]), F.lit(salt_buckets)
+    )
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

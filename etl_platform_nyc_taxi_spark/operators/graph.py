@@ -55,6 +55,11 @@ def connected_components(
     corpus that produced it, and every loop round pays per-task overhead
     × partition count — coalesce to match the EDGE volume, not the
     upstream scan's width."""
+    if max_iter < 1:
+        # The loop body must run at least once for the convergence check
+        # (``changed``) to be defined; <1 would be a silent no-op that
+        # returned identity labels for a connected graph.
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # Materialize the edge relation before symmetrizing: the union's two
     # branches otherwise re-execute the whole upstream pair-generation
     # pipeline (LSH signatures + verify joins) once each — the edges are

@@ -25,9 +25,18 @@ BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def tokens_ws(text: str | Column) -> Column:
-    """Whitespace tokens as array<string>."""
+    """Whitespace tokens as array<string>.
+
+    Empty and whitespace-only inputs yield an EMPTY array: bare
+    ``split(trim(''), '\\s+')`` returns ``['']`` (split semantics), which
+    inflated empty docs to 1 token and emitted an empty-string term from
+    every explode-site downstream (operator review r7). The trailing
+    filter removes that phantom token; on non-degenerate input the two
+    forms are identical because ``\\s+`` splitting of trimmed text never
+    produces interior empties. Oracle SQL mirrors this with
+    ``list_filter(string_split_regex(...), t -> t <> '')``."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
 def tokens_bpe(text: str | Column) -> Column:
@@ -237,16 +246,27 @@ def chunk_documents(
     (overlap = size − stride keeps context across cuts). Output:
     (id, chunk_idx, n_chunk_tokens, chunk_text); every doc yields ≥ 1
     chunk. Pure explode + array-slice expressions: scan-speed, shuffle-
-    free, and the 1→N expansion is plain Generate (codegen), not a UDF."""
+    free, and the 1→N expansion is plain Generate (codegen), not a UDF.
+
+    Window starts stop once a chunk has reached the document end: the
+    last start is ``stride·⌈(n−size)/stride⌉`` (0 when n ≤ size), so no
+    emitted chunk is a strict subset of its predecessor. The previous
+    upper bound (n−1) emitted such subset tails whenever size > stride
+    and an earlier chunk already covered the end — duplicate text that
+    would skew any downstream token accounting (operator review r7)."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
     src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
     if partitions:
         src = src.repartition(partitions)
     toks = tokens_ws(F.col("__t"))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
-    )
+    n_tok = F.size(toks)
+    last_start = F.when(
+        n_tok > size,
+        ((n_tok - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        * F.lit(stride),
+    ).otherwise(F.lit(0))
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     exploded = src.select(
         F.col(id_col), toks.alias("__toks"), F.explode(starts).alias("__start")
     )

@@ -52,6 +52,14 @@ import numpy as np
 _REV_TABLES: dict[int, list[int]] = {}
 
 
+#: Hard pixel budget for a single decoded stream (main or sub-stream).
+#: 2^24 ≈ 16.7 MP (64 MiB of flat ARGB) — far above any test-scale
+#: payload, far below the 16384×16384 the header fields can claim. The
+#: pure-Python loop makes larger images a CPU hazard regardless of
+#: payload validity, so this is a budget, not a format limit.
+MAX_DECODE_PIXELS = 1 << 24
+
+
 def _rev_table(k: int) -> list[int]:
     t = _REV_TABLES.get(k)
     if t is None:
@@ -558,6 +566,20 @@ def _decode_image_stream(
         )
 
     n = coded_w * h
+    if n > MAX_DECODE_PIXELS:
+        # Guard BEFORE the (n, 4) allocation and the per-pixel loop: the
+        # 14-bit header fields admit 16384×16384 (≈1 GB flat + minutes of
+        # Python loop) from a payload of a few dozen bytes — a tiny
+        # malformed/adversarial input must fail here, not after the
+        # allocation (code-review r7). A payload-size ratio bound would
+        # NOT close the hole: a single-symbol green code resolving to a
+        # color-cache hit legally encodes pixels at 0 bits each, so
+        # pixel count is the only enforceable budget.
+        raise ValueError(
+            f"VP8L: {coded_w}x{h} exceeds MAX_DECODE_PIXELS "
+            f"({MAX_DECODE_PIXELS}); raise the module constant for "
+            "trusted large inputs"
+        )
     flat = np.zeros((n, 4), np.uint8)  # A R G B
     i = 0
     while i < n:

@@ -74,11 +74,14 @@ def top_k_global(
 ) -> DataFrame:
     """Global top-k over high-cardinality input without a global sort.
 
-    One global ``row_number() <= k`` window: Spark's optimizer rewrites
-    it to ``TakeOrderedAndProject(limit=k)`` — per-partition partial
-    top-k map-side, then a driver-side merge of the ≤ k·P survivors,
-    with NO exchange node at all (verified on the physical plan; the
-    LimitPushDown/WindowGroupLimit rules do this since Spark 3.5). The
+    One global ``row_number() <= k`` window: Spark's WindowGroupLimit
+    rule (3.5+) prunes each map partition to its local top-k BEFORE the
+    exchange, so the single-partition shuffle the partition-less window
+    still requires moves only the ≤ k·P survivors (k rows per map
+    partition), not the input — a TakeOrderedAndProject-shaped cost
+    even though the physical plan keeps one exchange + final window
+    (code-review r8: the earlier claim of "no exchange at all" was
+    wrong about the plan shape, right about the data volume). The
     earlier hand-built two-phase form (a spark_partition_id-keyed local
     prune) actually planned WORSE: Catalyst cannot prove __pid matches
     the existing partitioning, so EnsureRequirements inserted a hash

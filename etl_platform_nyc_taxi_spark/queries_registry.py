@@ -528,13 +528,13 @@ _DOCS_MUTANTS_SQL = """
     "text_stats",
     r"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS avg_token_len,
-           CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS avg_token_len,
+           CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
                                 t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS stopword_ratio,
            CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                / length(text) AS alpha_ratio
     FROM documents
@@ -566,9 +566,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_language_id",
     r"""
     SELECT doc_id,
-           CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           CASE WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
                           t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                     / len(string_split_regex(trim(text), '\s+')) >= 0.05
+                     / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) >= 0.05
                 THEN 'en' ELSE 'unknown' END AS lang_pred
     FROM documents
     """,
@@ -603,12 +603,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH f AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS n_tok,
              CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS avg_len,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS avg_len,
+             CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
                                   t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS stop_ratio,
              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                / length(text) AS alpha_ratio,
              CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
@@ -645,7 +645,7 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM documents
     ),
     g AS (
       SELECT doc_id,
@@ -727,7 +727,7 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_top_ngrams",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM documents
     ),
     g AS (
       SELECT unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
@@ -767,14 +767,14 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(
                [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
                 for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM tr)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM tr)
     ),
     eg AS (
       SELECT DISTINCT
              unnest(list_distinct(
                [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
                 for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
-      FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM ev)
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM ev)
     ),
     ov AS (
       SELECT t.doc_id, COUNT(*) AS n_overlap
@@ -785,7 +785,7 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_distinct(
                [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
                 for i in range(1, greatest(len(toks)-2, 1)+1)])) AS INTEGER) AS n_grams
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM tr)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM tr)
     )
     SELECT o.doc_id, o.n_overlap, t.n_grams,
            ROUND(CAST(o.n_overlap AS DOUBLE) / t.n_grams, 6) AS overlap_ratio
@@ -814,12 +814,12 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
     q AS (
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS n_tok,
              CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS avg_len,
-             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS avg_len,
+             CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
                                   t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\s+')) AS stop_ratio,
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS stop_ratio,
              CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                / length(text) AS alpha_ratio,
              CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
@@ -850,14 +850,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_distinct(
                [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
                 for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM dedup)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM dedup)
     ),
     eg AS (
       SELECT DISTINCT
              unnest(list_distinct(
                [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
                 for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
-      FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM ev)
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM ev)
     ),
     ov AS (
       SELECT t.doc_id, COUNT(*) AS n_overlap
@@ -868,7 +868,7 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(list_distinct(
                [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
                 for i in range(1, greatest(len(toks)-2, 1)+1)])) AS INTEGER) AS n_grams
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM dedup)
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM dedup)
     ),
     bad AS (
       SELECT o.doc_id FROM ov o JOIN tot t ON o.doc_id = t.doc_id
@@ -996,7 +996,7 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id, lang,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     o AS (
@@ -1035,11 +1035,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_documents",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id, toks,
-             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+             unnest(range(0,
+                          (CASE WHEN len(toks) > 64
+                                THEN ((len(toks) - 64 + 47) // 48) * 48
+                                ELSE 0 END) + 1,
+                          48)) AS start
       FROM t
     )
     SELECT doc_id,
@@ -1068,9 +1072,9 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))) AS BIGINT) AS total_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-           ROUND(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+           ROUND(CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_tokens
     FROM documents
     GROUP BY lang
@@ -1118,7 +1122,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_buckets",
     r"""
     WITH n AS (
-      SELECT len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents
+      SELECT len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS n_tok FROM documents
     ),
     b AS (
       SELECT n_tok,
@@ -1148,7 +1152,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tfidf_terms",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -1374,7 +1378,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, source, doc_id AS id,
              list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
                             for i in range(1, greatest(len(toks)-1, 1)+1)]) AS grams
-      FROM (SELECT lang, source, doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM (SELECT lang, source, doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
             FROM corpus)
     )
     SELECT a.id AS id_a, b.id AS id_b,
@@ -1470,7 +1474,7 @@ _SH_FOLD_SQL = "\n               + ".join(
     rf"""
     WITH corpus AS ({_DOCS_MUTANTS_SQL}),
     toks AS (
-      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      SELECT doc_id AS id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS tok
       FROM corpus
     ),
     th AS (
@@ -2738,7 +2742,7 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "explode_tokens",
     r"""
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token
     FROM documents
     """,
 )
@@ -3072,12 +3076,12 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
              array_to_string(
-               (string_split_regex(trim(text), '\s+'))[1:32], ' ')
+               (list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))[1:32], ' ')
                || ' tailvariant' AS text
       FROM documents
     )
     SELECT md5(array_to_string(
-             (string_split_regex(trim(text), '\s+'))[1:32], ' ')) AS prefix_fp,
+             (list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))[1:32], ' ')) AS prefix_fp,
            COUNT(*) AS copies,
            MIN(doc_id) AS min_doc_id
     FROM corpus
@@ -3434,7 +3438,7 @@ def q_range_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH t AS (
       SELECT doc_id,
-             array_to_string((string_split_regex(trim(text), '\s+'))[1:4],
+             array_to_string((list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))[1:4],
                              ' ') AS title
       FROM documents
     ),
@@ -4157,7 +4161,7 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_tokens",
     r"""
     WITH toks AS (
-      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS token FROM documents
     ),
     n AS (SELECT COUNT(*) AS total FROM toks)
     SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
@@ -5750,7 +5754,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, source, doc_id AS id,
              list_distinct([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
                             for i in range(1, greatest(len(toks)-1, 1)+1)]) AS grams
-      FROM (SELECT lang, source, doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM (SELECT lang, source, doc_id, list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS toks
             FROM corpus)
     )
     SELECT a.id AS contained_id, b.id AS container_id,
@@ -6790,7 +6794,7 @@ def q_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_divergence",
     r"""
     WITH toks AS (
-      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS term
       FROM documents
     ),
     src AS (SELECT source, term, COUNT(*) AS c_st FROM toks GROUP BY 1, 2),
@@ -6883,7 +6887,7 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_COSINE_SQL = rf"""
     WITH corpus AS ({_DOCS_MUTANTS_SQL}),
     toks AS (
-      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT doc_id AS id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS term
       FROM corpus
     ),
     tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -8170,7 +8174,7 @@ def q_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bm25_search",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -9516,7 +9520,7 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINKAGE_SQL = r"""
     WITH t AS (
       SELECT doc_id,
-             array_to_string((string_split_regex(trim(text), '\s+'))[1:4],
+             array_to_string((list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''))[1:4],
                              ' ') AS title,
              lang, source,
              CAST(length(bin(n_chars)) AS INT) AS len_band
@@ -9935,7 +9939,8 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, k.kind,
            CAST(CASE k.kind WHEN 'ppm' THEN 14 + 8 * 2 * 3
                             WHEN 'gif' THEN 37
-                            WHEN 'tiff' THEN 142 ELSE 342 END AS BIGINT)
+                            WHEN 'tiff' THEN 142
+                            WHEN 'webp' THEN 32 ELSE 342 END AS BIGINT)
                AS size_bytes,
            CAST(8 AS DOUBLE) AS f_width,
            CAST(2 AS DOUBLE) AS f_height,
@@ -9943,14 +9948,14 @@ def q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(32 + n_chars % 95 AS DOUBLE) AS f_mean,
            CAST(0 AS DOUBLE) AS f_std
     FROM documents
-    CROSS JOIN (SELECT UNNEST(['ppm', 'gif', 'jpeg', 'tiff']) AS kind) k
+    CROSS JOIN (SELECT UNNEST(['ppm', 'gif', 'jpeg', 'tiff', 'webp']) AS kind) k
     """,
 )
 def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-gated proof the REAL image decoders run — all three
+    """Driver-gated proof the REAL image decoders run — all four
     codec families: each doc's color byte c = 32 + n_chars % 95 (ASCII
     range so the string→binary UTF-8 cast is byte-exact) becomes a
-    solid-color 8x2 RGB image in FOUR encodings, each pushed through
+    solid-color 8x2 RGB image in FIVE encodings, each pushed through
     the production mapInPandas feature kernel
     (operators/multimodal.image_features → decode_image_pixels):
 
@@ -9965,8 +9970,13 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
       DHT now also carries the progressive EOBn symbols);
     * ``tiff`` — PackBits TIFF (imagecodecs.encode_tiff): solid rows
       RLE to a constant 142 bytes, lossless.
+    * ``webp`` — lossless WebP / VP8L (webplossless.encode_vp8l, r7's
+      native RFC 9649 codec, r8-gated here per VERDICT r7 task 2):
+      solid color ⇒ five single-symbol prefix codes, 0 bits/pixel, a
+      constant 32-byte RIFF file; decode_webp reconstructs the exact
+      color through prefix-decode + transform inversion.
 
-    GIF/JPEG payloads come from a 95-row driver-built lookup (one per
+    GIF/JPEG/WebP payloads come from a 95-row driver-built lookup (one per
     possible color) broadcast-joined to documents — at 100 TB the LUT
     is a few KB, the join map-side. Decoded width/height/channels/
     mean/std must equal what the ORACLE predicts from n_chars alone —
@@ -9980,6 +9990,9 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from etl_platform_nyc_taxi_spark.operators.multimodal import (
         image_features,
+    )
+    from etl_platform_nyc_taxi_spark.operators.webplossless import (
+        encode_vp8l,
     )
 
     import numpy as np
@@ -9996,11 +10009,12 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
                     np.full((2, 8, 3), c, dtype=np.uint8), compression=32773
                 )
             ),
+            bytearray(encode_vp8l(np.full((2, 8, 3), c, dtype=np.uint8))),
         )
         for c in range(32, 127)
     ]
     lut_df = spark.createDataFrame(
-        lut, "color int, gif binary, jpg binary, tif binary"
+        lut, "color int, gif binary, jpg binary, tif binary, webp binary"
     )
     base = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -10020,6 +10034,7 @@ def q_multimodal_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         "gif": joined.select("doc_id", F.col("gif").alias("payload")),
         "jpeg": joined.select("doc_id", F.col("jpg").alias("payload")),
         "tiff": joined.select("doc_id", F.col("tif").alias("payload")),
+        "webp": joined.select("doc_id", F.col("webp").alias("payload")),
     }
     outs = []
     for kind, df in branches.items():
@@ -10485,119 +10500,102 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 7).
+# Driver-verification window rotation (round 8).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-7 window = the allocation VERDICT r6 task 1
-# prescribes -- clear the never-sampled backlog (11 -> 0) and re-green
-# the oldest stales.  Registry growth: one r7-new query
-# (multimodal_decode_fallback, VERDICT r6 task 5), 206 -> 207, taking
-# a same-round slot per the frozen-registry rule:
-#   * first-timers (12 = the 11 r6 deferrals + the r7-new fallback
-#     gate -- after this window every registered query has a driver
-#     row);
-#   * the 10 r1-greens, the oldest stales in the registry (age 6);
-#   * capped_balance: its compared surface changed this round
-#     (ROUND -> integer micro-units, VERDICT r6 task 3), and a material
-#     change requires a same-round slot;
-#   * 27 of the 44 remaining r3-greens, family-prioritized per the r6
-#     rotation comment (window/join/agg/streaming cores, then the
-#     dedup_* and text_* families, then multimodal/corpus stragglers).
+# insertion order).  Round-8 window = the allocation VERDICT r7 task 1
+# prescribes (never-sampled backlog is 0 since r7, so the window is
+# material changes first, then oldest-green, oldest-first):
+#   * material changes this round, same-round slots per the
+#     frozen-registry rule: multimodal_decode_roundtrip now drives a
+#     FIFTH wire format (r7's native lossless-WebP/VP8L encoder+decoder,
+#     operators/webplossless — VERDICT r7 task 2) through the production
+#     decode kernel; embedding_pca's fit gained the bounded partial-merge
+#     stage (operators/linalg.fit_pca, VERDICT r7 task 4 — driver
+#     traffic now O(64·d²) regardless of input partitioning);
+#   * the two r3-greens displaced from the r7 window
+#     (ann_cosine_topk, pack_sequences);
+#   * the 15 r3-greens deferred in r7 (age 5) — these also re-pin the
+#     r8 SEMANTICS fixes from the r7 operator review, both applied to
+#     Spark AND oracle sides together: (a) chunk_documents no longer
+#     emits a trailing chunk that is a strict subset of its predecessor
+#     (starts stop once a chunk reaches the doc end); (b) tokens_ws('')
+#     now yields [] instead of [''] (split semantics) — every oracle
+#     split site wraps in list_filter(..., tk -> tk <> ''); the fixture
+#     has no empty/whitespace-only docs, so only chunk_documents'
+#     compared surface actually moved;
+#   * 31 of the 41 r4-greens, oldest-first per the r7 rotation comment
+#     (zscore→event_funnel in reverse-alphabetical age order), leaving
+#     doc_winnow, dedup_incremental, dedup_embedding_lsh,
+#     dedup_doc_prefix, customer_rfm, concurrent_intervals,
+#     cohort_retention, anomaly_mad, ann_lsh_served, agg_percentiles
+#     (r4) plus the r5 greens for r9.
 #
-# Round-8 plan (age table as of end of r6, tools/window_age.py):
-#   * extend multimodal_decode_roundtrip with a 5th wire format (the
-#     r7-native lossless WebP, operators/webplossless) and give it a
-#     same-round slot — deferred from r7 because the query was not in
-#     this window and material changes require one;
-#   * ann_cosine_topk and pack_sequences (r3-greens displaced by the
-#     multimodal_decode_fallback and capped_balance slots) plus
-#   * the 15 r3-greens deferred here: length_buckets,
-#     embedding_quantize, embedding_label_stats, doc_fingerprint,
-#     distinct_pairs, dataset_stratified, dataset_split, dataset_mix,
-#     corpus_top_ngrams, corpus_stats, corpus_shuffle, corpus_prepare,
-#     contamination_check, chunk_documents, cdc_latest_state;
-#   * two deferred SEMANTICS findings from the r7 operator review, each
-#     an oracle-pinned behavior change needing a same-round slot:
-#     (a) chunk_documents emits a trailing chunk that is a strict
-#     subset of the previous one when size > stride and the prior
-#     chunk already reached the doc end — stop starts once
-#     start + size >= n_tokens; (b) tokens_ws('') returns [''] (split
-#     semantics), inflating token counts to 1 for empty docs and
-#     emitting an empty-string tf-idf term — fix Spark AND oracle
-#     sides together (both engines currently share the quirk);
-#   * then ~32 of the 41 r4-greens oldest-first (zscore_outliers,
-#     zorder_layout, winsorize_stats, window_time_range,
-#     window_distribution, vector_normalize, unpivot_metrics, the
-#     streaming_* r4 block, sql_tpch_q5/q10/q18, ...), leaving the
-#     remainder + the r5/r6 greens for r9.
+# Round-9 plan: the 10 remaining r4-greens above, then the r5 greens
+# oldest-first (weighted_median, user_type_entropy, user_growth_curve,
+# tfidf_cosine_pairs, temporal_join_scd2, streaming_sessionize,
+# streaming_quantile_sketch, the sql_tpch r5 block, ...) — run
+# tools/window_age.py when planning; any query materially changed in r9
+# takes a same-round slot first.
 # Steady-state honesty: with 207 queries and a 50-slot window, full
 # re-green cadence is ceil(207/50) = 5 rounds; priority order is
-# first-timers (none remain after r7), then oldest-green.
+# first-timers (none remain), then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
-    # First-timers (never driver-sampled; the r6 deferrals):
-    "regression_price_qty",
-    "moving_average_hourly",
-    "top_percent_orders",
-    "embedding_dim_stats",
-    "corpus_diff",
-    "surrogate_keys",
-    "user_event_profile",
-    "table_inventory",
-    "weekday_seasonality",
-    "hourly_latency_bands",
-    "missing_id_ranges",
-    # Oldest stales: last driver green r1 (age 6):
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "agg_salted",
-    "explode_tokens",
-    "join_fact_fact",
-    "join_snowflake",
-    "pivot_event_counts",
-    "sessionize_events",
-    "sql_tpch_q1",
-    # Last green r3 (age 4), family-prioritized -- window/join/agg cores:
-    "window_lag_lead",
-    "window_running_sum",
-    "window_topk_per_group",
-    "join_anti",
-    "join_semi",
-    "join_salted",
-    "join_star_dims",
-    "agg_family",
-    "streaming_daily_counts",
-    "streaming_dedup",
-    # Last green r3 -- dedup family:
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_image",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    # Last green r3 -- text family:
-    "text_stats",
-    "text_repetition",
-    "text_quality_filter",
-    "text_pii_redact",
-    "text_language_id",
-    "tfidf_terms",
-    # Last green r3 -- multimodal / sequence / ANN / SS2 stragglers:
-    "multimodal_meta",
-    "multimodal_frames",
-    "daily_transactions_day",
-    "ann_lsh",
-    # r7-new (VERDICT r6 task 5: codec-fallback contract), taking its
-    # same-round window slot per the frozen-registry rule; displaces
-    # ann_cosine_topk (quadratic eval baseline, lowest re-green risk)
-    # to the r8 window:
-    "multimodal_decode_fallback",
-    # Materially changed this round (compared surface ROUND -> integer
-    # micro-units, VERDICT r6 task 3) -- a material change requires a
-    # same-round slot; displaces pack_sequences to the r8 window:
-    "capped_balance",
+    # Material changes this round (same-round slots):
+    "multimodal_decode_roundtrip",
+    "embedding_pca",
+    # Displaced from the r7 window:
+    "ann_cosine_topk",
+    "pack_sequences",
+    # r3-greens deferred from r7 (age 5):
+    "length_buckets",
+    "embedding_quantize",
+    "embedding_label_stats",
+    "doc_fingerprint",
+    "distinct_pairs",
+    "dataset_stratified",
+    "dataset_split",
+    "dataset_mix",
+    "corpus_top_ngrams",
+    "corpus_stats",
+    "corpus_shuffle",
+    "corpus_prepare",
+    "contamination_check",
+    "chunk_documents",
+    "cdc_latest_state",
+    # r4-greens, oldest-first (31 of 41; the remainder goes to r9):
+    "zscore_outliers",
+    "zorder_layout",
+    "winsorize_stats",
+    "window_time_range",
+    "window_distribution",
+    "vector_normalize",
+    "unpivot_metrics",
+    "streaming_topk_windowed",
+    "streaming_stream_join",
+    "streaming_enrich",
+    "sql_tpch_q5",
+    "sql_tpch_q18",
+    "sql_tpch_q10",
+    "set_ops_user_churn",
+    "session_window_builtin",
+    "scd2_history",
+    "reservoir_per_key",
+    "range_shard_stats",
+    "profile_orders",
+    "pareto_frontier",
+    "mv_incremental_refresh",
+    "merge_upsert",
+    "markov_transitions",
+    "join_range",
+    "join_asof",
+    "heavy_hitter_tokens",
+    "graph_triangles",
+    "graph_pagerank",
+    "gapfill_daily",
+    "fuzzy_title_pairs",
+    "event_funnel",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

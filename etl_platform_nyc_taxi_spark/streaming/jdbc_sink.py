@@ -108,6 +108,25 @@ def batch_key_predicate(batch: DataFrame, key_cols: list[str]) -> str | None:
 upsert_via_staging = write_jdbc_upsert_staged
 
 
+def stage_table_name(table: str, qtag: str, batch_id: int) -> str:
+    """Per-(query, batch) staging-table identifier, capped at 63 bytes.
+
+    PostgreSQL truncates longer identifiers SILENTLY, which for a long
+    target name would clip off the qtag/batch discriminator and re-open
+    the cross-writer stage collision the naming scheme exists to prevent
+    (code-review r7). Over-long names keep their full discriminating
+    content by hashing the whole uncapped name into a fixed-width
+    suffix: two distinct (table, qtag, batch) triples map to distinct
+    capped names (md5 prefix, 64 bits)."""
+    stage = f"{table}_stg_{qtag}_{batch_id:x}"
+    if len(stage) <= 63:
+        return stage
+    import hashlib as _hl
+
+    digest = _hl.md5(stage.encode()).hexdigest()[:16]
+    return f"{table[:42]}_stg_{digest}"
+
+
 def stream_upsert_jdbc(
     stream: DataFrame,
     cfg: JdbcConfig,
@@ -163,7 +182,7 @@ def stream_upsert_jdbc(
                 cfg,
                 table,
                 key_cols,
-                stage_table=f"{table}_stg_{qtag}_{batch_id:x}",
+                stage_table=stage_table_name(table, qtag, int(batch_id)),
             )
         else:
             write_jdbc_upsert(batch, cfg, table, keys_predicate(keys, key_cols))

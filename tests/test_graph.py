@@ -223,3 +223,18 @@ def test_bfs_distances_rejects_negative_hops(spark):
     sources = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError):
         bfs_distances(edges, sources, max_hops=-1)
+
+
+def test_connected_components_rejects_nonpositive_max_iter(spark):
+    """ADVICE r7: max_iter<=0 used to skip the loop and hit a NameError
+    on the convergence check — must be a named ValueError up front."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="max_iter"):
+            connected_components(edges, max_iter=bad)

@@ -135,3 +135,46 @@ def test_label_centroid_cosine_opposed(spark):
     [r] = label_centroid_cosine(df, "label", "v").collect()
     assert (r["label_a"], r["label_b"]) == (0, 1)
     assert abs(r["cosine"] + 1.0) < 1e-12
+
+
+def test_fit_pca_partition_count_independent(spark):
+    """VERDICT r7 task 4: driver traffic is bounded by the merge stage,
+    and the fit itself must not depend on how the input was partitioned
+    (deterministic sign canonicalization + associative moment sums)."""
+    import numpy as np
+
+    from etl_platform_nyc_taxi_spark.operators.linalg import fit_pca
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(400, 6))
+    base[:, 0] *= 4.0  # dominant direction
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    fits = []
+    for parts in (1, 7, 64, 200):
+        mean, comps, evals = fit_pca(df.repartition(parts), "v", k=2)
+        fits.append((mean, comps, evals))
+    m0, c0, e0 = fits[0]
+    for mean, comps, evals in fits[1:]:
+        np.testing.assert_allclose(mean, m0, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(comps, c0, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(evals, e0, rtol=1e-9, atol=1e-12)
+    # ground truth: numpy eigensolve on the same covariance
+    cov = np.cov(base, rowvar=False, bias=True)
+    ev, _ = np.linalg.eigh(cov)
+    np.testing.assert_allclose(sorted(e0, reverse=True), ev[::-1][:2], rtol=1e-8)
+
+
+def test_fit_pca_mixed_dims_named_error_through_merge(spark):
+    """The merge stage must surface the cross-partition ragged-dim case
+    as the same named ValueError the per-partition stage raises."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.linalg import fit_pca
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "id long, v array<double>"
+    ).repartition(2)
+    with pytest.raises(Exception, match="mixed embedding dimensions"):
+        fit_pca(df, "v", k=1)

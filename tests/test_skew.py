@@ -120,3 +120,81 @@ def test_salted_aggregate_identical_under_skew(spark, skewed_fact):
         .collect()[0][0]
     )
     assert partial_max < int(N_ROWS * HOT_SHARE)
+
+
+def test_salted_aggregate_identical_duplicate_hot_key_pre_count(spark):
+    """VERDICT r7 task 5: a hot key of byte-identical duplicate rows
+    defeats any deterministic content salt. pre_count=True collapses
+    the duplicates first (the collapsing groupBy spreads by content),
+    and weighted partials keep the result exactly equal to the direct
+    aggregate."""
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    rows_in = [("hot", 5)] * 10_000 + [(f"c{i}", i) for i in range(50)]
+    df = spark.createDataFrame(rows_in, "k string, v int").repartition(8)
+    direct = {
+        r["k"]: (r["cnt"], r["sum_v"], r["max_v"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    got = {
+        r["k"]: (r["cnt"], r["sum_v"], r["max_v"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={
+                "cnt": (F.sum("__mult"), F.sum("cnt")),
+                "sum_v": (
+                    F.sum(F.col("v") * F.col("__mult")),
+                    F.sum("sum_v"),
+                ),
+                "max_v": (F.max("v"), F.max("max_v")),
+            },
+            salt_buckets=8,
+            pre_count=True,
+        ).collect()
+    }
+    assert got == direct
+    assert got["hot"] == (10_000, 50_000, 5)
+
+
+def test_salted_aggregate_excludes_map_columns_from_salt(spark):
+    """ADVICE r7: F.hash raises AnalysisException on MapType — such
+    columns must be excluded from the salt, not crash the aggregate."""
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1}), ("a", 2, {"y": 2}), ("b", 3, {"z": 3})],
+        "k string, v int, m map<string,int>",
+    )
+    out = {
+        r["k"]: r["sum_v"]
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={"sum_v": (F.sum("v"), F.sum("sum_v"))},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert out == {"a": 3, "b": 3}
+
+
+def test_salted_aggregate_all_map_payload_raises(spark):
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    df = spark.createDataFrame(
+        [({"x": 1},), ({"y": 2},)], "m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="MapType"):
+        salted_aggregate(
+            df,
+            keys=["m"],
+            aggs={"cnt": (F.count(F.lit(1)), F.sum("cnt"))},
+        )

@@ -1135,3 +1135,27 @@ def test_session_fold_gap_uses_floor_seconds_like_batch():
         ["2024-01-01 10:00:00.900000", "2024-01-01 10:30:01.050000"],
     )
     assert len(closed) == 1 and closed[0][2] == 1 and st.updated[2] == 1
+
+
+def test_stage_table_name_caps_at_63_bytes_with_discriminator():
+    """ADVICE r7: PG silently truncates identifiers at 63 bytes, which
+    for long target tables used to clip the qtag/batch discriminator.
+    The capped form must stay <= 63 chars AND keep distinct triples
+    distinct."""
+    from etl_platform_nyc_taxi_spark.streaming.jdbc_sink import (
+        stage_table_name,
+    )
+
+    short = stage_table_name("daily", "ab12cd34", 7)
+    assert short == "daily_stg_ab12cd34_7"  # short names unchanged
+
+    long_table = "a_very_long_schema_qualified_target_table_name_for_metrics"
+    names = {
+        stage_table_name(long_table, qtag, b)
+        for qtag in ("ab12cd34", "ffee0011")
+        for b in (0, 1, 0x1F)
+    }
+    assert len(names) == 6  # discriminator survives the cap
+    for n in names:
+        assert len(n) <= 63
+        assert n.startswith(long_table[:42])  # still visibly related

@@ -161,11 +161,13 @@ def test_chunk_documents_windows_and_overlap(spark):
     for r in chunk_documents(df, size=4, stride=3).collect():
         out.setdefault(r["doc_id"], []).append(r)
     c1 = sorted(out[1], key=lambda r: r["chunk_idx"])
-    # 10 tokens, size 4 / stride 3: starts 0,3,6,9
-    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3]
+    # 10 tokens, size 4 / stride 3: starts 0,3,6 — the chunk at 6
+    # (w6..w9) reaches the doc end, so no start 9 ("w9" would be a
+    # strict subset of the previous chunk — the r7 review finding)
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
     assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
     assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # 1-token overlap
-    assert c1[3]["chunk_text"] == "w9" and c1[3]["n_chunk_tokens"] == 1
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9" and c1[2]["n_chunk_tokens"] == 4
     # doc shorter than one window: exactly one clamped chunk
     assert len(out[2]) == 1 and out[2][0]["chunk_text"] == "short doc"
 
@@ -290,3 +292,75 @@ def test_quality_flags_rejects_column_clash(spark):
     )
     with pytest.raises(ValueError, match="overwrite"):
         quality_flags(df)
+
+
+def test_tokens_ws_empty_and_whitespace_docs(spark):
+    """Operator review r7: split('') returns [''] (split semantics),
+    which inflated empty docs to 1 token and leaked an empty-string
+    term from every explode site. tokens_ws must yield [] instead."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        token_count,
+        tokens_ws,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, " \t\n "), (4, "one two")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "doc_id",
+            tokens_ws("text").alias("toks"),
+            token_count("text").alias("n"),
+        ).collect()
+    }
+    assert got[1] == ([], 0)
+    assert got[2] == ([], 0)
+    assert got[3] == ([], 0)
+    assert got[4] == (["one", "two"], 2)
+
+
+def test_tokens_ws_empty_matches_duckdb_oracle_form():
+    """The oracle-side replica (list_filter over string_split_regex)
+    must agree with tokens_ws on degenerate inputs — both engines were
+    fixed together, so pin the DuckDB form too."""
+    import duckdb
+
+    rows = duckdb.sql(
+        r"""
+        SELECT s, list_filter(string_split_regex(trim(s), '\s+'),
+                              tk -> tk <> '') AS toks
+        FROM (VALUES (''), ('   '), (e' \t '), ('one two')) v(s)
+        """
+    ).fetchall()
+    got = {s: toks for s, toks in rows}
+    assert got[""] == []
+    assert got["   "] == []
+    assert got[" \t "] == []
+    assert got["one two"] == ["one", "two"]
+
+
+def test_chunk_documents_no_subset_tail_and_exact_fit(spark):
+    """Start generation stops once a chunk reaches the doc end: exact
+    multiples produce no empty/subset tail, and an empty doc still
+    yields its single (empty) chunk."""
+    from etl_platform_nyc_taxi_spark.operators.text import chunk_documents
+
+    toks = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, toks(8)), (2, toks(9)), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(df, size=4, stride=4).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    # 8 tokens, size=stride=4: chunks at 0,4 — the second ends exactly
+    # at the doc end, so NO third (empty) chunk at start 8
+    assert sorted(r["chunk_idx"] for r in out[1]) == [0, 1]
+    # 9 tokens: starts 0,4,8 (the 8-start chunk carries the tail token)
+    c2 = sorted(out[2], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c2] == [4, 4, 1]
+    # empty doc: exactly one chunk of zero tokens (contract: >= 1 chunk)
+    assert len(out[3]) == 1 and out[3][0]["n_chunk_tokens"] == 0
+    assert out[3][0]["chunk_text"] == ""

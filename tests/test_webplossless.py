@@ -394,3 +394,26 @@ def test_decode_rejects_bad_streams():
     bw.bits(5, 3)
     with pytest.raises(ValueError):
         decode_vp8l(bw.done())
+
+
+def test_decode_rejects_oversized_dims_before_allocating():
+    """ADVICE r7: a tiny payload whose 14-bit header fields claim
+    16384x16384 must fail BEFORE the (n,4) allocation / pixel loop."""
+    from etl_platform_nyc_taxi_spark.operators import webplossless as wl
+
+    bw = wl._BitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits((1 << 14) - 1, 14)  # w = 16384
+    bw.bits((1 << 14) - 1, 14)  # h = 16384
+    bw.bit(0)  # alpha hint
+    bw.bits(0, 3)  # version
+    payload = bw.done() + b"\x00" * 32  # garbage "bitstream"
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    riff = b"WEBP" + chunk
+    blob = b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+    import time
+
+    t0 = time.monotonic()
+    assert wl.decode_webp(blob) is None  # rejected, not decoded
+    assert time.monotonic() - t0 < 1.0  # and rejected FAST
