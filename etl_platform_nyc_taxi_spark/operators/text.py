@@ -447,6 +447,98 @@ def tfidf_top_terms(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_avg_nll_micro: int = 3_450_000,
+) -> DataFrame:
+    """Perplexity-style quality filter: score every document under an
+    add-one-smoothed bigram LM trained on the corpus itself — the
+    CCNet/Gopher-class filtering step that flags statistically unusual
+    documents (boilerplate, garbled text, wrong-language leakage) by
+    how surprising their token sequences are to the corpus's own
+    language model.
+
+    Model: whitespace tokens; for each in-document bigram (w1, w2),
+    ``p = (c(w1,w2) + 1) / (c_left(w1) + V)`` where ``c_left`` counts w1
+    as a bigram left context and ``V`` is the corpus vocabulary size.
+    Output per doc: ``n_bigrams``, ``nll_micro`` (total negative
+    log-likelihood), and ``is_outlier`` (average NLL above
+    ``flag_avg_nll_micro``). Docs with fewer than two tokens score
+    (0, 0, false).
+
+    Engine-portable determinism: floating-point SUM of per-bigram
+    ``-ln p`` is order-dependent, so each bigram's NLL is quantized to
+    integer MICRO-NATS first — ``FLOOR(-ln(p) * 1e6 + 0.5)`` where ``p``
+    is one exactly-rounded IEEE division of two exact integers — and the
+    per-doc total is an order-independent BIGINT sum (same discipline as
+    the exact-decimal pagerank accumulation). The outlier flag is a pure
+    integer compare (``nll_micro > threshold * n_bigrams``), no division.
+
+    Scale shape (100 TB): bigram extraction is a higher-order-function
+    projection at scan speed (no UDF); both model aggregates shuffle on
+    token keys with map-side combine; the per-(doc, bigram) relation is
+    pre-aggregated (count ``k`` per doc) so the scoring join moves bigram
+    TYPES, not occurrences; the model join shuffles on (w1, w2) — the
+    model table is orders smaller than the corpus that produced it; the
+    left-context table is vocab-sized (AQE broadcasts it when it fits,
+    shuffle-joins otherwise); the vocabulary size joins in as a 1-row
+    broadcast relation, never a driver action."""
+    toks = df.select(F.col(id_col), tokens_ws(text_col).alias("t"))
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(F.col(id_col), F.col("b.w1"), F.col("b.w2"))
+    )
+    per_doc = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("long").alias("vsz")
+    )
+    nll_micro_per_bigram = F.floor(
+        -F.log(
+            (F.col("c12") + F.lit(1))
+            / (F.col("c1") + F.col("vsz")).cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        per_doc.join(bc, ["w1", "w2"])
+        .join(lc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), "k", nll_micro_per_bigram.alias("nm"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("nm")).cast("long").alias("nll_micro"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).cast("long").alias("nll_micro"),
+            (
+                F.coalesce("nll_micro", F.lit(0))
+                > F.lit(int(flag_avg_nll_micro))
+                * F.coalesce("n_bigrams", F.lit(0))
+            ).alias("is_outlier"),
+        )
+    )
+
+
 def normalize_text(text_col: str | Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

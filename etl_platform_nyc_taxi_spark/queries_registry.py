@@ -44,6 +44,7 @@ from etl_platform_nyc_taxi_spark.operators.similarity import (
 )
 from etl_platform_nyc_taxi_spark.operators.text import (
     QualityRules,
+    bigram_lm_scores,
     language_id,
     fingerprint,
     quality_flags,
@@ -639,6 +640,60 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_flags(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), rules=rules
     ).drop("text")
+
+
+@register(
+    "quality_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    per_doc AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY 1, 2, 3),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    lc AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vsz
+          FROM toks, UNNEST(t) AS u(tok)),
+    scored AS (
+      SELECT per_doc.doc_id, per_doc.k,
+             CAST(FLOOR(-ln((bc.c12 + 1) / CAST(lc.c1 + v.vsz AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS nm
+      FROM per_doc JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             CAST(SUM(k * nm) AS BIGINT) AS nll_micro
+      FROM scored GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_bigrams, 0) AS n_bigrams,
+           COALESCE(a.nll_micro, 0) AS nll_micro,
+           COALESCE(a.nll_micro, 0) > 3450000 * COALESCE(a.n_bigrams, 0)
+             AS is_outlier
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity quality filter (operators/text.bigram_lm_scores): score
+    every document under an add-one-smoothed bigram LM trained on the
+    corpus itself and flag statistically unusual docs — the CCNet /
+    Gopher-class filtering step between the rule gates
+    (text_quality_filter) and dedup in a training-data pipeline. NLL is
+    quantized to integer micro-nats PER BIGRAM (one exactly-rounded IEEE
+    division each) and summed as BIGINT, so the per-doc total is
+    order-independent and the DuckDB oracle reproduces it bit-for-bit;
+    the outlier flag is a pure integer compare (no division). The 3.45
+    avg-nats threshold flags ~3% of the synthetic fixture at every SF."""
+    return bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), flag_avg_nll_micro=3_450_000
+    )
 
 
 @register(
@@ -10524,14 +10579,15 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     split site wraps in list_filter(..., tk -> tk <> ''); the fixture
 #     has no empty/whitespace-only docs, so only chunk_documents'
 #     compared surface actually moved;
-#   * 31 of the 41 r4-greens, oldest-first per the r7 rotation comment
-#     (zscore→event_funnel in reverse-alphabetical age order), leaving
-#     doc_winnow, dedup_incremental, dedup_embedding_lsh,
-#     dedup_doc_prefix, customer_rfm, concurrent_intervals,
-#     cohort_retention, anomaly_mad, ann_lsh_served, agg_percentiles
-#     (r4) plus the r5 greens for r9.
+#   * 30 of the 41 r4-greens, oldest-first per the r7 rotation comment
+#     (zscore→fuzzy_title_pairs in reverse-alphabetical age order),
+#     leaving event_funnel (displaced by the r8-new quality_perplexity,
+#     which takes the mandatory first-timer slot), doc_winnow,
+#     dedup_incremental, dedup_embedding_lsh, dedup_doc_prefix,
+#     customer_rfm, concurrent_intervals, cohort_retention, anomaly_mad,
+#     ann_lsh_served, agg_percentiles (r4) plus the r5 greens for r9.
 #
-# Round-9 plan: the 10 remaining r4-greens above, then the r5 greens
+# Round-9 plan: the 11 remaining r4-greens above, then the r5 greens
 # oldest-first (weighted_median, user_type_entropy, user_growth_curve,
 # tfidf_cosine_pairs, temporal_join_scd2, streaming_sessionize,
 # streaming_quantile_sketch, the sql_tpch r5 block, ...) — run
@@ -10545,6 +10601,8 @@ _VERIFY_FIRST = [
     # Material changes this round (same-round slots):
     "multimodal_decode_roundtrip",
     "embedding_pca",
+    # New this round (first-timer slot): bigram-LM perplexity filter
+    "quality_perplexity",
     # Displaced from the r7 window:
     "ann_cosine_topk",
     "pack_sequences",
@@ -10595,7 +10653,6 @@ _VERIFY_FIRST = [
     "graph_pagerank",
     "gapfill_daily",
     "fuzzy_title_pairs",
-    "event_funnel",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

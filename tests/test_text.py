@@ -364,3 +364,32 @@ def test_chunk_documents_no_subset_tail_and_exact_fit(spark):
     # empty doc: exactly one chunk of zero tokens (contract: >= 1 chunk)
     assert len(out[3]) == 1 and out[3][0]["n_chunk_tokens"] == 0
     assert out[3][0]["chunk_text"] == ""
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one-smoothed bigram NLL against hand-computed micro-nat values.
+
+    Corpus: doc1 "a b a b", doc2 "a b", doc3 "c" (no bigram).
+    Counts: c(a,b)=3, c(b,a)=1; left contexts c(a)=3, c(b)=1; V=3.
+      p(a,b) = (3+1)/(3+3) = 2/3  -> -ln = 0.4054651...  -> 405465
+      p(b,a) = (1+1)/(1+3) = 1/2  -> -ln = 0.6931472...  -> 693147
+    doc1: 3 bigrams, nll = 2*405465 + 693147 = 1504077 (avg 501359)
+    doc2: 1 bigram,  nll = 405465
+    doc3: 0 bigrams, nll = 0 (never an outlier).
+    """
+    from etl_platform_nyc_taxi_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(df, flag_avg_nll_micro=450_000).collect()
+    }
+    assert (rows[1]["n_bigrams"], rows[1]["nll_micro"]) == (3, 1504077)
+    assert (rows[2]["n_bigrams"], rows[2]["nll_micro"]) == (1, 405465)
+    assert (rows[3]["n_bigrams"], rows[3]["nll_micro"]) == (0, 0)
+    # avg micro-nll: doc1 501359 > 450000 -> flagged; doc2 405465 -> kept
+    assert rows[1]["is_outlier"] is True
+    assert rows[2]["is_outlier"] is False
+    assert rows[3]["is_outlier"] is False
