@@ -160,6 +160,16 @@ def salted_aggregate(
     """
     salt_cols = _hashable_salt_cols(df)
     if pre_count:
+        if len(salt_cols) != len(df.columns):
+            # groupBy on a MapType column raises deep inside analysis;
+            # collapsing on a map-free SUBSET instead would silently
+            # merge rows that differ only in map content and corrupt
+            # any aggregate that reads those maps — refuse loudly.
+            raise ValueError(
+                "salted_aggregate(pre_count=True): row-content collapse "
+                "cannot group by MapType columns — serialize or drop "
+                "them first"
+            )
         df = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__mult"))
         # __mult is derived FROM the hashed content, so including it in
         # the salt is harmless; after collapsing, each row is a distinct

@@ -198,3 +198,24 @@ def test_salted_aggregate_all_map_payload_raises(spark):
             keys=["m"],
             aggs={"cnt": (F.count(F.lit(1)), F.sum("cnt"))},
         )
+
+
+def test_salted_aggregate_pre_count_rejects_map_columns(spark):
+    """pre_count collapses on full row content; MapType columns cannot
+    be grouped by, and collapsing on a map-free subset would silently
+    merge rows that differ only in map content — must refuse loudly."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1}), ("a", 1, {"y": 2})],
+        "k string, v int, m map<string,int>",
+    )
+    with pytest.raises(ValueError, match="pre_count"):
+        salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={"n": (F.sum("__mult"), F.sum("n"))},
+            pre_count=True,
+        )
