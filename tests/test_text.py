@@ -393,3 +393,25 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert rows[1]["is_outlier"] is True
     assert rows[2]["is_outlier"] is False
     assert rows[3]["is_outlier"] is False
+
+
+def test_bigram_lm_scores_invariants_on_fixture(spark):
+    """Structural invariants over the real fixture: every doc scores
+    n_bigrams == max(0, n_tokens - 1) and a non-negative NLL total."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        bigram_lm_scores,
+        tokens_ws,
+    )
+    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+    docs = read_parquet_auto(spark, "/root/testdata/sf0.001/documents.parquet")
+    expect = {
+        r["doc_id"]: r["nt"]
+        for r in docs.select(
+            "doc_id", F.size(tokens_ws("text")).alias("nt")
+        ).collect()
+    }
+    for r in bigram_lm_scores(docs).collect():
+        assert r["n_bigrams"] == max(0, expect[r["doc_id"]] - 1)
+        assert r["nll_micro"] >= 0
+        assert (r["nll_micro"] > 0) == (r["n_bigrams"] > 0)
