@@ -440,3 +440,120 @@ def pps_systematic_per_key(
         )
         .drop("__w", "__cum", "__tot")
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how much its hashed n-gram features look
+    like the TARGET distribution versus the RAW pool, so a pipeline can
+    resample raw data toward a high-quality / in-domain target without
+    training a classifier.
+
+    Features are whitespace unigrams + bigrams hashed into ``buckets``
+    bins (the md5-portable family — oracle-replicable). Both feature
+    distributions get add-one smoothing over the bins:
+    ``p(b) = (c_b + 1) / (total + buckets)``. A document's weight is the
+    sum over its feature OCCURRENCES of ``ln p_target(b) − ln p_raw(b)``
+    — positive means target-like.
+
+    Engine-portable determinism: the per-bin log-ratio is quantized to
+    integer MICRO-NATS once per bin (two exactly-rounded IEEE divisions
+    and two ``ln`` calls, then one FLOOR), and per-doc totals are
+    order-independent BIGINT sums of ``occurrences × delta`` — the same
+    discipline as the perplexity filter and the exact-decimal pagerank.
+
+    Output: (id, is_target, n_feats, weight_micro, selected) where
+    ``selected`` marks RAW docs with positive weight — the resampling
+    keep-set. Docs with no tokens score (0, 0, false).
+
+    Scale shape (100 TB): feature extraction is a higher-order-function
+    projection at scan speed; the two distribution counts are ONE
+    conditional aggregate over the feature stream (map-side combinable,
+    at most ``buckets`` groups); the per-doc scoring join broadcasts the
+    bin table (``buckets`` rows — a few KB at any corpus size); totals
+    join as a 1-row broadcast. Nothing quadratic, nothing driver-side."""
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    base = df.select(
+        F.col(id_col), is_target.alias("__tgt"), tokens_ws(text_col).alias("__t")
+    )
+    feats = base.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(
+            F.concat(
+                F.col("__t"),
+                F.expr(
+                    "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
+                    " (w, i) -> concat(w, ' ', element_at(__t, i + 2)))"
+                ),
+            )
+        ).alias("__f"),
+    ).select(
+        F.col(id_col),
+        "__tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5("__f"), 1, 12), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("__b"),
+    )
+    doc_bins = feats.groupBy(id_col, "__tgt", "__b").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    bins = feats.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__cr"),
+    )
+    totals = feats.agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__T"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__R"),
+    )
+    delta = (
+        bins.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.floor(
+                (
+                    F.log(
+                        (F.col("__ct") + F.lit(1))
+                        / (F.col("__T") + F.lit(buckets)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("__cr") + F.lit(1))
+                        / (F.col("__R") + F.lit(buckets)).cast("double")
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__d"),
+        )
+    )
+    scored = doc_bins.join(F.broadcast(delta), "__b").groupBy(id_col).agg(
+        F.sum("__k").cast("long").alias("n_feats"),
+        F.sum(F.col("__k") * F.col("__d")).cast("long").alias("weight_micro"),
+    )
+    return (
+        df.select(F.col(id_col), is_target.alias("is_target"))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            "is_target",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("weight_micro", F.lit(0))
+            .cast("long")
+            .alias("weight_micro"),
+            (
+                (~F.col("is_target"))
+                & (F.coalesce("weight_micro", F.lit(0)) > 0)
+            ).alias("selected"),
+        )
+    )

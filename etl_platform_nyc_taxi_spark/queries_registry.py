@@ -697,6 +697,77 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_selection",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, tgt,
+             CAST('0x' || substr(md5(f), 1, 12) AS BIGINT) % 1024 AS b
+      FROM base,
+           UNNEST(list_concat(
+             t,
+             [t[i] || ' ' || t[i+1] for i in range(1, greatest(len(t), 1))]
+           )) AS u(f)
+    ),
+    doc_bins AS (SELECT doc_id, b, COUNT(*) AS k FROM feats GROUP BY 1, 2),
+    bins AS (
+      SELECT b,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+      FROM feats GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
+             SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS tr
+      FROM feats
+    ),
+    delta AS (
+      SELECT b,
+             CAST(FLOOR((ln((ct + 1) / CAST(tt + 1024 AS DOUBLE))
+                         - ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)))
+                        * 1e6 + 0.5) AS BIGINT) AS d
+      FROM bins CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_feats,
+             CAST(SUM(k * d) AS BIGINT) AS weight_micro
+      FROM doc_bins JOIN delta USING (b) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           d.lang = 'en' AS is_target,
+           COALESCE(s.n_feats, 0) AS n_feats,
+           COALESCE(s.weight_micro, 0) AS weight_micro,
+           (NOT d.lang = 'en') AND COALESCE(s.weight_micro, 0) > 0
+             AS selected
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/sampling.dsir_weights; Xie
+    et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): hashed unigram+bigram features (1024 md5 bins), add-one
+    smoothed target (lang='en') vs raw log-likelihood-ratio per bin, and
+    a per-doc importance weight = Σ occurrences × bin-log-ratio. The
+    keep-set is raw docs with positive weight — resampling a
+    multilingual pool toward the English target without a trained
+    classifier. Per-bin log-ratios are quantized to integer micro-nats
+    once, per-doc totals are order-independent BIGINT sums, and the
+    selection flag is a pure integer compare — the DuckDB oracle replays
+    every step bit-for-bit."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        is_target=F.col("lang") == F.lit("en"),
+    )
+
+
+@register(
     "text_repetition",
     r"""
     WITH toks AS (
@@ -10579,15 +10650,16 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     split site wraps in list_filter(..., tk -> tk <> ''); the fixture
 #     has no empty/whitespace-only docs, so only chunk_documents'
 #     compared surface actually moved;
-#   * 30 of the 41 r4-greens, oldest-first per the r7 rotation comment
-#     (zscore→fuzzy_title_pairs in reverse-alphabetical age order),
-#     leaving event_funnel (displaced by the r8-new quality_perplexity,
-#     which takes the mandatory first-timer slot), doc_winnow,
-#     dedup_incremental, dedup_embedding_lsh, dedup_doc_prefix,
-#     customer_rfm, concurrent_intervals, cohort_retention, anomaly_mad,
+#   * 29 of the 41 r4-greens, oldest-first per the r7 rotation comment
+#     (zscore→gapfill_daily in reverse-alphabetical age order), leaving
+#     fuzzy_title_pairs and event_funnel (each displaced by an r8-new
+#     query taking its mandatory first-timer slot: quality_perplexity
+#     and dsir_selection), doc_winnow, dedup_incremental,
+#     dedup_embedding_lsh, dedup_doc_prefix, customer_rfm,
+#     concurrent_intervals, cohort_retention, anomaly_mad,
 #     ann_lsh_served, agg_percentiles (r4) plus the r5 greens for r9.
 #
-# Round-9 plan: the 11 remaining r4-greens above, then the r5 greens
+# Round-9 plan: the 12 remaining r4-greens above, then the r5 greens
 # oldest-first (weighted_median, user_type_entropy, user_growth_curve,
 # tfidf_cosine_pairs, temporal_join_scd2, streaming_sessionize,
 # streaming_quantile_sketch, the sql_tpch r5 block, ...) — run
@@ -10601,8 +10673,10 @@ _VERIFY_FIRST = [
     # Material changes this round (same-round slots):
     "multimodal_decode_roundtrip",
     "embedding_pca",
-    # New this round (first-timer slot): bigram-LM perplexity filter
+    # New this round (first-timer slots): bigram-LM perplexity filter +
+    # DSIR importance-resampling selection
     "quality_perplexity",
+    "dsir_selection",
     # Displaced from the r7 window:
     "ann_cosine_topk",
     "pack_sequences",
@@ -10652,7 +10726,6 @@ _VERIFY_FIRST = [
     "graph_triangles",
     "graph_pagerank",
     "gapfill_daily",
-    "fuzzy_title_pairs",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -397,3 +397,47 @@ def test_hash_split_null_ids_are_hashed_not_dumped(spark):
     # weights that is overwhelmingly 'train'; the old bug pinned them
     # to 'test' unconditionally
     assert by.get("test", 0) < 10
+
+
+def test_dsir_weights_hand_computed(spark):
+    """DSIR importance weights against a python mirror of the exact
+    quantization pipeline (md5 bins verified collision-free for these
+    tokens: x->652, 'x x'->513, y->404, 'y y'->524 mod 1024).
+
+    Corpus: target "x x"; raw "x x" (target-like) and raw "y y"
+    (target-unseen). The raw copy of the target text must come out
+    positive/selected; the all-raw text negative/unselected."""
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "x x", True), (2, "x x", False), (3, "y y", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, is_target=F.col("tgt")).collect()
+    }
+
+    B = 1024
+    T, R = 3, 6  # target feats: x,x,'x x'; raw: x,x,'x x',y,y,'y y'
+    def delta(ct, cr):
+        return math.floor(
+            (math.log((ct + 1) / (T + B)) - math.log((cr + 1) / (R + B)))
+            * 1e6
+            + 0.5
+        )
+
+    d_x, d_xx = delta(2, 2), delta(1, 1)
+    d_y, d_yy = delta(0, 2), delta(0, 1)
+    w_xlike = 2 * d_x + d_xx
+    w_ylike = 2 * d_y + d_yy
+    assert (out[1]["n_feats"], out[1]["weight_micro"]) == (3, w_xlike)
+    assert (out[2]["n_feats"], out[2]["weight_micro"]) == (3, w_xlike)
+    assert (out[3]["n_feats"], out[3]["weight_micro"]) == (3, w_ylike)
+    assert w_xlike > 0 > w_ylike
+    # selection: raw AND positive only
+    assert out[1]["selected"] is False  # target doc never selected
+    assert out[2]["selected"] is True
+    assert out[3]["selected"] is False
