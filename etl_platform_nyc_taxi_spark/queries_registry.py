@@ -642,9 +642,10 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
-@register(
-    "quality_perplexity",
-    r"""
+# Per-doc bigram-LM NLL pipeline in DuckDB SQL — shared by the perplexity
+# query and the corpus-funnel audit built on top of it. Yields one row per
+# document: (doc_id, n_bigrams, nll_micro, is_outlier).
+_PPL_DOC_SQL = r"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '') AS t
@@ -678,7 +679,12 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(a.nll_micro, 0) > 3450000 * COALESCE(a.n_bigrams, 0)
              AS is_outlier
     FROM documents d LEFT JOIN agg a USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "quality_perplexity",
+    _PPL_DOC_SQL,
 )
 def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity quality filter (operators/text.bigram_lm_scores): score
@@ -694,6 +700,102 @@ def q_quality_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(
         _t(spark, sf_dir, "documents"), flag_avg_nll_micro=3_450_000
     )
+
+
+@register(
+    "corpus_quality_funnel",
+    rf"""
+    WITH ppl AS ({_PPL_DOC_SQL}),
+    f AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS n_tok,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS avg_len,
+             CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
+                                  t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+               / len(list_filter(string_split_regex(trim(text), '\s+'), tk -> tk <> '')) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+               / length(text) AS symbol_ratio
+      FROM documents
+    ),
+    base AS (
+      SELECT d.doc_id,
+             md5(lower(trim(regexp_replace(d.text, '\s+', ' ', 'g')))) AS fp,
+             (f.n_tok >= 40 AND f.n_tok <= 100000)
+               AND (f.avg_len >= 2.0 AND f.avg_len <= 12.0)
+               AND f.stop_ratio >= 0.05
+               AND f.alpha_ratio >= 0.6
+               AND f.symbol_ratio <= 0.1 AS keep,
+             ppl.is_outlier
+      FROM documents d JOIN f USING (doc_id) JOIN ppl USING (doc_id)
+    ),
+    s2 AS (SELECT * FROM base WHERE keep AND NOT is_outlier)
+    SELECT 0 AS stage, 'total' AS gate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL
+    SELECT 1, 'rules',
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) FROM base
+    UNION ALL
+    SELECT 2, 'perplexity', CAST(COUNT(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'dedup_canonical', CAST(COUNT(DISTINCT fp) AS BIGINT) FROM s2
+    """,
+)
+def q_corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality funnel — the audit a training-data pipeline
+    dashboards to see where documents die: cumulative survivor counts
+    through (0) raw corpus, (1) the C4/Gopher rule gates
+    (text_quality_filter's exact rules), (2) the bigram-LM perplexity
+    filter (quality_perplexity's exact model), (3) exact-dedup
+    canonicals (one per normalized-text fingerprint) among the
+    survivors. One pass over the corpus: every gate is a boolean column
+    computed side by side, the funnel is ONE conditional aggregate (no
+    per-stage rescans), and stage 3 is COUNT(DISTINCT fingerprint) over
+    the stage-2 set — at 100 TB this is the same scan the individual
+    gate queries already pay, shared. Oracle replays all three gate
+    pipelines verbatim and the identical conditional counts."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        bigram_lm_scores,
+        fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = QualityRules(min_tokens=40, min_stopword_ratio=0.05)
+    flags = quality_flags(docs.select("doc_id", "text"), rules=rules).select(
+        "doc_id", "keep"
+    )
+    ppl = bigram_lm_scores(docs).select("doc_id", "is_outlier")
+    base = (
+        docs.select("doc_id", fingerprint("text").alias("__fp"))
+        .join(flags, "doc_id")
+        .join(ppl, "doc_id")
+    )
+    s2 = F.col("keep") & ~F.col("is_outlier")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n1"),
+        F.sum(s2.cast("long")).cast("long").alias("n2"),
+        F.countDistinct(F.when(s2, F.col("__fp")))
+        .cast("long")
+        .alias("n3"),
+    )
+    stage = lambda i, gate, n: F.struct(  # noqa: E731
+        F.lit(i).alias("stage"),
+        F.lit(gate).alias("gate"),
+        F.col(n).alias("n_docs"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                stage(0, "total", "n0"),
+                stage(1, "rules", "n1"),
+                stage(2, "perplexity", "n2"),
+                stage(3, "dedup_canonical", "n3"),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.gate", "s.n_docs")
 
 
 @register(
@@ -10650,16 +10752,17 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     split site wraps in list_filter(..., tk -> tk <> ''); the fixture
 #     has no empty/whitespace-only docs, so only chunk_documents'
 #     compared surface actually moved;
-#   * 29 of the 41 r4-greens, oldest-first per the r7 rotation comment
-#     (zscore→gapfill_daily in reverse-alphabetical age order), leaving
-#     fuzzy_title_pairs and event_funnel (each displaced by an r8-new
-#     query taking its mandatory first-timer slot: quality_perplexity
-#     and dsir_selection), doc_winnow, dedup_incremental,
-#     dedup_embedding_lsh, dedup_doc_prefix, customer_rfm,
-#     concurrent_intervals, cohort_retention, anomaly_mad,
-#     ann_lsh_served, agg_percentiles (r4) plus the r5 greens for r9.
+#   * 28 of the 41 r4-greens, oldest-first per the r7 rotation comment
+#     (zscore→graph_pagerank in reverse-alphabetical age order), leaving
+#     gapfill_daily, fuzzy_title_pairs and event_funnel (each displaced
+#     by an r8-new query taking its mandatory first-timer slot:
+#     quality_perplexity, dsir_selection, corpus_quality_funnel),
+#     doc_winnow, dedup_incremental, dedup_embedding_lsh,
+#     dedup_doc_prefix, customer_rfm, concurrent_intervals,
+#     cohort_retention, anomaly_mad, ann_lsh_served, agg_percentiles
+#     (r4) plus the r5 greens for r9.
 #
-# Round-9 plan: the 12 remaining r4-greens above, then the r5 greens
+# Round-9 plan: the 13 remaining r4-greens above, then the r5 greens
 # oldest-first (weighted_median, user_type_entropy, user_growth_curve,
 # tfidf_cosine_pairs, temporal_join_scd2, streaming_sessionize,
 # streaming_quantile_sketch, the sql_tpch r5 block, ...) — run
@@ -10673,10 +10776,12 @@ _VERIFY_FIRST = [
     # Material changes this round (same-round slots):
     "multimodal_decode_roundtrip",
     "embedding_pca",
-    # New this round (first-timer slots): bigram-LM perplexity filter +
-    # DSIR importance-resampling selection
+    # New this round (first-timer slots): bigram-LM perplexity filter,
+    # DSIR importance-resampling selection, and the cumulative quality
+    # funnel composed from the rule gates + perplexity + exact dedup
     "quality_perplexity",
     "dsir_selection",
+    "corpus_quality_funnel",
     # Displaced from the r7 window:
     "ann_cosine_topk",
     "pack_sequences",
@@ -10725,7 +10830,6 @@ _VERIFY_FIRST = [
     "heavy_hitter_tokens",
     "graph_triangles",
     "graph_pagerank",
-    "gapfill_daily",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

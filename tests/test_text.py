@@ -415,3 +415,55 @@ def test_bigram_lm_scores_invariants_on_fixture(spark):
         assert r["n_bigrams"] == max(0, expect[r["doc_id"]] - 1)
         assert r["nll_micro"] >= 0
         assert (r["nll_micro"] > 0) == (r["n_bigrams"] > 0)
+
+
+def test_corpus_quality_funnel_composition(spark):
+    """The funnel's conditional aggregate must agree with independently
+    composed gate relations, stages must be monotone non-increasing,
+    and exact duplicates must collapse at the canonical stage."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        QualityRules,
+        bigram_lm_scores,
+        fingerprint,
+        quality_flags,
+    )
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    out = {
+        r["stage"]: (r["gate"], r["n_docs"])
+        for r in QUERIES["corpus_quality_funnel"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert [out[i][0] for i in range(4)] == [
+        "total", "rules", "perplexity", "dedup_canonical",
+    ]
+    n = [out[i][1] for i in range(4)]
+    assert n[0] >= n[1] >= n[2] >= n[3] > 0
+
+    # independent composition of the same gates
+    from etl_platform_nyc_taxi_spark.sources import load_fixture
+
+    docs = load_fixture(spark, "/root/testdata/sf0.001", "documents")
+    rules = QualityRules(min_tokens=40, min_stopword_ratio=0.05)
+    keep = {
+        r["doc_id"]
+        for r in quality_flags(docs.select("doc_id", "text"), rules=rules)
+        .filter("keep")
+        .collect()
+    }
+    not_out = {
+        r["doc_id"]
+        for r in bigram_lm_scores(docs).filter("NOT is_outlier").collect()
+    }
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", fingerprint("text").alias("fp")
+        ).collect()
+    }
+    survivors = keep & not_out
+    assert n[0] == docs.count()
+    assert n[1] == len(keep)
+    assert n[2] == len(survivors)
+    assert n[3] == len({fps[d] for d in survivors})
