@@ -180,9 +180,21 @@ def salted_aggregate(
             "deterministic salt is possible; drop or serialize the map "
             "columns first"
         )
-    salt = F.pmod(
-        F.hash(*[F.col(c) for c in (salt_cols or keys)]), F.lit(salt_buckets)
-    )
+    elif set(salt_cols) <= set(keys):
+        # Every non-key payload column contains a MapType, so the salt
+        # would hash only the grouping keys — constant per key, which
+        # silently defeats the one job this function has (advisor r8).
+        # Results would still be correct, so this is a loud refusal
+        # rather than a wrong answer: serialize the map payloads or use
+        # pre_count=True on a map-free projection.
+        raise ValueError(
+            "salted_aggregate: all non-key payload columns contain a "
+            "MapType, so the content salt would hash only the grouping "
+            "keys (constant per key) and the skew mitigation would be a "
+            "silent no-op — serialize the map columns or collapse with "
+            "pre_count=True on a map-free projection"
+        )
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")

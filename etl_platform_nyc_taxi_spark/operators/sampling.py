@@ -474,11 +474,13 @@ def dsir_weights(
     keep-set. Docs with no tokens score (0, 0, false).
 
     Scale shape (100 TB): feature extraction is a higher-order-function
-    projection at scan speed; the two distribution counts are ONE
-    conditional aggregate over the feature stream (map-side combinable,
-    at most ``buckets`` groups); the per-doc scoring join broadcasts the
-    bin table (``buckets`` rows — a few KB at any corpus size); totals
-    join as a 1-row broadcast. Nothing quadratic, nothing driver-side."""
+    projection at scan speed; the feature stream is aggregated exactly
+    TWICE — once into the per-bin conditional counts (map-side
+    combinable, at most ``buckets`` groups) and once into per-doc bin
+    counts — and the grand totals come from summing the ``buckets``-row
+    bins table itself, not a third corpus pass; the per-doc scoring join
+    broadcasts the bin table (a few KB at any corpus size); totals join
+    as a 1-row broadcast. Nothing quadratic, nothing driver-side."""
     from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
 
     base = df.select(
@@ -511,9 +513,16 @@ def dsir_weights(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
         F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__cr"),
     )
-    totals = feats.agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__T"),
-        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__R"),
+    # Totals are derived from the (at most ``buckets``-row) bins table,
+    # NOT re-aggregated from ``feats``: sum-over-bins of the per-bin
+    # counts IS the total occurrence count, and re-using ``bins`` keeps
+    # the corpus to exactly two feature-stream passes (bin counts +
+    # per-doc counts) instead of three (advisor r8 — each aggregate
+    # shuffles differently, so a separate totals agg re-executed the
+    # whole tokenize+hash subtree).
+    totals = bins.agg(
+        F.sum("__ct").alias("__T"),
+        F.sum("__cr").alias("__R"),
     )
     delta = (
         bins.crossJoin(F.broadcast(totals))

@@ -117,14 +117,25 @@ def stage_table_name(table: str, qtag: str, batch_id: int) -> str:
     (code-review r7). Over-long names keep their full discriminating
     content by hashing the whole uncapped name into a fixed-width
     suffix: two distinct (table, qtag, batch) triples map to distinct
-    capped names (md5 prefix, 64 bits)."""
+    capped names (md5 prefix, 64 bits).
+
+    The cap is measured in UTF-8 BYTES, not Python characters
+    (advisor r8): PostgreSQL's NAMEDATALEN limit is 63 bytes, so a
+    target name with multibyte characters could pass a ``len()`` check
+    yet still be silently truncated server-side, clipping the
+    discriminator again. The table prefix is likewise sliced by encoded
+    bytes (dropping any codepoint the cut would split)."""
     stage = f"{table}_stg_{qtag}_{batch_id:x}"
-    if len(stage) <= 63:
+    if len(stage.encode("utf-8")) <= 63:
         return stage
     import hashlib as _hl
 
-    digest = _hl.md5(stage.encode()).hexdigest()[:16]
-    return f"{table[:42]}_stg_{digest}"
+    digest = _hl.md5(stage.encode("utf-8")).hexdigest()[:16]
+    suffix = f"_stg_{digest}"  # 21 ASCII bytes
+    prefix = table.encode("utf-8")[: 63 - len(suffix)].decode(
+        "utf-8", errors="ignore"
+    )
+    return f"{prefix}{suffix}"
 
 
 def stream_upsert_jdbc(

@@ -219,3 +219,26 @@ def test_salted_aggregate_pre_count_rejects_map_columns(spark):
             aggs={"n": (F.sum("__mult"), F.sum("n"))},
             pre_count=True,
         )
+
+
+def test_salted_aggregate_key_only_salt_entropy_raises(spark):
+    """ADVICE r8: when every NON-KEY payload column contains a MapType,
+    the hashable salt columns collapse to the keys alone — hash(keys)
+    is constant per key, so the hot key would land in one bucket and
+    the skew mitigation would silently be a no-op. Must refuse loudly
+    (results would be correct, which is exactly why silence is the
+    hazard)."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    df = spark.createDataFrame(
+        [("a", {"x": 1}), ("a", {"y": 2}), ("b", {"z": 3})],
+        "k string, m map<string,int>",
+    )
+    with pytest.raises(ValueError, match="no-op"):
+        salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={"cnt": (F.count(F.lit(1)), F.sum("cnt"))},
+        )

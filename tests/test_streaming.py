@@ -1159,3 +1159,15 @@ def test_stage_table_name_caps_at_63_bytes_with_discriminator():
     for n in names:
         assert len(n) <= 63
         assert n.startswith(long_table[:42])  # still visibly related
+
+    # ADVICE r8: NAMEDATALEN is 63 BYTES — a multibyte table name that
+    # fits in 63 characters can still overflow the byte limit and get
+    # truncated server-side. The cap must count encoded bytes and must
+    # not split a codepoint at the slice boundary.
+    wide = "métriques_agrégées_" + "é" * 25  # 44 chars, 72 bytes
+    full = f"{wide}_stg_ab12cd34_1f"
+    assert len(full) <= 63 < len(full.encode("utf-8"))  # the trap shape
+    capped = stage_table_name(wide, "ab12cd34", 0x1F)
+    assert len(capped.encode("utf-8")) <= 63
+    capped.encode("utf-8").decode("utf-8")  # no split codepoint
+    assert capped != stage_table_name(wide, "ffee0011", 0x1F)
