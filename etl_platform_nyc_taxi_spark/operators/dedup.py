@@ -937,3 +937,109 @@ def minhash_estimate_audit(
             F.round(F.abs(F.col("__est") - F.col("__jac")), 6).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (token-window fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    max_docs_per_window: int = 32,
+) -> DataFrame:
+    """Substring-level exact duplication report (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find
+    VERBATIM repeated token spans shared across otherwise-distinct
+    documents — the dedup modality doc-level hashing (whole-text md5)
+    and near-dup families (MinHash/SimHash, which score global
+    similarity) both miss: two long articles quoting the same 50-token
+    boilerplate paragraph are neither exact dups nor globally similar,
+    yet the span is memorization fuel.
+
+    The published implementation builds a corpus-wide suffix array — a
+    single-machine shape. The Spark-native equivalent is sharded window
+    fingerprinting: every ``window``-token sliding window (stride 1,
+    exactly the suffix-array granularity) is hashed to a 128-bit md5
+    fingerprint; windows sharing a fingerprint across documents ARE the
+    repeated spans (md5 collisions are negligible at any corpus size).
+    Everything downstream is equi-join/group-by on the fingerprint —
+    shuffle-parallel, nothing quadratic in the corpus.
+
+    Hot-fingerprint guard (SCALING.md lesson 2 — any self-join key needs
+    an absolute occupancy bound): a span shared by k documents creates
+    k·(k−1)/2 pair rows, so fingerprints occurring in more than
+    ``max_docs_per_window`` documents are classed as STOP SPANS
+    (site-wide boilerplate — the published pipelines drop or
+    special-case these too) and excluded from pairing. The bound is
+    deterministic content arithmetic, so the DuckDB oracle replays it
+    exactly.
+
+    Returns one row per unordered document pair sharing at least one
+    non-stop window: (doc_a, doc_b, shared_windows, windows_a,
+    windows_b) — counts are DISTINCT window fingerprints, so
+    ``shared_windows / least(windows_a, windows_b)`` is a containment
+    ratio ready for a decontamination threshold.
+
+    Scale shape (100 TB): fingerprinting is a higher-order-function
+    projection at scan speed (one md5 per token position — linear in
+    corpus tokens, the same cost Lee et al.'s suffix array pays);
+    dedup + occupancy count + pairing are group-bys/joins keyed on the
+    fingerprint; per-fingerprint pair fanout is capped at
+    ``max_docs_per_window``² by the stop-span bound."""
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if max_docs_per_window < 2:
+        raise ValueError("max_docs_per_window must be >= 2")
+    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
+    # CASE keeps short docs out of sequence(): Spark's sequence(1, n)
+    # DESCENDS for n < 1 ([1, 0]) instead of returning empty the way
+    # generate_series does — the guard is correctness, not style.
+    win_fps = (
+        f"CASE WHEN size(__t) >= {window} "
+        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
+        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
+        f"ELSE array() END"
+    )
+    fps = t.select(
+        F.col(id_col), F.explode(F.expr(win_fps)).alias("__fp")
+    ).distinct()
+    # Four consumers (pair sides a/b, occupancy counts, per-doc counts)
+    # would each re-run tokenize + per-position md5 over the whole
+    # corpus; materialize the fingerprint trunk once instead (non-eager
+    # localCheckpoint — the house pattern, see _banded_signature). An
+    # ingest-time pipeline would persist this table anyway.
+    fps = fps.localCheckpoint(eager=False)
+    per_doc = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nw"))
+    ok = (
+        fps.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(
+            (F.col("__nd") >= 2) & (F.col("__nd") <= max_docs_per_window)
+        )
+        .select("__fp")
+    )
+    a = fps.select(F.col(id_col).alias("doc_a"), "__fp").join(ok, "__fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), "__fp")
+    pairs = (
+        a.join(b, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+    )
+    na = per_doc.select(
+        F.col(id_col).alias("doc_a"), F.col("__nw").alias("windows_a")
+    )
+    nb = per_doc.select(
+        F.col(id_col).alias("doc_b"), F.col("__nw").alias("windows_b")
+    )
+    return pairs.join(na, "doc_a").join(nb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        "shared_windows",
+        F.col("windows_a").cast("long").alias("windows_a"),
+        F.col("windows_b").cast("long").alias("windows_b"),
+    )

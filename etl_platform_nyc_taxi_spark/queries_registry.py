@@ -31,6 +31,7 @@ from etl_platform_nyc_taxi_spark.functions.hashing import (
 from etl_platform_nyc_taxi_spark.operators.core import union_by_name
 from etl_platform_nyc_taxi_spark.operators.dedup import (
     exact_duplicate_groups,
+    exact_substring_pairs,
     minhash_near_dups,
     ngram_jaccard_pairs,
     simhash_near_dups,
@@ -1520,6 +1521,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text")
     )
     return exact_duplicate_groups(corpus)
+
+
+@register(
+    "dedup_exact_substring",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         tk -> tk <> '') AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+15],
+                                 ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, len(tk) - 15)) AS g(i)
+      WHERE len(tk) >= 16
+    ),
+    ok AS (SELECT fp FROM w GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 32),
+    n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw FROM w GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_windows
+      FROM w a JOIN ok USING (fp) JOIN w b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared_windows,
+           na.nw AS windows_a, nb.nw AS windows_b
+    FROM p
+    JOIN n na ON na.doc_id = p.doc_a
+    JOIN n nb ON nb.doc_id = p.doc_b
+    """,
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-substring dedup (Lee et al. 2022): verbatim
+    16-token spans shared across distinct documents, reported as
+    (doc_a, doc_b, shared_windows, windows_a, windows_b) — the modality
+    whole-doc hashing and global-similarity near-dup both miss. Suffix
+    array re-expressed as sharded sliding-window md5 fingerprints
+    (stride 1) + equi-joins on the fingerprint; >32-doc stop spans
+    excluded by the deterministic occupancy bound the oracle replays
+    (operators/dedup.exact_substring_pairs)."""
+    return exact_substring_pairs(
+        _t(spark, sf_dir, "documents"),
+        window=16,
+        max_docs_per_window=32,
+    )
 
 
 # Integer minhash family mirrored into DuckDB: same (a, c) literals, same

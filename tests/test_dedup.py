@@ -519,3 +519,105 @@ def test_simhash_full_width_single_block(spark):
         for r in simhash_near_dups(df, max_hamming=0, blocks=1).collect()
     }
     assert got == {(1, 2)}  # identical docs match, distinct do not
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (token-window fingerprints, Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+
+def _subs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_substring_pairs_hand_computed(spark):
+    """Three docs, window=4: docs 1 and 2 share the verbatim span
+    'a b c d e' (two 4-token windows: 'a b c d' and 'b c d e'); doc 3
+    shares nothing. Window counts are per-doc DISTINCT fingerprints."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    df = _subs_df(
+        spark,
+        [
+            (1, "a b c d e x y z"),      # 5 windows
+            (2, "p q a b c d e"),        # 4 windows
+            (3, "m n o r s t u v"),      # 5 windows
+        ],
+    )
+    out = exact_substring_pairs(df, window=4).collect()
+    assert [
+        (r.doc_a, r.doc_b, r.shared_windows, r.windows_a, r.windows_b)
+        for r in out
+    ] == [(1, 2, 2, 5, 4)]
+
+
+def test_exact_substring_short_docs_emit_no_windows(spark):
+    """Docs shorter than the window yield zero fingerprints (Spark's
+    sequence(1, n<1) DESCENDS — the CASE guard must keep them out), and
+    empty/whitespace text tokenizes to [] (tokens_ws semantics)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    df = _subs_df(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "   "), (4, "a b c d")],
+    )
+    # window=4: only doc 4 has any window, so no pair exists at all
+    assert exact_substring_pairs(df, window=4).collect() == []
+
+
+def test_exact_substring_duplicate_windows_within_doc_count_once(spark):
+    """A span repeated INSIDE one doc contributes one distinct
+    fingerprint — counts are distinct-window counts, so the containment
+    ratio shared/least(windows) stays <= 1."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    df = _subs_df(
+        spark,
+        [
+            (1, "a b c d a b c d"),  # 'a b c d' appears at pos 1 and 5
+            (2, "z a b c d"),
+        ],
+    )
+    out = exact_substring_pairs(df, window=4).collect()
+    row = next(r for r in out if (r.doc_a, r.doc_b) == (1, 2))
+    # doc 1 windows: 'a b c d', 'b c d a', 'c d a b', 'd a b c',
+    # 'a b c d' (dup -> 4 distinct); doc 2: 'z a b c', 'a b c d' (2)
+    assert (row.shared_windows, row.windows_a, row.windows_b) == (1, 4, 2)
+
+
+def test_exact_substring_stop_span_occupancy_bound(spark):
+    """A window shared by more docs than max_docs_per_window is a STOP
+    SPAN (boilerplate) and must not create pairs; a rarer span still
+    pairs. SCALING.md lesson 2: absolute bound on the self-join key."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    boiler = [(i, "same old boiler plate") for i in range(1, 5)]
+    rare = [(10, "k l m n o"), (11, "k l m n p")]
+    df = _subs_df(spark, boiler + rare)
+    out = exact_substring_pairs(df, window=4, max_docs_per_window=3).collect()
+    # the 4-doc boilerplate exceeds the bound of 3 -> dropped entirely;
+    # docs 10/11 share exactly 'k l m n'
+    assert [
+        (r.doc_a, r.doc_b, r.shared_windows, r.windows_a, r.windows_b)
+        for r in out
+    ] == [(10, 11, 1, 2, 2)]
+
+
+def test_exact_substring_parameter_validation(spark):
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    df = _subs_df(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="window"):
+        exact_substring_pairs(df, window=1)
+    with pytest.raises(ValueError, match="max_docs_per_window"):
+        exact_substring_pairs(df, max_docs_per_window=1)
