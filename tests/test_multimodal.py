@@ -1155,3 +1155,141 @@ def test_png_decode_16bit_high_byte_downscale():
         out = decode_image_pixels(_png_file(9, 6, 16, color, 0, bytes(raw)))
         assert out is not None and out.shape == (6, 9, ch), (ch, color)
         assert np.array_equal(out, (img16 >> 8).astype(np.uint8)), (ch, color)
+
+
+# ---------------------------------------------------------------------------
+# MP3 / OGG header walk (VERDICT r8 task 3 — metadata without PCM decode)
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame_bytes(pad: bool = False) -> bytearray:
+    """One MPEG1 Layer III 44.1 kHz 128 kbps stereo frame (header + zero
+    body). Frame length 144*128000/44100 (+padding) = 417/418 bytes."""
+    b2 = 0x90 | (0x02 if pad else 0x00)
+    frame_len = 144 * 128000 // 44100 + (1 if pad else 0)
+    fr = bytearray([0xFF, 0xFB, b2, 0x00]) + bytearray(frame_len - 4)
+    return fr
+
+
+def test_mp3_xing_frame_count_duration():
+    """Xing tag in the first frame (offset 4 + 32-byte MPEG1-stereo side
+    info) carries the total frame count: duration is exact from the
+    header window alone — 1000 frames * 1152 / 44100 = 26122 ms."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+        sniff_audio_header,
+    )
+
+    fr = _mp3_frame_bytes()
+    fr[36:40] = b"Xing"
+    fr[40:44] = (0x1).to_bytes(4, "big")
+    fr[44:48] = (1000).to_bytes(4, "big")
+    payload = bytes(fr)
+    assert mp3_stream_info(payload) == ("mp3", 1000 * 1152 * 1000 // 44100)
+    # reachable through the generic sniffer too
+    assert sniff_audio_header(payload) == ("mp3", 26122)
+
+
+def test_mp3_cbr_two_frame_validation_and_size_duration():
+    """No Xing tag: recognition demands a SECOND valid header one frame
+    length later (anti-false-positive), and duration needs total_size —
+    CBR arithmetic (bytes*8/bitrate)."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+    )
+
+    two = bytes(_mp3_frame_bytes() + _mp3_frame_bytes())
+    assert mp3_stream_info(two) == ("mp3", None)
+    # 10 s of 128 kbps CBR = 160000 bytes
+    assert mp3_stream_info(two, total_size=160_000) == ("mp3", 10_000)
+    # a single frame with garbage after it is NOT recognized
+    one = bytes(_mp3_frame_bytes()) + b"\x00" * 500
+    assert mp3_stream_info(one) == (None, None)
+
+
+def test_mp3_id3v2_prefix_skipped_via_syncsafe_size():
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+    )
+
+    fr = _mp3_frame_bytes()
+    fr[36:40] = b"Xing"
+    fr[40:44] = (0x1).to_bytes(4, "big")
+    fr[44:48] = (441).to_bytes(4, "big")  # 441*1152/44100 = 11520 ms
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + bytes(100)
+    assert mp3_stream_info(id3 + bytes(fr)) == ("mp3", 441 * 1152 * 1000 // 44100)
+
+
+def test_mp3_rejects_text_and_random_binary():
+    """UTF-8 text can never contain the 0xFF sync byte; sync-looking
+    binary without a consecutive second frame is rejected."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+    )
+
+    assert mp3_stream_info("plain text document".encode()) == (None, None)
+    assert mp3_stream_info(b"\xff\xfb\x90\x00" + b"junk" * 10) == (None, None)
+
+
+def _ogg_page(htype: int, granule: int, packet: bytes) -> bytes:
+    head = (
+        b"OggS"
+        + bytes([0, htype])
+        + granule.to_bytes(8, "little")
+        + (7).to_bytes(4, "little")  # serial
+        + (0).to_bytes(4, "little")  # seqno
+        + (0).to_bytes(4, "little")  # crc (not validated by the walk)
+        + bytes([1, len(packet)])  # one segment
+    )
+    return head + packet
+
+
+def test_ogg_vorbis_granule_duration():
+    """First page's Vorbis ID header gives the rate; the LAST page's
+    granule position over that rate is the duration."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        ogg_duration_ms,
+        sniff_audio_header,
+    )
+
+    ident = b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2]) + (
+        44100
+    ).to_bytes(4, "little") + bytes(9)
+    first = _ogg_page(0x02, 0, ident)
+    last = _ogg_page(0x04, 441_000, b"\x00" * 4)
+    whole = first + b"\x00" * 64 + last
+    assert ogg_duration_ms(whole) == 10_000  # tail defaults to head
+    assert ogg_duration_ms(first, tail=last) == 10_000
+    assert sniff_audio_header(whole) == ("ogg", 10_000)
+    assert sniff_audio_header(first, tail=last) == ("ogg", 10_000)
+
+
+def test_ogg_opus_preskip_subtracted_at_48k():
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        ogg_duration_ms,
+    )
+
+    ident = b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little") + (
+        48000
+    ).to_bytes(4, "little") + bytes(3)
+    first = _ogg_page(0x02, 0, ident)
+    last = _ogg_page(0x04, 96_312, b"\x00" * 4)
+    assert ogg_duration_ms(first + last) == 2_000
+
+
+def test_ogg_unset_granule_pages_are_skipped():
+    """granule -1 marks 'no packet finishes on this page' — the walk
+    must step back to the previous page instead of computing from -1."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        ogg_duration_ms,
+    )
+
+    ident = b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2]) + (
+        44100
+    ).to_bytes(4, "little") + bytes(9)
+    first = _ogg_page(0x02, 0, ident)
+    good = _ogg_page(0x00, 220_500, b"\x00" * 4)
+    unset = _ogg_page(0x01, (1 << 64) - 1, b"\x00" * 4)
+    assert ogg_duration_ms(first + good + unset) == 5_000
+    # unknown codec: rate unreadable -> None
+    assert ogg_duration_ms(_ogg_page(0x02, 0, b"\x05weird")) is None
