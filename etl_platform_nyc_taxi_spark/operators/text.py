@@ -552,6 +552,22 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(normalize_text(text_col))
 
 
+def url_domain(url_col: str | Column) -> Column:
+    """Canonical domain from a URL, for per-domain corpus accounting
+    (CommonCrawl-style provenance quotas): the lowercased authority
+    host, with any port and a leading ``www.`` stripped. Pure regex —
+    three codegen expressions, no UDF, and the SAME RE2-compatible
+    patterns replay verbatim in the DuckDB oracle. Non-URL input (no
+    ``scheme://`` prefix) yields NULL rather than a phantom domain."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(host != "", host)
+
+
 def winnow_fingerprints(
     text_col: str | Column, k: int = 6, window: int = 4
 ) -> Column:

@@ -1469,6 +1469,129 @@ def q_dataset_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_quota_accounting",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(
+                   'https://www.' || source || '.example.com:443/' || lang
+                     || '/' || CAST(doc_id AS VARCHAR),
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)),
+                 ':[0-9]+$', ''),
+               '^www\.', '') AS domain,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM corpus
+    ),
+    canon AS (
+      SELECT domain, fp, MIN(doc_id) AS doc_id FROM d GROUP BY domain, fp
+    ),
+    kept AS (
+      SELECT domain, doc_id FROM (
+        SELECT domain, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY domain
+                 ORDER BY CAST('0x' || substr(md5('domaincap:'
+                                || CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT),
+                          doc_id) AS rn
+        FROM canon) WHERE rn <= 15
+    ),
+    total AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM d GROUP BY domain),
+    canon_n AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_canonical
+                FROM canon GROUP BY domain),
+    kept_n AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      CAST(SUM(doc_id) AS BIGINT) AS kept_doc_id_sum
+               FROM kept GROUP BY domain)
+    SELECT t.domain, t.n_docs, c.n_canonical,
+           t.n_docs - c.n_canonical AS dup_pages,
+           k.n_kept, k.kept_doc_id_sum
+    FROM total t
+    JOIN canon_n c USING (domain)
+    JOIN kept_n k USING (domain)
+    """,
+)
+def q_domain_quota_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-aware corpus accounting (VERDICT r8 task 5 — the
+    CommonCrawl-style provenance controls every web-corpus build runs):
+    per registrable domain, (1) exact-dup CANONICALS — mirror pages
+    (same content re-crawled under another path, simulated here as a
+    deterministic doc_id%3 re-crawl with offset ids) collapse to the
+    min-doc_id canonical per (domain, fingerprint); (2) a QUOTA CAP of
+    15 canonical pages per domain chosen by deterministic hash order
+    (operators/sampling.stratified_cap over the
+    operators/text.url_domain extraction — no single domain may
+    dominate the corpus). Output per domain: page count, canonical
+    count, duplicate pages, kept-after-quota count, and the kept-set
+    doc_id sum (pins WHICH pages the hash order kept, not just how
+    many). Scale shape: two group-bys and a partitioned window keyed on
+    domain — every domain processes in parallel, no global sort; the
+    domain extraction is three codegen regex expressions the oracle
+    replays verbatim."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import stratified_cap
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        fingerprint,
+        url_domain,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(1_000_000)
+        )
+    )
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com:443/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = corpus.select(
+        "doc_id",
+        url_domain(url).alias("domain"),
+        fingerprint("text").alias("__fp"),
+    )
+    canon = d.groupBy("domain", "__fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = stratified_cap(
+        canon, cap=15, stratum_cols=("domain",), salt="domaincap"
+    )
+    total = d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    canon_n = canon.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_canonical")
+    )
+    kept_n = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_doc_id_sum"),
+    )
+    return (
+        total.join(canon_n, "domain")
+        .join(kept_n, "domain")
+        .select(
+            "domain",
+            "n_docs",
+            "n_canonical",
+            (F.col("n_docs") - F.col("n_canonical")).alias("dup_pages"),
+            "n_kept",
+            "kept_doc_id_sum",
+        )
+    )
+
+
+@register(
     "dataset_mix",
     r"""
     SELECT doc_id, lang, source

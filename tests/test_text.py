@@ -467,3 +467,25 @@ def test_corpus_quality_funnel_composition(spark):
     assert n[1] == len(keep)
     assert n[2] == len(survivors)
     assert n[3] == len({fps[d] for d in survivors})
+
+
+def test_url_domain_strips_scheme_port_and_www(spark):
+    """Canonical domain: lowercased authority host, port stripped,
+    leading www. stripped; non-URLs yield NULL, never a phantom."""
+    from etl_platform_nyc_taxi_spark.operators.text import url_domain
+
+    rows = [
+        ("https://www.Example.COM:443/path?q=1", "example.com"),
+        ("http://sub.news.example.org/a/b#frag", "sub.news.example.org"),
+        ("ftp://files.example.net:2121/", "files.example.net"),
+        ("https://wwwx.example.com/", "wwwx.example.com"),  # not 'www.'
+        ("not a url at all", None),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in rows], "url string"
+    ).select("url", url_domain("url").alias("domain"))
+    got = {r.url: r.domain for r in df.collect()}
+    for u, want in rows:
+        assert got[u] == want, (u, got[u], want)
