@@ -10900,108 +10900,97 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 8).
+# Driver-verification window rotation (round 9).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-8 window = the allocation VERDICT r7 task 1
-# prescribes (never-sampled backlog is 0 since r7, so the window is
-# material changes first, then oldest-green, oldest-first):
+# insertion order).  Round-9 window = exactly the allocation VERDICT r8
+# task 1 prescribes (first-timers, then material changes, then
+# oldest-green oldest-first; ages from tools/window_age.py):
+#   * first-timer slots (2): dedup_exact_substring (Lee et al. 2022
+#     substring-level dedup — sharded 16-token window fingerprints,
+#     VERDICT r8 task 2) and domain_quota_accounting (per-domain
+#     canonicals + quota cap over url_domain, VERDICT r8 task 5);
 #   * material changes this round, same-round slots per the
-#     frozen-registry rule: multimodal_decode_roundtrip now drives a
-#     FIFTH wire format (r7's native lossless-WebP/VP8L encoder+decoder,
-#     operators/webplossless — VERDICT r7 task 2) through the production
-#     decode kernel; embedding_pca's fit gained the bounded partial-merge
-#     stage (operators/linalg.fit_pca, VERDICT r7 task 4 — driver
-#     traffic now O(64·d²) regardless of input partitioning);
-#   * the two r3-greens displaced from the r7 window
-#     (ann_cosine_topk, pack_sequences);
-#   * the 15 r3-greens deferred in r7 (age 5) — these also re-pin the
-#     r8 SEMANTICS fixes from the r7 operator review, both applied to
-#     Spark AND oracle sides together: (a) chunk_documents no longer
-#     emits a trailing chunk that is a strict subset of its predecessor
-#     (starts stop once a chunk reaches the doc end); (b) tokens_ws('')
-#     now yields [] instead of [''] (split semantics) — every oracle
-#     split site wraps in list_filter(..., tk -> tk <> ''); the fixture
-#     has no empty/whitespace-only docs, so only chunk_documents'
-#     compared surface actually moved;
-#   * 28 of the 41 r4-greens, oldest-first per the r7 rotation comment
-#     (zscore→graph_pagerank in reverse-alphabetical age order), leaving
-#     gapfill_daily, fuzzy_title_pairs and event_funnel (each displaced
-#     by an r8-new query taking its mandatory first-timer slot:
-#     quality_perplexity, dsir_selection, corpus_quality_funnel),
-#     doc_winnow, dedup_incremental, dedup_embedding_lsh,
-#     dedup_doc_prefix, customer_rfm, concurrent_intervals,
-#     cohort_retention, anomaly_mad, ann_lsh_served, agg_percentiles
-#     (r4) plus the r5 greens for r9.
+#     frozen-registry rule (3): dsir_selection (totals now derived from
+#     the bins table — one fewer corpus pass, advisor r8);
+#     multimodal_meta and multimodal_decode_fallback (the header-sniff
+#     kernel gained size/tail inputs for the MP3/OGG header walk,
+#     VERDICT r8 task 3 — compared surfaces verified unmoved, but the
+#     plan under both queries changed);
+#   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
+#     gapfill_daily … agg_percentiles;
+#   * 32 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … histogram_totalprice), leaving graph_bfs,
+#     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
+#     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
+#     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (17) for
+#     r10, then the r6 block.
 #
-# Round-9 plan: the 13 remaining r4-greens above, then the r5 greens
-# oldest-first (weighted_median, user_type_entropy, user_growth_curve,
-# tfidf_cosine_pairs, temporal_join_scd2, streaming_sessionize,
-# streaming_quantile_sketch, the sql_tpch r5 block, ...) — run
-# tools/window_age.py when planning; any query materially changed in r9
-# takes a same-round slot first.
-# Steady-state honesty: with 207 queries and a 50-slot window, full
-# re-green cadence is ceil(207/50) = 5 rounds; priority order is
-# first-timers (none remain), then material changes, then oldest-green.
+# Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
+# (window_value_family, weighted_sample_pps, union_slices, twap_daily,
+# topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
+# when planning; any query materially changed in r10 takes a same-round
+# slot first.
+# Steady-state honesty: with 212 queries and a 50-slot window, full
+# re-green cadence is ceil(212/50) = 5 rounds; priority order is
+# first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
+    # New this round (first-timer slots):
+    "dedup_exact_substring",
+    "domain_quota_accounting",
     # Material changes this round (same-round slots):
-    "multimodal_decode_roundtrip",
-    "embedding_pca",
-    # New this round (first-timer slots): bigram-LM perplexity filter,
-    # DSIR importance-resampling selection, and the cumulative quality
-    # funnel composed from the rule gates + perplexity + exact dedup
-    "quality_perplexity",
     "dsir_selection",
-    "corpus_quality_funnel",
-    # Displaced from the r7 window:
-    "ann_cosine_topk",
-    "pack_sequences",
-    # r3-greens deferred from r7 (age 5):
-    "length_buckets",
-    "embedding_quantize",
-    "embedding_label_stats",
-    "doc_fingerprint",
-    "distinct_pairs",
-    "dataset_stratified",
-    "dataset_split",
-    "dataset_mix",
-    "corpus_top_ngrams",
-    "corpus_stats",
-    "corpus_shuffle",
-    "corpus_prepare",
-    "contamination_check",
-    "chunk_documents",
-    "cdc_latest_state",
-    # r4-greens, oldest-first (31 of 41; the remainder goes to r9):
-    "zscore_outliers",
-    "zorder_layout",
-    "winsorize_stats",
-    "window_time_range",
-    "window_distribution",
-    "vector_normalize",
-    "unpivot_metrics",
-    "streaming_topk_windowed",
-    "streaming_stream_join",
-    "streaming_enrich",
-    "sql_tpch_q5",
-    "sql_tpch_q18",
-    "sql_tpch_q10",
-    "set_ops_user_churn",
-    "session_window_builtin",
-    "scd2_history",
-    "reservoir_per_key",
-    "range_shard_stats",
-    "profile_orders",
-    "pareto_frontier",
-    "mv_incremental_refresh",
-    "merge_upsert",
-    "markov_transitions",
-    "join_range",
-    "join_asof",
-    "heavy_hitter_tokens",
-    "graph_triangles",
-    "graph_pagerank",
+    "multimodal_meta",
+    "multimodal_decode_fallback",
+    # r4-greens (age 5 — at the staleness ceiling):
+    "gapfill_daily",
+    "fuzzy_title_pairs",
+    "event_funnel",
+    "doc_winnow",
+    "dedup_incremental",
+    "dedup_embedding_lsh",
+    "dedup_doc_prefix",
+    "customer_rfm",
+    "concurrent_intervals",
+    "cohort_retention",
+    "anomaly_mad",
+    "ann_lsh_served",
+    "agg_percentiles",
+    # r5-greens, oldest-first (32 of 49; the remainder goes to r10):
+    "weighted_median",
+    "user_type_entropy",
+    "user_growth_curve",
+    "tfidf_cosine_pairs",
+    "temporal_join_scd2",
+    "streaming_sessionize",
+    "streaming_quantile_sketch",
+    "sql_tpch_q8",
+    "sql_tpch_q7",
+    "sql_tpch_q6",
+    "sql_tpch_q3",
+    "sql_tpch_q21",
+    "sql_tpch_q2",
+    "sql_tpch_q14",
+    "split_leakage_audit",
+    "source_divergence",
+    "skew_report",
+    "sketch_rollup",
+    "sketch_error_audit",
+    "rollup_cascade",
+    "rolling_active_users",
+    "record_linkage_scores",
+    "quantile_sketch_rollup",
+    "psi_weekly",
+    "minhash_estimate_audit",
+    "latency_trend",
+    "knn_label_eval",
+    "k_anonymity_audit",
+    "json_key_profile",
+    "json_extract_props",
+    "interarrival_stats",
+    "histogram_totalprice",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
