@@ -1043,3 +1043,95 @@ def exact_substring_pairs(
         F.col("windows_a").cast("long").alias("windows_a"),
         F.col("windows_b").cast("long").alias("windows_b"),
     )
+
+
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """The REMOVAL side of substring-level dedup (Lee et al. 2022): for
+    every verbatim ``window``-token span that appears in more than one
+    document, keep the copy in the LOWEST-doc_id owner and mark every
+    other occurrence's token range for deletion. Output one row per
+    maximal deletable span: (doc_id, span_start, span_end, span_tokens)
+    in 1-based token coordinates — overlapping/adjacent marked windows
+    are merged (gaps-and-islands), so a long shared paragraph comes back
+    as ONE span, not window-count rows.
+
+    Unlike :func:`exact_substring_pairs` this needs NO pair join and no
+    stop-span bound: marking is (fingerprint → occurrence-count +
+    owner) group-by, then one equi-join back — hot boilerplate spans are
+    exactly what a dedup pass SHOULD mark everywhere but one place, and
+    they cost one join row per occurrence, never O(k²). Policy notes:
+    the owner keeps all its occurrences (including within-doc repeats —
+    intra-doc repetition is the repetition filter's job,
+    operators/text.repetition_stats); owner choice is min doc_id for
+    determinism, matching exact-dedup survivorship.
+
+    Scale shape (100 TB): fingerprints are linear in corpus tokens; one
+    group-by on the fingerprint, one join back, one partitioned window
+    per doc for the island merge. Everything keys on fingerprint or
+    doc — shuffle-parallel, nothing quadratic, no driver-side state."""
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
+    win_fps = (
+        f"CASE WHEN size(__t) >= {window} "
+        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
+        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
+        f"ELSE array() END"
+    )
+    # posexplode is 0-based; positions below are 1-based token indexes
+    wins = t.select(
+        F.col(id_col), F.posexplode(F.expr(win_fps)).alias("__p0", "__fp")
+    ).select(
+        F.col(id_col), (F.col("__p0") + 1).cast("long").alias("__pos"), "__fp"
+    )
+    wins = wins.localCheckpoint(eager=False)  # two consumers, one scan
+    shared = (
+        wins.groupBy("__fp")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("__fp", "__owner")
+    )
+    marked = (
+        wins.join(shared, "__fp")
+        .filter(F.col(id_col) != F.col("__owner"))
+        .select(id_col, "__pos")
+        .distinct()
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w_doc)
+    # coverage of a window at pos p is [p, p+window-1]; a new island
+    # starts when this window no longer overlaps/abuts the previous one
+    new_island = F.when(
+        prev.isNull() | (F.col("__pos") > prev + F.lit(window)), 1
+    ).otherwise(0)
+    isl = marked.withColumn(
+        "__isl",
+        F.sum(new_island).over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(window) - 1).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

@@ -1694,6 +1694,63 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_spans",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         tk -> tk <> '') AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+15],
+                                 ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, len(tk) - 15)) AS g(i)
+      WHERE len(tk) >= 16
+    ),
+    shared AS (
+      SELECT fp, MIN(doc_id) AS owner
+      FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT DISTINCT w.doc_id, w.pos
+      FROM w JOIN shared USING (fp)
+      WHERE w.doc_id <> shared.owner
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 16
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM marked)
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 15 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 15 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL side of substring-level dedup (Lee et al. 2022): for
+    every 16-token span shared across documents, keep the min-doc_id
+    owner's copy and emit every other occurrence's maximal deletable
+    token range (doc_id, span_start, span_end, span_tokens) —
+    overlapping marked windows merged by gaps-and-islands. No pair join
+    and no stop-span bound: marking is fingerprint group-by + one join
+    back, linear in occurrences even for site-wide boilerplate
+    (operators/dedup.substring_dedup_spans)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    return substring_dedup_spans(_t(spark, sf_dir, "documents"), window=16)
+
+
 # Integer minhash family mirrored into DuckDB: same (a, c) literals, same
 # md5-prefix 48-bit base hash (functions/hashing.py). 32 hashes / 8 bands
 # of 4 rows — candidate probability ~0.67 at J=0.6, ~1.0 at J≥0.9.
@@ -10906,8 +10963,9 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-9 window = exactly the allocation VERDICT r8
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (2): dedup_exact_substring (Lee et al. 2022
-#     substring-level dedup — sharded 16-token window fingerprints,
+#   * first-timer slots (3): dedup_exact_substring + its removal twin
+#     dedup_substring_spans (Lee et al. 2022 substring-level dedup —
+#     sharded 16-token window fingerprints / maximal deletable spans,
 #     VERDICT r8 task 2) and domain_quota_accounting (per-domain
 #     canonicals + quota cap over url_domain, VERDICT r8 task 5);
 #   * material changes this round, same-round slots per the
@@ -10919,12 +10977,12 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     plan under both queries changed);
 #   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
 #     gapfill_daily … agg_percentiles;
-#   * 32 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … histogram_totalprice), leaving graph_bfs,
+#   * 31 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … interarrival_stats), leaving histogram_totalprice, graph_bfs,
 #     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
 #     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
 #     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (17) for
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (18) for
 #     r10, then the r6 block.
 #
 # Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
@@ -10932,13 +10990,14 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
 # when planning; any query materially changed in r10 takes a same-round
 # slot first.
-# Steady-state honesty: with 212 queries and a 50-slot window, full
-# re-green cadence is ceil(212/50) = 5 rounds; priority order is
+# Steady-state honesty: with 213 queries and a 50-slot window, full
+# re-green cadence is ceil(213/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
     # New this round (first-timer slots):
     "dedup_exact_substring",
+    "dedup_substring_spans",
     "domain_quota_accounting",
     # Material changes this round (same-round slots):
     "dsir_selection",
@@ -10990,7 +11049,6 @@ _VERIFY_FIRST = [
     "json_key_profile",
     "json_extract_props",
     "interarrival_stats",
-    "histogram_totalprice",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -621,3 +621,68 @@ def test_exact_substring_parameter_validation(spark):
         exact_substring_pairs(df, window=1)
     with pytest.raises(ValueError, match="max_docs_per_window"):
         exact_substring_pairs(df, max_docs_per_window=1)
+
+
+def test_substring_dedup_spans_hand_computed(spark):
+    """Docs 1/2/3 share 'a b c d e' (doc 1 is the min-id owner and keeps
+    it); the non-owner occurrences come back as ONE merged span each,
+    in 1-based token coordinates."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    df = _subs_df(
+        spark,
+        [
+            (1, "a b c d e x y z"),
+            (2, "p q a b c d e"),   # marked windows at pos 3,4 -> span 3..7
+            (3, "a b c d e"),       # pos 1,2 -> span 1..5 (whole doc)
+        ],
+    )
+    out = substring_dedup_spans(df, window=4).collect()
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out
+    )
+    assert got == [(2, 3, 7, 5), (3, 1, 5, 5)]
+
+
+def test_substring_dedup_spans_disjoint_spans_stay_separate(spark):
+    """Two shared spans in one doc separated by unique text must NOT
+    merge — island detection breaks on the coverage gap."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    df = _subs_df(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "w x y z"),
+            (3, "a b c d m1 m2 m3 m4 m5 w x y z"),
+        ],
+    )
+    out = substring_dedup_spans(df, window=4).collect()
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out
+    )
+    # doc 3: 'a b c d' at pos 1 (owner doc 1 keeps its copy) and
+    # 'w x y z' at pos 10 (owner doc 2) — two separate spans
+    assert got == [(3, 1, 4, 4), (3, 10, 13, 4)]
+
+
+def test_substring_dedup_spans_owner_keeps_all_copies(spark):
+    """The min-id owner is never marked, even when the span repeats
+    inside the owner document itself."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    df = _subs_df(
+        spark,
+        [(1, "a b c d u v a b c d"), (2, "z z a b c d")],
+    )
+    out = substring_dedup_spans(df, window=4).collect()
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out
+    )
+    assert got == [(2, 3, 6, 4)]  # only doc 2's occurrence is deletable
