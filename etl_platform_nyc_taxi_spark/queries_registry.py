@@ -1751,6 +1751,116 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup_spans(_t(spark, sf_dir, "documents"), window=16)
 
 
+@register(
+    "corpus_boilerplate_report",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         tk -> tk <> '') AS tk
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(tk[CAST(i AS INT):CAST(i AS INT)+15],
+                                 ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, len(tk) - 15)) AS g(i)
+      WHERE len(tk) >= 16
+    ),
+    stats AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM w GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rep AS (
+      SELECT fp, doc_id, pos FROM (
+        SELECT fp, doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos)
+                 AS rn
+        FROM w) WHERE rn = 1
+    )
+    SELECT array_to_string(
+             t.tk[CAST(rep.pos AS INT):CAST(rep.pos AS INT)+15], ' ')
+             AS span_text,
+           s.n_occurrences, s.n_docs
+    FROM stats s
+    JOIN rep ON rep.fp = s.fp
+    JOIN t ON t.doc_id = rep.doc_id
+    ORDER BY s.n_occurrences DESC, s.fp ASC
+    LIMIT 20
+    """,
+)
+def q_corpus_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate report — the human-readable companion to the
+    substring-dedup family: the 20 most-repeated cross-document
+    16-token spans with occurrence/document counts and the actual span
+    text (sliced from the min-(doc_id, pos) representative occurrence).
+    This is the report a corpus team reads before choosing dedup
+    thresholds: what IS the site-wide boilerplate, and how widespread.
+
+    Scale shape: the fingerprint trunk is linear in corpus tokens; the
+    stats and representative selection key on the fingerprint
+    (shuffle-parallel); the final top-20 is TakeOrderedAndProject —
+    map-side partial top-k per partition, 20 rows to the driver
+    regardless of corpus size. Ties broken by fingerprint for
+    deterministic LIMIT selection; the text slice touches only the 20
+    winning (doc, pos) pairs."""
+    from pyspark.sql import Window as W
+
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    window = 16
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens_ws("text").alias("__t")
+    )
+    t = t.localCheckpoint(eager=False)  # trunk feeds windows AND slices
+    win_fps = (
+        f"CASE WHEN size(__t) >= {window} "
+        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
+        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
+        f"ELSE array() END"
+    )
+    wins = t.select(
+        F.col("doc_id"), F.posexplode(F.expr(win_fps)).alias("__p0", "__fp")
+    ).select(
+        "doc_id", (F.col("__p0") + 1).cast("long").alias("__pos"), "__fp"
+    )
+    wins = wins.localCheckpoint(eager=False)
+    stats = (
+        wins.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    rep = (
+        wins.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__fp").orderBy("doc_id", "__pos")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("__fp", "doc_id", "__pos")
+    )
+    return (
+        stats.join(rep, "__fp")
+        .join(t, "doc_id")
+        .select(
+            F.array_join(
+                F.slice(F.col("__t"), F.col("__pos").cast("int"), window), " "
+            ).alias("span_text"),
+            "n_occurrences",
+            "n_docs",
+            "__fp",
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("__fp").asc())
+        .limit(20)
+        .drop("__fp")
+    )
+
+
 # Integer minhash family mirrored into DuckDB: same (a, c) literals, same
 # md5-prefix 48-bit base hash (functions/hashing.py). 32 hashes / 8 bands
 # of 4 rows — candidate probability ~0.67 at J=0.6, ~1.0 at J≥0.9.
@@ -10963,9 +11073,10 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-9 window = exactly the allocation VERDICT r8
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (3): dedup_exact_substring + its removal twin
-#     dedup_substring_spans (Lee et al. 2022 substring-level dedup —
-#     sharded 16-token window fingerprints / maximal deletable spans,
+#   * first-timer slots (4): dedup_exact_substring + its removal twin
+#     dedup_substring_spans + the human-readable corpus_boilerplate_report
+#     (Lee et al. 2022 substring-level dedup — sharded 16-token window
+#     fingerprints / maximal deletable spans / top repeated spans,
 #     VERDICT r8 task 2) and domain_quota_accounting (per-domain
 #     canonicals + quota cap over url_domain, VERDICT r8 task 5);
 #   * material changes this round, same-round slots per the
@@ -10977,12 +11088,13 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     plan under both queries changed);
 #   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
 #     gapfill_daily … agg_percentiles;
-#   * 31 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … interarrival_stats), leaving histogram_totalprice, graph_bfs,
+#   * 30 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … json_extract_props), leaving
+#     interarrival_stats, histogram_totalprice, graph_bfs,
 #     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
 #     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
 #     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (18) for
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (19) for
 #     r10, then the r6 block.
 #
 # Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
@@ -10990,14 +11102,15 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
 # when planning; any query materially changed in r10 takes a same-round
 # slot first.
-# Steady-state honesty: with 213 queries and a 50-slot window, full
-# re-green cadence is ceil(213/50) = 5 rounds; priority order is
+# Steady-state honesty: with 214 queries and a 50-slot window, full
+# re-green cadence is ceil(214/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
     # New this round (first-timer slots):
     "dedup_exact_substring",
     "dedup_substring_spans",
+    "corpus_boilerplate_report",
     "domain_quota_accounting",
     # Material changes this round (same-round slots):
     "dsir_selection",
@@ -11048,7 +11161,6 @@ _VERIFY_FIRST = [
     "k_anonymity_audit",
     "json_key_profile",
     "json_extract_props",
-    "interarrival_stats",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
