@@ -1135,3 +1135,58 @@ def substring_dedup_spans(
             .alias("span_tokens"),
         )
     )
+
+
+def apply_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """Apply the :func:`substring_dedup_spans` removal plan — the final
+    stage of Lee et al. 2022's pipeline: drop every deletable span's
+    tokens and return the rewritten corpus, one row per input document:
+    (id, n_tokens_before, n_tokens_after, text_deduped). Documents with
+    no deletable spans pass through with their token-normalized text
+    (single-space joined — the rewrite is defined over tokens, so
+    whitespace is canonicalized for every row, not just edited ones).
+
+    The span plan aggregates to at most a handful of (start, end) pairs
+    per document (``collect_list`` bounded by spans-per-doc, which the
+    island merge already minimized); the rewrite itself is a pure
+    higher-order-function projection — position-filter the token array
+    against the span list, no UDF, no extra shuffle beyond the plan's
+    own group-bys plus one left join back to the corpus."""
+    spans = (
+        substring_dedup_spans(df, id_col, text_col, window)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__sp")
+        )
+    )
+    base = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
+    j = base.join(spans, id_col, "left").withColumn(
+        "__sp",
+        F.coalesce(
+            F.col("__sp"),
+            F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)"),
+        ),
+    )
+    kept = F.expr(
+        "transform("
+        "  filter("
+        "    transform(__t, (tok, i) -> struct(tok AS tok, i + 1 AS p)),"
+        "    x -> NOT exists(__sp, sp -> x.p >= sp.s AND x.p <= sp.e)),"
+        "  x -> x.tok)"
+    )
+    return j.select(
+        F.col(id_col),
+        F.size("__t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("text_deduped"),
+    )

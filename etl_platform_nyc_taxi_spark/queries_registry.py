@@ -1694,10 +1694,11 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_substring_spans",
-    r"""
-    WITH t AS (
+#: Shared CTE chain for the substring-dedup family's oracles: token
+#: arrays → 16-token window fingerprints with positions → min-owner
+#: marking → gaps-and-islands merge into maximal deletable spans.
+_SUBSTRING_SPANS_CTES = r"""
+    t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\s+'),
                          tk -> tk <> '') AS tk
@@ -1727,12 +1728,21 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, pos,
                    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
             FROM marked)
-    )
-    SELECT doc_id,
-           CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + 15 AS BIGINT) AS span_end,
-           CAST(MAX(pos) + 15 - MIN(pos) + 1 AS BIGINT) AS span_tokens
-    FROM isl GROUP BY doc_id, grp
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 15 AS BIGINT) AS span_end,
+             CAST(MAX(pos) + 15 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, grp
+    )"""
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH {_SUBSTRING_SPANS_CTES}
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
     """,
 )
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1859,6 +1869,49 @@ def q_corpus_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__fp")
     )
+
+
+@register(
+    "dedup_substring_rewrite",
+    f"""
+    WITH {_SUBSTRING_SPANS_CTES},
+    agg AS (
+      SELECT doc_id, list([span_start, span_end]) AS sp
+      FROM spans GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.tk, COALESCE(a.sp, []) AS sp
+      FROM t LEFT JOIN agg a USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, tk,
+             [tk[CAST(i AS INT)] for i in range(1, len(tk) + 1)
+              if len(list_filter(sp, s -> i >= s[1] AND i <= s[2])) = 0]
+               AS kept
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           -- DuckDB's array_to_string([]) is NULL where Spark's
+           -- array_join([]) is '' — coalesce the fully-deduped docs
+           COALESCE(array_to_string(kept, ' '), '') AS text_deduped
+    FROM r
+    """,
+)
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final stage of Lee et al. 2022's substring-dedup pipeline:
+    APPLY the span plan — drop every deletable span's tokens, keep the
+    min-owner copies, return the rewritten corpus with before/after
+    token counts (operators/dedup.apply_substring_dedup). Detection,
+    planning (dedup_substring_spans) and rewrite are each separately
+    oracle-checked; the rewrite itself is a pure position-filter HOF
+    projection over the token array — no UDF, one left join."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        apply_substring_dedup,
+    )
+
+    return apply_substring_dedup(_t(spark, sf_dir, "documents"), window=16)
 
 
 # Integer minhash family mirrored into DuckDB: same (a, c) literals, same
@@ -11073,12 +11126,15 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-9 window = exactly the allocation VERDICT r8
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (4): dedup_exact_substring + its removal twin
-#     dedup_substring_spans + the human-readable corpus_boilerplate_report
-#     (Lee et al. 2022 substring-level dedup — sharded 16-token window
-#     fingerprints / maximal deletable spans / top repeated spans,
-#     VERDICT r8 task 2) and domain_quota_accounting (per-domain
-#     canonicals + quota cap over url_domain, VERDICT r8 task 5);
+#   * first-timer slots (5): the substring-dedup family —
+#     dedup_exact_substring, its removal plan dedup_substring_spans,
+#     the applied rewrite dedup_substring_rewrite, and the
+#     human-readable corpus_boilerplate_report (Lee et al. 2022
+#     substring-level dedup end-to-end: sharded 16-token window
+#     fingerprints / maximal deletable spans / rewritten corpus / top
+#     repeated spans, VERDICT r8 task 2) — plus domain_quota_accounting
+#     (per-domain canonicals + quota cap over url_domain, VERDICT r8
+#     task 5);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (3): dsir_selection (totals now derived from
 #     the bins table — one fewer corpus pass, advisor r8);
@@ -11088,13 +11144,13 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     plan under both queries changed);
 #   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
 #     gapfill_daily … agg_percentiles;
-#   * 30 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … json_extract_props), leaving
+#   * 29 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … json_key_profile), leaving json_extract_props,
 #     interarrival_stats, histogram_totalprice, graph_bfs,
 #     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
 #     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
 #     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (19) for
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (20) for
 #     r10, then the r6 block.
 #
 # Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
@@ -11102,14 +11158,15 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
 # when planning; any query materially changed in r10 takes a same-round
 # slot first.
-# Steady-state honesty: with 214 queries and a 50-slot window, full
-# re-green cadence is ceil(214/50) = 5 rounds; priority order is
+# Steady-state honesty: with 215 queries and a 50-slot window, full
+# re-green cadence is ceil(215/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
     # New this round (first-timer slots):
     "dedup_exact_substring",
     "dedup_substring_spans",
+    "dedup_substring_rewrite",
     "corpus_boilerplate_report",
     "domain_quota_accounting",
     # Material changes this round (same-round slots):
@@ -11160,7 +11217,6 @@ _VERIFY_FIRST = [
     "knn_label_eval",
     "k_anonymity_audit",
     "json_key_profile",
-    "json_extract_props",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -686,3 +686,46 @@ def test_substring_dedup_spans_owner_keeps_all_copies(spark):
         (r.doc_id, r.span_start, r.span_end, r.span_tokens) for r in out
     )
     assert got == [(2, 3, 6, 4)]  # only doc 2's occurrence is deletable
+
+
+def test_apply_substring_dedup_rewrites_non_owner_docs(spark):
+    """End-to-end rewrite: non-owner occurrences of the shared span are
+    excised; the owner and untouched docs pass through with normalized
+    whitespace; counts match the plan."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        apply_substring_dedup,
+    )
+
+    df = _subs_df(
+        spark,
+        [
+            (1, "a b c d e x y z"),
+            (2, "p q a b c d e"),    # span 3..7 removed -> 'p q'
+            (3, "a b c  d e"),       # exact span, doubled space normalizes
+            (4, "totally unrelated words here"),
+        ],
+    )
+    out = {r.doc_id: r for r in apply_substring_dedup(df, window=4).collect()}
+    assert out[1].text_deduped == "a b c d e x y z"  # owner untouched
+    assert (out[1].n_tokens_before, out[1].n_tokens_after) == (8, 8)
+    assert out[2].text_deduped == "p q"
+    assert (out[2].n_tokens_before, out[2].n_tokens_after) == (7, 2)
+    assert out[3].text_deduped == ""                 # fully deduped
+    assert (out[3].n_tokens_before, out[3].n_tokens_after) == (5, 0)
+    assert out[4].text_deduped == "totally unrelated words here"
+
+
+def test_apply_substring_dedup_interior_removal_keeps_flanks(spark):
+    """A shared span in the MIDDLE of a non-owner doc removes only the
+    covered positions — both flanks survive and re-join."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        apply_substring_dedup,
+    )
+
+    df = _subs_df(
+        spark,
+        [(1, "a b c d"), (2, "pre1 pre2 a b c d post1 post2")],
+    )
+    out = {r.doc_id: r for r in apply_substring_dedup(df, window=4).collect()}
+    assert out[2].text_deduped == "pre1 pre2 post1 post2"
+    assert (out[2].n_tokens_before, out[2].n_tokens_after) == (8, 4)
