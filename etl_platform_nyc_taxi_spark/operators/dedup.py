@@ -1190,3 +1190,92 @@ def apply_substring_dedup(
         F.size(kept).cast("long").alias("n_tokens_after"),
         F.array_join(kept, " ").alias("text_deduped"),
     )
+
+
+def longest_shared_substring(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    max_docs_per_window: int = 32,
+) -> DataFrame:
+    """Longest verbatim shared token span per document pair — the
+    contamination-LENGTH metric (a 200-token verbatim overlap is a leak;
+    a single 16-token boilerplate hit may not be): (doc_a, doc_b,
+    longest_shared_tokens, n_matched_windows).
+
+    A run of k CONSECUTIVE matched windows (positions advancing by 1 in
+    BOTH documents) certifies a shared span of exactly k + window − 1
+    tokens, so the suffix-array "longest common substring" reduces to
+    gaps-and-islands on the matched-window DIAGONAL (pos_a − pos_b):
+    within one (pair, diagonal), consecutive pos_a values are one run.
+    Same hot-fingerprint stop-span bound as
+    :func:`exact_substring_pairs` (SCALING.md lesson 2).
+
+    Scale shape (100 TB): window fingerprints are linear in corpus
+    tokens; matches are an equi-join on the fingerprint with pair
+    fanout capped by the occupancy bound; the island scan is one
+    partitioned window over (pair, diagonal) — shuffle-parallel."""
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    if max_docs_per_window < 2:
+        raise ValueError("max_docs_per_window must be >= 2")
+    from pyspark.sql import Window as W
+
+    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
+    win_fps = (
+        f"CASE WHEN size(__t) >= {window} "
+        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
+        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
+        f"ELSE array() END"
+    )
+    wins = t.select(
+        F.col(id_col), F.posexplode(F.expr(win_fps)).alias("__p0", "__fp")
+    ).select(
+        F.col(id_col), (F.col("__p0") + 1).cast("long").alias("__pos"), "__fp"
+    )
+    wins = wins.localCheckpoint(eager=False)
+    ok = (
+        wins.groupBy("__fp")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(
+            (F.col("__nd") >= 2) & (F.col("__nd") <= max_docs_per_window)
+        )
+        .select("__fp")
+    )
+    a = wins.select(
+        F.col(id_col).alias("doc_a"), F.col("__pos").alias("__pa"), "__fp"
+    ).join(ok, "__fp")
+    b = wins.select(
+        F.col(id_col).alias("doc_b"), F.col("__pos").alias("__pb"), "__fp"
+    )
+    m = (
+        a.join(b, "__fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "__pa",
+            (F.col("__pa") - F.col("__pb")).alias("__diag"),
+        )
+    )
+    w_diag = W.partitionBy("doc_a", "doc_b", "__diag").orderBy("__pa")
+    prev = F.lag("__pa").over(w_diag)
+    new_run = F.when(prev.isNull() | (F.col("__pa") > prev + 1), 1).otherwise(0)
+    runs = m.withColumn(
+        "__run",
+        F.sum(new_run).over(
+            w_diag.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "__diag", "__run")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("__len") + F.lit(window) - 1)
+            .cast("long")
+            .alias("longest_shared_tokens"),
+            F.sum("__len").cast("long").alias("n_matched_windows"),
+        )
+    )

@@ -1914,6 +1914,59 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_substring_dedup(_t(spark, sf_dir, "documents"), window=16)
 
 
+@register(
+    "dedup_longest_shared",
+    f"""
+    WITH {_SUBSTRING_SPANS_CTES},
+    ok AS (
+      SELECT fp FROM (
+        SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY fp)
+      WHERE nd BETWEEN 2 AND 32
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM w a JOIN ok USING (fp) JOIN w b USING (fp)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pa,
+             SUM(CASE WHEN prev IS NULL OR pa > prev + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+      FROM (SELECT doc_a, doc_b, diag, pa,
+                   lag(pa) OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pa) AS prev
+            FROM m)
+    ),
+    lens AS (
+      SELECT doc_a, doc_b, diag, run, COUNT(*) AS len
+      FROM runs GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(len) + 15 AS BIGINT) AS longest_shared_tokens,
+           CAST(SUM(len) AS BIGINT) AS n_matched_windows
+    FROM lens GROUP BY 1, 2
+    """,
+)
+def q_dedup_longest_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim shared token span per doc pair — the
+    contamination-LENGTH metric: k consecutive matched 16-token windows
+    (positions advancing together in both docs) certify a shared span
+    of k+15 tokens, so longest-common-substring reduces to
+    gaps-and-islands on the matched-window diagonal
+    (operators/dedup.longest_shared_substring). Same stop-span
+    occupancy bound as the pairs query; the island scan is one
+    partitioned window over (pair, diagonal)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        longest_shared_substring,
+    )
+
+    return longest_shared_substring(
+        _t(spark, sf_dir, "documents"), window=16, max_docs_per_window=32
+    )
+
+
 # Integer minhash family mirrored into DuckDB: same (a, c) literals, same
 # md5-prefix 48-bit base hash (functions/hashing.py). 32 hashes / 8 bands
 # of 4 rows — candidate probability ~0.67 at J=0.6, ~1.0 at J≥0.9.
@@ -11126,15 +11179,16 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-9 window = exactly the allocation VERDICT r8
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (5): the substring-dedup family —
+#   * first-timer slots (6): the substring-dedup family —
 #     dedup_exact_substring, its removal plan dedup_substring_spans,
-#     the applied rewrite dedup_substring_rewrite, and the
+#     the applied rewrite dedup_substring_rewrite, the
+#     contamination-length metric dedup_longest_shared, and the
 #     human-readable corpus_boilerplate_report (Lee et al. 2022
 #     substring-level dedup end-to-end: sharded 16-token window
-#     fingerprints / maximal deletable spans / rewritten corpus / top
-#     repeated spans, VERDICT r8 task 2) — plus domain_quota_accounting
-#     (per-domain canonicals + quota cap over url_domain, VERDICT r8
-#     task 5);
+#     fingerprints / maximal deletable spans / rewritten corpus /
+#     diagonal-run longest-common-span / top repeated spans, VERDICT r8
+#     task 2) — plus domain_quota_accounting (per-domain canonicals +
+#     quota cap over url_domain, VERDICT r8 task 5);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (3): dsir_selection (totals now derived from
 #     the bins table — one fewer corpus pass, advisor r8);
@@ -11144,13 +11198,14 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     plan under both queries changed);
 #   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
 #     gapfill_daily … agg_percentiles;
-#   * 29 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … json_key_profile), leaving json_extract_props,
+#   * 28 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … k_anonymity_audit), leaving json_key_profile,
+#     json_extract_props,
 #     interarrival_stats, histogram_totalprice, graph_bfs,
 #     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
 #     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
 #     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (20) for
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (21) for
 #     r10, then the r6 block.
 #
 # Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
@@ -11158,8 +11213,8 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
 # when planning; any query materially changed in r10 takes a same-round
 # slot first.
-# Steady-state honesty: with 215 queries and a 50-slot window, full
-# re-green cadence is ceil(215/50) = 5 rounds; priority order is
+# Steady-state honesty: with 216 queries and a 50-slot window, full
+# re-green cadence is ceil(216/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -11167,6 +11222,7 @@ _VERIFY_FIRST = [
     "dedup_exact_substring",
     "dedup_substring_spans",
     "dedup_substring_rewrite",
+    "dedup_longest_shared",
     "corpus_boilerplate_report",
     "domain_quota_accounting",
     # Material changes this round (same-round slots):
@@ -11216,7 +11272,6 @@ _VERIFY_FIRST = [
     "latency_trend",
     "knn_label_eval",
     "k_anonymity_audit",
-    "json_key_profile",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

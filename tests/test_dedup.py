@@ -729,3 +729,48 @@ def test_apply_substring_dedup_interior_removal_keeps_flanks(spark):
     out = {r.doc_id: r for r in apply_substring_dedup(df, window=4).collect()}
     assert out[2].text_deduped == "pre1 pre2 post1 post2"
     assert (out[2].n_tokens_before, out[2].n_tokens_after) == (8, 4)
+
+
+def test_longest_shared_substring_hand_computed(spark):
+    """Docs 1/2 share 'a b c d e' — two consecutive matched 4-token
+    windows on one diagonal certify a 5-token span. Doc 3 shares only
+    the single window 'a b c d' with each."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        longest_shared_substring,
+    )
+
+    df = _subs_df(
+        spark,
+        [
+            (1, "a b c d e x y z"),
+            (2, "p q a b c d e"),
+            (3, "z z a b c d q q"),
+        ],
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.longest_shared_tokens, r.n_matched_windows)
+        for r in longest_shared_substring(df, window=4).collect()
+    }
+    assert out[(1, 2)] == (5, 2)   # run of 2 windows -> 2+4-1 = 5
+    assert out[(1, 3)] == (4, 1)
+    assert out[(2, 3)] == (4, 1)
+
+
+def test_longest_shared_substring_diagonal_breaks_runs(spark):
+    """Matched windows at NON-aligned offsets (different diagonals) must
+    not chain into one run: doc 2 contains 'a b c d' and 'e f g h' but
+    separated by junk, while doc 1 has them adjacent — the longest
+    certified span stays 4, not 8."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        longest_shared_substring,
+    )
+
+    df = _subs_df(
+        spark,
+        [(1, "a b c d e f g h"), (2, "a b c d junk1 junk2 e f g h")],
+    )
+    out = longest_shared_substring(df, window=4).collect()
+    row = out[0]
+    # matched windows: 'a b c d' (diag 0) and 'e f g h' (diag -2) —
+    # two runs of length 1 each
+    assert (row.longest_shared_tokens, row.n_matched_windows) == (4, 2)
