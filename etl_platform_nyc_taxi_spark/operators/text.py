@@ -568,6 +568,57 @@ def url_domain(url_col: str | Column) -> Column:
     return F.when(host != "", host)
 
 
+#: Tracking query parameters stripped by :func:`url_canonicalize` —
+#: the standard analytics noise that makes one page crawl as many URLs.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+
+def url_canonicalize(url_col: str | Column) -> Column:
+    """Canonical URL for crawl-frontier dedup — the normalization every
+    web-corpus fetch pipeline runs so one page doesn't crawl as many
+    URLs: lowercase scheme and host, strip the scheme's default port
+    (:80 http / :443 https), drop the fragment, remove tracking query
+    parameters (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``),
+    sort the surviving parameters (query order is almost never
+    semantic), and normalize an empty path to ``/``. Pure
+    regex/array-HOF expressions — no UDF, and every step replays
+    verbatim in the DuckDB oracle. Non-URL input yields NULL.
+
+    Deliberately NOT stripped: ``www.`` (a distinct host is a distinct
+    page until proven otherwise — :func:`url_domain` is the provenance
+    view that collapses it) and percent-encoding (decoding can change
+    semantics; crawl canonicalizers leave it)."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(
+        F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(host, r":80$", "")
+    ).otherwise(host)
+    host = F.when(
+        (scheme == "https"), F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    rest = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&")),
+    ).otherwise(F.lit(""))
+    out = F.concat(scheme, F.lit("://"), host, path, qpart)
+    return F.when((scheme != "") & (host != ""), out)
+
+
 def winnow_fingerprints(
     text_col: str | Column, k: int = 6, window: int = 4
 ) -> Column:

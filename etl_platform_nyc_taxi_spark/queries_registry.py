@@ -1592,6 +1592,120 @@ def q_domain_quota_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "url_canonical_dedup",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 0 THEN 'https://WWW.Example.COM:443/page?id='
+                           || CAST(doc_id % 100 AS VARCHAR)
+               WHEN 1 THEN 'https://www.example.com/page?id='
+                           || CAST(doc_id % 100 AS VARCHAR)
+                           || '&utm_source=feed'
+               WHEN 2 THEN 'https://www.example.com/page?utm_campaign=x&id='
+                           || CAST(doc_id % 100 AS VARCHAR)
+               WHEN 3 THEN 'https://www.example.com/page?id='
+                           || CAST(doc_id % 100 AS VARCHAR) || '#section2'
+               ELSE 'HTTPS://www.example.com/page?id='
+                           || CAST(doc_id % 100 AS VARCHAR)
+             END AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, u,
+             CASE WHEN scheme <> '' AND host <> ''
+             THEN scheme || '://' || host || path ||
+                  CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END
+             END AS canonical_url
+      FROM (
+        SELECT doc_id, u, scheme,
+          CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$',  '')
+               WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+               ELSE host0 END AS host,
+          CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+               ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+          list_sort(list_filter(
+            string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+                 '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))) AS params
+        FROM (
+          SELECT doc_id, u,
+                 lower(regexp_extract(u,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(u,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+                 regexp_extract(u,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^#]*)', 1) AS rest
+          FROM raw))
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT u) AS BIGINT) AS n_distinct_raw,
+           MIN(doc_id) AS min_doc_id
+    FROM c GROUP BY canonical_url HAVING COUNT(*) > 1
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup for a crawl frontier: five deterministic messy
+    variants of the same logical page (host case + default port,
+    tracking params, param order, fragment, scheme case — keyed
+    doc_id%5, page identity doc_id%100) collapse under
+    operators/text.url_canonicalize; groups with >1 URL are the fetch
+    dedup wins. Output (canonical_url, n_urls, n_distinct_raw,
+    min_doc_id) — n_distinct_raw > 1 proves the collapse is doing work,
+    not just counting byte-identical strings. Hash group-by on the
+    canonical string: one shuffle, fully parallel."""
+    from etl_platform_nyc_taxi_spark.operators.text import url_canonicalize
+
+    gid = (F.col("doc_id") % 100).cast("string")
+    u = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://WWW.Example.COM:443/page?id="), gid),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("https://www.example.com/page?id="),
+                gid,
+                F.lit("&utm_source=feed"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://www.example.com/page?utm_campaign=x&id="), gid
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(
+                F.lit("https://www.example.com/page?id="),
+                gid,
+                F.lit("#section2"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTPS://www.example.com/page?id="), gid)
+        )
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", u.alias("u"), url_canonicalize(u).alias("canonical_url")
+    )
+    return (
+        d.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.count_distinct("u").cast("long").alias("n_distinct_raw"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )
+
+
+@register(
     "dataset_mix",
     r"""
     SELECT doc_id, lang, source
@@ -11188,7 +11302,9 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     fingerprints / maximal deletable spans / rewritten corpus /
 #     diagonal-run longest-common-span / top repeated spans, VERDICT r8
 #     task 2) — plus domain_quota_accounting (per-domain canonicals +
-#     quota cap over url_domain, VERDICT r8 task 5);
+#     quota cap over url_domain, VERDICT r8 task 5) and
+#     url_canonical_dedup (crawl-frontier URL canonicalization:
+#     operators/text.url_canonicalize, 7 first-timers total);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (3): dsir_selection (totals now derived from
 #     the bins table — one fewer corpus pass, advisor r8);
@@ -11198,14 +11314,14 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     plan under both queries changed);
 #   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
 #     gapfill_daily … agg_percentiles;
-#   * 28 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … k_anonymity_audit), leaving json_key_profile,
-#     json_extract_props,
+#   * 27 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … knn_label_eval), leaving k_anonymity_audit,
+#     json_key_profile, json_extract_props,
 #     interarrival_stats, histogram_totalprice, graph_bfs,
 #     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
 #     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
 #     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (21) for
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (22) for
 #     r10, then the r6 block.
 #
 # Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
@@ -11213,8 +11329,8 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
 # when planning; any query materially changed in r10 takes a same-round
 # slot first.
-# Steady-state honesty: with 216 queries and a 50-slot window, full
-# re-green cadence is ceil(216/50) = 5 rounds; priority order is
+# Steady-state honesty: with 217 queries and a 50-slot window, full
+# re-green cadence is ceil(217/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -11225,6 +11341,7 @@ _VERIFY_FIRST = [
     "dedup_longest_shared",
     "corpus_boilerplate_report",
     "domain_quota_accounting",
+    "url_canonical_dedup",
     # Material changes this round (same-round slots):
     "dsir_selection",
     "multimodal_meta",
@@ -11271,7 +11388,6 @@ _VERIFY_FIRST = [
     "minhash_estimate_audit",
     "latency_trend",
     "knn_label_eval",
-    "k_anonymity_audit",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -489,3 +489,39 @@ def test_url_domain_strips_scheme_port_and_www(spark):
     got = {r.url: r.domain for r in df.collect()}
     for u, want in rows:
         assert got[u] == want, (u, got[u], want)
+
+
+def test_url_canonicalize_rules(spark):
+    """Crawl-frontier canonicalization: lowercase scheme/host, default
+    port stripped (only the scheme's own), fragment dropped, tracking
+    params removed, remaining params sorted, empty path -> '/'."""
+    from etl_platform_nyc_taxi_spark.operators.text import url_canonicalize
+
+    rows = [
+        (
+            "https://WWW.News.Example.COM:443/en/page?id=7#frag",
+            "https://www.news.example.com/en/page?id=7",
+        ),
+        (
+            "http://example.org:80/a/b?z=1&a=2&utm_source=x&fbclid=abc",
+            "http://example.org/a/b?a=2&z=1",
+        ),
+        ("https://example.org", "https://example.org/"),
+        ("HTTPS://example.org/?ref=hp&id=3", "https://example.org/?id=3"),
+        # non-default port survives; http's :80 rule must not eat :8080
+        ("https://example.org:8443/x?b=2&a=1",
+         "https://example.org:8443/x?a=1&b=2"),
+        ("http://example.org:8080/", "http://example.org:8080/"),
+        # :443 on http is NOT default — stays
+        ("http://example.org:443/", "http://example.org:443/"),
+        # 'refresh=1' must not be eaten by the 'ref' rule (anchored)
+        ("https://example.org/?refresh=1", "https://example.org/?refresh=1"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in rows], "url string"
+    ).select("url", url_canonicalize("url").alias("c"))
+    got = {r.url: r.c for r in df.collect()}
+    for u, want in rows:
+        assert got[u] == want, (u, got[u], want)
