@@ -1279,3 +1279,93 @@ def longest_shared_substring(
             F.sum("__len").cast("long").alias("n_matched_windows"),
         )
     )
+
+
+def substring_probe_new(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """Ingest-time substring-level contamination probe — the
+    batch-arrival twin of :func:`exact_substring_pairs`, shaped like
+    :func:`minhash_probe_new`: score each NEW document by how much of
+    it is verbatim spans already present in the corpus, BEFORE it is
+    admitted. Output one row per batch doc: (id, n_windows,
+    n_hit_windows, longest_hit_run_tokens) — ``n_hit_windows /
+    n_windows`` is the duplication fraction (Lee et al. 2022's
+    dup-span share), ``longest_hit_run_tokens`` the longest verbatim
+    span copied from the corpus (0 / no-window docs score (0, 0, 0)).
+
+    Only the batch×corpus quadrant is computed: the corpus side
+    collapses to its DISTINCT window-fingerprint set (the index an
+    ingest pipeline persists once and reuses per batch), and the join
+    is batch-windows ⋈ corpus-fingerprints — never corpus×corpus, so
+    per-batch cost is O(batch tokens + matched windows) however big
+    the corpus is. Longest-run detection is gaps-and-islands over the
+    batch doc's hit positions (consecutive hit windows extend the
+    verbatim span by one token each)."""
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    from pyspark.sql import Window as W
+
+    win_fps = (
+        f"CASE WHEN size(__t) >= {window} "
+        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
+        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
+        f"ELSE array() END"
+    )
+
+    def wins(df: DataFrame) -> DataFrame:
+        t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
+        return t.select(
+            F.col(id_col),
+            F.posexplode(F.expr(win_fps)).alias("__p0", "__fp"),
+        ).select(
+            F.col(id_col),
+            (F.col("__p0") + 1).cast("long").alias("__pos"),
+            "__fp",
+        )
+
+    corpus_fps = wins(corpus).select("__fp").distinct()
+    bw = wins(batch).localCheckpoint(eager=False)
+    hits = bw.join(corpus_fps, "__fp").select(id_col, "__pos")
+    w_doc = W.partitionBy(id_col).orderBy("__pos")
+    prev = F.lag("__pos").over(w_doc)
+    new_run = F.when(prev.isNull() | (F.col("__pos") > prev + 1), 1).otherwise(0)
+    runs = (
+        hits.withColumn(
+            "__run",
+            F.sum(new_run).over(
+                w_doc.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy(id_col, "__run")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__len").cast("long").alias("n_hit_windows"),
+            (F.max("__len") + F.lit(window) - 1)
+            .cast("long")
+            .alias("longest_hit_run_tokens"),
+        )
+    )
+    per_doc = bw.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows")
+    )
+    return (
+        batch.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(runs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_hit_windows", F.lit(0))
+            .cast("long")
+            .alias("n_hit_windows"),
+            F.coalesce("longest_hit_run_tokens", F.lit(0))
+            .cast("long")
+            .alias("longest_hit_run_tokens"),
+        )
+    )

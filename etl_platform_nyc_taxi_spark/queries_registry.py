@@ -2081,6 +2081,65 @@ def q_dedup_longest_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring_probe",
+    f"""
+    WITH {_SUBSTRING_SPANS_CTES},
+    batch_w AS (SELECT doc_id, pos, fp FROM w WHERE doc_id % 10 = 0),
+    corpus_fps AS (SELECT DISTINCT fp FROM w WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT doc_id, pos FROM batch_w JOIN corpus_fps USING (fp)
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits)
+    ),
+    lens AS (
+      SELECT doc_id, run, COUNT(*) AS len FROM runs GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_hit_windows,
+             CAST(MAX(len) + 15 AS BIGINT) AS longest
+      FROM lens GROUP BY doc_id
+    ),
+    nb AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM batch_w GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(nb.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(agg.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+           CAST(COALESCE(agg.longest, 0) AS BIGINT)
+             AS longest_hit_run_tokens
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+    LEFT JOIN nb ON nb.doc_id = b.doc_id
+    LEFT JOIN agg ON agg.doc_id = b.doc_id
+    """,
+)
+def q_dedup_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time substring contamination probe (every 10th doc plays
+    the arriving batch, the rest the standing corpus): per new doc, its
+    window count, how many of its 16-token windows already exist
+    verbatim in the corpus, and the longest such copied span —
+    admission-control metrics computed on the batch×corpus quadrant
+    only (operators/dedup.substring_probe_new), never corpus×corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_probe_new,
+    )
+
+    return substring_probe_new(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        window=16,
+    )
+
+
 # Integer minhash family mirrored into DuckDB: same (a, c) literals, same
 # md5-prefix 48-bit base hash (functions/hashing.py). 32 hashes / 8 bands
 # of 4 rows — candidate probability ~0.67 at J=0.6, ~1.0 at J≥0.9.
@@ -11293,18 +11352,19 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-9 window = exactly the allocation VERDICT r8
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (6): the substring-dedup family —
+#   * first-timer slots (7): the substring-dedup family —
 #     dedup_exact_substring, its removal plan dedup_substring_spans,
 #     the applied rewrite dedup_substring_rewrite, the
 #     contamination-length metric dedup_longest_shared, and the
 #     human-readable corpus_boilerplate_report (Lee et al. 2022
 #     substring-level dedup end-to-end: sharded 16-token window
 #     fingerprints / maximal deletable spans / rewritten corpus /
-#     diagonal-run longest-common-span / top repeated spans, VERDICT r8
+#     diagonal-run longest-common-span / top repeated spans / the
+#     ingest-time batch-vs-corpus probe dedup_substring_probe, VERDICT r8
 #     task 2) — plus domain_quota_accounting (per-domain canonicals +
 #     quota cap over url_domain, VERDICT r8 task 5) and
 #     url_canonical_dedup (crawl-frontier URL canonicalization:
-#     operators/text.url_canonicalize, 7 first-timers total);
+#     operators/text.url_canonicalize, 8 first-timers total);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (3): dsir_selection (totals now derived from
 #     the bins table — one fewer corpus pass, advisor r8);
@@ -11314,14 +11374,15 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     plan under both queries changed);
 #   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
 #     gapfill_daily … agg_percentiles;
-#   * 27 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … knn_label_eval), leaving k_anonymity_audit,
+#   * 26 of the 49 r5-greens, oldest-first in the window_age.py order
+#     (weighted_median … latency_trend), leaving knn_label_eval,
+#     k_anonymity_audit,
 #     json_key_profile, json_extract_props,
 #     interarrival_stats, histogram_totalprice, graph_bfs,
 #     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
 #     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
 #     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (22) for
+#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (23) for
 #     r10, then the r6 block.
 #
 # Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
@@ -11329,8 +11390,8 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
 # when planning; any query materially changed in r10 takes a same-round
 # slot first.
-# Steady-state honesty: with 217 queries and a 50-slot window, full
-# re-green cadence is ceil(217/50) = 5 rounds; priority order is
+# Steady-state honesty: with 218 queries and a 50-slot window, full
+# re-green cadence is ceil(218/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -11339,6 +11400,7 @@ _VERIFY_FIRST = [
     "dedup_substring_spans",
     "dedup_substring_rewrite",
     "dedup_longest_shared",
+    "dedup_substring_probe",
     "corpus_boilerplate_report",
     "domain_quota_accounting",
     "url_canonical_dedup",
@@ -11387,7 +11449,6 @@ _VERIFY_FIRST = [
     "psi_weekly",
     "minhash_estimate_audit",
     "latency_trend",
-    "knn_label_eval",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -774,3 +774,47 @@ def test_longest_shared_substring_diagonal_breaks_runs(spark):
     # matched windows: 'a b c d' (diag 0) and 'e f g h' (diag -2) —
     # two runs of length 1 each
     assert (row.longest_shared_tokens, row.n_matched_windows) == (4, 2)
+
+
+def test_substring_probe_new_hand_computed(spark):
+    """Batch doc 10 copies 'a b c d e' from the corpus (2 consecutive
+    hit windows -> longest run 5 tokens); batch doc 20 is clean; batch
+    doc 30 is too short for any window."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_probe_new,
+    )
+
+    corpus = _subs_df(
+        spark,
+        [(1, "a b c d e x y z"), (2, "m n o p q r")],
+    )
+    batch = _subs_df(
+        spark,
+        [
+            (10, "w w a b c d e"),       # 4 windows, 2 hit, run of 2
+            (20, "clean new text with fresh words"),
+            (30, "too short"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_hit_windows, r.longest_hit_run_tokens)
+        for r in substring_probe_new(batch, corpus, window=4).collect()
+    }
+    assert out[10] == (4, 2, 5)
+    assert out[20] == (3, 0, 0)
+    assert out[30] == (0, 0, 0)
+
+
+def test_substring_probe_quadrant_only_batch_scored(spark):
+    """Corpus-internal duplication must NOT appear in the output — only
+    batch docs are scored, and only against the corpus index."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_probe_new,
+    )
+
+    corpus = _subs_df(spark, [(1, "a b c d"), (2, "a b c d")])  # dup pair
+    batch = _subs_df(spark, [(10, "a b c d")])
+    out = substring_probe_new(batch, corpus, window=4).collect()
+    assert [(r.doc_id, r.n_windows, r.n_hit_windows) for r in out] == [
+        (10, 1, 1)
+    ]
