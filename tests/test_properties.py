@@ -207,3 +207,118 @@ def test_sketch_quantile_bounds_property(spark, values):
         exact = vals[math.ceil(q * n) - 1]
         assert row[col] == math.floor(exact * 16) / 16.0
         assert row[col] <= exact < row[col] + 1 / 16.0
+
+
+# ---------------------------------------------------------------------------
+# Substring-dedup family invariants (round 9)
+# ---------------------------------------------------------------------------
+
+_WORDS = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+_DOC = st.lists(_WORDS, min_size=0, max_size=24).map(" ".join)
+
+
+def _brute_windows(text: str, w: int) -> list[str]:
+    toks = text.split()
+    return [" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)]
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=6), w=st.integers(3, 5))
+@settings(**_SETTINGS)
+def test_exact_substring_pairs_matches_bruteforce(spark, texts, w):
+    """Pairs and counts equal a brute-force python recomputation (small
+    vocab forces heavy window sharing), and shared_windows can never
+    exceed either doc's distinct-window count."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        exact_substring_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.shared_windows, r.windows_a, r.windows_b)
+        for r in exact_substring_pairs(
+            df, window=w, max_docs_per_window=100
+        ).collect()
+    }
+    wins = {i: set(_brute_windows(t, w)) for i, t in enumerate(texts)}
+    want = {}
+    for a in wins:
+        for b in wins:
+            if a < b and wins[a] & wins[b]:
+                want[(a, b)] = (
+                    len(wins[a] & wins[b]),
+                    len(wins[a]),
+                    len(wins[b]),
+                )
+    assert got == want
+    for (a, b), (s, wa, wb) in got.items():
+        assert s <= min(wa, wb)
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=6), w=st.integers(3, 5))
+@settings(**_SETTINGS)
+def test_substring_spans_are_valid_and_disjoint(spark, texts, w):
+    """Structural invariants of the removal plan: spans lie inside their
+    doc's token range, never overlap within a doc, each is at least one
+    window long, and the minimum-id doc of any shared window is never
+    marked (owner keeps its copy)."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = substring_dedup_spans(df, window=w).collect()
+    ntok = {i: len(t.split()) for i, t in enumerate(texts)}
+    wins = {i: set(_brute_windows(t, w)) for i, t in enumerate(texts)}
+    owners = {}
+    for i, ws in wins.items():
+        for x in ws:
+            owners.setdefault(x, set()).add(i)
+    owned_min = {x: min(ds) for x, ds in owners.items() if len(ds) >= 2}
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        assert 1 <= r.span_start <= r.span_end <= ntok[r.doc_id]
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= w
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for d, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # disjoint AND non-adjacent (maximal merge)
+    # an owner doc may appear in by_doc only via windows it does NOT own
+    for d, spans in by_doc.items():
+        toks = texts[d].split()
+        for s, e in spans:
+            for i in range(s, e - w + 2):
+                win = " ".join(toks[i - 1 : i - 1 + w])
+                assert owned_min.get(win) != d or d != min(
+                    owners[win]
+                ), "owner's own copy was marked"
+
+
+@given(texts=st.lists(_DOC, min_size=1, max_size=6), w=st.integers(3, 5))
+@settings(**_SETTINGS)
+def test_substring_rewrite_conserves_tokens(spark, texts, w):
+    """Rewrite invariants: n_after = n_before − total span tokens from
+    the plan; surviving text has exactly n_after tokens; docs without
+    spans keep all tokens."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        apply_substring_dedup,
+        substring_dedup_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    plan = {}
+    for r in substring_dedup_spans(df, window=w).collect():
+        plan[r.doc_id] = plan.get(r.doc_id, 0) + r.span_tokens
+    out = apply_substring_dedup(df, window=w).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert r.n_tokens_before == len(texts[r.doc_id].split())
+        assert r.n_tokens_after == r.n_tokens_before - plan.get(r.doc_id, 0)
+        got_tokens = r.text_deduped.split() if r.text_deduped else []
+        assert len(got_tokens) == r.n_tokens_after
