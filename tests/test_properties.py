@@ -322,3 +322,101 @@ def test_substring_rewrite_conserves_tokens(spark, texts, w):
         assert r.n_tokens_after == r.n_tokens_before - plan.get(r.doc_id, 0)
         got_tokens = r.text_deduped.split() if r.text_deduped else []
         assert len(got_tokens) == r.n_tokens_after
+
+
+@given(texts=st.lists(_DOC, min_size=2, max_size=5), w=st.integers(3, 5))
+@settings(**_SETTINGS)
+def test_longest_shared_matches_bruteforce_lcs(spark, texts, w):
+    """longest_shared_tokens equals the true longest common token
+    substring (when that LCS is >= the window size) computed by a
+    brute-force python scan, for every reported pair."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        longest_shared_substring,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.longest_shared_tokens
+        for r in longest_shared_substring(
+            df, window=w, max_docs_per_window=100
+        ).collect()
+    }
+
+    def lcs_tokens(a: list[str], b: list[str]) -> int:
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = 0
+                while i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    toks = [t.split() for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            true = lcs_tokens(toks[a], toks[b])
+            if true >= w:
+                assert got.get((a, b)) == true, ((a, b), got.get((a, b)), true)
+            else:
+                assert (a, b) not in got
+
+
+@given(
+    corpus=st.lists(_DOC, min_size=1, max_size=4),
+    batch=st.lists(_DOC, min_size=1, max_size=4),
+    w=st.integers(3, 5),
+)
+@settings(**_SETTINGS)
+def test_substring_probe_matches_bruteforce(spark, corpus, batch, w):
+    """Probe hit counts and longest copied run equal a brute-force
+    python recomputation against the corpus window set."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        substring_probe_new,
+    )
+
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_hit_windows, r.longest_hit_run_tokens)
+        for r in substring_probe_new(bdf, cdf, window=w).collect()
+    }
+    cset = set()
+    for t in corpus:
+        cset |= set(_brute_windows(t, w))
+    for i, t in enumerate(batch):
+        wins = _brute_windows(t, w)
+        hit_pos = [p for p, win in enumerate(wins) if win in cset]
+        n_hits = len(hit_pos)
+        longest = 0
+        run = 0
+        prev = None
+        for p in hit_pos:
+            run = run + 1 if prev is not None and p == prev + 1 else 1
+            longest = max(longest, run)
+            prev = p
+        want = (len(wins), n_hits, longest + w - 1 if longest else 0)
+        assert got[100 + i] == want, (t, got[100 + i], want)
+
+
+@given(payload=st.binary(min_size=0, max_size=512))
+@settings(max_examples=200, deadline=None)
+def test_audio_sniffers_never_crash_on_fuzz(payload):
+    """sniff_audio_header (incl. the MP3 sync walk and OGG page parse)
+    must be total on arbitrary bytes: no exception, and any duration it
+    does report is a non-negative int."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        sniff_audio_header,
+    )
+
+    for tail in (None, payload[::-1]):
+        fmt, dur = sniff_audio_header(payload, total_size=len(payload), tail=tail)
+        assert fmt is None or isinstance(fmt, str)
+        assert dur is None or (isinstance(dur, int) and dur >= 0)
