@@ -180,17 +180,23 @@ def salted_aggregate(
             "deterministic salt is possible; drop or serialize the map "
             "columns first"
         )
-    elif set(salt_cols) <= set(keys):
-        # Every non-key payload column contains a MapType, so the salt
-        # would hash only the grouping keys — constant per key, which
-        # silently defeats the one job this function has (advisor r8).
-        # Results would still be correct, so this is a loud refusal
-        # rather than a wrong answer: serialize the map payloads or use
-        # pre_count=True on a map-free projection.
+    elif len(salt_cols) < len(df.columns) and set(salt_cols) <= set(keys):
+        # Map columns were excluded from the salt AND what remains is
+        # only the grouping keys: the salt would hash only the keys —
+        # constant per key, which silently defeats the one job this
+        # function has (advisor r8).  Results would still be correct,
+        # so this is a loud refusal rather than a wrong answer:
+        # serialize the map payloads or use pre_count=True on a
+        # map-free projection.  NOTE the guard is scoped to the
+        # map-exclusion case (advisor r9): a map-free keys-only
+        # projection (df.columns == keys) passes through — its salt is
+        # likewise constant per key, a documented no-op, because the
+        # rows carry no payload to separate; use pre_count=True there
+        # if the key is hot with duplicate rows.
         raise ValueError(
-            "salted_aggregate: all non-key payload columns contain a "
-            "MapType, so the content salt would hash only the grouping "
-            "keys (constant per key) and the skew mitigation would be a "
+            "salted_aggregate: after excluding MapType columns, the "
+            "remaining salt columns are exactly the grouping keys "
+            "(constant per key) and the skew mitigation would be a "
             "silent no-op — serialize the map columns or collapse with "
             "pre_count=True on a map-free projection"
         )

@@ -230,6 +230,78 @@ def _mp3_frame(payload: bytes, i: int):
     return (frame, bitrate, rate, spf)
 
 
+def _mp3_free_frame(payload: bytes, i: int):
+    """Free-format (bitrate index 0) frame at offset ``i``. The spec
+    (ISO/IEC 11172-3 §2.4.2.3) leaves the frame size undeclared for
+    bitrate index 0 — decoders MEASURE it by scanning to the next sync
+    word, and the stream must then keep that size constant. Returns
+    (frame_bytes, bitrate_bps, sample_rate, samples_per_frame) or None.
+
+    Acceptance is stricter than for indexed bitrates because nothing in
+    the header pins the length: the next header must match this one in
+    version/layer/samplerate AND bitrate-index-0 bits (padding may
+    differ), and when the window allows, a THIRD sync must appear one
+    measured frame after the second (±1 slot for the padding bit)."""
+    n = len(payload)
+    if i + 4 > n:
+        return None
+    b0, b1, b2, _ = payload[i : i + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver = (b1 >> 3) & 0x3
+    layer = (b1 >> 1) & 0x3
+    if ver == 1 or layer == 0:
+        return None
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx != 0 or sr_idx == 3:
+        return None
+    vgroup = 1 if ver == 3 else 0
+    rate = _MP3_SAMPLERATE[ver][sr_idx]
+    if layer == 3:
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or vgroup == 1) else 576
+    padding = (b2 >> 1) & 0x1
+    slot = 4 if layer == 3 else 1
+    # Scan for the second sync: same b1, same top-6 bits of b2
+    # (bitrate index 0 + samplerate); padding bit free to differ.
+    j = i + 16  # below any plausible frame
+    limit = min(n - 4, i + 8192)
+    while j <= limit:
+        j = payload.find(0xFF, j, limit + 1)  # C-speed skip to next sync
+        if j < 0:
+            return None
+        if (
+            payload[j + 1] == b1
+            and (payload[j + 2] & 0xFC) == (b2 & 0xFC)
+        ):
+            frame = j - i
+            # third-sync confirmation when the window reaches that far
+            k0 = j + frame - slot
+            if j + frame + 4 + slot <= n:
+                ok = any(
+                    payload[k] == 0xFF
+                    and payload[k + 1] == b1
+                    and (payload[k + 2] & 0xFC) == (b2 & 0xFC)
+                    for k in (k0, j + frame, j + frame + slot)
+                    if 0 <= k <= n - 4
+                )
+                if not ok:
+                    j += 1
+                    continue
+            # back out the bitrate from the measured frame size
+            if layer == 3:  # Layer I, 4-byte slots
+                bitrate = (frame // 4 - padding) * rate // 12
+            else:
+                bitrate = (frame - padding) * 8 * rate // spf
+            if bitrate <= 0:
+                return None
+            return (frame, bitrate, rate, spf)
+        j += 1
+    return None
+
+
 def mp3_stream_info(
     payload: bytes | None, total_size: int | None = None
 ) -> tuple[str | None, int | None]:
@@ -260,11 +332,28 @@ def mp3_stream_info(
                 (sz[0] << 21) | (sz[1] << 14) | (sz[2] << 7) | sz[3]
             )
     n = len(payload)
+    if start > n - 4:
+        # The syncsafe ID3v2 size points past the window (cover-art
+        # tags routinely run 10–100 KB against a 4 KB sniff head).
+        # A well-formed ID3 header is strong format evidence on its
+        # own — report the format, leave the duration unknown
+        # (advisor r9; attach_media_meta additionally pre-skips the
+        # tag scan-side so this path is a direct-call fallback).
+        return ("mp3", None)
     scan_end = min(n - 4, start + 2048)  # sync must appear near the top
     i = start
     while i <= scan_end:
         hdr = _mp3_frame(payload, i)
         if hdr is None:
+            # Free-format (bitrate index 0): frame size is measured,
+            # not declared; acceptance inside needs 2–3 matching syncs
+            # so arbitrary binary still falls through to i += 1.
+            free = _mp3_free_frame(payload, i)
+            if free is not None:
+                _, bitrate, _, _ = free
+                if total_size is not None and total_size > i:
+                    return ("mp3", (total_size - i) * 8 * 1000 // bitrate)
+                return ("mp3", None)
             i += 1
             continue
         frame, bitrate, rate, spf = hdr
@@ -334,7 +423,12 @@ def ogg_duration_ms(
     win = tail if tail is not None else head
     j = win.rfind(b"OggS")
     while j >= 0:
-        if j + 14 <= len(win):
+        # Structure check before trusting the granule (advisor r9):
+        # compressed payload bytes can coincidentally spell 'OggS', so
+        # require the stream-structure version byte (always 0, RFC 3533
+        # §6) and a header-type flag byte within its 3-bit range before
+        # reading the u64 — otherwise keep scanning backwards.
+        if j + 14 <= len(win) and win[j + 4] == 0 and win[j + 5] <= 7:
             granule = int.from_bytes(win[j + 6 : j + 14], "little")
             # granule -1 (unset) marks a page with no finished packet
             if granule != (1 << 64) - 1:
@@ -587,9 +681,33 @@ def attach_media_meta(
     # full byte count (a scan-side fact — mp3 CBR duration needs it),
     # and the 4 KB tail (Ogg's last-page granule position lives there).
     # Blob bodies never reach the Python worker: ≤8 KB + 8 B per row.
+    #
+    # For audio, the head window starts AFTER any ID3v2 tag (advisor
+    # r9): real MP3s commonly carry 10–100 KB cover-art tags, which
+    # would otherwise swallow the whole 4 KB window and the sync walk
+    # would never see a frame. The syncsafe size decode stays
+    # scan-side (pure codegen over the first 10 bytes — hex/conv/
+    # shiftright), so the Python worker still receives ≤ 8 KB per row
+    # and, for tagged files, a window that begins at the audio data.
+    # total_size shrinks by the same skip so the CBR estimate prices
+    # audio bytes, not tag bytes. Malformed sizes degrade safely: an
+    # over-long skip yields an empty window → (None, None).
+    if media_type == "audio":
+        x = f"cast(conv(hex(substring({payload_col}, 7, 4)), 16, 10) as bigint)"
+        id3_skip = (
+            f"if(octet_length({payload_col}) >= 10"
+            f" and substring({payload_col}, 1, 3) = X'494433'"
+            f" and ({x} & 2155905152) = 0,"  # 0x80808080: syncsafe bytes
+            f" 10 + shiftright({x} & 2130706432, 3)"  # b6<<21
+            f" + shiftright({x} & 8323072, 2)"  # b7<<14
+            f" + shiftright({x} & 32512, 1)"  # b8<<7
+            f" + ({x} & 127), 0)"
+        )
+    else:
+        id3_skip = "0"  # ID3 is an audio-container prefix only
     hdr = sniff(
-        F.substring(F.col(payload_col), 1, 4096),
-        F.octet_length(F.col(payload_col)).cast("long"),
+        F.expr(f"substring({payload_col}, 1 + ({id3_skip}), 4096)"),
+        F.expr(f"octet_length({payload_col}) - ({id3_skip})").cast("long"),
         F.expr(
             f"substring({payload_col},"
             f" greatest(octet_length({payload_col}) - 4095, 1), 4096)"

@@ -11422,7 +11422,7 @@ _VERIFY_FIRST = [
     "anomaly_mad",
     "ann_lsh_served",
     "agg_percentiles",
-    # r5-greens, oldest-first (32 of 49; the remainder goes to r10):
+    # r5-greens, oldest-first (26 of 49; the remainder (23) goes to r10):
     "weighted_median",
     "user_type_entropy",
     "user_growth_curve",

@@ -1293,3 +1293,174 @@ def test_ogg_unset_granule_pages_are_skipped():
     assert ogg_duration_ms(first + good + unset) == 5_000
     # unknown codec: rate unreadable -> None
     assert ogg_duration_ms(_ogg_page(0x02, 0, b"\x05weird")) is None
+
+
+# --- round 10: MP3 duration hardening (VERDICT r9 task 4 + advisor) --
+
+
+def test_mp3_id3_tag_larger_than_window_still_recognized():
+    """Advisor r9: real MP3s commonly carry 10-100 KB ID3 cover-art
+    tags against a 4 KB sniff window. A well-formed ID3 header whose
+    syncsafe size points past the window is strong format evidence:
+    ('mp3', None), not a silent (None, None)."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+        sniff_audio_header,
+    )
+
+    # declares a 50000-byte tag; only 4 KB of it is in the window
+    sz = 50_000
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+    )
+    window = (id3 + bytes(4096))[:4096]
+    assert mp3_stream_info(window) == ("mp3", None)
+    assert sniff_audio_header(window, total_size=300_000) == ("mp3", None)
+    # malformed syncsafe size (high bit set) is NOT evidence
+    bad = b"ID3\x04\x00\x00" + b"\xff\x00\x00\x00" + bytes(4086)
+    assert mp3_stream_info(bad) == (None, None)
+
+
+def _free_frame_bytes(frame_len: int = 417) -> bytes:
+    """One MPEG1 Layer III 44.1 kHz FREE-FORMAT frame (bitrate index
+    0): header + zero body, size chosen by the caller (free-format
+    size is measured, not declared)."""
+    return bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(frame_len - 4)
+
+
+def test_mp3_free_format_frames_measured_and_priced():
+    """ISO 11172-3 bitrate index 0 (free format): frame size comes
+    from the distance between matching syncs, bitrate is backed out of
+    it, and CBR duration prices total_size with that bitrate."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+    )
+
+    payload = _free_frame_bytes() * 3
+    bitrate = 417 * 8 * 44100 // 1152  # 127706 bps
+    assert mp3_stream_info(payload) == ("mp3", None)
+    assert mp3_stream_info(payload, total_size=160_000) == (
+        "mp3",
+        160_000 * 8 * 1000 // bitrate,
+    )
+    # two matching syncs but a MISSING third (window reaches that far):
+    # not accepted — arbitrary binary with repeated 0xFF FB 00 pairs
+    # spaced differently must fall through
+    two_then_junk = _free_frame_bytes() * 2 + bytes(600)
+    assert mp3_stream_info(two_then_junk) == (None, None)
+    # a lone free-format header followed by garbage is rejected
+    assert mp3_stream_info(_free_frame_bytes()[:4] + b"junk" * 200) == (
+        None,
+        None,
+    )
+
+
+def test_mp3_stream_info_totality_fuzz():
+    """Hypothesis totality: mp3_stream_info never raises and returns a
+    well-typed pair on ANY byte string — including 0xFF-dense windows
+    that stress the free-format scan."""
+    from hypothesis import given, settings, strategies as st
+
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        mp3_stream_info,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        payload=st.one_of(
+            st.binary(max_size=512),
+            st.builds(
+                lambda pre, n: pre + b"\xff\xfb\x00\x00" * n,
+                st.binary(max_size=16),
+                st.integers(0, 128),
+            ),
+            st.builds(
+                lambda sz, body: b"ID3\x04\x00\x00"
+                + bytes(
+                    [
+                        (sz >> 21) & 0x7F,
+                        (sz >> 14) & 0x7F,
+                        (sz >> 7) & 0x7F,
+                        sz & 0x7F,
+                    ]
+                )
+                + body,
+                st.integers(0, 1 << 28),
+                st.binary(max_size=256),
+            ),
+        ),
+        total=st.one_of(st.none(), st.integers(0, 1 << 40)),
+    )
+    def prop(payload, total):
+        fmt, dur = mp3_stream_info(payload, total_size=total)
+        assert fmt in (None, "mp3")
+        assert dur is None or (isinstance(dur, int) and dur >= 0)
+        assert not (fmt is None and dur is not None)
+
+    prop()
+
+
+def test_ogg_coincidental_oggs_in_payload_is_not_a_page():
+    """Advisor r9: compressed payload bytes can coincidentally spell
+    'OggS'. The backward scan must reject candidates whose
+    stream-structure version byte is nonzero or whose header-type
+    flags exceed the 3-bit range, and keep scanning to the REAL page."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        ogg_duration_ms,
+    )
+
+    ident = b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([2]) + (
+        44100
+    ).to_bytes(4, "little") + bytes(9)
+    first = _ogg_page(0x02, 0, ident)
+    real_last = _ogg_page(0x04, 441_000, b"\x00" * 4)
+    # fake 'OggS' deeper in the tail with an invalid version byte and a
+    # huge bogus granule — previously read as 4-hour duration
+    fake = b"OggS" + bytes([9, 0]) + (10**12).to_bytes(8, "little") + bytes(8)
+    fake2 = b"OggS" + bytes([0, 0x55]) + (10**12).to_bytes(8, "little") + bytes(8)
+    assert ogg_duration_ms(first + real_last + b"\x00" * 8 + fake) == 10_000
+    assert ogg_duration_ms(first + real_last + b"\x00" * 8 + fake2) == 10_000
+    # only fakes in the tail: honestly unknown
+    assert ogg_duration_ms(first, tail=fake + fake2) is None
+
+
+def test_attach_media_meta_skips_large_id3_scan_side(spark):
+    """Advisor r9: attach_media_meta's 4 KB head window must start
+    AFTER the ID3v2 tag, so a 10 KB cover-art tag does not blind the
+    sync walk — and total_size must shrink by the tag so CBR duration
+    prices audio bytes only."""
+    from etl_platform_nyc_taxi_spark.operators.multimodal import (
+        attach_media_meta,
+    )
+
+    fr = bytearray(_mp3_frame_bytes())
+    fr[36:40] = b"Xing"
+    fr[40:44] = (0x1).to_bytes(4, "big")
+    fr[44:48] = (441).to_bytes(4, "big")  # 11520 ms
+    tag_body = 10_000
+    id3 = b"ID3\x04\x00\x00" + bytes(
+        [
+            (tag_body >> 21) & 0x7F,
+            (tag_body >> 14) & 0x7F,
+            (tag_body >> 7) & 0x7F,
+            tag_body & 0x7F,
+        ]
+    ) + bytes(tag_body)
+    tagged = id3 + bytes(fr)
+    # CBR sibling (no Xing): duration must use size MINUS the tag
+    cbr = id3 + bytes(_mp3_frame_bytes() + _mp3_frame_bytes()) + bytes(
+        160_000 - 2 * len(_mp3_frame_bytes())
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(tagged)), (2, bytearray(cbr))], "id int, payload binary"
+    )
+    out = {
+        r["id"]: (
+            r["payload_meta"]["format"],
+            r["payload_meta"]["duration_ms"],
+            r["payload_meta"]["size_bytes"],
+        )
+        for r in attach_media_meta(df, "payload", media_type="audio").collect()
+    }
+    assert out[1] == ("mp3", 441 * 1152 * 1000 // 44100, len(tagged))
+    assert out[2] == ("mp3", 10_000, len(cbr))  # 160000 B at 128 kbps

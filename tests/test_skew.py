@@ -242,3 +242,23 @@ def test_salted_aggregate_key_only_salt_entropy_raises(spark):
             keys=["k"],
             aggs={"cnt": (F.count(F.lit(1)), F.sum("cnt"))},
         )
+
+
+def test_salted_aggregate_keys_only_map_free_passes(spark):
+    """ADVICE r9: a map-free projection whose only columns ARE the
+    grouping keys must NOT trip the entropy guard — no map column was
+    excluded, the constant-per-key salt is a documented no-op, and the
+    result is correct. (pre_count=True remains the tool when such a
+    key is hot.)"""
+    from etl_platform_nyc_taxi_spark.operators.core import salted_aggregate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    got = {
+        r["k"]: r["cnt"]
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={"cnt": (F.count(F.lit(1)), F.sum("cnt"))},
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 1}
