@@ -2962,6 +2962,80 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, embedding AS svec
+      FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT 8
+    ),
+    scored AS (
+      SELECT c.vec_id, c.embedding, s.seed_id,
+             COALESCE(list_dot_product(c.embedding::DOUBLE[], s.svec::DOUBLE[])
+               / NULLIF(sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(s.svec::DOUBLE[], s.svec::DOUBLE[])), 0),
+               -2.0) AS cs
+      FROM corpus c CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, seed_id AS cluster, cs AS simc
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cs DESC, seed_id ASC) = 1
+    ),
+    dups AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.simc AS sa, b.simc AS sb
+      FROM assigned a JOIN assigned b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
+              6) >= 0.999
+    ),
+    removed AS (
+      SELECT DISTINCT CASE WHEN sa > sb THEN id_a
+                           WHEN sb > sa THEN id_b
+                           ELSE greatest(id_a, id_b) END AS vec_id
+      FROM dups
+    )
+    SELECT a.vec_id, a.cluster,
+           ROUND(a.simc, 6) AS sim_centroid,
+           (r.vec_id IS NOT NULL) AS removed
+    FROM assigned a LEFT JOIN removed r USING (vec_id)
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.py semdedup —
+    Abbas et al. 2023): md5-medoid coarse clusters, intra-cluster
+    cosine pairs at eps=0.999, keep-farthest-from-centroid pruning,
+    over corpus ∪ ×2-scaled mutants (each mutant shares its original's
+    cosine profile bitwise — powers of two are exact through FP — so it
+    lands in the same cluster with an exactly tied sim_centroid and the
+    larger-id tie-break removes the mutant). Every stage — seed
+    selection, assignment argmax, pair threshold, loser rule — replays
+    in DuckDB; production swaps md5 medoids for fit_ivf_centroids via
+    the centroids parameter (tests/test_similarity.py pins that path)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m = e.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return semdedup(e.unionByName(m), num_seeds=8, eps=0.999)
+
+
+@register(
     "doc_winnow",
     """
     WITH sh AS (

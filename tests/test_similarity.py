@@ -268,3 +268,96 @@ def test_ivf_index_serving_matches_inmemory_and_prunes(spark, tmp_path):
 
     pf = _nonempty_partition_filters(served)
     assert pf and any("ivf_list" in f for f in pf), pf
+
+
+# --- round 10: SemDeDup semantic dedup (VERDICT r9 task 2) -----------
+
+
+def test_semdedup_removes_mutants_keeps_originals(spark):
+    """Each ×2-scaled mutant shares its original's cosine profile
+    bitwise (powers of two are exact through FP), so it lands in the
+    same cluster with an exactly tied sim_centroid and the larger-id
+    tie-break removes the mutant, never the original."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import semdedup
+
+    emb = load_fixture(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    m = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    out = semdedup(emb.unionByName(m), num_seeds=8, eps=0.999).collect()
+    n = len(out) // 2
+    assert len(out) == 2 * emb.count()
+    by_id = {r["vec_id"]: r for r in out}
+    for vid in list(by_id):
+        if vid >= 1_000_000:
+            continue
+        orig, mut = by_id[vid], by_id[vid + 1_000_000]
+        assert mut["removed"], vid  # the larger-id twin goes
+        assert not orig["removed"], vid
+        assert orig["cluster"] == mut["cluster"]
+        assert orig["sim_centroid"] == mut["sim_centroid"]
+
+
+def test_semdedup_hand_built_keep_rule(spark):
+    """Paper keep rule on a hand-built cluster: above eps, the member
+    CLOSEST to the centroid is removed (diversity-preserving keep of
+    the farthest member)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import semdedup
+
+    # centroid along +x; v10 near-parallel to v11 (cos > 0.999), but
+    # v10 is closer to the centroid -> v10 removed, v11 kept. v12 is
+    # orthogonal-ish: no pair, kept.
+    rows = [
+        (10, [1.0, 0.01]),
+        (11, [1.0, 0.02]),
+        (12, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, eps=0.999, centroids=[[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert out[10]["removed"] and not out[11]["removed"]
+    assert not out[12]["removed"]
+    assert out[10]["cluster"] == out[11]["cluster"] == 0
+    assert out[12]["cluster"] == 1
+
+
+def test_semdedup_kmeans_centroid_path(spark):
+    """Production path: fit_ivf_centroids output plugs into semdedup's
+    centroids parameter; output covers the corpus exactly once and
+    cluster ids are centroid indices."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        fit_ivf_centroids,
+        semdedup,
+    )
+
+    emb = load_fixture(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = fit_ivf_centroids(emb, nlist=4, seed=42)
+    out = semdedup(emb, eps=0.999, centroids=cents).collect()
+    assert len(out) == emb.count()
+    assert {r["cluster"] for r in out} <= set(range(4))
+    # raw fixture without mutants: nothing at cosine >= 0.999
+    assert not any(r["removed"] for r in out)
+
+
+def test_semdedup_seed_determinism(spark):
+    """md5 medoid seeds are a deterministic function of the ids — two
+    invocations agree row-for-row (registry md5-determinism rule)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        semdedup_seeds,
+    )
+
+    emb = load_fixture(spark, SF_DIR, "embeddings")
+    s1 = [r["seed_id"] for r in semdedup_seeds(emb, 8).collect()]
+    s2 = [r["seed_id"] for r in semdedup_seeds(emb, 8).collect()]
+    assert s1 == s2 and len(s1) == 8
