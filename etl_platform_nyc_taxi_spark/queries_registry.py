@@ -3035,6 +3035,149 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(e.unionByName(m), num_seeds=8, eps=0.999)
 
 
+# ---------------------------------------------------------------------------
+# BPE subword tokenizer (VERDICT r9 task 3) — train on the collapsed
+# word-frequency vocab, apply as expression folds. DuckDB replays the
+# ENTIRE training loop as an unrolled CTE chain (v0 → v12): same pair
+# counts, same (count DESC, left, right) argmax, same greedy fold —
+# list_reduce with a space-joined string accumulator where merging is
+# "append without separator" (operators/bpe.py module docstring).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12
+
+#: Trained-artifact cache, keyed by corpus: merges + final vocab are
+#: ingest-time artifacts shared by all three BPE queries (and the
+#: bench's warm pass), trained once per sf_dir.
+_BPE_CACHE: dict[str, tuple[list, "DataFrame"]] = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BPE_CACHE:
+        from etl_platform_nyc_taxi_spark.operators.bpe import (
+            train_bpe,
+            word_vocab,
+        )
+
+        vocab = word_vocab(_t(spark, sf_dir, "documents"))
+        _BPE_CACHE[sf_dir] = train_bpe(vocab, num_merges=_BPE_MERGES)
+    return _BPE_CACHE[sf_dir]
+
+
+def _bpe_oracle_cte(num_merges: int = _BPE_MERGES) -> str:
+    """The unrolled training replay: v0 is the word-frequency vocab with
+    char symbols; each round i counts adjacent pairs (p{i}), picks the
+    argmax (b{i}), and re-segments (v{i}). MATERIALIZED pins each CTE to
+    evaluate once — v{i-1} is referenced twice per round and naive
+    inlining would go exponential in num_merges."""
+    parts = [
+        """
+    v0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt, str_split(word, '') AS syms
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      GROUP BY word
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f"""
+    p{i} AS MATERIALIZED (
+      SELECT v.syms[CAST(t.i AS INT)] AS l, v.syms[CAST(t.i AS INT) + 1] AS r,
+             CAST(SUM(v.cnt) AS BIGINT) AS c
+      FROM v{i - 1} v, unnest(range(1, len(v.syms))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ),
+    v{i} AS MATERIALIZED (
+      SELECT v.word, v.cnt,
+             str_split(list_reduce(v.syms,
+               (acc, x) -> CASE WHEN str_split(acc, ' ')[-1] = b.l AND x = b.r
+                                THEN acc || x
+                                ELSE acc || ' ' || x END), ' ') AS syms
+      FROM v{i - 1} v CROSS JOIN b{i} b
+    )"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i - 1} AS merge_rank, l AS lhs, r AS rhs, l || r AS merged,"
+        f" c AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return f"{_bpe_oracle_cte()}\n    {rows}"
+
+
+@register("bpe_merges", _bpe_merges_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge table (operators/bpe.py train_bpe): rank,
+    pair, merged token, and the weighted adjacent-pair count that won
+    the round. Trained on the collapsed word-frequency vocab — the
+    corpus is read once, every iteration runs on |distinct words| rows.
+    The oracle replays all 12 training rounds in DuckDB."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+@register(
+    "bpe_tokenize",
+    f"""
+    {_bpe_oracle_cte()}
+    SELECT word, cnt, CAST(len(syms) AS BIGINT) AS n_tokens,
+           array_to_string(syms, ' ') AS tokens
+    FROM v{_BPE_MERGES}
+    """,
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword segmentation of every vocabulary word under the trained
+    merges — word-level segmentation IS document tokenization for BPE
+    (merges never cross the [a-z]+ pre-token boundary, the GPT-2
+    contract). Value-hashes the full segmentation of every word."""
+    _, vocab_final = _bpe_trained(spark, sf_dir)
+    return vocab_final.select(
+        "word",
+        "cnt",
+        F.size("syms").cast("long").alias("n_tokens"),
+        F.array_join("syms", " ").alias("tokens"),
+    )
+
+
+@register(
+    "bpe_token_counts",
+    f"""
+    {_bpe_oracle_cte()},
+    docw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+    FROM docw d JOIN v{_BPE_MERGES} v USING (word)
+    GROUP BY d.doc_id
+    """,
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token accounting (operators/bpe.py
+    tokenize_documents): documents explode to words, the trained word →
+    segmentation table broadcasts (|vocab| rows, never shuffled), and
+    the rollup aggregates map-side — the token pricing pack_sequences /
+    length_buckets need, at real subword granularity instead of
+    whitespace tokens."""
+    from etl_platform_nyc_taxi_spark.operators.bpe import tokenize_documents
+
+    _, vocab_final = _bpe_trained(spark, sf_dir)
+    return tokenize_documents(
+        _t(spark, sf_dir, "documents"), vocab_final
+    ).select("doc_id", "n_words", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 @register(
     "doc_winnow",
     """
