@@ -566,3 +566,104 @@ def dsir_weights(
             ).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled multi-source mixing (VERDICT r9 task 5)
+# ---------------------------------------------------------------------------
+
+
+def temperature_quotas(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    weight_milli_expr: Column | None = None,
+) -> DataFrame:
+    """Per-source document quotas under temperature-scaled mixing — the
+    standard multi-source LLM recipe (mT5 / XLM-R: sample source ``s``
+    with probability ∝ n_s^τ, τ < 1 upweights small sources relative to
+    proportional sampling).
+
+    Returns one row per source: ``(source, n_docs, weight_milli,
+    quota)`` where ``quota = min(n_s, budget · w_s / Σw)``.
+
+    Exactness discipline (cross-engine, same as the DSIR micro-nats):
+    τ = 0.5 by default because IEEE ``sqrt`` is correctly rounded —
+    bit-identical in every engine — and the weight quantizes to MILLI
+    units (``floor(sqrt(n) · 1000)``: one exactly-rounded multiply, one
+    floor) before any arithmetic that could drift; quota math is then
+    pure BIGINT (multiply, integer divide). No double ever crosses an
+    engine boundary. Pass ``weight_milli_expr`` (a Column over
+    ``n_docs``) for other temperature laws — keep it
+    quantized-integer for oracle parity.
+
+    Scale shape: one map-side-combinable count per source (|sources|
+    rows), a 1-row total broadcast — nothing corpus-sized moves."""
+    sizes = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        weight_milli_expr
+        if weight_milli_expr is not None
+        else F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+    ).cast("long")
+    sized = sizes.withColumn("weight_milli", w)
+    total = sized.agg(F.sum("weight_milli").alias("__tw"))
+    return (
+        sized.crossJoin(F.broadcast(total))
+        .select(
+            source_col,
+            "n_docs",
+            "weight_milli",
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"({budget}L * weight_milli) div __tw"),
+            ).alias("quota"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+    order_by: Column | None = None,
+    quotas: DataFrame | None = None,
+) -> DataFrame:
+    """Select each source's temperature quota of documents — the mixing
+    step a multi-source corpus build runs after per-source cleaning.
+
+    Selection is deterministic: within a source, rows rank by
+    ``order_by`` (default: the portable md5 hash of the salted id — an
+    unbiased shuffle both engines replay; pass e.g. DSIR's
+    ``weight_micro`` descending to compose quality-aware mixing) and
+    the first ``quota`` rows survive. One partitioned window keyed on
+    source — skewed sources sort inside their partition, nothing
+    global; quotas broadcast (|sources| rows).
+
+    Returns the input rows + ``kept`` boolean (filter on it to
+    materialize the mix; keeping the flag makes the accounting query
+    and the oracle replay exact)."""
+    from pyspark.sql import Window
+
+    q = quotas if quotas is not None else temperature_quotas(
+        df, budget, source_col=source_col
+    )
+    # order_by may already carry a sort direction (e.g. .desc()) — use
+    # it verbatim; only the default hash key gets an explicit .asc()
+    rank_key = (
+        order_by
+        if order_by is not None
+        else portable_hash64(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), 60
+        ).asc()
+    )
+    w = Window.partitionBy(source_col).orderBy(rank_key, F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(
+            F.broadcast(q.select(source_col, "quota")), source_col
+        )
+        .withColumn("kept", F.col("__rn") <= F.col("quota"))
+        .drop("__rn", "quota")
+    )

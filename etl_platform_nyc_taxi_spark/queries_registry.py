@@ -3179,6 +3179,74 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_temperature_mix",
+    """
+    WITH b AS (SELECT CAST(COUNT(*) * 3 // 5 AS BIGINT) AS budget
+               FROM documents),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY source),
+    wq AS (SELECT source, n_docs,
+                  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+                    AS weight_milli
+           FROM sizes),
+    tot AS (SELECT CAST(SUM(weight_milli) AS BIGINT) AS tw FROM wq),
+    quotas AS (SELECT w.source, w.n_docs, w.weight_milli,
+                      least(w.n_docs,
+                            b.budget * w.weight_milli // t.tw) AS quota
+               FROM wq w CROSS JOIN tot t CROSS JOIN b),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY CAST('0x' || substr(md5('tmix:'
+                              || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT),
+                        d.doc_id) AS rn
+      FROM documents d),
+    kept AS (
+      SELECT r.source, r.doc_id
+      FROM ranked r JOIN quotas q USING (source)
+      WHERE r.rn <= q.quota)
+    SELECT q.source, q.n_docs, q.weight_milli, q.quota,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_doc_id_sum
+    FROM quotas q LEFT JOIN kept k USING (source)
+    GROUP BY q.source, q.n_docs, q.weight_milli, q.quota
+    """,
+)
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multi-source corpus mixing (operators/
+    sampling.py temperature_quotas + temperature_mix — the mT5/XLM-R
+    n^τ recipe, τ=0.5): each source's quota is min(n, budget·√n/Σ√n)
+    against a 60%-of-corpus budget, selection by deterministic md5-hash
+    rank within source. Per source: size, milli-quantized weight,
+    quota, kept count, and the kept-set doc_id sum (pins WHICH docs the
+    rank kept). All weight/quota arithmetic is quantized-integer —
+    sqrt is IEEE-exact, everything after is BIGINT — so the oracle
+    replays it exactly; the ranking window is per-source-partitioned
+    (no global sort), and quotas broadcast."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_mix,
+        temperature_quotas,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    budget = docs.count() * 3 // 5  # bounded scalar, mirrors the oracle CTE
+    quotas = temperature_quotas(docs, budget)
+    mixed = temperature_mix(docs, budget, quotas=quotas)
+    per_source = mixed.groupBy("source").agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).alias(
+            "kept_doc_id_sum"
+        ),
+    )
+    return quotas.join(per_source, "source").select(
+        "source", "n_docs", "weight_milli", "quota", "n_kept",
+        "kept_doc_id_sum",
+    )
+
+
+@register(
     "doc_winnow",
     """
     WITH sh AS (

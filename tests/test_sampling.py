@@ -441,3 +441,112 @@ def test_dsir_weights_hand_computed(spark):
     assert out[1]["selected"] is False  # target doc never selected
     assert out[2]["selected"] is True
     assert out[3]["selected"] is False
+
+
+# --- round 10: temperature-scaled multi-source mixing ----------------
+
+
+def test_temperature_quotas_math(spark):
+    """n^0.5 milli-quantized weights and pure-BIGINT quota arithmetic:
+    hand-checkable on sources of 100/400/900 docs with budget 700 —
+    sqrt weights 10/20/30 (milli 10000/20000/30000), shares
+    700*{1,2,3}/6 = 116/233/350."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_quotas,
+    )
+
+    rows = (
+        [(i, "s100") for i in range(100)]
+        + [(1000 + i, "s400") for i in range(400)]
+        + [(10_000 + i, "s900") for i in range(900)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    q = {
+        r["source"]: (r["n_docs"], r["weight_milli"], r["quota"])
+        for r in temperature_quotas(df, budget=700).collect()
+    }
+    assert q == {
+        "s100": (100, 10_000, 100),  # share 116 capped at n=100
+        "s400": (400, 20_000, 233),
+        "s900": (900, 30_000, 350),
+    }
+    # temperature flattens: proportional shares would be 50/200/450 —
+    # the small source keeps MORE than proportional, the big one less
+    assert q["s100"][2] > 700 * 100 // 1400
+    assert q["s900"][2] < 700 * 900 // 1400
+
+
+def test_temperature_mix_respects_quotas_and_determinism(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_mix,
+        temperature_quotas,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    quotas = {
+        r["source"]: r["quota"]
+        for r in temperature_quotas(df, budget=40).collect()
+    }
+    out = temperature_mix(df, budget=40)
+    kept = out.where("kept").groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in kept} == quotas
+    # every input row comes back exactly once, flagged
+    assert out.count() == 90
+    # deterministic: same inputs -> same kept set
+    k1 = {r["doc_id"] for r in out.where("kept").collect()}
+    k2 = {
+        r["doc_id"]
+        for r in temperature_mix(df, budget=40).where("kept").collect()
+    }
+    assert k1 == k2
+
+
+def test_temperature_mix_composes_with_dsir_order(spark):
+    """Quality-aware mixing: rank within source by DSIR weight instead
+    of the hash — the kept set becomes the top-weight docs per source."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [
+        (1, "web", 500),
+        (2, "web", -10),
+        (3, "web", 900),
+        (4, "web", 100),
+        (5, "wiki", 50),
+        (6, "wiki", 70),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, weight_micro long"
+    )
+    out = temperature_mix(
+        df, budget=3, order_by=F.col("weight_micro").desc()
+    )
+    kept = {r["doc_id"] for r in out.where("kept").collect()}
+    # weights milli: web floor(sqrt(4)*1000)=2000, wiki floor(sqrt(2)*1000)=1414
+    # quotas: web 3*2000//3414 = 1, wiki 3*1414//3414 = 1
+    assert kept == {3, 6}  # the top-DSIR doc of each source
+
+
+def test_temperature_mix_budget_extremes(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        temperature_quotas,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 8 else "b") for i in range(10)],
+        "doc_id long, source string",
+    )
+    # budget >= corpus: quotas cap at source sizes
+    q = {
+        r["source"]: r["quota"]
+        for r in temperature_quotas(df, budget=1000).collect()
+    }
+    assert q == {"a": 8, "b": 2}
+    # zero budget: nothing kept
+    q0 = {
+        r["source"]: r["quota"]
+        for r in temperature_quotas(df, budget=0).collect()
+    }
+    assert q0 == {"a": 0, "b": 0}
