@@ -11631,109 +11631,105 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 9).
+# Driver-verification window rotation (round 10).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-9 window = exactly the allocation VERDICT r8
+# insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (7): the substring-dedup family —
-#     dedup_exact_substring, its removal plan dedup_substring_spans,
-#     the applied rewrite dedup_substring_rewrite, the
-#     contamination-length metric dedup_longest_shared, and the
-#     human-readable corpus_boilerplate_report (Lee et al. 2022
-#     substring-level dedup end-to-end: sharded 16-token window
-#     fingerprints / maximal deletable spans / rewritten corpus /
-#     diagonal-run longest-common-span / top repeated spans / the
-#     ingest-time batch-vs-corpus probe dedup_substring_probe, VERDICT r8
-#     task 2) — plus domain_quota_accounting (per-domain canonicals +
-#     quota cap over url_domain, VERDICT r8 task 5) and
-#     url_canonical_dedup (crawl-frontier URL canonicalization:
-#     operators/text.url_canonicalize, 8 first-timers total);
+#   * first-timer slots (5): dedup_semantic (SemDeDup-style semantic
+#     dedup: md5-medoid clusters + intra-cluster cosine pruning,
+#     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
+#     bpe_tokenize / bpe_token_counts (deterministic subword train +
+#     apply with the full 12-round training loop replayed in DuckDB,
+#     VERDICT r9 task 3); corpus_temperature_mix (n^tau multi-source
+#     mixing with quantized-integer quota arithmetic, VERDICT r9
+#     task 5);
 #   * material changes this round, same-round slots per the
-#     frozen-registry rule (3): dsir_selection (totals now derived from
-#     the bins table — one fewer corpus pass, advisor r8);
-#     multimodal_meta and multimodal_decode_fallback (the header-sniff
-#     kernel gained size/tail inputs for the MP3/OGG header walk,
-#     VERDICT r8 task 3 — compared surfaces verified unmoved, but the
-#     plan under both queries changed);
-#   * the 13 remaining r4-greens (age 5 — the staleness ceiling):
-#     gapfill_daily … agg_percentiles;
-#   * 26 of the 49 r5-greens, oldest-first in the window_age.py order
-#     (weighted_median … latency_trend), leaving knn_label_eval,
-#     k_anonymity_audit,
-#     json_key_profile, json_extract_props,
-#     interarrival_stats, histogram_totalprice, graph_bfs,
-#     fd_violations, dq_report, dpp_partitioned_join, dedup_pr_curve,
-#     compaction_plan, cluster_survivorship, bucketed_join, bm25_search,
-#     benford_audit, basket_lift, ann_recall_eval, ann_ivf_served,
-#     ann_ivf, agg_approx, activity_islands, ab_test_zscore (23) for
-#     r10, then the r6 block.
+#     frozen-registry rule (2): multimodal_meta and
+#     multimodal_decode_fallback — the audio sniff kernel gained
+#     free-format MP3 frame measurement, large-ID3 handling (kernel
+#     evidence return + scan-side syncsafe pre-skip in
+#     attach_media_meta), and Ogg page-structure validation (VERDICT
+#     r9 task 4 + advisor items 2-3);
+#   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
+#     knn_label_eval … ab_test_zscore in window_age.py order — this
+#     clears the r5 cohort completely;
+#   * 20 of the 47 r6-greens, oldest-first (window_value_family …
+#     sql_tpch_q11), leaving sql_scalar_subquery,
+#     sql_relational_division, sql_lateral_topn, sql_exists_late_ship,
+#     sequence_pattern_counts, scan_project, scalar_functions,
+#     orc_roundtrip_scan, neyman_allocation, market_concentration,
+#     label_centroid_sim, ks_drift, json_roundtrip_extract,
+#     join_asof_forward_tol, gini_by_nation, first_touch_attribution,
+#     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
+#     dedup_survivor_weights, dedup_containment, daily_transactions,
+#     csv_quarantine_stats, chi2_independence, attribution_time_decay,
+#     attribution_linear, abc_classification (27) for r11, then the r7
+#     block.
 #
-# Round-10 plan: those 17 r5-greens, then the r6 greens oldest-first
-# (window_value_family, weighted_sample_pps, union_slices, twap_daily,
-# topk_with_other_bucket, top5_zones, ...) — run tools/window_age.py
-# when planning; any query materially changed in r10 takes a same-round
-# slot first.
-# Steady-state honesty: with 218 queries and a 50-slot window, full
-# re-green cadence is ceil(218/50) = 5 rounds; priority order is
+# Round-11 plan: those 27 r6-greens, then the r7 greens oldest-first —
+# run tools/window_age.py when planning; any query materially changed
+# in r11 takes a same-round slot first.
+# Steady-state honesty: with 223 queries and a 50-slot window, full
+# re-green cadence is ceil(223/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
     # New this round (first-timer slots):
-    "dedup_exact_substring",
-    "dedup_substring_spans",
-    "dedup_substring_rewrite",
-    "dedup_longest_shared",
-    "dedup_substring_probe",
-    "corpus_boilerplate_report",
-    "domain_quota_accounting",
-    "url_canonical_dedup",
+    "dedup_semantic",
+    "bpe_merges",
+    "bpe_tokenize",
+    "bpe_token_counts",
+    "corpus_temperature_mix",
     # Material changes this round (same-round slots):
-    "dsir_selection",
     "multimodal_meta",
     "multimodal_decode_fallback",
-    # r4-greens (age 5 — at the staleness ceiling):
-    "gapfill_daily",
-    "fuzzy_title_pairs",
-    "event_funnel",
-    "doc_winnow",
-    "dedup_incremental",
-    "dedup_embedding_lsh",
-    "dedup_doc_prefix",
-    "customer_rfm",
-    "concurrent_intervals",
-    "cohort_retention",
-    "anomaly_mad",
-    "ann_lsh_served",
-    "agg_percentiles",
-    # r5-greens, oldest-first (26 of 49; the remainder (23) goes to r10):
-    "weighted_median",
-    "user_type_entropy",
-    "user_growth_curve",
-    "tfidf_cosine_pairs",
-    "temporal_join_scd2",
-    "streaming_sessionize",
-    "streaming_quantile_sketch",
-    "sql_tpch_q8",
-    "sql_tpch_q7",
-    "sql_tpch_q6",
-    "sql_tpch_q3",
-    "sql_tpch_q21",
-    "sql_tpch_q2",
-    "sql_tpch_q14",
-    "split_leakage_audit",
-    "source_divergence",
-    "skew_report",
-    "sketch_rollup",
-    "sketch_error_audit",
-    "rollup_cascade",
-    "rolling_active_users",
-    "record_linkage_scores",
-    "quantile_sketch_rollup",
-    "psi_weekly",
-    "minhash_estimate_audit",
-    "latency_trend",
+    # r5-greens, oldest-first (the 23 remaining — r5 cohort cleared):
+    "knn_label_eval",
+    "k_anonymity_audit",
+    "json_key_profile",
+    "json_extract_props",
+    "interarrival_stats",
+    "histogram_totalprice",
+    "graph_bfs",
+    "fd_violations",
+    "dq_report",
+    "dpp_partitioned_join",
+    "dedup_pr_curve",
+    "compaction_plan",
+    "cluster_survivorship",
+    "bucketed_join",
+    "bm25_search",
+    "benford_audit",
+    "basket_lift",
+    "ann_recall_eval",
+    "ann_ivf_served",
+    "ann_ivf",
+    "agg_approx",
+    "activity_islands",
+    "ab_test_zscore",
+    # r6-greens, oldest-first (20 of 47; the remainder (27) goes to r11):
+    "window_value_family",
+    "weighted_sample_pps",
+    "union_slices",
+    "twap_daily",
+    "topk_with_other_bucket",
+    "top5_zones",
+    "time_to_convert",
+    "streaming_error_monitor",
+    "streaming_cdc_apply",
+    "sql_tpch_q9",
+    "sql_tpch_q4",
+    "sql_tpch_q22",
+    "sql_tpch_q20",
+    "sql_tpch_q19",
+    "sql_tpch_q17",
+    "sql_tpch_q16",
+    "sql_tpch_q15",
+    "sql_tpch_q13",
+    "sql_tpch_q12",
+    "sql_tpch_q11",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
