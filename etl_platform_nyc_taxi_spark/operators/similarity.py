@@ -735,13 +735,14 @@ def semdedup_seeds(
 
 def semdedup(
     corpus: DataFrame,
-    num_seeds: int = 8,
+    num_seeds: int | None = 8,
     eps: float = 0.999,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
     round_digits: int = 6,
+    target_occupancy: int = 1250,
 ) -> DataFrame:
     """SemDeDup semantic near-dup pruning (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings coarsely, compare pairs ONLY
@@ -768,7 +769,18 @@ def semdedup(
     ``seeds`` (a (seed_id, __seed_vec) DataFrame) or ``centroids``
     (plain vectors, e.g. :func:`fit_ivf_centroids` output — seed_id is
     the centroid index) override the deterministic md5 medoids of
-    :func:`semdedup_seeds`."""
+    :func:`semdedup_seeds`.
+
+    ``num_seeds=None`` derives the seed count from the corpus:
+    ``max(8, ceil(n / target_occupancy))`` (one bounded count) — the
+    paper's own recipe of scaling CLUSTERS with the corpus so expected
+    occupancy, and with it per-cluster pair work, stays constant and
+    total pair cost grows linearly. A fixed num_seeds on a growing
+    corpus is quadratic-per-cluster by definition — never ship that
+    shape to a 100 TB run."""
+    if num_seeds is None:
+        n = corpus.count()  # bounded scalar; sizes the quantizer
+        num_seeds = max(8, (n + target_occupancy - 1) // target_occupancy)
     if centroids is not None:
         seeds = corpus.sparkSession.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],

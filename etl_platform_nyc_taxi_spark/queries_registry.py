@@ -2972,10 +2972,13 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     seeds AS (
-      SELECT vec_id AS seed_id, embedding AS svec
-      FROM corpus
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT 8
+      SELECT seed_id, svec FROM (
+        SELECT vec_id AS seed_id, embedding AS svec,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM corpus)
+      WHERE rn <= greatest(8, (n + 1249) // 1250)
     ),
     scored AS (
       SELECT c.vec_id, c.embedding, s.seed_id,
@@ -3022,7 +3025,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger-id tie-break removes the mutant). Every stage — seed
     selection, assignment argmax, pair threshold, loser rule — replays
     in DuckDB; production swaps md5 medoids for fit_ivf_centroids via
-    the centroids parameter (tests/test_similarity.py pins that path)."""
+    the centroids parameter (tests/test_similarity.py pins that path).
+    Seed count derives from corpus size (max(8, ceil(n/1250)), mirrored
+    in the oracle's windowed rank) so cluster occupancy — and with it
+    per-cluster pair work — stays bounded as the corpus grows: the
+    SemDeDup scale knob, applied the paper's way."""
     from etl_platform_nyc_taxi_spark.operators.similarity import semdedup
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -3032,7 +3039,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    return semdedup(e.unionByName(m), num_seeds=8, eps=0.999)
+    return semdedup(e.unionByName(m), num_seeds=None, eps=0.999)
 
 
 # ---------------------------------------------------------------------------
