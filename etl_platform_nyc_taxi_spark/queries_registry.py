@@ -2971,25 +2971,33 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT)) AS embedding
       FROM embeddings
     ),
+    normed AS (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) = 0
+                  THEN embedding::DOUBLE[]
+                  ELSE list_transform(embedding::DOUBLE[],
+                         x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                        embedding::DOUBLE[])))
+             END AS nv
+      FROM corpus
+    ),
     seeds AS (
-      SELECT seed_id, svec FROM (
-        SELECT vec_id AS seed_id, embedding AS svec,
+      SELECT seed_id, snv FROM (
+        SELECT vec_id AS seed_id, nv AS snv,
                ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                   vec_id) AS rn,
                COUNT(*) OVER () AS n
-        FROM corpus)
-      WHERE rn <= greatest(8, (n + 1249) // 1250)
+        FROM normed)
+      WHERE rn <= greatest(8, (n + 319) // 320)
     ),
     scored AS (
-      SELECT c.vec_id, c.embedding, s.seed_id,
-             COALESCE(list_dot_product(c.embedding::DOUBLE[], s.svec::DOUBLE[])
-               / NULLIF(sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(s.svec::DOUBLE[], s.svec::DOUBLE[])), 0),
-               -2.0) AS cs
-      FROM corpus c CROSS JOIN seeds s
+      SELECT c.vec_id, c.nv, s.seed_id,
+             COALESCE(list_dot_product(c.nv, s.snv), -2.0) AS cs
+      FROM normed c CROSS JOIN seeds s
     ),
     assigned AS (
-      SELECT vec_id, embedding, seed_id AS cluster, cs AS simc
+      SELECT vec_id, nv, seed_id AS cluster, cs AS simc
       FROM scored
       QUALIFY row_number() OVER (PARTITION BY vec_id
                                  ORDER BY cs DESC, seed_id ASC) = 1
@@ -2998,10 +3006,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.simc AS sa, b.simc AS sb
       FROM assigned a JOIN assigned b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-              / NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0),
-              6) >= 0.999
+      WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.999
     ),
     removed AS (
       SELECT DISTINCT CASE WHEN sa > sb THEN id_a
