@@ -3259,6 +3259,57 @@ def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_bpe",
+    f"""
+    {_bpe_oracle_cte()},
+    docw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    tok AS (
+      SELECT d.doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+      FROM docw d JOIN v{_BPE_MERGES} v USING (word)
+      GROUP BY d.doc_id
+    ),
+    o AS (
+      SELECT doc.doc_id, doc.lang, t.n_tokens,
+             CAST(SUM(t.n_tokens) OVER (PARTITION BY doc.lang
+                                        ORDER BY doc.doc_id)
+                  - t.n_tokens AS BIGINT) AS start_offset
+      FROM documents doc JOIN tok t USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, start_offset,
+           start_offset // 512 AS chunk_id
+    FROM o
+    """,
+)
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing priced by REAL subword tokens: the BPE rollup
+    (bpe_token_counts) feeds pack_sequences' cumsum instead of the
+    whitespace count — the composition the tokenizer exists for
+    (chunk budgets then match what a model actually consumes). Same
+    scale rule as pack_sequences: per-lang windows, broadcast vocab,
+    no global sort. Shares the cached trained artifact with the other
+    BPE queries."""
+    from etl_platform_nyc_taxi_spark.operators.bpe import tokenize_documents
+    from etl_platform_nyc_taxi_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    _, vocab_final = _bpe_trained(spark, sf_dir)
+    toks = tokenize_documents(docs, vocab_final).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("__bpe_n")
+    )
+    d = docs.select("doc_id", "lang").join(toks, "doc_id")
+    return pack_sequences(
+        d,
+        F.col("__bpe_n"),
+        capacity=512,
+        group_cols=("lang",),
+        order_cols=("doc_id",),
+    ).drop("__bpe_n")
+
+
+@register(
     "doc_winnow",
     """
     WITH sh AS (
@@ -11649,11 +11700,12 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (5): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (6): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
-#     bpe_tokenize / bpe_token_counts (deterministic subword train +
-#     apply with the full 12-round training loop replayed in DuckDB,
+#     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
+#     (deterministic subword train + apply with the full 12-round
+#     training loop replayed in DuckDB, plus BPE-priced packing,
 #     VERDICT r9 task 3); corpus_temperature_mix (n^tau multi-source
 #     mixing with quantized-integer quota arithmetic, VERDICT r9
 #     task 5);
@@ -11667,8 +11719,8 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 20 of the 47 r6-greens, oldest-first (window_value_family …
-#     sql_tpch_q11), leaving sql_scalar_subquery,
+#   * 19 of the 47 r6-greens, oldest-first (window_value_family …
+#     sql_tpch_q12), leaving sql_tpch_q11, sql_scalar_subquery,
 #     sql_relational_division, sql_lateral_topn, sql_exists_late_ship,
 #     sequence_pattern_counts, scan_project, scalar_functions,
 #     orc_roundtrip_scan, neyman_allocation, market_concentration,
@@ -11677,14 +11729,14 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (27) for r11, then the r7
+#     attribution_linear, abc_classification (28) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 27 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 28 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 223 queries and a 50-slot window, full
-# re-green cadence is ceil(223/50) = 5 rounds; priority order is
+# Steady-state honesty: with 224 queries and a 50-slot window, full
+# re-green cadence is ceil(224/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -11694,6 +11746,7 @@ _VERIFY_FIRST = [
     "bpe_tokenize",
     "bpe_token_counts",
     "corpus_temperature_mix",
+    "pack_sequences_bpe",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -11741,7 +11794,6 @@ _VERIFY_FIRST = [
     "sql_tpch_q15",
     "sql_tpch_q13",
     "sql_tpch_q12",
-    "sql_tpch_q11",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
