@@ -122,7 +122,16 @@ def segment_expr(
 ) -> Column:
     """Tokenize a word column with a trained merge list: chars, then
     each merge applied in rank order — one chained fold per merge, all
-    expressions, embarrassingly parallel."""
+    expressions, embarrassingly parallel.
+
+    CATALYST COST WARNING (measured r10): analysis of chained HOF
+    lambdas is exponential in chain depth — 6 merges ≈ 3 s, 8 ≈ 21 s,
+    12 ≈ 20 minutes of rule-transform time, regardless of data size.
+    Use this only for short merge lists (≤ ~6); for a full tokenizer,
+    apply merges through the word → segmentation lookup table instead
+    (train once, broadcast-join the vocab — :func:`tokenize_documents`
+    and the registry's cached-artifact pattern), which is also how a
+    trained tokenizer ships in practice."""
     col: Column = F.split(F.col(word_col), "")
     for _, left, right, _cnt in merges:
         col = _chain_merge(col, left, right)

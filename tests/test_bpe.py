@@ -101,3 +101,25 @@ def test_tokenize_documents_rollup(spark):
     }
     # abab -> [ab, ab] (2 tokens), cd -> [c, d] (2 tokens)
     assert out == {1: (2, 4), 2: (2, 4)}
+
+
+def test_bpe_queries_survive_unpersist_sweep(spark):
+    """Regression (r10 bench): bench.py's between-query hygiene sweep
+    blocking-unpersists EVERY persistent RDD — a cached localCheckpoint'd
+    vocab DataFrame dies there (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). The
+    registry must cache only the merge list and rebuild the segmentation
+    expression-side, so the apply queries survive the sweep."""
+    from etl_platform_nyc_taxi_spark import queries_registry as qr
+
+    sf = "/root/testdata/sf0.001"
+    qr._BPE_CACHE.clear()
+    assert qr.QUERIES["bpe_merges"](spark, sf).count() > 0  # trains + caches
+    # emulate bench.py _gc_sweep: blocking unpersist of all persistent RDDs
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+    spark.catalog.clearCache()
+    assert qr.QUERIES["bpe_tokenize"](spark, sf).count() > 0
+    assert qr.QUERIES["bpe_token_counts"](spark, sf).count() > 0
+    assert qr.QUERIES["pack_sequences_bpe"](spark, sf).count() > 0
