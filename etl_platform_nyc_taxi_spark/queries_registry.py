@@ -11721,6 +11721,151 @@ def q_dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_decontaminate",
+    r"""
+    WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    ev AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+    eg AS (
+      SELECT DISTINCT unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks FROM ev)
+    ),
+    bloom AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM eg CROSS JOIN range(1, 4) r(j)
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                       tk -> tk <> '') AS toks FROM tr)
+    ),
+    probe AS (
+      SELECT doc_id, gram,
+             CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM tg CROSS JOIN range(1, 4) r(j)
+    ),
+    hit AS (
+      SELECT doc_id, gram
+      FROM probe p JOIN bloom b USING (pos)
+      GROUP BY doc_id, gram
+      HAVING COUNT(*) = 3
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(h.gram) AS BIGINT) AS n_bloom_hits,
+           COUNT(h.gram) * 100 > COUNT(*) * 5 AS flagged
+    FROM tg t LEFT JOIN hit h ON t.doc_id = h.doc_id AND t.gram = h.gram
+    GROUP BY t.doc_id
+    """,
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (operators/bloom.py): insert
+    the eval slice's word trigrams (doc_id % 20 = 0, k=3 md5 positions mod
+    2^17), probe every training doc's trigrams, flag docs whose bloom-hit
+    share exceeds 5%. The approximate-membership counterpart of
+    contamination_check — at 100 TB the positions relation (≤1 MB)
+    broadcasts, so the probe reads the corpus once with no eval-side
+    shuffle. False positives only ADD flags — the safe direction for a
+    decontamination gate."""
+    from etl_platform_nyc_taxi_spark.operators.bloom import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
+@register(
+    "bloom_fp_audit",
+    r"""
+    WITH tr AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 20 <> 0),
+    ev AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+    eg AS (
+      SELECT DISTINCT unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks FROM ev)
+    ),
+    bloom AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM eg CROSS JOIN range(1, 4) r(j)
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                       tk -> tk <> '') AS toks FROM tr)
+    ),
+    probe AS (
+      SELECT doc_id, gram,
+             CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM tg CROSS JOIN range(1, 4) r(j)
+    ),
+    hit AS (
+      SELECT doc_id, gram
+      FROM probe p JOIN bloom b USING (pos)
+      GROUP BY doc_id, gram
+      HAVING COUNT(*) = 3
+    ),
+    judged AS (
+      SELECT t.doc_id,
+             h.gram IS NOT NULL AS bloom_hit,
+             e.gram IS NOT NULL AS true_hit
+      FROM tg t
+      LEFT JOIN hit h ON t.doc_id = h.doc_id AND t.gram = h.gram
+      LEFT JOIN eg e ON t.gram = e.gram
+    )
+    SELECT d.source,
+           CAST(COUNT(DISTINCT j.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_hits,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_pos,
+           CAST(floor(1000000 *
+             SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END)
+             / CAST(greatest(COUNT(*) -
+                 SUM(CASE WHEN true_hit THEN 1 ELSE 0 END), 1) AS DOUBLE))
+             AS BIGINT) AS fp_ppm
+    FROM judged j JOIN (SELECT doc_id, source FROM tr) d
+      ON j.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def q_bloom_fp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """False-positive audit of the Bloom decontamination filter
+    (operators/bloom.bloom_fp_audit): per source, bloom hits vs EXACT
+    eval-gram membership — false-positive count and integer fp_ppm
+    (FP per million non-member probes). This is the sizing feedback loop:
+    fp_ppm rising with corpus scale means filter occupancy is too high
+    and m_bits must double. Same broadcast-probe shape as the gate
+    itself; the exact-membership join is the audit's own cost, paid only
+    when auditing."""
+    from etl_platform_nyc_taxi_spark.operators.bloom import bloom_fp_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return bloom_fp_audit(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
