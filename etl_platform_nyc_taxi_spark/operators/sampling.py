@@ -667,3 +667,106 @@ def temperature_mix(
         .withColumn("kept", F.col("__rn") <= F.col("quota"))
         .drop("__rn", "quota")
     )
+
+
+def unimax_allocation(
+    sizes: DataFrame,
+    key_cols: list[str],
+    n_col: str = "n_tok",
+    epoch_cap: int = 2,
+    budget: DataFrame | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): spread a total token
+    budget as UNIFORMLY as possible across strata (languages/sources),
+    capping every stratum at ``epoch_cap`` epochs of its own data — the
+    published alternative to temperature sampling that never over-repeats
+    low-resource strata.
+
+    ``sizes`` is the pre-aggregated strata relation ``(key_cols...,
+    n_col)``; ``budget`` an optional 1-row ``(budget long)`` relation
+    (default: half the total token count, computed in-plan — never a
+    driver action). Returns one row per stratum: ``(key_cols..., n_col,
+    cap, alloc, epochs_micro)``.
+
+    Algorithm (closed form of the paper's waterfilling loop): sort strata
+    ascending by ``cap = epoch_cap·n``; while the uniform share of the
+    remaining budget exceeds the next cap, the stratum saturates at its
+    cap; the first stratum whose cap exceeds the share fixes the water
+    level, and every remaining stratum splits the leftover evenly. With
+    real arithmetic the share is constant past that crossover, so the
+    crossover row's (rank, cap-prefix) — two conditional-MIN scalars,
+    valid because the cap-prefix is monotone in rank — determine every
+    allocation. Integerization is largest-remainder: the leftover's
+    ``mod`` spills one extra token to the first ``rem`` tail strata in
+    the same deterministic order, so ``Σ alloc = budget`` exactly
+    whenever the budget is feasible (≤ Σ cap). All arithmetic is BIGINT
+    (div/mod) — no float crosses the engine boundary; ``epochs_micro`` =
+    ``(1e6·alloc) div n`` is exact integer micro-epochs.
+
+    Scale shape: the window and scalars run over the STRATA relation
+    (|langs×sources| rows — thousands at most), never the corpus; the
+    only corpus-sized work is whatever aggregation produced ``sizes``.
+    The deliberately-unpartitioned window is the §7.5 safe shape (post-
+    aggregate, bounded input)."""
+    from pyspark.sql import Window
+
+    n = F.col(n_col).cast("long")
+    capped = sizes.select(
+        *key_cols, n.alias(n_col), (n * F.lit(epoch_cap)).alias("cap")
+    )
+    if budget is None:
+        budget = capped.agg(
+            F.expr(f"CAST(sum({n_col}) div 2 AS BIGINT)").alias("budget")
+        )
+    n_strata = capped.agg(F.count(F.lit(1)).cast("long").alias("n_strata"))
+    order = [F.col("cap").asc()] + [F.col(k).asc() for k in key_cols]
+    w = Window.orderBy(*order)
+    ranked = (
+        capped.crossJoin(F.broadcast(budget))
+        .crossJoin(F.broadcast(n_strata))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn(
+            "candidate",
+            F.expr("(budget - prefix) div (n_strata - rn + 1)"),
+        )
+    )
+    scalars = ranked.agg(
+        F.min(F.when(F.col("cap") > F.col("candidate"), F.col("rn"))).alias(
+            "c_rn"
+        ),
+        F.min(
+            F.when(F.col("cap") > F.col("candidate"), F.col("prefix"))
+        ).alias("c_prefix"),
+    )
+    tail_base = F.expr("(budget - c_prefix) div (n_strata - c_rn + 1)")
+    tail_rem = F.expr("(budget - c_prefix) % (n_strata - c_rn + 1)")
+    alloc = F.when(
+        F.col("c_rn").isNull() | (F.col("rn") < F.col("c_rn")), F.col("cap")
+    ).otherwise(
+        tail_base
+        + F.when(F.col("rn") - F.col("c_rn") < tail_rem, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(scalars))
+        .withColumn("alloc", alloc.cast("long"))
+        .select(
+            *key_cols,
+            n_col,
+            "cap",
+            "alloc",
+            F.expr(f"(1000000 * alloc) div greatest({n_col}, 1)").alias(
+                "epochs_micro"
+            ),
+        )
+    )

@@ -11984,6 +11984,76 @@ def q_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unimax_allocation",
+    r"""
+    WITH s AS (
+      SELECT lang, source,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      t -> t <> ''))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY 1, 2
+    ),
+    b AS (SELECT CAST(SUM(n_tok) // 2 AS BIGINT) AS budget,
+                 CAST(COUNT(*) AS BIGINT) AS n_strata
+          FROM s),
+    r AS (
+      SELECT s.*, 2 * n_tok AS cap,
+             CAST(ROW_NUMBER() OVER
+               (ORDER BY 2 * n_tok ASC, lang ASC, source ASC) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(2 * n_tok) OVER
+               (ORDER BY 2 * n_tok ASC, lang ASC, source ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM s
+    ),
+    rr AS (
+      SELECT r.*, budget, n_strata,
+             (budget - prefix) // (n_strata - rn + 1) AS candidate
+      FROM r CROSS JOIN b
+    ),
+    sc AS (
+      SELECT MIN(CASE WHEN cap > candidate THEN rn END) AS c_rn,
+             MIN(CASE WHEN cap > candidate THEN prefix END) AS c_prefix
+      FROM rr
+    ),
+    alloc AS (
+      SELECT lang, source, n_tok, cap,
+             CASE WHEN c_rn IS NULL OR rn < c_rn THEN cap
+                  ELSE (budget - c_prefix) // (n_strata - c_rn + 1)
+                       + CASE WHEN rn - c_rn <
+                           (budget - c_prefix) % (n_strata - c_rn + 1)
+                         THEN 1 ELSE 0 END
+             END AS alloc
+      FROM rr CROSS JOIN sc
+    )
+    SELECT lang, source, n_tok, cap, CAST(alloc AS BIGINT) AS alloc,
+           (1000000 * alloc) // greatest(n_tok, 1) AS epochs_micro
+    FROM alloc
+    """,
+)
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (operators/sampling.unimax_allocation):
+    spread half the corpus's token budget across (lang, source) strata as
+    uniformly as possible, capping each stratum at 2 epochs — the
+    published alternative (Chung et al. 2023) to the n^τ temperature law
+    in corpus_temperature_mix: low-resource strata saturate at their
+    epoch cap instead of being over-repeated, high-resource strata split
+    the remainder evenly. Exact-BIGINT waterfilling with a
+    largest-remainder integer spill, so Σalloc equals the budget
+    precisely; corpus-sized work is one token-count aggregate, the
+    waterfilling itself runs on the ~|langs·sources| strata relation."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    sizes = d.groupBy("lang", "source").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tok")
+    )
+    return unimax_allocation(sizes, ["lang", "source"], epoch_cap=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #

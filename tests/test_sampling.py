@@ -550,3 +550,83 @@ def test_temperature_mix_budget_extremes(spark):
         for r in temperature_quotas(df, budget=0).collect()
     }
     assert q0 == {"a": 0, "b": 0}
+
+
+# ---------------------------------------------------------------------------
+# UniMax allocation
+# ---------------------------------------------------------------------------
+
+
+def _unimax_bruteforce(sizes: list[int], epoch_cap: int, budget: int):
+    """Reference implementation: the paper's iterative waterfilling loop
+    with real-valued shares, then largest-remainder integerization on the
+    uniform tail (exactly the operator's documented integer semantics)."""
+    items = sorted(
+        [(n * epoch_cap, i) for i, n in enumerate(sizes)]
+    )  # (cap, idx) ascending; idx doubles as the deterministic tie-break
+    alloc = [0] * len(sizes)
+    remaining = budget
+    for pos, (cap, idx) in enumerate(items):
+        n_left = len(items) - pos
+        if cap * n_left <= remaining:  # cap <= real-valued share
+            alloc[idx] = cap
+            remaining -= cap
+        else:  # water level reached: split remainder over the tail
+            tail = items[pos:]
+            base, rem = divmod(remaining, n_left)
+            for j, (_, idx2) in enumerate(tail):
+                alloc[idx2] = base + (1 if j < rem else 0)
+            break
+    return alloc
+
+
+def test_unimax_matches_bruteforce(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    cases = [
+        [100, 200, 300, 5000],
+        [7, 7, 7, 7],          # exact ties -> key tie-break
+        [1],                   # single stratum
+        [10, 10_000],          # extreme skew
+        [3, 14, 159, 2653, 58979, 323],
+    ]
+    for sizes_list in cases:
+        sizes = rows_source(
+            spark,
+            [(f"g{i:03d}", n) for i, n in enumerate(sizes_list)],
+            "grp string, n_tok long",
+        )
+        total = sum(sizes_list)
+        budget = total // 2
+        out = {
+            r["grp"]: (r["cap"], r["alloc"], r["epochs_micro"])
+            for r in unimax_allocation(sizes, ["grp"], epoch_cap=2).collect()
+        }
+        want = _unimax_bruteforce(sizes_list, 2, budget)
+        for i, n in enumerate(sizes_list):
+            cap, alloc, em = out[f"g{i:03d}"]
+            assert cap == 2 * n
+            assert alloc == want[i], (sizes_list, i)
+            assert em == (1_000_000 * alloc) // max(n, 1)
+        # budget feasible (sum caps = 2*total >= total//2) -> exact spend
+        assert sum(a for _, a, _ in out.values()) == budget
+
+
+def test_unimax_infeasible_budget_allocates_all_caps(spark):
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source as rs
+
+    sizes = rs(spark, [("a", 10), ("b", 20)], "grp string, n_tok long")
+    budget = rs(spark, [(1000,)], "budget long")
+    out = {
+        r["grp"]: r["alloc"]
+        for r in unimax_allocation(
+            sizes, ["grp"], epoch_cap=2, budget=budget
+        ).collect()
+    }
+    # budget exceeds sum of caps: every stratum saturates, no crossover
+    assert out == {"a": 20, "b": 40}
