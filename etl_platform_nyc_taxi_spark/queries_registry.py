@@ -12054,6 +12054,134 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(sizes, ["lang", "source"], epoch_cap=2)
 
 
+@register(
+    "domain_blocklist_filter",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 0 THEN 'www.example.com'
+               WHEN 1 THEN 'ads.tracker.net'
+               WHEN 2 THEN 'cdn.example.com'
+               WHEN 3 THEN 'spam.badsite.org'
+               WHEN 4 THEN 'en.wikipedia.org'
+               WHEN 5 THEN 'sub.ads.tracker.net'
+               ELSE 'ads.example.com.evil.io'
+             END AS host
+      FROM documents
+    ),
+    rules AS (
+      SELECT unnest(['tracker.net', 'spam.badsite.org',
+                     'ads.example.com']) AS rule
+    ),
+    sufs AS (
+      SELECT host, unnest(
+        [array_to_string(labels[CAST(i AS INT):], '.')
+         for i in range(1, len(labels) + 1)]) AS suf
+      FROM (SELECT DISTINCT host,
+                   string_split(lower(host), '.') AS labels
+            FROM raw)
+    ),
+    matched AS (
+      SELECT host, MIN(rule) AS matched_rule
+      FROM sufs JOIN rules ON suf = rule
+      GROUP BY host
+    )
+    SELECT r.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           m.matched_rule IS NOT NULL AS blocked, m.matched_rule
+    FROM raw r LEFT JOIN matched m ON r.host = m.host
+    GROUP BY r.host, m.matched_rule
+    """,
+)
+def q_domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier domain blocklist with parent-domain semantics
+    (operators/text.blocklist_match): a rule blocks the domain and every
+    subdomain, matched by exploding each host to its label-boundary
+    suffixes and equi-joining the broadcast rule list — never
+    LIKE/contains (``ads.example.com.evil.io`` deliberately shares no
+    label suffix with the rule ``ads.example.com`` and must pass).
+    Hosts are deterministic doc_id-keyed variants covering exact match,
+    subdomain match, non-matching sibling, and the suffix-spoof case;
+    matching runs on DISTINCT domains, then joins back — the explode
+    multiplies domains, not documents."""
+    from etl_platform_nyc_taxi_spark.operators.text import blocklist_match
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("www.example.com"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("ads.tracker.net"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("cdn.example.com"))
+        .when(F.col("doc_id") % 7 == 3, F.lit("spam.badsite.org"))
+        .when(F.col("doc_id") % 7 == 4, F.lit("en.wikipedia.org"))
+        .when(F.col("doc_id") % 7 == 5, F.lit("sub.ads.tracker.net"))
+        .otherwise(F.lit("ads.example.com.evil.io"))
+    )
+    raw = d.select("doc_id", host.alias("host"))
+    rules = rows_source(
+        spark,
+        [("tracker.net",), ("spam.badsite.org",), ("ads.example.com",)],
+        "rule string",
+    )
+    hosts = raw.select("host").distinct()
+    judged = blocklist_match(hosts, rules, "host")
+    return (
+        raw.join(judged, "host")
+        .groupBy("host", "blocked", "matched_rule")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("host", "n_docs", "blocked", "matched_rule")
+    )
+
+
+@register(
+    "corpus_distinct_ngrams",
+    r"""
+    WITH g AS (
+      SELECT source, n, gram FROM (
+        SELECT source, 1 AS n,
+               unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)], ' ')
+                 for i in range(1, greatest(len(toks) - 0, 1) + 1)]) AS gram
+        FROM (SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+                                         t -> t <> '') AS toks FROM documents)
+        UNION ALL
+        SELECT source, 2 AS n,
+               unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+1], ' ')
+                 for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS gram
+        FROM (SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+                                         t -> t <> '') AS toks FROM documents)
+        UNION ALL
+        SELECT source, 3 AS n,
+               unnest([array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+                 for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS gram
+        FROM (SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+                                         t -> t <> '') AS toks FROM documents)
+      )
+    )
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_grams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_grams,
+           (1000000 * COUNT(DISTINCT gram)) // COUNT(*) AS diversity_micro
+    FROM g GROUP BY source, n
+    """,
+)
+def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n corpus diversity (operators/text.
+    distinct_ngram_diversity): per source and n ∈ {1,2,3}, total vs
+    distinct word n-grams and the exact integer micro ratio — the
+    distinct-1/2/3 metric (Li et al. 2016) that exposes templated or
+    self-repeating sources before training. Three linear explode+count
+    passes, map-side combinable, no self-joins."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        distinct_ngram_diversity,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return distinct_ngram_diversity(
+        d, "source", "text", (1, 2, 3),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #

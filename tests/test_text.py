@@ -525,3 +525,82 @@ def test_url_canonicalize_rules(spark):
     got = {r.url: r.c for r in df.collect()}
     for u, want in rows:
         assert got[u] == want, (u, got[u], want)
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist + distinct-n diversity
+# ---------------------------------------------------------------------------
+
+
+def test_domain_suffixes_label_boundaries(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import domain_suffixes
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(spark, [("A.B.Example.COM",)], "host string")
+    out = df.select(domain_suffixes("host").alias("s")).collect()[0]["s"]
+    assert out == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_blocklist_match_parent_domain_semantics(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import blocklist_match
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    hosts = rows_source(
+        spark,
+        [
+            ("ads.tracker.net",),        # subdomain of rule
+            ("tracker.net",),            # exact rule
+            ("nottracker.net",),         # shares no LABEL suffix
+            ("ads.example.com.evil.io",),  # suffix-spoof: must pass
+            ("clean.org",),
+        ],
+        "host string",
+    )
+    rules = rows_source(spark, [("tracker.net",)], "rule string")
+    got = {
+        r["host"]: (r["blocked"], r["matched_rule"])
+        for r in blocklist_match(hosts, rules).collect()
+    }
+    assert got["ads.tracker.net"] == (True, "tracker.net")
+    assert got["tracker.net"] == (True, "tracker.net")
+    assert got["nottracker.net"] == (False, None)
+    assert got["ads.example.com.evil.io"] == (False, None)
+    assert got["clean.org"] == (False, None)
+
+
+def test_blocklist_match_deterministic_rule_choice(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import blocklist_match
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    hosts = rows_source(spark, [("a.b.c",)], "host string")
+    rules = rows_source(spark, [("b.c",), ("a.b.c",)], "rule string")
+    out = blocklist_match(hosts, rules).collect()[0]
+    assert out["blocked"] and out["matched_rule"] == "a.b.c"  # lexicographic min
+
+
+def test_distinct_ngram_diversity_hand_computed(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        distinct_ngram_diversity,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(
+        spark,
+        [
+            (1, "a b a b", "s1"),   # unigrams: 4 total / 2 distinct
+            (2, "a a a a", "s1"),   # bigrams s1: "a b","b a","a b" + "a a"x3
+            (3, "x y z", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source"], r["n"]): (
+            r["total_grams"], r["distinct_grams"], r["diversity_micro"]
+        )
+        for r in distinct_ngram_diversity(df, "source", "text", (1, 2)).collect()
+    }
+    assert got[("s1", 1)] == (8, 2, 250000)
+    # s1 bigrams: doc1 -> [a b, b a, a b], doc2 -> [a a, a a, a a]
+    assert got[("s1", 2)] == (6, 3, 500000)
+    assert got[("s2", 1)] == (3, 3, 1000000)
+    assert got[("s2", 2)] == (2, 2, 1000000)
