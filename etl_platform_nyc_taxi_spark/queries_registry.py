@@ -12189,7 +12189,7 @@ def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (6): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (12): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -12197,7 +12197,14 @@ def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     training loop replayed in DuckDB, plus BPE-priced packing,
 #     VERDICT r9 task 3); corpus_temperature_mix (n^tau multi-source
 #     mixing with quantized-integer quota arithmetic, VERDICT r9
-#     task 5);
+#     task 5); bloom_decontaminate / bloom_fp_audit (relational Bloom
+#     filter: approximate-membership decontamination + its
+#     false-positive sizing audit); nb_quality_classifier
+#     (multinomial NB distillation of the stopword-density gate,
+#     micro-nat integer log-probs); unimax_allocation (epoch-capped
+#     waterfilling, exact-BIGINT largest-remainder);
+#     domain_blocklist_filter (label-boundary suffix matching);
+#     corpus_distinct_ngrams (distinct-1/2/3 diversity);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -12208,8 +12215,11 @@ def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 19 of the 47 r6-greens, oldest-first (window_value_family …
-#     sql_tpch_q12), leaving sql_tpch_q11, sql_scalar_subquery,
+#   * 13 of the 47 r6-greens, oldest-first (window_value_family …
+#     sql_tpch_q20), leaving sql_tpch_q19, sql_tpch_q17, sql_tpch_q16,
+#     sql_tpch_q15, sql_tpch_q13, sql_tpch_q12 (displaced late-round by
+#     this session's 6 extra first-timers — first-timers outrank
+#     oldest-green), plus sql_tpch_q11, sql_scalar_subquery,
 #     sql_relational_division, sql_lateral_topn, sql_exists_late_ship,
 #     sequence_pattern_counts, scan_project, scalar_functions,
 #     orc_roundtrip_scan, neyman_allocation, market_concentration,
@@ -12218,14 +12228,14 @@ def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (28) for r11, then the r7
+#     attribution_linear, abc_classification (34) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 28 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 34 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 224 queries and a 50-slot window, full
-# re-green cadence is ceil(224/50) = 5 rounds; priority order is
+# Steady-state honesty: with 230 queries and a 50-slot window, full
+# re-green cadence is ceil(230/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -12236,6 +12246,12 @@ _VERIFY_FIRST = [
     "bpe_token_counts",
     "corpus_temperature_mix",
     "pack_sequences_bpe",
+    "bloom_decontaminate",
+    "bloom_fp_audit",
+    "nb_quality_classifier",
+    "unimax_allocation",
+    "domain_blocklist_filter",
+    "corpus_distinct_ngrams",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -12277,12 +12293,6 @@ _VERIFY_FIRST = [
     "sql_tpch_q4",
     "sql_tpch_q22",
     "sql_tpch_q20",
-    "sql_tpch_q19",
-    "sql_tpch_q17",
-    "sql_tpch_q16",
-    "sql_tpch_q15",
-    "sql_tpch_q13",
-    "sql_tpch_q12",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

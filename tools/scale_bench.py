@@ -119,6 +119,19 @@ HEAVY = [
     # encode LUT is driver-built once and broadcast — invariant to
     # corpus size.
     "multimodal_decode_roundtrip",
+    # Round 10: the Bloom decontamination pair (probe volume scales with
+    # the training corpus; the positions relation grows with the eval
+    # slice but stays broadcast-sized), the NB classifier (training
+    # counts scale with tokens, the model join with vocab×classes), the
+    # distinct-n diversity sweeps (three linear explode+count passes),
+    # and two control-plane allocations whose expected profile is FLAT
+    # (strata/domain relations are metadata-sized).
+    "bloom_decontaminate",
+    "bloom_fp_audit",
+    "nb_quality_classifier",
+    "corpus_distinct_ngrams",
+    "unimax_allocation",
+    "domain_blocklist_filter",
 ]
 
 REPLICA_STRIDE = 10_000_000
