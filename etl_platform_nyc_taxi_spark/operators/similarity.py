@@ -877,3 +877,84 @@ def semdedup(
             F.coalesce(F.col("__rm"), F.lit(False)).alias("removed"),
         )
     )
+
+
+def embedding_dispersion(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic diversity per group via the centroid trick: the mean
+    pairwise cosine of the group's L2-normalized embeddings — the
+    collapse/mode-coverage signal SemDeDup-style curation watches (a
+    source whose documents all embed alike contributes redundancy, not
+    coverage) — computed EXACTLY in two linear aggregates, never a pair
+    join: for unit vectors, Σ_{i≠j} cos(vᵢ,vⱼ) = ‖Σv̂‖² − n, so
+    mean = (‖Σv̂‖² − n)/(n(n−1)).
+
+    Returns ``(group, n_vecs, mean_pair_cos_micro, dispersion_micro)``
+    with ``dispersion = 1 − mean`` in integer micro units. Groups with a
+    single (non-zero) vector are omitted (no pairs); zero-norm vectors
+    are excluded on both engines.
+
+    Exactness discipline (the vector_normalize/label_centroid_sim
+    pattern): the squared norm folds in DECIMAL(28,14) (exact), the
+    normalize divide is one IEEE op on identical doubles, each
+    normalized coordinate re-quantizes to DECIMAL(28,14) before the
+    per-dimension sum (exact), and the final ‖S‖² accumulates per-term
+    decimal casts of identical doubles — no order-dependent float SUM
+    anywhere.
+
+    Scale shape: explode to (group, dim) — d rows per vector — then two
+    map-side-combinable aggregates; the pair semantics come for free
+    from algebra, so cost is O(n·d) at any corpus size where the naive
+    definition is O(n²·d)."""
+    xd = lambda x: x.cast("double")  # noqa: E731
+    ss = F.aggregate(
+        vec_col,
+        F.lit(0).cast("decimal(28,14)"),
+        lambda acc, x: (acc + (xd(x) * xd(x)).cast("decimal(28,14)")).cast(
+            "decimal(28,14)"
+        ),
+    )
+    norm = F.sqrt(ss.cast("double"))
+    # the when-guard keeps the divide off zero-norm rows even when codegen
+    # evaluates the projection alongside the filter (ANSI divide-by-zero)
+    nz = df.filter(ss.cast("double") > 0).select(
+        F.col(group_col).alias("grp"),
+        F.transform(
+            vec_col,
+            lambda x: F.when(norm > 0, xd(x) / norm)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,14)"),
+        ).alias("__q"),
+    )
+    exploded = nz.select("grp", F.posexplode("__q").alias("pos", "q"))
+    sums = exploded.groupBy("grp", "pos").agg(F.sum("q").alias("S"))
+    ssq = (
+        sums.select(
+            "grp",
+            (F.col("S").cast("double") * F.col("S").cast("double"))
+            .cast("decimal(38,12)")
+            .alias("s2"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("s2").alias("ssq"))
+    )
+    counts = nz.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    mean = (F.col("ssq").cast("double") - F.col("n")) / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    mean_micro = F.floor(mean * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        ssq.join(counts, "grp")
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").alias("n_vecs"),
+            mean_micro.alias("mean_pair_cos_micro"),
+            (F.lit(1000000) - mean_micro).cast("long").alias(
+                "dispersion_micro"
+            ),
+        )
+    )

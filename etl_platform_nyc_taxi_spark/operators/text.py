@@ -895,3 +895,170 @@ def distinct_ngram_diversity(
             "diversity_micro"
         ),
     )
+
+
+def span_corruption_examples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 20,
+    max_span: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """T5-style span-corruption example prep (Raffel et al. 2020): mask
+    ~15% of each document's tokens in short contiguous spans, emit the
+    corrupted ``input_text`` (spans replaced by ``<extra_id_k>``
+    sentinels, k in document order) and the seq2seq ``target_text``
+    (each sentinel followed by the tokens it hides) — the
+    example-construction step between a cleaned corpus and an
+    encoder-decoder pretraining run.
+
+    Determinism replaces the paper's RNG: token positions are tiled
+    into ``block``-sized blocks, and the portable md5 family draws each
+    block's span offset (mod ``block``−3) and length (2..``max_span``)
+    from ``md5('span:' || id || ':' || block_no)`` — spans are
+    non-overlapping BY CONSTRUCTION (one span per block, offset+length
+    bounded inside the block), so both engines rebuild the identical
+    example without any island-merge pass. Expected mask rate =
+    E[len]/block = 3/20 = 15%. Spans that would spill past the doc's
+    last token are skipped (short tail blocks).
+
+    Shape: one explode to (doc, position) plus one block-per-20-tokens
+    explode for spans; sentence assembly is a per-doc sort_array over
+    (position, piece) structs — one shuffle keyed on the doc id, no
+    windows, no joins wider than (doc, position)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens_ws(text_col).alias("__t")
+    )
+    if partitions:
+        base = base.repartition(partitions)
+    n = F.size("__t")
+    # clamp to ≥1: sequence(0, -1) would generate a DESCENDING range for
+    # an empty doc and negative-start spans could slip past the tail
+    # filter (start+len-1 <= 0)
+    nblocks = F.greatest(
+        F.floor((n + F.lit(block - 1)) / F.lit(block)).cast("int"), F.lit(1)
+    )
+    h = lambda b: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("span:"),
+                    F.col("__id").cast("string"),
+                    F.lit(":"),
+                    b.cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    off_mod = block - max_span + 1  # offsets keep start+len inside the block
+    spans = (
+        base.select(
+            "__id",
+            "__t",
+            n.alias("__n"),
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("b"),
+        )
+        .withColumn("__h", h(F.col("b")))
+        .select(
+            "__id",
+            "__t",
+            "__n",
+            "b",
+            (
+                F.col("b") * block
+                + 1
+                + F.pmod(F.col("__h"), F.lit(off_mod))
+            ).cast("int").alias("start"),
+            (
+                F.lit(2)
+                + F.pmod(
+                    F.expr(f"__h div {off_mod}"), F.lit(max_span - 1)
+                ).cast("int")
+            ).alias("len"),
+        )
+        .filter(F.col("start") + F.col("len") - 1 <= F.col("__n"))
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.partitionBy("__id").orderBy(F.col("start"))
+            )
+            - 1,
+        )
+    )
+    # target pieces: "<extra_id_k> tok tok ..." per span, in k order
+    piece = F.concat(
+        F.lit("<extra_id_"),
+        F.col("k").cast("string"),
+        F.lit("> "),
+        F.array_join(F.slice("__t", F.col("start"), F.col("len")), " "),
+    )
+    targets = spans.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("k"), piece.alias("p")))
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("target_text"),
+        F.sum("len").cast("long").alias("n_masked"),
+    )
+    # input pieces: unmasked (pos, token) plus (span start pos, sentinel)
+    masked_pos = spans.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.col("len") - 1)
+        ).alias("pos"),
+        F.col("start").alias("span_start"),
+        F.col("k"),
+    )
+    toks = base.select(
+        "__id", F.posexplode("__t").alias("pos0", "tok")
+    ).select("__id", (F.col("pos0") + 1).alias("pos"), "tok")
+    joined = toks.join(masked_pos, ["__id", "pos"], "left")
+    pieces = joined.select(
+        "__id",
+        "pos",
+        F.when(F.col("k").isNull(), F.col("tok"))
+        .when(
+            F.col("pos") == F.col("span_start"),
+            F.concat(F.lit("<extra_id_"), F.col("k").cast("string"), F.lit(">")),
+        )
+        .otherwise(F.lit(None))
+        .alias("piece"),
+    ).filter(F.col("piece").isNotNull())
+    inputs = pieces.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("piece").alias("p")))
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("input_text")
+    )
+    return (
+        base.select(
+            "__id",
+            n.cast("long").alias("n_tok"),
+            F.array_join("__t", " ").alias("__full"),
+        )
+        .join(inputs, "__id", "left")
+        .join(targets, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tok",
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.coalesce("input_text", "__full").alias("input_text"),
+            F.coalesce("target_text", F.lit("")).alias("target_text"),
+        )
+    )

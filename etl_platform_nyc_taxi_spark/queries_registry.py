@@ -12182,6 +12182,158 @@ def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dispersion",
+    r"""
+    WITH ex AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    ssv AS (
+      SELECT vec_id, SUM(CAST(x * x AS DECIMAL(28,14))) AS ss
+      FROM ex GROUP BY vec_id
+    ),
+    q AS (
+      SELECT label, pos,
+             CAST(x / sqrt(CAST(ss AS DOUBLE)) AS DECIMAL(28,14)) AS q
+      FROM ex JOIN ssv USING (vec_id)
+      WHERE CAST(ss AS DOUBLE) > 0
+    ),
+    sums AS (SELECT label, pos, SUM(q) AS S FROM q GROUP BY 1, 2),
+    ssq AS (
+      SELECT label,
+             SUM(CAST(CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                 AS DECIMAL(38,12))) AS ssq
+      FROM sums GROUP BY 1
+    ),
+    nn AS (
+      SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings e JOIN ssv USING (vec_id)
+      WHERE CAST(ss AS DOUBLE) > 0
+      GROUP BY e.label
+    ),
+    m AS (
+      SELECT s.label, n,
+             CAST(floor((CAST(ssq AS DOUBLE) - n)
+               / CAST(n * (n - 1) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS mean_pair_cos_micro
+      FROM ssq s JOIN nn USING (label)
+      WHERE n >= 2
+    )
+    SELECT label, n AS n_vecs, mean_pair_cos_micro,
+           CAST(1000000 - mean_pair_cos_micro AS BIGINT) AS dispersion_micro
+    FROM m
+    """,
+)
+def q_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label semantic diversity (operators/similarity.
+    embedding_dispersion): mean pairwise cosine of the label's
+    normalized embeddings via the centroid identity Σ_{i≠j}cos =
+    ‖Σv̂‖² − n — two linear aggregates where the naive definition is an
+    O(n²) pair join; the collapse/redundancy signal embedding-based
+    curation watches per source. Exact-decimal accumulation end to end;
+    output in integer micro units."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_dispersion,
+    )
+
+    return embedding_dispersion(_t(spark, sf_dir, "embeddings"), "label")
+
+
+@register(
+    "span_corruption",
+    r"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS toks
+      FROM documents
+    ),
+    meta AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+    blocks AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, greatest(CAST(ceil(n / 20.0) AS BIGINT), 1)))
+               AS b
+      FROM meta
+    ),
+    spans0 AS (
+      SELECT doc_id, toks, n, b,
+             CAST('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)
+               || ':' || CAST(b AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM blocks
+    ),
+    spans1 AS (
+      SELECT doc_id, toks, n,
+             CAST(b * 20 + 1 + h % 17 AS INT) AS start,
+             CAST(2 + (h // 17) % 3 AS INT) AS len
+      FROM spans0
+    ),
+    spans AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY start) - 1 AS INT) AS k
+      FROM spans1 WHERE start + len - 1 <= n
+    ),
+    targets AS (
+      SELECT doc_id,
+             string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> '
+               || array_to_string(toks[CAST(start AS INT):
+                                       CAST(start AS INT) + len - 1], ' '),
+               ' ' ORDER BY k) AS target_text,
+             CAST(SUM(len) AS BIGINT) AS n_masked
+      FROM spans GROUP BY doc_id
+    ),
+    toks_pos AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+      FROM d
+    ),
+    masked AS (
+      SELECT doc_id, unnest(range(start, start + len)) AS pos,
+             start AS span_start, k
+      FROM spans
+    ),
+    pieces AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN m.k IS NULL THEN t.tok
+                  WHEN t.pos = m.span_start
+                    THEN '<extra_id_' || CAST(m.k AS VARCHAR) || '>'
+                  ELSE NULL END AS piece
+      FROM toks_pos t
+      LEFT JOIN masked m ON t.doc_id = m.doc_id AND t.pos = m.pos
+    ),
+    inputs AS (
+      SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+      FROM pieces WHERE piece IS NOT NULL GROUP BY doc_id
+    )
+    SELECT m.doc_id, CAST(m.n AS BIGINT) AS n_tok,
+           COALESCE(t.n_masked, 0) AS n_masked,
+           COALESCE(i.input_text, array_to_string(m.toks, ' '))
+             AS input_text,
+           COALESCE(t.target_text, '') AS target_text
+    FROM meta m
+    LEFT JOIN inputs i USING (doc_id)
+    LEFT JOIN targets t USING (doc_id)
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption example prep (operators/text.
+    span_corruption_examples): mask ~15% of each doc's tokens in
+    deterministic md5-drawn spans (one span per 20-token block, length
+    2-4, non-overlapping by construction), emit the sentinel-corrupted
+    input and the seq2seq target — the example-construction step between
+    a cleaned corpus and encoder-decoder pretraining. Assembly is
+    per-doc sort_array over (position, piece) structs; one shuffle keyed
+    on the doc id."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        span_corruption_examples,
+    )
+
+    return span_corruption_examples(
+        _t(spark, sf_dir, "documents"),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #

@@ -361,3 +361,54 @@ def test_semdedup_seed_determinism(spark):
     s1 = [r["seed_id"] for r in semdedup_seeds(emb, 8).collect()]
     s2 = [r["seed_id"] for r in semdedup_seeds(emb, 8).collect()]
     assert s1 == s2 and len(s1) == 8
+
+
+def test_embedding_dispersion_matches_bruteforce(spark):
+    import itertools
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        embedding_dispersion,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    vecs = {
+        "a": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [1.0, 1.0, 0.0]],
+        "b": [[1.0, 2.0, 3.0], [1.0, 2.0, 3.0]],  # identical -> mean cos 1
+        "c": [[1.0, 0.0, 0.0]],                   # single vector -> omitted
+        "d": [[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]],  # zero vec excluded -> n=1 -> omitted
+    }
+    data, i = [], 0
+    for lbl, vs in vecs.items():
+        for v in vs:
+            data.append((i, lbl, v))
+            i += 1
+    df = rows_source(
+        spark, data, "vec_id long, label string, embedding array<float>"
+    )
+    got = {
+        r["label"]: (r["n_vecs"], r["mean_pair_cos_micro"], r["dispersion_micro"])
+        for r in embedding_dispersion(df, "label").collect()
+    }
+    assert set(got) == {"a", "b"}
+
+    def mean_cos(vs):
+        def unit(v):
+            n = math.sqrt(sum(x * x for x in v))
+            return [x / n for x in v]
+        us = [unit(v) for v in vs]
+        cos = [
+            sum(x * y for x, y in zip(u, w))
+            for u, w in itertools.combinations(us, 2)
+        ]
+        return sum(cos) * 2 / (len(us) * (len(us) - 1))
+
+    for lbl in ("a", "b"):
+        want = math.floor(mean_cos(vecs[lbl]) * 1e6 + 0.5)
+        n, mm, dm = got[lbl]
+        assert n == len(vecs[lbl])
+        # quantization chain differs from the naive float path by at most
+        # a few micro at these magnitudes
+        assert abs(mm - want) <= 2, (lbl, mm, want)
+        assert dm == 1_000_000 - mm
+    assert got["b"][1] >= 999_998  # identical vectors -> mean cos ~= 1

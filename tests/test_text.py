@@ -604,3 +604,77 @@ def test_distinct_ngram_diversity_hand_computed(spark):
     assert got[("s1", 2)] == (6, 3, 500000)
     assert got[("s2", 1)] == (3, 3, 1000000)
     assert got[("s2", 2)] == (2, 2, 1000000)
+
+
+# ---------------------------------------------------------------------------
+# Span corruption
+# ---------------------------------------------------------------------------
+
+
+def _uncorrupt(input_text: str, target_text: str) -> str:
+    """Invert span corruption: substitute each sentinel in the input with
+    the tokens its target segment carries."""
+    import re
+
+    segs = {}
+    parts = re.split(r"<extra_id_(\d+)>", target_text)
+    # parts: ['', k0, ' seg0 ', k1, ' seg1 ', ...]
+    for i in range(1, len(parts), 2):
+        segs[int(parts[i])] = parts[i + 1].strip()
+    out = []
+    for tok in input_text.split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            out.append(segs[int(m.group(1))])
+        else:
+            out.append(tok)
+    return " ".join(x for x in out if x)
+
+
+def test_span_corruption_roundtrip_and_rate(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        span_corruption_examples,
+    )
+    from etl_platform_nyc_taxi_spark.sources.parquet import read_parquet_auto
+
+    d = read_parquet_auto(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = span_corruption_examples(d).collect()
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert len(out) == len(texts)
+    total_tok = total_masked = 0
+    for r in out:
+        orig = " ".join(texts[r["doc_id"]].split())
+        assert _uncorrupt(r["input_text"], r["target_text"]) == orig
+        # sentinels appear 0..k-1 in document order in the input
+        import re
+
+        ks = [int(m) for m in re.findall(r"<extra_id_(\d+)>", r["input_text"])]
+        assert ks == list(range(len(ks)))
+        total_tok += r["n_tok"]
+        total_masked += r["n_masked"]
+    # expected rate E[len]/block = 3/20 = 15%; tail-block skips pull it
+    # slightly below — accept a generous deterministic band
+    rate = total_masked / total_tok
+    assert 0.10 < rate < 0.18, rate
+
+
+def test_span_corruption_short_and_empty_docs(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        span_corruption_examples,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(
+        spark,
+        [(1, ""), (2, "one"), (3, "a b c d e f g h i j k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_corruption_examples(df).collect()}
+    assert got[1]["n_tok"] == 0 and got[1]["n_masked"] == 0
+    assert got[1]["input_text"] == "" and got[1]["target_text"] == ""
+    # 1-token doc: every candidate span (len>=2) overflows -> untouched
+    assert got[2]["n_masked"] == 0 and got[2]["input_text"] == "one"
+    # exactly one block of 20: exactly one span of len 2..4
+    assert 2 <= got[3]["n_masked"] <= 4
+    assert "<extra_id_0>" in got[3]["input_text"]
+    assert got[3]["target_text"].startswith("<extra_id_0> ")
