@@ -918,16 +918,23 @@ def embedding_dispersion(
         ),
     )
     norm = F.sqrt(ss.cast("double"))
-    # the when-guard keeps the divide off zero-norm rows even when codegen
-    # evaluates the projection alongside the filter (ANSI divide-by-zero)
-    nz = df.filter(ss.cast("double") > 0).select(
-        F.col(group_col).alias("grp"),
-        F.transform(
+    # Bind the norm ONCE per row via the 1-element-transform trick
+    # (functions/vectors.l2_normalize): inlining `norm` into the inner
+    # lambda re-evaluates the full decimal fold PER ELEMENT — measured
+    # 64× blowup (19 s for 5k vectors). The when-guard keeps the divide
+    # off zero-norm rows even when codegen evaluates the projection
+    # alongside the filter (ANSI divide-by-zero).
+    qarr = F.transform(
+        F.array(norm),
+        lambda nm: F.transform(
             vec_col,
-            lambda x: F.when(norm > 0, xd(x) / norm)
+            lambda x: F.when(nm > 0, xd(x) / nm)
             .otherwise(F.lit(0.0))
             .cast("decimal(28,14)"),
-        ).alias("__q"),
+        ),
+    )[0]
+    nz = df.filter(ss.cast("double") > 0).select(
+        F.col(group_col).alias("grp"), qarr.alias("__q")
     )
     exploded = nz.select("grp", F.posexplode("__q").alias("pos", "q"))
     sums = exploded.groupBy("grp", "pos").agg(F.sum("q").alias("S"))

@@ -132,6 +132,8 @@ HEAVY = [
     "corpus_distinct_ngrams",
     "unimax_allocation",
     "domain_blocklist_filter",
+    "embedding_dispersion",
+    "span_corruption",
 ]
 
 REPLICA_STRIDE = 10_000_000
