@@ -847,3 +847,188 @@ def missing_ranges(
         )
     )
     return intra.unionByName(inter)
+
+
+def cm_sketch_audit(
+    df: DataFrame,
+    item_col: str = "tok",
+    d: int = 4,
+    w: int = 1024,
+    k_top: int = 50,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an item
+    stream, audited against exact counts — the fixed-memory frequency
+    structure a 100 TB pipeline uses where per-key exact counts don't
+    fit: d=4 hash rows × w=1024 counters here, built RELATIONALLY (the
+    sketch is the (row, position, count) relation) with the portable md5
+    family so the whole structure — and therefore the estimate —
+    replays bit-for-bit in the DuckDB oracle.
+
+    Returns the top ``k_top`` items by true count (tie-break: item asc):
+    ``(item, true_count, cm_estimate, overestimate)``. Count-min's
+    contract is one-sided error — estimate ≥ truth always (collisions
+    only ADD) — so ``overestimate`` is provably ≥ 0; the audit is the
+    measurement that tells you whether w is wide enough for your key
+    distribution (Σ overestimate grows as heavy keys collide).
+
+    Scale shape: exact counts aggregate map-side (the sketch SUMS the
+    count relation, not the raw stream — associativity means building
+    from pre-aggregated counts is identical to streaming inserts); the
+    sketch itself is ≤ d·w rows (broadcast-sized); the estimate join is
+    item→position equi. The top-k window runs over the vocab relation
+    pre-aggregated to one row per item."""
+    items = df.select(F.col(item_col).alias("__it"))
+    true = items.groupBy("__it").agg(F.count(F.lit(1)).alias("__c"))
+    js = F.array([F.lit(j) for j in range(1, d + 1)])
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("cm"),
+                        F.col("__j").cast("string"),
+                        F.lit(":"),
+                        F.col("__it"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(w)
+    )
+    placed = true.select(
+        "__it", "__c", F.explode(js).alias("__j")
+    ).withColumn("__pos", pos)
+    sketch = placed.groupBy("__j", "__pos").agg(
+        F.sum("__c").alias("__cell")
+    )
+    est = (
+        placed.join(sketch, ["__j", "__pos"])
+        .groupBy("__it")
+        .agg(
+            F.min("__cell").cast("long").alias("cm_estimate"),
+            F.first("__c").cast("long").alias("true_count"),
+        )
+    )
+    topk = (
+        est.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("true_count").desc(), F.col("__it").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= k_top)
+        .drop("__rn")
+    )
+    return topk.select(
+        F.col("__it").alias(item_col),
+        "true_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_count"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+def hll_portable_estimate(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    p: int = 6,
+    with_merged: bool = True,
+) -> DataFrame:
+    """Portable HyperLogLog (Flajolet et al. 2007) distinct estimate per
+    group, built from the md5 hash family so the ESTIMATE ITSELF — not
+    just an error bound — replays exactly in any engine (the existing
+    sketch_rollup/agg_approx queries use Spark's native HLL whose
+    internals can't be oracled; this is the cross-engine twin).
+
+    m = 2^p registers; for each distinct item, h = int48(md5(item)),
+    bucket = h mod m, and the register keeps max(ρ) where ρ = leading
+    zeros of the remaining 42 bits + 1 (computed as 43 − len(bin(w)),
+    w=0 → 43 — bin() is identical in Spark and DuckDB). The indicator
+    sum Σ2^−M is EXACT in doubles regardless of order (≤ 2^p terms,
+    each a power of two ≥ 2^−43: 53-bit mantissa holds the whole span),
+    so no decimal discipline is needed. Standard bias constant for
+    m=64 (α=0.709) and the small-range linear-counting correction.
+
+    Returns ``(group, true_distinct, hll_estimate_milli, err_ppm)``;
+    ``with_merged`` appends an ``__ALL__`` row whose registers are the
+    bucket-wise MAX across groups — HLL's mergeability, the property
+    that makes it the 100 TB distinct-count structure (daily registers
+    roll up to weekly without re-reading events).
+
+    Scale shape: one distinct aggregate, one 2^p-row register relation
+    per group, scalar math — nothing corpus-sized past the distinct."""
+    if p != 6:
+        raise ValueError("alpha constant wired for p=6 (m=64) only")
+    m = 1 << p
+    alpha = 0.709
+    items = df.select(
+        F.col(group_col).alias("grp"), F.col(item_col).alias("__it")
+    ).distinct()
+    h = F.conv(F.substring(F.md5(F.col("__it")), 1, 12), 16, 10).cast("long")
+    hashed = items.select(
+        "grp", (h % F.lit(m)).alias("b"), h.alias("__h")
+    ).select("grp", "b", F.expr(f"__h div {m}").alias("wv"))
+    rho = F.when(F.col("wv") == 0, F.lit(43)).otherwise(
+        F.lit(43) - F.length(F.bin(F.col("wv")))
+    )
+    regs = hashed.select("grp", "b", rho.alias("rho")).groupBy(
+        "grp", "b"
+    ).agg(F.max("rho").alias("M"))
+    truth = items.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("true_distinct")
+    )
+    parts = [regs]
+    if with_merged:
+        merged = regs.groupBy("b").agg(F.max("M").alias("M")).select(
+            F.lit("__ALL__").alias("grp"), "b", "M"
+        )
+        parts.append(merged)
+        truth = truth.unionByName(
+            items.agg(
+                F.countDistinct("__it").cast("long").alias("true_distinct")
+            ).select(F.lit("__ALL__").alias("grp"), "true_distinct")
+        )
+    allregs = parts[0]
+    for x in parts[1:]:
+        allregs = allregs.unionByName(x)
+    agg = allregs.groupBy("grp").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("M"))).alias("S_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    S = F.col("S_present") + (F.lit(m) - F.col("n_present"))  # empty regs: 2^0
+    V = (F.lit(m) - F.col("n_present")).cast("double")  # zero registers
+    e_raw = F.lit(alpha * m * m) / S
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (V > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / V),
+    ).otherwise(e_raw)
+    scored = agg.select(
+        "grp",
+        F.floor(est * F.lit(1000) + F.lit(0.5)).cast("long").alias(
+            "hll_estimate_milli"
+        ),
+    )
+    return scored.join(truth, "grp").select(
+        F.col("grp").alias(group_col),
+        "true_distinct",
+        "hll_estimate_milli",
+        F.floor(
+            (
+                F.col("hll_estimate_milli").cast("double") / 1000.0
+                - F.col("true_distinct")
+            )
+            / F.col("true_distinct").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("err_ppm"),
+    )

@@ -12334,6 +12334,137 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cm_sketch_audit",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS it
+      FROM documents
+    ),
+    truec AS (SELECT it, COUNT(*) AS c FROM toks GROUP BY it),
+    placed AS (
+      SELECT it, c, j,
+             CAST('0x' || substr(md5('cm' || CAST(j AS VARCHAR) || ':' || it),
+                                 1, 12) AS BIGINT) % 1024 AS pos
+      FROM truec CROSS JOIN range(1, 5) r(j)
+    ),
+    sketch AS (
+      SELECT j, pos, SUM(c) AS cell FROM placed GROUP BY j, pos
+    ),
+    est AS (
+      SELECT p.it, CAST(MIN(s.cell) AS BIGINT) AS cm_estimate,
+             CAST(MIN(p.c) AS BIGINT) AS true_count
+      FROM placed p JOIN sketch s ON p.j = s.j AND p.pos = s.pos
+      GROUP BY p.it
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY true_count DESC, it ASC) AS rn
+        FROM est) WHERE rn <= 50
+    )
+    SELECT it AS tok, true_count, cm_estimate,
+           CAST(cm_estimate - true_count AS BIGINT) AS overestimate
+    FROM topk
+    """,
+)
+def q_cm_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency audit (operators/analytics.
+    cm_sketch_audit): 4×1024 md5-positioned counters over the corpus
+    token stream, estimates vs exact counts for the top-50 tokens.
+    Count-min's one-sided error (estimate ≥ truth, collisions only add)
+    makes this the fixed-memory frequency structure for key spaces that
+    don't fit exact counting; the relational build replays the estimate
+    bit-for-bit in DuckDB. Sketch relation ≤ 4096 rows (broadcast);
+    exact counts combine map-side."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        cm_sketch_audit,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_ws("text")).alias("tok"))
+    return cm_sketch_audit(toks, "tok")
+
+
+@register(
+    "hll_portable_audit",
+    r"""
+    WITH items AS (
+      SELECT DISTINCT source AS grp,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS it
+      FROM documents
+    ),
+    hashed AS (
+      SELECT grp,
+             CAST('0x' || substr(md5(it), 1, 12) AS BIGINT) % 64 AS b,
+             CAST('0x' || substr(md5(it), 1, 12) AS BIGINT) // 64 AS wv
+      FROM items
+    ),
+    regs AS (
+      SELECT grp, b,
+             MAX(CASE WHEN wv = 0 THEN 43
+                      ELSE 43 - length(bin(wv)) END) AS M
+      FROM hashed GROUP BY grp, b
+    ),
+    allregs AS (
+      SELECT grp, b, M FROM regs
+      UNION ALL
+      SELECT '__ALL__' AS grp, b, MAX(M) AS M FROM regs GROUP BY b
+    ),
+    agg AS (
+      SELECT grp, SUM(power(2.0, -M)) AS s_present,
+             COUNT(*) AS n_present
+      FROM allregs GROUP BY grp
+    ),
+    est AS (
+      SELECT grp,
+             CASE WHEN (0.709 * 64 * 64) / (s_present + (64 - n_present))
+                       <= 2.5 * 64
+                   AND (64 - n_present) > 0
+                  THEN 64.0 * ln(64.0 / CAST(64 - n_present AS DOUBLE))
+                  ELSE (0.709 * 64 * 64) / (s_present + (64 - n_present))
+             END AS e
+      FROM agg
+    ),
+    truth AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS true_distinct
+      FROM items GROUP BY grp
+      UNION ALL
+      SELECT '__ALL__' AS grp, CAST(COUNT(DISTINCT it) AS BIGINT)
+      FROM items
+    )
+    SELECT t.grp AS source, t.true_distinct,
+           CAST(floor(e.e * 1000 + 0.5) AS BIGINT) AS hll_estimate_milli,
+           CAST(floor((floor(e.e * 1000 + 0.5) / 1000.0 - t.true_distinct)
+             / CAST(t.true_distinct AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+             AS err_ppm
+    FROM est e JOIN truth t USING (grp)
+    """,
+)
+def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-token estimate per source
+    (operators/analytics.hll_portable_estimate): md5 hash family, m=64
+    registers, linear-counting small-range correction, plus the
+    ``__ALL__`` row built by MERGING registers (bucket-wise max) — HLL's
+    mergeability being exactly why it is the 100 TB distinct structure.
+    Unlike agg_approx/sketch_rollup (Spark-native HLL, verdict-style
+    oracles), the estimate VALUE here replays exactly in DuckDB: the
+    indicator sum is an exact power-of-two sum, order-independent by
+    construction."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        hll_portable_estimate,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(tokens_ws("text")).alias("tok")
+    )
+    return hll_portable_estimate(toks, "source", "tok")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #

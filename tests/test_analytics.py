@@ -652,3 +652,83 @@ def test_profile_columns_dtype_synonyms_and_errors(spark):
     assert {r["col_name"] for r in out.collect()} == {"n", "s"}
     with pytest.raises(ValueError, match="unsupported type"):
         profile_columns(df, [("n", "binary")])
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch + portable HLL
+# ---------------------------------------------------------------------------
+
+
+def _md5_48(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_cm_sketch_matches_python_and_one_sided(spark):
+    from etl_platform_nyc_taxi_spark.operators.analytics import cm_sketch_audit
+
+    data = [(f"t{i % 7}",) for i in range(100)] + [("rare",)]
+    df = rows_source(spark, data, "tok string")
+    w, d = 8, 3  # tiny width forces collisions
+    out = {
+        r["tok"]: (r["true_count"], r["cm_estimate"], r["overestimate"])
+        for r in cm_sketch_audit(df, "tok", d=d, w=w, k_top=50).collect()
+    }
+    # python reimplementation
+    import collections
+
+    true = collections.Counter(t for t, in data)
+    sketch = collections.Counter()
+    for t, c in true.items():
+        for j in range(1, d + 1):
+            sketch[(j, _md5_48(f"cm{j}:{t}") % w)] += c
+    for t, c in true.items():
+        est = min(sketch[(j, _md5_48(f"cm{j}:{t}") % w)] for j in range(1, d + 1))
+        assert out[t] == (c, est, est - c)
+        assert est >= c  # one-sided error, always
+
+
+def test_hll_portable_matches_python(spark):
+    import hashlib
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        hll_portable_estimate,
+    )
+
+    data = [("a", f"item{i}") for i in range(200)] + [
+        ("b", f"item{i}") for i in range(150, 350)
+    ]
+    df = rows_source(spark, data, "grp string, it string")
+    out = {
+        r["grp"]: (r["true_distinct"], r["hll_estimate_milli"], r["err_ppm"])
+        for r in hll_portable_estimate(df, "grp", "it").collect()
+    }
+
+    def py_hll(items):
+        m = 64
+        regs = [0] * m
+        for it in set(items):
+            h = int(hashlib.md5(it.encode()).hexdigest()[:12], 16)
+            b, wv = h % m, h // m
+            rho = 43 if wv == 0 else 43 - wv.bit_length()
+            regs[b] = max(regs[b], rho)
+        s = sum(2.0 ** -r for r in regs)
+        v = regs.count(0)
+        e = 0.709 * m * m / s
+        if e <= 2.5 * m and v > 0:
+            e = m * math.log(m / v)
+        return math.floor(e * 1000 + 0.5)
+
+    a_items = [it for g, it in data if g == "a"]
+    b_items = [it for g, it in data if g == "b"]
+    assert out["a"][0] == 200 and out["b"][0] == 200
+    assert out["a"][1] == py_hll(a_items)
+    assert out["b"][1] == py_hll(b_items)
+    assert out["__ALL__"][0] == 350
+    assert out["__ALL__"][1] == py_hll(a_items + b_items)  # register merge
+    # sanity: estimates inside the m=64 error regime (~±25%)
+    for g in ("a", "b", "__ALL__"):
+        true_d, est_milli, _ = out[g]
+        assert abs(est_milli / 1000 - true_d) / true_d < 0.25
