@@ -12472,7 +12472,7 @@ def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (14): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (16): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -12490,7 +12490,10 @@ def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     corpus_distinct_ngrams (distinct-1/2/3 diversity);
 #     embedding_dispersion (exact mean-pairwise-cosine via the centroid
 #     identity); span_corruption (T5 example prep, deterministic
-#     md5-drawn spans);
+#     md5-drawn spans); cm_sketch_audit (count-min, one-sided error
+#     pinned); hll_portable_audit (md5 HLL whose estimate value — and
+#     register merge — replays exactly, unlike the Spark-native HLL
+#     queries);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -12501,12 +12504,12 @@ def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 11 of the 47 r6-greens, oldest-first (window_value_family …
-#     sql_tpch_q4), leaving sql_tpch_q22, sql_tpch_q20, sql_tpch_q19,
-#     sql_tpch_q17, sql_tpch_q16, sql_tpch_q15, sql_tpch_q13,
-#     sql_tpch_q12 (displaced late-round by this session's 8 extra
-#     first-timers — first-timers outrank oldest-green), plus
-#     sql_tpch_q11, sql_scalar_subquery,
+#   * 9 of the 47 r6-greens, oldest-first (window_value_family …
+#     streaming_cdc_apply), leaving sql_tpch_q9, sql_tpch_q4,
+#     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
+#     sql_tpch_q16, sql_tpch_q15, sql_tpch_q13, sql_tpch_q12 (displaced
+#     late-round by this session's 10 extra first-timers — first-timers
+#     outrank oldest-green), plus sql_tpch_q11, sql_scalar_subquery,
 #     sql_relational_division, sql_lateral_topn, sql_exists_late_ship,
 #     sequence_pattern_counts, scan_project, scalar_functions,
 #     orc_roundtrip_scan, neyman_allocation, market_concentration,
@@ -12515,14 +12518,14 @@ def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (36) for r11, then the r7
+#     attribution_linear, abc_classification (38) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 36 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 38 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 232 queries and a 50-slot window, full
-# re-green cadence is ceil(232/50) = 5 rounds; priority order is
+# Steady-state honesty: with 234 queries and a 50-slot window, full
+# re-green cadence is ceil(234/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -12541,6 +12544,8 @@ _VERIFY_FIRST = [
     "corpus_distinct_ngrams",
     "embedding_dispersion",
     "span_corruption",
+    "cm_sketch_audit",
+    "hll_portable_audit",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -12578,8 +12583,6 @@ _VERIFY_FIRST = [
     "time_to_convert",
     "streaming_error_monitor",
     "streaming_cdc_apply",
-    "sql_tpch_q9",
-    "sql_tpch_q4",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -134,6 +134,8 @@ HEAVY = [
     "domain_blocklist_filter",
     "embedding_dispersion",
     "span_corruption",
+    "cm_sketch_audit",
+    "hll_portable_audit",
 ]
 
 REPLICA_STRIDE = 10_000_000
