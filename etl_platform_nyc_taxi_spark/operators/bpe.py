@@ -191,3 +191,54 @@ def tokenize_documents(
             F.sum("__nt").alias("n_tokens"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    vocab_final: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    pattern: str = WORD_PATTERN,
+) -> DataFrame:
+    """Tokenizer fertility audit per group — the standard multilingual
+    tokenizer-quality metric (tokens per word; a language the tokenizer
+    serves poorly fragments into many subwords, inflating its effective
+    sequence length and training cost): per ``group_col``,
+    ``(n_words, n_tokens, n_chars, fertility_micro,
+    chars_per_token_micro)`` under the trained BPE segmentation.
+
+    Same shape as tokenize_documents: corpus explodes to words, the
+    word → segmentation relation broadcasts, the rollup aggregates
+    map-side; ratios are exact integer micro units."""
+    words = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+        ).alias("word"),
+    )
+    seg = vocab_final.select(
+        "word",
+        F.size("syms").alias("__nt"),
+        F.length("word").alias("__nc"),
+    )
+    return (
+        words.join(F.broadcast(seg), "word")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.sum("__nc").cast("long").alias("n_chars"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("(1000000 * n_tokens) div n_words").alias(
+                "fertility_micro"
+            ),
+            F.expr("(1000000 * n_chars) div n_tokens").alias(
+                "chars_per_token_micro"
+            ),
+        )
+    )

@@ -1062,3 +1062,56 @@ def span_corruption_examples(
             F.coalesce("target_text", F.lit("")).alias("target_text"),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in
+    integer micro-nats — the compressibility proxy quality gates use
+    (Dolma-style): templated or machine-looped text concentrates its
+    token mass and scores low; natural text sits near the corpus band.
+
+    H = Σ_tok (c/n)·ln(n/c). Each distinct token's term quantizes to
+    micro-nats at birth (one division and one ln over exact integers —
+    identical IEEE results in any engine) and the per-doc total is an
+    order-independent BIGINT sum (the bigram-LM discipline). Docs with
+    no tokens score (0, 0, 0).
+
+    Shape: one explode → (doc, token) count with map-side combine → one
+    per-doc rollup; linear end to end."""
+    base = df.select(F.col(id_col).alias("__id"), tokens_ws(text_col).alias("__t"))
+    if partitions:
+        base = base.repartition(partitions)
+    per = (
+        base.select("__id", F.explode("__t").alias("tok"))
+        .groupBy("__id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = per.groupBy("__id").agg(F.sum("c").alias("n"))
+    term = F.floor(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log(F.col("n").cast("double") / F.col("c"))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = per.join(n, "__id").groupBy("__id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term).cast("long").alias("entropy_micro"),
+    )
+    return (
+        base.select("__id")
+        .join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+            F.coalesce("entropy_micro", F.lit(0)).cast("long").alias(
+                "entropy_micro"
+            ),
+        )
+    )

@@ -12465,6 +12465,85 @@ def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_portable_estimate(toks, "source", "tok")
 
 
+@register(
+    "bpe_fertility",
+    f"""
+    {_bpe_oracle_cte()},
+    docw AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+           CAST((1000000 * SUM(len(v.syms))) // COUNT(*) AS BIGINT)
+             AS fertility_micro,
+           CAST((1000000 * SUM(length(d.word))) // SUM(len(v.syms))
+             AS BIGINT) AS chars_per_token_micro
+    FROM docw d JOIN v{_BPE_MERGES} v USING (word)
+    GROUP BY d.lang
+    """,
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language (operators/bpe.
+    tokenizer_fertility): subword tokens per word and chars per token
+    under the trained BPE — the standard multilingual tokenizer-quality
+    metric (a language the tokenizer serves poorly fragments into more
+    subwords, inflating its effective sequence length and training
+    cost). Same broadcast word→segmentation join as bpe_token_counts;
+    exact integer micro ratios."""
+    from etl_platform_nyc_taxi_spark.operators.bpe import tokenizer_fertility
+
+    vocab_final = _bpe_vocab_final(spark, sf_dir)
+    return tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), vocab_final, "lang"
+    )
+
+
+@register(
+    "text_token_entropy",
+    r"""
+    WITH per AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM per GROUP BY doc_id),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(MAX(n.n) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CAST(floor(
+               (CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+      FROM per p JOIN n ON p.doc_id = n.doc_id
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.n_distinct, 0) AS n_distinct,
+           COALESCE(s.entropy_micro, 0) AS entropy_micro
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy in micro-nats
+    (operators/text.token_entropy) — the compressibility proxy quality
+    gate: templated/looped text concentrates its token mass and scores
+    low. Each distinct token's term quantizes to integer micro-nats at
+    birth; the doc total is an order-independent BIGINT sum (bigram-LM
+    discipline). One explode + two map-combinable aggregates."""
+    from etl_platform_nyc_taxi_spark.operators.text import token_entropy
+
+    return token_entropy(
+        _t(spark, sf_dir, "documents"),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #

@@ -678,3 +678,68 @@ def test_span_corruption_short_and_empty_docs(spark):
     assert 2 <= got[3]["n_masked"] <= 4
     assert "<extra_id_0>" in got[3]["input_text"]
     assert got[3]["target_text"].startswith("<extra_id_0> ")
+
+
+def test_token_entropy_matches_python(spark):
+    import collections
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.text import token_entropy
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(
+        spark,
+        [
+            (1, "a a a a"),          # zero entropy
+            (2, "a b c d"),          # max entropy ln(4)
+            (3, "a a b"),
+            (4, ""),                 # empty -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["entropy_micro"])
+        for r in token_entropy(df).collect()
+    }
+
+    def h_micro(text):
+        toks = text.split()
+        n = len(toks)
+        c = collections.Counter(toks)
+        return sum(
+            math.floor((k / n) * math.log(n / k) * 1e6 + 0.5)
+            for k in c.values()
+        )
+
+    assert got[1] == (4, 1, 0)
+    assert got[2] == (4, 4, h_micro("a b c d"))
+    assert abs(got[2][2] - 1_386_294) <= 2  # ln(4) in micro-nats
+    assert got[3] == (3, 2, h_micro("a a b"))
+    assert got[4] == (0, 0, 0)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from etl_platform_nyc_taxi_spark.operators.bpe import tokenizer_fertility
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    docs = rows_source(
+        spark,
+        [(1, "hello world", "en"), (2, "hello hello", "de")],
+        "doc_id long, text string, lang string",
+    )
+    vocab = rows_source(
+        spark,
+        [("hello", 3, ["hel", "lo"]), ("world", 1, ["world"])],
+        "word string, cnt long, syms array<string>",
+    )
+    got = {
+        r["lang"]: (
+            r["n_words"], r["n_tokens"], r["n_chars"],
+            r["fertility_micro"], r["chars_per_token_micro"],
+        )
+        for r in tokenizer_fertility(docs, vocab, "lang").collect()
+    }
+    # en: hello(2 toks) + world(1 tok) = 2 words, 3 tokens, 10 chars
+    assert got["en"] == (2, 3, 10, 1_500_000, 3_333_333)
+    # de: hello x2 -> 2 words, 4 tokens, 10 chars
+    assert got["de"] == (2, 4, 10, 2_000_000, 2_500_000)
