@@ -12551,7 +12551,7 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (16): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (18): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -12572,7 +12572,9 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     md5-drawn spans); cm_sketch_audit (count-min, one-sided error
 #     pinned); hll_portable_audit (md5 HLL whose estimate value — and
 #     register merge — replays exactly, unlike the Spark-native HLL
-#     queries);
+#     queries); bpe_fertility (per-lang tokenizer fertility under the
+#     trained BPE); text_token_entropy (micro-nat Shannon entropy
+#     compressibility gate);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -12583,8 +12585,9 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 9 of the 47 r6-greens, oldest-first (window_value_family …
-#     streaming_cdc_apply), leaving sql_tpch_q9, sql_tpch_q4,
+#   * 7 of the 47 r6-greens, oldest-first (window_value_family …
+#     time_to_convert), leaving streaming_error_monitor,
+#     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
 #     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
 #     sql_tpch_q16, sql_tpch_q15, sql_tpch_q13, sql_tpch_q12 (displaced
 #     late-round by this session's 10 extra first-timers — first-timers
@@ -12597,14 +12600,14 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (38) for r11, then the r7
+#     attribution_linear, abc_classification (40) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 38 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 40 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 234 queries and a 50-slot window, full
-# re-green cadence is ceil(234/50) = 5 rounds; priority order is
+# Steady-state honesty: with 236 queries and a 50-slot window, full
+# re-green cadence is ceil(236/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -12625,6 +12628,8 @@ _VERIFY_FIRST = [
     "span_corruption",
     "cm_sketch_audit",
     "hll_portable_audit",
+    "bpe_fertility",
+    "text_token_entropy",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -12660,8 +12665,6 @@ _VERIFY_FIRST = [
     "topk_with_other_bucket",
     "top5_zones",
     "time_to_convert",
-    "streaming_error_monitor",
-    "streaming_cdc_apply",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -136,6 +136,8 @@ HEAVY = [
     "span_corruption",
     "cm_sketch_audit",
     "hll_portable_audit",
+    "bpe_fertility",
+    "text_token_entropy",
 ]
 
 REPLICA_STRIDE = 10_000_000
