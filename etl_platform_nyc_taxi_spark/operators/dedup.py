@@ -1369,3 +1369,116 @@ def substring_probe_new(
             .alias("longest_hit_run_tokens"),
         )
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/rsync idea at token
+    granularity): chunk boundaries are drawn where a rolling window
+    fingerprint hits ``hash % divisor == 0``, so boundaries MOVE WITH
+    THE CONTENT — an insertion early in a document shifts every byte
+    offset but leaves all downstream chunk boundaries (and therefore
+    chunk fingerprints) intact. This is the storage/transfer-level dedup
+    modality the fixed-stride families can't express: exact_substring
+    (stride-1 windows) finds shared spans, CDC finds shared chunks that
+    survive edits elsewhere in the document.
+
+    A chunk starts at token position j iff the md5 of the ``window``
+    tokens from j maps to 0 mod ``divisor`` (expected chunk length ≈
+    ``divisor`` tokens); position 1 always starts chunk 0. Production
+    CDC adds min/max chunk clamps — deliberately omitted here because
+    the clamp is inherently sequential (a boundary suppresses neighbors)
+    and would cost the closed relational form; the unclamped variant is
+    still a pure function of content with the same shift-invariance.
+
+    Returns cross-document duplicate chunks: ``(chunk_fp, n_docs,
+    n_chunks, len_tokens, min_doc_id)`` for fingerprints seen in ≥ 2
+    distinct docs.
+
+    Scale shape: one md5 per token position (same linear cost class as
+    the substring-dedup fingerprint stage), a per-doc cumulative-sum
+    window (partitioned on the doc id — never global), and one
+    fingerprint group-by; no self-joins at all — dedup falls out of the
+    hash group-by."""
+    from pyspark.sql import Window as W
+
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens_ws(text_col).alias("__t")
+    )
+    if partitions:
+        base = base.repartition(partitions)
+    n = F.size("__t")
+    flags = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.when(
+            i <= n - F.lit(window - 1),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cdc:"),
+                                F.array_join(
+                                    F.slice("__t", i, F.lit(window)), " "
+                                ),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(divisor),
+            )
+            == 0,
+        ).otherwise(F.lit(False)),
+    )
+    rows = base.filter(n > 0).select(
+        "__id",
+        F.posexplode(F.arrays_zip(F.col("__t"), flags.alias("__f"))).alias(
+            "pos0", "z"
+        ),
+    ).select(
+        "__id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("z.__t").alias("tok"),
+        F.col("z.__f").cast("int").alias("flag"),
+    )
+    cum = W.partitionBy("__id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    chunked = rows.withColumn("chunk_id", F.sum("flag").over(cum))
+    chunks = chunked.groupBy("__id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("tok").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).cast("long").alias("len_tokens"),
+    )
+    fp = chunks.select(
+        "__id",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+        "len_tokens",
+    )
+    return (
+        fp.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("__id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.max("len_tokens").cast("long").alias("len_tokens"),
+            F.min("__id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

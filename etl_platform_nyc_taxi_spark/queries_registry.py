@@ -12544,6 +12544,64 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cdc_chunks",
+    r"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 t -> t <> '') AS toks
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+             unnest(toks) AS tok, len(toks) AS n, toks
+      FROM d WHERE len(toks) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos <= n - 3 AND
+               CAST('0x' || substr(md5('cdc:' || array_to_string(
+                 toks[CAST(pos AS INT):CAST(pos AS INT) + 3], ' ')),
+                 1, 12) AS BIGINT) % 16 = 0
+             THEN 1 ELSE 0 END AS flag
+      FROM rws
+    ),
+    chunked AS (
+      SELECT doc_id, pos, tok,
+             SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+             COUNT(*) AS len_tokens
+      FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    fp AS (SELECT doc_id, md5(chunk_text) AS chunk_fp, len_tokens FROM chunks)
+    SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MAX(len_tokens) AS BIGINT) AS len_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM fp GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.cdc_chunk_dedup):
+    FastCDC-style boundaries at token positions whose rolling 4-token
+    md5 window hits 0 mod 16 — boundaries move WITH the content, so
+    chunk fingerprints survive edits elsewhere in the document (the
+    storage/transfer dedup modality; complements exact_substring's
+    stride-1 span search). Cross-doc duplicate chunks via one hash
+    group-by; no self-joins anywhere."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import cdc_chunk_dedup
+
+    return cdc_chunk_dedup(
+        _t(spark, sf_dir, "documents"),
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -12551,7 +12609,7 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (18): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (19): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -12574,7 +12632,8 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     register merge — replays exactly, unlike the Spark-native HLL
 #     queries); bpe_fertility (per-lang tokenizer fertility under the
 #     trained BPE); text_token_entropy (micro-nat Shannon entropy
-#     compressibility gate);
+#     compressibility gate); dedup_cdc_chunks (content-defined
+#     chunking, shift-invariance pinned in tests);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -12585,8 +12644,8 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 7 of the 47 r6-greens, oldest-first (window_value_family …
-#     time_to_convert), leaving streaming_error_monitor,
+#   * 6 of the 47 r6-greens, oldest-first (window_value_family …
+#     top5_zones), leaving time_to_convert, streaming_error_monitor,
 #     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
 #     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
 #     sql_tpch_q16, sql_tpch_q15, sql_tpch_q13, sql_tpch_q12 (displaced
@@ -12600,14 +12659,14 @@ def q_text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (40) for r11, then the r7
+#     attribution_linear, abc_classification (41) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 40 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 41 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 236 queries and a 50-slot window, full
-# re-green cadence is ceil(236/50) = 5 rounds; priority order is
+# Steady-state honesty: with 237 queries and a 50-slot window, full
+# re-green cadence is ceil(237/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -12630,6 +12689,7 @@ _VERIFY_FIRST = [
     "hll_portable_audit",
     "bpe_fertility",
     "text_token_entropy",
+    "dedup_cdc_chunks",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -12664,7 +12724,6 @@ _VERIFY_FIRST = [
     "twap_daily",
     "topk_with_other_bucket",
     "top5_zones",
-    "time_to_convert",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

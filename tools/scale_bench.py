@@ -138,6 +138,7 @@ HEAVY = [
     "hll_portable_audit",
     "bpe_fertility",
     "text_token_entropy",
+    "dedup_cdc_chunks",
 ]
 
 REPLICA_STRIDE = 10_000_000
