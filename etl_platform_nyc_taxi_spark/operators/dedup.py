@@ -1482,3 +1482,124 @@ def cdc_chunk_dedup(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 60,
+    ngram: int = 2,
+    partitions: int | None = None,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the lossless alternative to MinHash-LSH: every pair with
+    J ≥ threshold is found (no probabilistic recall), yet the candidate
+    space is nowhere near all-pairs.
+
+    The filter: order each doc's element set by GLOBAL frequency
+    ascending (rarest first, ties by element); if two sets reach
+    J ≥ t, they must share at least one element inside each other's
+    first ``|d| − ⌈t·|d|⌉ + 1`` elements — so candidates are generated
+    by an equi-join on PREFIX elements only, and rare-first ordering
+    makes those join keys the least-frequent elements in the corpus
+    (bucket occupancy is bounded by construction — the frequent
+    elements that would explode the join never enter a prefix).
+    A length filter (``100·min ≥ t_pct·max``) prunes before
+    verification; exact set intersection verifies survivors.
+
+    Elements are distinct word ``ngram``-grams (doc-level token sets are
+    degenerate on small vocabularies — measured 57% of ALL pairs pass
+    t=0.6 on unigrams vs the 25 true near-dup pairs on bigrams).
+
+    Returns ``(doc_a, doc_b, n_inter, n_union, jaccard_micro)`` with
+    doc_a < doc_b; all comparisons integer cross-multiplies. The DuckDB
+    oracle runs the naive all-pairs join — oracle equality IS the
+    completeness proof of the prefix filter.
+
+    Scale shape: one frequency aggregate, one per-doc sort (inside the
+    row, array_sort), prefix explode (≈ (1−t)·|d|+1 elements per doc),
+    equi-join on rare keys, verification only on candidates. Ref for
+    contrast: minhash_candidates (probabilistic, banded)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__txt")
+    )
+    if partitions:
+        base = base.repartition(partitions)
+    el = base.select(
+        "__id",
+        F.explode(_word_ngrams("__txt", ngram)).alias("elem"),
+    )
+    freq = el.groupBy("elem").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        el.join(freq, "elem")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__df"), F.col("elem").alias("e"))
+                    )
+                ),
+                lambda s: s["e"],
+            ).alias("arr")
+        )
+        .select(
+            "__id", "arr", F.size("arr").cast("long").alias("sz")
+        )
+    )
+    # prefix length = sz - ceil(t*sz) + 1, all-integer
+    plen = (
+        F.col("sz")
+        - F.expr(f"(sz * {threshold_pct} + 99) div 100")
+        + F.lit(1)
+    )
+    prefix = ordered.select(
+        "__id", "sz", F.explode(F.slice("arr", 1, plen)).alias("elem")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.elem") == F.col("b.elem"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            # length filter: J >= t requires t*max <= min
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz")) * 100
+                >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+                * threshold_pct
+            ),
+        )
+        .select(
+            F.col("a.__id").alias("ida"), F.col("b.__id").alias("idb")
+        )
+        .distinct()
+    )
+    av = ordered.select(
+        F.col("__id").alias("ida"),
+        F.col("arr").alias("arr_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    bv = ordered.select(
+        F.col("__id").alias("idb"),
+        F.col("arr").alias("arr_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    verified = (
+        cand.join(av, "ida")
+        .join(bv, "idb")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+        )
+        .filter(F.col("n_inter") * 100 >= F.col("n_union") * threshold_pct)
+    )
+    return verified.select(
+        F.col("ida").alias("doc_a"),
+        F.col("idb").alias("doc_b"),
+        "n_inter",
+        "n_union",
+        F.expr("(1000000 * n_inter) div n_union").alias("jaccard_micro"),
+    )

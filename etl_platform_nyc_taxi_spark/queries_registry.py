@@ -12602,6 +12602,53 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_jaccard_exact",
+    r"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+         for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS st
+      FROM t
+    ),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.st, b.st)) AS BIGINT) AS n_inter,
+             CAST(len(a.st) + len(b.st)
+               - len(list_intersect(a.st, b.st)) AS BIGINT) AS n_union
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           CAST((1000000 * n_inter) // n_union AS BIGINT) AS jaccard_micro
+    FROM p WHERE n_inter * 100 >= n_union * 60
+    """,
+)
+def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join at t=0.6 over word-TRIGRAM sets via
+    prefix filtering (operators/dedup.jaccard_prefix_join —
+    PPJoin/AllPairs family): lossless recall without all-pairs work —
+    candidates come from an equi-join restricted to each set's
+    rarest-first prefix, so the join keys are by construction the
+    least-frequent elements in the corpus. The oracle runs the naive
+    ALL-PAIRS join: oracle equality is the completeness proof of the
+    prefix filter, every round."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    return jaccard_prefix_join(
+        _t(spark, sf_dir, "documents"),
+        threshold_pct=60,
+        ngram=3,
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -12609,7 +12656,7 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (19): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (20): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -12633,7 +12680,9 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     queries); bpe_fertility (per-lang tokenizer fertility under the
 #     trained BPE); text_token_entropy (micro-nat Shannon entropy
 #     compressibility gate); dedup_cdc_chunks (content-defined
-#     chunking, shift-invariance pinned in tests);
+#     chunking, shift-invariance pinned in tests); dedup_jaccard_exact
+#     (prefix-filtered exact similarity join, all-pairs oracle = the
+#     completeness proof);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -12644,8 +12693,9 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 6 of the 47 r6-greens, oldest-first (window_value_family …
-#     top5_zones), leaving time_to_convert, streaming_error_monitor,
+#   * 5 of the 47 r6-greens, oldest-first (window_value_family …
+#     topk_with_other_bucket), leaving top5_zones, time_to_convert,
+#     streaming_error_monitor,
 #     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
 #     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
 #     sql_tpch_q16, sql_tpch_q15, sql_tpch_q13, sql_tpch_q12 (displaced
@@ -12659,14 +12709,14 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (41) for r11, then the r7
+#     attribution_linear, abc_classification (42) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 41 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 42 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 237 queries and a 50-slot window, full
-# re-green cadence is ceil(237/50) = 5 rounds; priority order is
+# Steady-state honesty: with 238 queries and a 50-slot window, full
+# re-green cadence is ceil(238/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -12690,6 +12740,7 @@ _VERIFY_FIRST = [
     "bpe_fertility",
     "text_token_entropy",
     "dedup_cdc_chunks",
+    "dedup_jaccard_exact",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -12723,7 +12774,6 @@ _VERIFY_FIRST = [
     "union_slices",
     "twap_daily",
     "topk_with_other_bucket",
-    "top5_zones",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

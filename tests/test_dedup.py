@@ -869,3 +869,72 @@ def test_cdc_chunks_partition_is_exact(spark):
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
     ).collect()[0][0]
     assert total_chunk_tokens == 2 * true_tokens
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_prefix_join_matches_bruteforce(spark):
+    """Completeness + precision: the prefix-filtered join returns exactly
+    the naive all-pairs result on a corpus engineered with borderline
+    pairs (just above/below t=0.6 on bigram sets)."""
+    import itertools
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    docs = {
+        1: "a b c d e f g h",
+        2: "a b c d e f g h",            # exact dup of 1
+        3: "a b c d e f g z",            # high overlap with 1
+        4: "a b c d q r s t",            # ~borderline
+        5: "z y x w v u t s",            # disjoint-ish
+        6: "a b",                        # tiny set (1 bigram)
+        7: "a b",                        # tiny dup
+    }
+    df = rows_source(spark, list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in jaccard_prefix_join(df, threshold_pct=60).collect()
+    }
+
+    def bigrams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = bigrams(docs[a]), bigrams(docs[b])
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * 100 >= union * 60:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert (1, 2) in got and (6, 7) in got  # exact dups found
+    assert (1, 5) not in got
+
+
+def test_jaccard_prefix_join_prunes_candidates(spark):
+    """The rare-first prefix must generate far fewer candidates than
+    all-pairs on a corpus with one corpus-wide frequent element."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    # every doc shares the frequent bigram "the end"; unique tails make
+    # all true similarities low -> result must be empty, and the shared
+    # frequent element must NOT have generated n^2 candidates (it sorts
+    # to the back of every set, outside the prefix)
+    data = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f the end")
+        for i in range(100)
+    ]
+    df = rows_source(spark, data, "doc_id long, text string")
+    assert jaccard_prefix_join(df, threshold_pct=60).count() == 0

@@ -139,6 +139,7 @@ HEAVY = [
     "bpe_fertility",
     "text_token_entropy",
     "dedup_cdc_chunks",
+    "dedup_jaccard_exact",
 ]
 
 REPLICA_STRIDE = 10_000_000
