@@ -420,3 +420,100 @@ def test_audio_sniffers_never_crash_on_fuzz(payload):
         fmt, dur = sniff_audio_header(payload, total_size=len(payload), tail=tail)
         assert fmt is None or isinstance(fmt, str)
         assert dur is None or (isinstance(dur, int) and dur >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 closed forms vs brute-force references
+# ---------------------------------------------------------------------------
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=12),
+    budget_pct=st.integers(min_value=1, max_value=120),
+    epoch_cap=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_unimax_closed_form_matches_iterative(spark, sizes, budget_pct, epoch_cap):
+    """The window closed form (crossover scalars + largest remainder) must
+    equal the paper's sequential waterfilling loop for ANY sizes/budget,
+    including infeasible budgets (> Σcap) and all-tie inputs."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import unimax_allocation
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+    from tests.test_sampling import _unimax_bruteforce
+
+    budget = max(sum(sizes) * budget_pct // 100, 0)
+    sizes_df = rows_source(
+        spark,
+        [(f"g{i:03d}", n) for i, n in enumerate(sizes)],
+        "grp string, n_tok long",
+    )
+    budget_df = rows_source(spark, [(budget,)], "budget long")
+    got = {
+        r["grp"]: r["alloc"]
+        for r in unimax_allocation(
+            sizes_df, ["grp"], epoch_cap=epoch_cap, budget=budget_df
+        ).collect()
+    }
+    caps = [n * epoch_cap for n in sizes]
+    if budget >= sum(caps):
+        want = {f"g{i:03d}": c for i, c in enumerate(caps)}
+    else:
+        bf = _unimax_bruteforce(sizes, epoch_cap, budget)
+        want = {f"g{i:03d}": a for i, a in enumerate(bf)}
+        assert sum(want.values()) == budget  # exact spend when feasible
+    assert got == want
+
+
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_SHORT_DOC = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_SHORT_DOC, min_size=2, max_size=6))
+@settings(**_SETTINGS)
+def test_jaccard_prefix_join_property(spark, texts):
+    """Prefix-filtered join == naive all-pairs on random tiny-vocab docs
+    (the adversarial case for prefix filtering: every element frequent)."""
+    import itertools
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import jaccard_prefix_join
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    df = rows_source(
+        spark, list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in jaccard_prefix_join(df, threshold_pct=60, ngram=2).collect()
+    }
+
+    def bigrams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))}
+
+    want = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        sa, sb = bigrams(texts[a]), bigrams(texts[b])
+        inter, union = len(sa & sb), len(sa | sb)
+        if inter * 100 >= union * 60:
+            want[(a, b)] = (inter, union)
+    assert got == want
+
+
+@given(texts=st.lists(_SHORT_DOC, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_cdc_chunks_tile_documents(spark, texts):
+    """CDC chunks partition each doc exactly: duplicating the corpus makes
+    every chunk cross-doc, and summed (len x occurrences) token mass must
+    equal twice the corpus token count."""
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.dedup import cdc_chunk_dedup
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    rows = list(enumerate(texts)) + [
+        (i + 1_000_000, t) for i, t in enumerate(texts)
+    ]
+    df = rows_source(spark, rows, "doc_id long, text string")
+    out = cdc_chunk_dedup(df, divisor=4).collect()
+    total = sum(r["len_tokens"] * r["n_chunks"] for r in out)
+    assert total == 2 * sum(len(t.split()) for t in texts)
