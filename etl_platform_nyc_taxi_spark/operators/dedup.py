@@ -1548,6 +1548,11 @@ def jaccard_prefix_join(
         .select(
             "__id", "arr", F.size("arr").cast("long").alias("sz")
         )
+        # three consumers (prefix explode + both verification sides)
+        # would each re-run the tokenize→freq-join→sort trunk — the
+        # _gram_base lesson (measured ~2× there); checkpoint the
+        # |docs|-row relation once
+        .localCheckpoint(eager=False)
     )
     # prefix length = sz - ceil(t*sz) + 1, all-integer
     plen = (
