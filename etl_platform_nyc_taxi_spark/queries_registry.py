@@ -12649,6 +12649,337 @@ def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_budget_build",
+    r"""
+    WITH lab AS (
+      SELECT doc_id, text, lang,
+             CASE WHEN len(list_filter(toks,
+                    t -> t IN ('the','a','of','and','to','in','is','it'))) * 20
+                  >= len(toks) THEN 'keep' ELSE 'drop' END AS label,
+             CAST(len(toks) AS BIGINT) AS n_tok
+      FROM (SELECT doc_id, text, lang,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents)
+    ),
+    corpus AS (SELECT * FROM lab WHERE doc_id % 20 <> 0),
+    ev AS (SELECT text FROM lab WHERE doc_id % 20 = 0),
+    -- NB gate: train on the corpus' 80% (doc_id % 5 <> 0), score everyone
+    ttok AS (
+      SELECT label AS cls,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM corpus WHERE doc_id % 5 <> 0
+    ),
+    ctc AS (SELECT cls, tok, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+    ncls AS (SELECT cls, COUNT(*) AS n_tokc FROM ttok GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vsz FROM ttok),
+    dc AS (SELECT label AS cls, COUNT(*) AS n_docs FROM corpus
+           WHERE doc_id % 5 <> 0 GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM corpus WHERE doc_id % 5 <> 0),
+    model AS (
+      SELECT cls, tok,
+             CAST(floor(ln((c + 1) / CAST(n_tokc + vsz AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS llh_micro
+      FROM ctc JOIN ncls USING (cls) CROSS JOIN v
+    ),
+    classes AS (
+      SELECT dc.cls,
+             CAST(floor(ln(n_docs / CAST(n_total AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS prior_micro,
+             CAST(floor(ln(1 / CAST(n_tokc + vsz AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS default_micro
+      FROM dc JOIN ncls ON dc.cls = ncls.cls CROSS JOIN v CROSS JOIN tot
+    ),
+    tk AS (
+      SELECT doc_id, tok, COUNT(*) AS k FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM corpus)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT tk.doc_id, cl.cls,
+             SUM(k * COALESCE(m.llh_micro, cl.default_micro)) AS tok_micro
+      FROM tk CROSS JOIN classes cl
+      LEFT JOIN model m ON m.cls = cl.cls AND m.tok = tk.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.doc_id, cl.cls,
+             CAST(cl.prior_micro + COALESCE(p.tok_micro, 0) AS BIGINT)
+               AS score_micro
+      FROM corpus c CROSS JOIN classes cl
+      LEFT JOIN per p ON p.doc_id = c.doc_id AND p.cls = cl.cls
+    ),
+    predq AS (
+      SELECT doc_id, cls AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score_micro DESC, cls ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    -- Bloom decontamination vs the eval holdout
+    eg AS (
+      SELECT DISTINCT unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               tk2 -> tk2 <> '') AS toks FROM ev)
+    ),
+    bloom AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM eg CROSS JOIN range(1, 4) r(j)
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                       tk2 -> tk2 <> '') AS toks FROM corpus)
+    ),
+    probe AS (
+      SELECT doc_id, gram,
+             CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM tg CROSS JOIN range(1, 4) r(j)
+    ),
+    hit AS (
+      SELECT doc_id, gram
+      FROM probe p JOIN bloom b USING (pos)
+      GROUP BY doc_id, gram HAVING COUNT(*) = 3
+    ),
+    bflag AS (
+      SELECT t.doc_id,
+             COUNT(h.gram) * 100 > COUNT(*) * 5 AS flagged
+      FROM tg t LEFT JOIN hit h ON t.doc_id = h.doc_id AND t.gram = h.gram
+      GROUP BY t.doc_id
+    ),
+    -- stage routing
+    staged1 AS (
+      SELECT c.doc_id, c.text, c.lang, c.n_tok,
+             CASE WHEN p.predicted = 'drop' THEN 'dropped_quality'
+                  WHEN b.flagged THEN 'dropped_contaminated'
+             END AS early_stage
+      FROM corpus c JOIN predq p USING (doc_id) JOIN bflag b USING (doc_id)
+    ),
+    elig AS (
+      SELECT doc_id, text, lang, n_tok,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM staged1 WHERE early_stage IS NULL
+    ),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fprn
+      FROM elig
+    ),
+    surv AS (SELECT doc_id, lang, n_tok FROM dedup WHERE fprn = 1),
+    -- UniMax token budget per lang (epoch cap 1, budget = half)
+    s AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lt FROM surv GROUP BY 1),
+    b AS (SELECT CAST(SUM(lt) // 2 AS BIGINT) AS budget,
+                 CAST(COUNT(*) AS BIGINT) AS n_strata FROM s),
+    r AS (
+      SELECT s.*, lt AS cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY lt ASC, lang ASC) AS BIGINT)
+               AS rn,
+             CAST(COALESCE(SUM(lt) OVER (ORDER BY lt ASC, lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM s
+    ),
+    rr AS (
+      SELECT r.*, budget, n_strata,
+             (budget - prefix) // (n_strata - rn + 1) AS candidate
+      FROM r CROSS JOIN b
+    ),
+    sc AS (
+      SELECT MIN(CASE WHEN cap > candidate THEN rn END) AS c_rn,
+             MIN(CASE WHEN cap > candidate THEN prefix END) AS c_prefix
+      FROM rr
+    ),
+    alloc AS (
+      SELECT lang,
+             CASE WHEN c_rn IS NULL OR rn < c_rn THEN cap
+                  ELSE (budget - c_prefix) // (n_strata - c_rn + 1)
+                       + CASE WHEN rn - c_rn <
+                           (budget - c_prefix) % (n_strata - c_rn + 1)
+                         THEN 1 ELSE 0 END
+             END AS alloc
+      FROM rr CROSS JOIN sc
+    ),
+    -- greedy md5-rank selection inside each lang up to its allocation
+    sel AS (
+      SELECT sv.doc_id, sv.lang, sv.n_tok,
+             SUM(sv.n_tok) OVER (PARTITION BY sv.lang
+               ORDER BY md5('budget:' || CAST(sv.doc_id AS VARCHAR)),
+                        sv.doc_id
+               ROWS UNBOUNDED PRECEDING) <= a.alloc AS kept
+      FROM surv sv JOIN alloc a USING (lang)
+    )
+    SELECT doc_id, lang, n_tok, stage FROM (
+      SELECT doc_id, lang, n_tok, 'eval_holdout' AS stage
+      FROM lab WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_tok, early_stage AS stage
+      FROM staged1 WHERE early_stage IS NOT NULL
+      UNION ALL
+      SELECT doc_id, lang, n_tok, 'dropped_dup' AS stage
+      FROM dedup WHERE fprn > 1
+      UNION ALL
+      SELECT doc_id, lang, n_tok,
+             CASE WHEN kept THEN 'kept' ELSE 'dropped_budget' END AS stage
+      FROM sel
+    )
+    """,
+)
+def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the round-10 families — the token-budgeted
+    corpus build a multi-source LLM dump runs, as ONE declarative plan:
+
+      NB quality gate (operators/nbayes: distilled from the heuristic
+        labels on the corpus' own 80%, scores every doc)
+      → Bloom decontamination vs the eval holdout (operators/bloom,
+        broadcast positions relation)
+      → exact dedup, lowest doc_id survives per normalized fingerprint
+      → UniMax token budget per language (operators/sampling, epoch cap
+        1, budget = half the surviving tokens)
+      → greedy md5-rank selection inside each language up to its
+        allocation (portable hash order, window cumsum).
+
+    Emits a full provenance ledger — every input doc with its exit stage
+    (eval_holdout / dropped_quality / dropped_contaminated /
+    dropped_dup / dropped_budget / kept) — so the entire five-stage
+    pipeline value-hashes against the DuckDB replay. Every stage is the
+    already-verified operator; the composition adds joins keyed on
+    doc_id/lang only."""
+    from pyspark.sql import Window
+
+    from etl_platform_nyc_taxi_spark.operators.bloom import (
+        bloom_decontaminate,
+    )
+    from etl_platform_nyc_taxi_spark.operators.nbayes import (
+        nb_classify,
+        nb_train,
+    )
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        fingerprint,
+        stopword_hits,
+        tokens_ws,
+    )
+
+    toks = tokens_ws("text")
+    lab = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "lang",
+        F.when(stopword_hits(toks) * 20 >= F.size(toks), F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    # lab fans out to SIX consumers (NB train, NB score frame, bloom
+    # probe, bloom build, ledger branches) — checkpoint the tokenize+
+    # label pass once (the _gram_base lesson; docs-sized relation)
+    lab = lab.localCheckpoint(eager=False)
+    corpus = lab.filter(F.col("doc_id") % 20 != 0)
+    evals = lab.filter(F.col("doc_id") % 20 == 0)
+
+    model, classes = nb_train(
+        corpus.filter(F.col("doc_id") % 5 != 0), "label", "text"
+    )
+    # nb_score consumes `classes` twice (per-token defaults + the
+    # doc×class frame) and each use would re-run the training-token
+    # aggregate trunk; both relations are model-sized — checkpoint
+    model = model.localCheckpoint(eager=False)
+    classes = classes.localCheckpoint(eager=False)
+    spread = _spread(spark, sf_dir, "documents")
+    # the checkpointed lab relation carries the scan's few partitions —
+    # spread the tokenize/md5-heavy explodes across cores (the CPU-big/
+    # byte-small AQE lesson)
+    pred = nb_classify(corpus.repartition(spread), model, classes)
+    bflag = bloom_decontaminate(
+        corpus, evals, partitions=spread
+    ).select("doc_id", "flagged")
+
+    staged1 = (
+        corpus.join(pred, "doc_id")
+        .join(bflag, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "n_tok",
+            F.when(F.col("predicted") == "drop", F.lit("dropped_quality"))
+            .when(F.col("flagged"), F.lit("dropped_contaminated"))
+            .alias("early_stage"),
+        )
+        # two consumers: the eligible trunk and the ledger branch — and
+        # everything upstream (NB score + bloom probe) is expensive
+        .localCheckpoint(eager=False)
+    )
+    elig = staged1.filter(F.col("early_stage").isNull()).withColumn(
+        "fp", fingerprint("text")
+    )
+    dedup = elig.withColumn(
+        "fprn",
+        F.row_number().over(
+            Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+        ),
+    )
+    dedup = dedup.localCheckpoint(eager=False)  # survivors + dup branch
+    surv = dedup.filter(F.col("fprn") == 1).select("doc_id", "lang", "n_tok")
+
+    sizes = surv.groupBy("lang").agg(F.sum("n_tok").cast("long").alias("lt"))
+    alloc = unimax_allocation(sizes, ["lang"], n_col="lt", epoch_cap=1).select(
+        "lang", "alloc"
+    )
+    cum = (
+        Window.partitionBy("lang")
+        .orderBy(
+            F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))),
+            F.col("doc_id").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sel = surv.join(F.broadcast(alloc), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (F.sum("n_tok").over(cum) <= F.col("alloc")).alias("kept"),
+    )
+
+    out = (
+        evals.select(
+            "doc_id", "lang", "n_tok", F.lit("eval_holdout").alias("stage")
+        )
+        .unionByName(
+            staged1.filter(F.col("early_stage").isNotNull()).select(
+                "doc_id", "lang", "n_tok", F.col("early_stage").alias("stage")
+            )
+        )
+        .unionByName(
+            dedup.filter(F.col("fprn") > 1).select(
+                "doc_id", "lang", "n_tok", F.lit("dropped_dup").alias("stage")
+            )
+        )
+        .unionByName(
+            sel.select(
+                "doc_id",
+                "lang",
+                "n_tok",
+                F.when(F.col("kept"), F.lit("kept"))
+                .otherwise(F.lit("dropped_budget"))
+                .alias("stage"),
+            )
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -12656,7 +12987,7 @@ def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (20): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (21): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -12682,7 +13013,8 @@ def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     compressibility gate); dedup_cdc_chunks (content-defined
 #     chunking, shift-invariance pinned in tests); dedup_jaccard_exact
 #     (prefix-filtered exact similarity join, all-pairs oracle = the
-#     completeness proof);
+#     completeness proof); corpus_budget_build (five-stage capstone
+#     composition of the round's families, full-ledger oracle);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -12693,8 +13025,9 @@ def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 5 of the 47 r6-greens, oldest-first (window_value_family …
-#     topk_with_other_bucket), leaving top5_zones, time_to_convert,
+#   * 4 of the 47 r6-greens, oldest-first (window_value_family …
+#     twap_daily), leaving topk_with_other_bucket, top5_zones,
+#     time_to_convert,
 #     streaming_error_monitor,
 #     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
 #     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
@@ -12709,14 +13042,14 @@ def q_dedup_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (42) for r11, then the r7
+#     attribution_linear, abc_classification (43) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 42 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 43 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 238 queries and a 50-slot window, full
-# re-green cadence is ceil(238/50) = 5 rounds; priority order is
+# Steady-state honesty: with 239 queries and a 50-slot window, full
+# re-green cadence is ceil(239/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -12741,6 +13074,7 @@ _VERIFY_FIRST = [
     "text_token_entropy",
     "dedup_cdc_chunks",
     "dedup_jaccard_exact",
+    "corpus_budget_build",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -12773,7 +13107,6 @@ _VERIFY_FIRST = [
     "weighted_sample_pps",
     "union_slices",
     "twap_daily",
-    "topk_with_other_bucket",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -173,3 +173,41 @@ def test_observed_metrics_single_pass(spark):
     assert got["n_rows"] == 100
     assert got["n_flagged"] == 10
     assert got["n_null_ids"] == 0
+
+
+def test_corpus_budget_build_ledger_invariants(spark):
+    """The capstone ledger: every input doc appears exactly once with
+    exactly one stage, kept tokens per lang never exceed the UniMax
+    allocation, and the stage set is the documented closed set."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    rows = QUERIES["corpus_budget_build"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    stages = {r["stage"] for r in rows}
+    assert stages <= {
+        "eval_holdout", "dropped_quality", "dropped_contaminated",
+        "dropped_dup", "dropped_budget", "kept",
+    }
+    assert "kept" in stages and "eval_holdout" in stages
+    # budget respected per lang: kept tokens <= alloc <= lang survivor total
+    from collections import defaultdict
+
+    kept_tok = defaultdict(int)
+    surv_tok = defaultdict(int)
+    for r in rows:
+        if r["stage"] in ("kept", "dropped_budget"):
+            surv_tok[r["lang"]] += r["n_tok"]
+            if r["stage"] == "kept":
+                kept_tok[r["lang"]] += r["n_tok"]
+    total_budget = sum(surv_tok.values()) // 2
+    assert sum(kept_tok.values()) <= total_budget
+    for lang, kt in kept_tok.items():
+        assert kt <= surv_tok[lang]

@@ -140,6 +140,7 @@ HEAVY = [
     "text_token_entropy",
     "dedup_cdc_chunks",
     "dedup_jaccard_exact",
+    "corpus_budget_build",
 ]
 
 REPLICA_STRIDE = 10_000_000
