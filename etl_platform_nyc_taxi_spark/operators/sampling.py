@@ -770,3 +770,58 @@ def unimax_allocation(
             ),
         )
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "ilv",
+) -> DataFrame:
+    """Deterministic proportional interleaving of N sources into one
+    training order (stride scheduling): within each source, docs rank by
+    the portable md5 hash (an unbiased shuffle both engines replay);
+    each doc's global ORDER KEY is ``(rank-1) · total_docs div
+    source_docs`` — so reading the corpus in order-key order yields
+    every source at its corpus proportion in EVERY PREFIX of the stream,
+    not just in expectation. This is the "mixture holds within every
+    training window" property batch samplers want: a 70/20/10 corpus
+    stays 70/20/10 inside any contiguous slice, instead of clumping by
+    whatever order the files were written.
+
+    Returns ``(id, source, src_rank, order_key)``; ties in order_key
+    (different sources landing the same stride slot) are broken
+    deterministically downstream by (order_key, source, id). Integer
+    arithmetic only.
+
+    Scale shape: one per-source window for the rank (partitioned on the
+    source — skew bounded by source size), one broadcast counts join;
+    the global interleave NEVER sorts globally — order_key is a pure
+    projection, and a consumer ``repartitionByRange(order_key)`` writes
+    the stream in training order with a range shuffle."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__n_src")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("__n_tot"))
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.select(id_col, source_col)
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            source_col,
+            "src_rank",
+            F.expr("((src_rank - 1) * __n_tot) div __n_src").alias(
+                "order_key"
+            ),
+        )
+    )

@@ -12980,6 +12980,42 @@ def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "dataset_interleave",
+    r"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('ilv:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS BIGINT) AS src_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.src_rank,
+           CAST(((r.src_rank - 1) * t.n_tot) // c.n_src AS BIGINT)
+             AS order_key
+    FROM ranked r JOIN counts c USING (source) CROSS JOIN tot t
+    """,
+)
+def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled training-order interleaving (operators/sampling.
+    interleave_sources): every source appears at its corpus proportion
+    inside EVERY prefix of the order-key stream, not just in expectation
+    — the mixture-holds-per-window property batch samplers need. md5
+    ranks give the within-source shuffle; the order key is a pure
+    integer projection (no global sort — consumers range-partition on
+    it); prefix-proportionality pinned in tests."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    return interleave_sources(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -12987,7 +13023,7 @@ def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (21): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (22): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -13015,6 +13051,8 @@ def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (prefix-filtered exact similarity join, all-pairs oracle = the
 #     completeness proof); corpus_budget_build (five-stage capstone
 #     composition of the round's families, full-ledger oracle);
+#     dataset_interleave (stride-scheduled training order,
+#     prefix-proportionality pinned);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -13025,9 +13063,9 @@ def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 4 of the 47 r6-greens, oldest-first (window_value_family …
-#     twap_daily), leaving topk_with_other_bucket, top5_zones,
-#     time_to_convert,
+#   * 3 of the 47 r6-greens, oldest-first (window_value_family …
+#     union_slices), leaving twap_daily, topk_with_other_bucket,
+#     top5_zones, time_to_convert,
 #     streaming_error_monitor,
 #     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
 #     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
@@ -13042,14 +13080,14 @@ def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (43) for r11, then the r7
+#     attribution_linear, abc_classification (44) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 43 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 44 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 239 queries and a 50-slot window, full
-# re-green cadence is ceil(239/50) = 5 rounds; priority order is
+# Steady-state honesty: with 240 queries and a 50-slot window, full
+# re-green cadence is ceil(240/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -13075,6 +13113,7 @@ _VERIFY_FIRST = [
     "dedup_cdc_chunks",
     "dedup_jaccard_exact",
     "corpus_budget_build",
+    "dataset_interleave",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -13106,7 +13145,6 @@ _VERIFY_FIRST = [
     "window_value_family",
     "weighted_sample_pps",
     "union_slices",
-    "twap_daily",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -630,3 +630,38 @@ def test_unimax_infeasible_budget_allocates_all_caps(spark):
     }
     # budget exceeds sum of caps: every stratum saturates, no crossover
     assert out == {"a": 20, "b": 40}
+
+
+def test_interleave_prefix_proportionality(spark):
+    """The defining stride-scheduling property: every prefix of the
+    order-key stream carries each source within one stride of its exact
+    corpus proportion."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    data = (
+        [(i, "a") for i in range(70)]
+        + [(100 + i, "b") for i in range(20)]
+        + [(200 + i, "c") for i in range(10)]
+    )
+    df = rows_source(spark, data, "doc_id long, source string")
+    rows = sorted(
+        interleave_sources(df).collect(),
+        key=lambda r: (r["order_key"], r["source"], r["doc_id"]),
+    )
+    assert len(rows) == 100
+    n = {"a": 70, "b": 20, "c": 10}
+    seen = {"a": 0, "b": 0, "c": 0}
+    for k, r in enumerate(rows, start=1):
+        seen[r["source"]] += 1
+        for s, cnt in seen.items():
+            # within one stride (total/n_src docs) of the exact share
+            assert abs(cnt - k * n[s] / 100) <= 100 / n[s] + 1, (k, s, cnt)
+    assert seen == n
+    # determinism: same input -> identical order keys
+    again = sorted(
+        interleave_sources(df).collect(),
+        key=lambda r: (r["order_key"], r["source"], r["doc_id"]),
+    )
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]

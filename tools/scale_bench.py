@@ -141,6 +141,7 @@ HEAVY = [
     "dedup_cdc_chunks",
     "dedup_jaccard_exact",
     "corpus_budget_build",
+    "dataset_interleave",
 ]
 
 REPLICA_STRIDE = 10_000_000
