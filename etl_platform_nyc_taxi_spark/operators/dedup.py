@@ -1548,11 +1548,13 @@ def jaccard_prefix_join(
         .select(
             "__id", "arr", F.size("arr").cast("long").alias("sz")
         )
-        # three consumers (prefix explode + both verification sides)
-        # would each re-run the tokenize→freq-join→sort trunk — the
-        # _gram_base lesson (measured ~2× there); checkpoint the
-        # |docs|-row relation once
-        .localCheckpoint(eager=False)
+        # NOT localCheckpointed despite three consumers: measured 3.3 s
+        # plan-shared vs 7.5 s checkpointed at sf0.1 — the materialized
+        # relation carries every doc's full element array, so the
+        # checkpoint blocks column pruning (the prefix branch needs only
+        # a slice) and serializes wide rows three times; the recomputed
+        # trunk is cheaper than reading it back (the inverse of the
+        # _gram_base case, whose shared relation feeds a quadratic join)
     )
     # prefix length = sz - ceil(t*sz) + 1, all-integer
     plen = (
