@@ -1115,3 +1115,63 @@ def token_entropy(
             ),
         )
     )
+
+
+def robots_apply(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Apply robots.txt-style path rules to a crawl frontier with the
+    standard (RFC 9309) LONGEST-MATCH semantics: for each (host, path),
+    among all rules of that host whose ``rule_path`` is a prefix of the
+    path, the longest wins; ``allow`` rules beat ``disallow`` at equal
+    length (the RFC tie-break); a host with no matching rule is allowed.
+
+    ``rules`` is ``(host, rule_path, allow boolean)`` — the parsed form
+    of per-host robots files (an empty-path disallow is the "Disallow: /"
+    blanket when expressed as ``'/'``).
+
+    Returns the input plus ``allowed boolean`` and ``matched_rule``
+    (NULL when no rule matched). ``id_col`` must be unique per URL row —
+    the winner window partitions on it (partitioning on (host, path)
+    would silently collapse distinct frontier rows that share a URL).
+
+    Scale shape: equi-join on host FIRST (rules are host-keyed, the
+    relation is crawl-metadata-sized — broadcast), then the prefix test
+    runs as a post-join filter on the co-located pair; the winner is a
+    per-URL window over ≤ |that host's rules| rows. Never a LIKE cross
+    join against the whole rule set."""
+    from pyspark.sql import Window
+
+    r = rules.select(
+        F.col(host_col).alias("__rh"),
+        F.col("rule_path").alias("__rp"),
+        F.col("allow").alias("__allow"),
+    )
+    j = urls.join(
+        F.broadcast(r),
+        (F.col(host_col) == F.col("__rh"))
+        & (
+            F.col(path_col).substr(F.lit(1), F.length("__rp"))
+            == F.col("__rp")
+        ),
+        "left",
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.length("__rp").desc(),
+        F.col("__allow").desc(),  # RFC tie-break: allow wins at equal length
+        F.col("__rp").asc(),
+    )
+    best = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *[F.col(c) for c in urls.columns],
+            F.coalesce("__allow", F.lit(True)).alias("allowed"),
+            F.col("__rp").alias("matched_rule"),
+        )
+    )
+    return best

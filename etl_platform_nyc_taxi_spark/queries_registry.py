@@ -13016,6 +13016,93 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_sources(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "robots_crawl_filter",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'a.example.com'
+                             WHEN 1 THEN 'b.example.com'
+                             ELSE 'c.example.com' END AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/public/page' || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 1 THEN '/private/data' || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 2 THEN '/private/export/ok' || CAST(doc_id % 50 AS VARCHAR)
+               WHEN 3 THEN '/tmp/cache' || CAST(doc_id % 50 AS VARCHAR)
+               ELSE '/' END AS path
+      FROM documents
+    ),
+    rules AS (
+      SELECT * FROM (VALUES
+        ('a.example.com', '/private/', FALSE),
+        ('a.example.com', '/private/export/', TRUE),
+        ('a.example.com', '/tmp/', FALSE),
+        ('b.example.com', '/', FALSE),
+        ('b.example.com', '/public/', TRUE)
+      ) AS t(host, rule_path, allow)
+    ),
+    j AS (
+      SELECT u.doc_id, u.host, u.path, r.rule_path, r.allow
+      FROM urls u LEFT JOIN rules r
+        ON u.host = r.host
+       AND substr(u.path, 1, length(r.rule_path)) = r.rule_path
+    ),
+    best AS (
+      SELECT doc_id, host, path,
+             COALESCE(allow, TRUE) AS allowed, rule_path AS matched_rule,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY length(rule_path) DESC, allow DESC,
+                        rule_path ASC) AS rn
+      FROM j
+    )
+    SELECT doc_id, host, path, allowed, matched_rule
+    FROM best WHERE rn = 1
+    """,
+)
+def q_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt rule application with RFC 9309 longest-match semantics
+    (operators/text.robots_apply): per (host, path), the longest
+    prefix-matching rule wins, allow beats disallow at equal length, no
+    match means allowed. The synthesized frontier covers the adversarial
+    shapes: an allow rule carving an exception INSIDE a disallowed
+    subtree (/private/export/ under /private/), a blanket 'Disallow: /'
+    host with a public carve-out, and an unruled host. Rules broadcast
+    host-keyed; never a LIKE cross join against the whole rule set."""
+    from etl_platform_nyc_taxi_spark.operators.text import robots_apply
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("a.example.com"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("b.example.com"))
+        .otherwise(F.lit("c.example.com"))
+    )
+    sfx = (F.col("doc_id") % 50).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/public/page"), sfx))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/data"), sfx))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("/private/export/ok"), sfx),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/tmp/cache"), sfx))
+        .otherwise(F.lit("/"))
+    )
+    urls = d.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = rows_source(
+        spark,
+        [
+            ("a.example.com", "/private/", False),
+            ("a.example.com", "/private/export/", True),
+            ("a.example.com", "/tmp/", False),
+            ("b.example.com", "/", False),
+            ("b.example.com", "/public/", True),
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    return robots_apply(urls, rules, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -13023,7 +13110,7 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (22): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (23): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -13052,7 +13139,8 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     completeness proof); corpus_budget_build (five-stage capstone
 #     composition of the round's families, full-ledger oracle);
 #     dataset_interleave (stride-scheduled training order,
-#     prefix-proportionality pinned);
+#     prefix-proportionality pinned); robots_crawl_filter (RFC 9309
+#     longest-match rule application, carve-out semantics pinned);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -13063,8 +13151,9 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 3 of the 47 r6-greens, oldest-first (window_value_family …
-#     union_slices), leaving twap_daily, topk_with_other_bucket,
+#   * 2 of the 47 r6-greens, oldest-first (window_value_family,
+#     weighted_sample_pps), leaving union_slices, twap_daily,
+#     topk_with_other_bucket,
 #     top5_zones, time_to_convert,
 #     streaming_error_monitor,
 #     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
@@ -13080,14 +13169,14 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (44) for r11, then the r7
+#     attribution_linear, abc_classification (45) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 44 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 45 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 240 queries and a 50-slot window, full
-# re-green cadence is ceil(240/50) = 5 rounds; priority order is
+# Steady-state honesty: with 241 queries and a 50-slot window, full
+# re-green cadence is ceil(241/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -13114,6 +13203,7 @@ _VERIFY_FIRST = [
     "dedup_jaccard_exact",
     "corpus_budget_build",
     "dataset_interleave",
+    "robots_crawl_filter",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -13144,7 +13234,6 @@ _VERIFY_FIRST = [
     # r6-greens, oldest-first (20 of 47; the remainder (27) goes to r11):
     "window_value_family",
     "weighted_sample_pps",
-    "union_slices",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

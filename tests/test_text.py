@@ -743,3 +743,42 @@ def test_tokenizer_fertility_hand_computed(spark):
     assert got["en"] == (2, 3, 10, 1_500_000, 3_333_333)
     # de: hello x2 -> 2 words, 4 tokens, 10 chars
     assert got["de"] == (2, 4, 10, 2_000_000, 2_500_000)
+
+
+def test_robots_apply_longest_match_semantics(spark):
+    from etl_platform_nyc_taxi_spark.operators.text import robots_apply
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    urls = rows_source(
+        spark,
+        [
+            (1, "h", "/private/data"),        # disallowed by /private/
+            (2, "h", "/private/export/x"),    # allow carve-out wins (longer)
+            (3, "h", "/public/x"),            # no matching rule -> allowed
+            (4, "h", "/priv"),                # NOT a prefix match of /private/
+            (5, "other", "/private/data"),    # unruled host -> allowed
+            (6, "h", "/same"),                # equal-length tie -> allow wins
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = rows_source(
+        spark,
+        [
+            ("h", "/private/", False),
+            ("h", "/private/export/", True),
+            ("h", "/same", False),
+            ("h", "/same", True),  # pathological same-length pair
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["matched_rule"])
+        for r in robots_apply(urls, rules).collect()
+    }
+    assert got[1] == (False, "/private/")
+    assert got[2] == (True, "/private/export/")
+    assert got[3] == (True, None)
+    assert got[4] == (True, None)
+    assert got[5] == (True, None)
+    assert got[6] == (True, "/same")
+    assert len(got) == 6  # no frontier row lost or duplicated

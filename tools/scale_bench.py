@@ -142,6 +142,7 @@ HEAVY = [
     "dedup_jaccard_exact",
     "corpus_budget_build",
     "dataset_interleave",
+    "robots_crawl_filter",
 ]
 
 REPLICA_STRIDE = 10_000_000
