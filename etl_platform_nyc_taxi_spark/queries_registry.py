@@ -13103,6 +13103,79 @@ def q_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_apply(urls, rules, "doc_id")
 
 
+@register(
+    "curriculum_stages",
+    r"""
+    WITH per AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    n AS (SELECT doc_id, SUM(c) AS n FROM per GROUP BY doc_id),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(CAST(floor(
+               (CAST(c AS DOUBLE) / n.n) * ln(CAST(n.n AS DOUBLE) / c)
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micro
+      FROM per p JOIN n ON p.doc_id = n.doc_id
+      GROUP BY p.doc_id
+    ),
+    full_rows AS (
+      SELECT d.doc_id, d.lang, COALESCE(s.entropy_micro, 0) AS entropy_micro
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY entropy_micro ASC, doc_id ASC) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      FROM full_rows
+    )
+    SELECT doc_id, lang, entropy_micro,
+           CAST(((rn - 1) * 4) // n_lang + 1 AS INTEGER) AS stage
+    FROM ranked
+    """,
+)
+def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning stage assignment: per language, docs rank by
+    token-distribution entropy (operators/text.token_entropy — the
+    low-entropy/templated → high-entropy/natural easy-to-hard axis) and
+    split into exact rank quartiles — stage = ((rank−1)·4) div n + 1,
+    pure integers, so no interpolated-percentile parity risk at bucket
+    boundaries. The per-lang sort is the cost of EXACT staging; at
+    100 TB you swap the rank window for sketch quantile cuts
+    (quantile_sketch_rollup's mergeable bins) and bucket by threshold
+    comparison — the staging CONTRACT (deterministic, monotone in the
+    score) is what this query pins."""
+    from pyspark.sql import Window
+
+    from etl_platform_nyc_taxi_spark.operators.text import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    scores = token_entropy(
+        d, partitions=_spread(spark, sf_dir, "documents")
+    ).select("doc_id", "entropy_micro")
+    rows = d.select("doc_id", "lang").join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("entropy_micro").asc(), F.col("doc_id").asc()
+    )
+    nw = Window.partitionBy("lang")
+    return (
+        rows.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("n_lang", F.count(F.lit(1)).over(nw).cast("long"))
+        .select(
+            "doc_id",
+            "lang",
+            "entropy_micro",
+            F.expr("CAST(((rn - 1) * 4) div n_lang + 1 AS INT)").alias(
+                "stage"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -13110,7 +13183,7 @@ def q_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (23): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (24): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -13141,6 +13214,8 @@ def q_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     dataset_interleave (stride-scheduled training order,
 #     prefix-proportionality pinned); robots_crawl_filter (RFC 9309
 #     longest-match rule application, carve-out semantics pinned);
+#     curriculum_stages (exact rank-quartile easy-to-hard staging by
+#     token entropy, balance + monotonicity pinned);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -13151,8 +13226,8 @@ def q_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 2 of the 47 r6-greens, oldest-first (window_value_family,
-#     weighted_sample_pps), leaving union_slices, twap_daily,
+#   * 1 of the 47 r6-greens, oldest-first (window_value_family),
+#     leaving weighted_sample_pps, union_slices, twap_daily,
 #     topk_with_other_bucket,
 #     top5_zones, time_to_convert,
 #     streaming_error_monitor,
@@ -13169,14 +13244,14 @@ def q_robots_crawl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (45) for r11, then the r7
+#     attribution_linear, abc_classification (46) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 45 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 46 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 241 queries and a 50-slot window, full
-# re-green cadence is ceil(241/50) = 5 rounds; priority order is
+# Steady-state honesty: with 242 queries and a 50-slot window, full
+# re-green cadence is ceil(242/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -13204,6 +13279,7 @@ _VERIFY_FIRST = [
     "corpus_budget_build",
     "dataset_interleave",
     "robots_crawl_filter",
+    "curriculum_stages",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -13233,7 +13309,6 @@ _VERIFY_FIRST = [
     "ab_test_zscore",
     # r6-greens, oldest-first (20 of 47; the remainder (27) goes to r11):
     "window_value_family",
-    "weighted_sample_pps",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -211,3 +211,30 @@ def test_corpus_budget_build_ledger_invariants(spark):
     assert sum(kept_tok.values()) <= total_budget
     for lang, kt in kept_tok.items():
         assert kt <= surv_tok[lang]
+
+
+def test_curriculum_stages_quartile_invariants(spark):
+    """Stage sizes within 1 of n/4 per lang; stage monotone in score."""
+    from collections import defaultdict
+
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    rows = QUERIES["curriculum_stages"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((r["entropy_micro"], r["doc_id"], r["stage"]))
+    for lang, xs in by_lang.items():
+        xs.sort()
+        n = len(xs)
+        # monotone: stages non-decreasing along the score order
+        stages = [s for _, _, s in xs]
+        assert stages == sorted(stages), lang
+        # balanced: each stage holds floor/ceil of n/4
+        from collections import Counter
+
+        c = Counter(stages)
+        for s in (1, 2, 3, 4):
+            if n >= 4:
+                assert n // 4 <= c[s] <= n // 4 + 1, (lang, s, c)

@@ -143,6 +143,7 @@ HEAVY = [
     "corpus_budget_build",
     "dataset_interleave",
     "robots_crawl_filter",
+    "curriculum_stages",
 ]
 
 REPLICA_STRIDE = 10_000_000
