@@ -123,3 +123,23 @@ def test_fp_audit_bloom_superset_of_truth(spark, docs):
     audit = bloom_fp_audit(train, evals, m_bits=4)
     total_fp = sum(r["n_false_pos"] for r in audit.collect())
     assert total_fp > 0
+
+
+def test_bloom_empty_and_whitespace_docs(spark):
+    """Zero-token docs produce ONE clamped empty gram (word_ngrams clamp)
+    and must flow through build/probe without errors or row loss."""
+    from pyspark.sql import functions as F
+
+    train = rows_source(
+        spark,
+        [(1, ""), (2, "   "), (3, "real content here now")],
+        "doc_id long, text string",
+    )
+    evals = rows_source(spark, [(9, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bloom_decontaminate(train, evals).collect()}
+    assert set(out) == {1, 2, 3}
+    # the empty eval doc's single clamped gram ('') matches the empty
+    # train docs' clamped gram -> they bloom-hit; the real doc doesn't
+    assert out[1]["n_bloom_hits"] == 1 and out[1]["flagged"]
+    assert out[2]["n_bloom_hits"] == 1
+    assert out[3]["n_bloom_hits"] == 0 and not out[3]["flagged"]

@@ -136,3 +136,16 @@ def test_learns_stopword_rule_on_fixture(spark):
         / n
     )
     assert acc > majority
+
+
+def test_nb_single_class_training(spark):
+    """Degenerate but legal: one class in training -> every doc predicts
+    that class with finite integer scores (no div-by-zero, no NULLs)."""
+    train = rows_source(
+        spark, [(1, "a b", "only")], "doc_id long, text string, label string"
+    )
+    test = rows_source(spark, [(9, "a zz")], "doc_id long, text string")
+    model, classes = nb_train(train)
+    out = nb_classify(test, model, classes).collect()
+    assert out[0]["predicted"] == "only"
+    assert isinstance(out[0]["score_micro"], int)
