@@ -643,3 +643,83 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 operator plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probe_broadcasts_positions_no_python(spark):
+    """The Bloom positions relation must BROADCAST to the probe (the whole
+    100 TB argument) and nothing in the pipeline may fall to Python."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["bloom_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_blocklist_rules_broadcast(spark):
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["domain_blocklist_filter"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_nb_model_join_no_cartesian_beyond_classes(spark):
+    """The class frame attaches via broadcast; the model join is equi on
+    (cls, tok); no Python rows."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["nb_quality_classifier"](spark, SF))
+    assert "BroadcastHashJoin" in s
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_unimax_window_sees_strata_not_corpus(spark):
+    """The waterfilling window input must be the post-aggregate strata
+    relation: a HashAggregate appears BELOW the Window in the plan."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["unimax_allocation"](spark, SF))
+    assert "Window" in s and "HashAggregate" in s
+    assert s.index("HashAggregate") > -1
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_interleave_has_no_global_sort(spark):
+    """Order keys are a projection — the plan must not contain a global
+    Sort outside the per-source window (Exchange rangepartitioning would
+    betray a global orderBy)."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["dataset_interleave"](spark, SF))
+    assert "rangepartitioning" not in s.lower()
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_jaccard_prefix_join_no_cartesian(spark):
+    """Candidates come from the prefix equi-join: the plan must carry NO
+    cartesian/broadcast-nested-loop pair generation."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["dedup_jaccard_exact"](spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_cdc_chunk_window_is_doc_partitioned(spark):
+    """The chunk-id cumsum window partitions on the doc id — no global
+    single-partition window over the corpus."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+
+    s = fmt(QUERIES["dedup_cdc_chunks"](spark, SF))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", s)
+    assert specs and all("__id" in sp for sp in specs), specs
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
