@@ -13176,6 +13176,104 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zipf_token_fit",
+    r"""
+    WITH freq AS (
+      SELECT source, tok, COUNT(*) AS c FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents)
+      GROUP BY source, tok
+    ),
+    ranked AS (
+      SELECT source, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY c DESC, tok ASC) AS BIGINT) AS rnk
+      FROM freq
+    ),
+    pts AS (
+      SELECT source,
+             CAST(CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000 + 0.5)
+               AS DOUBLE) / 1000 AS DECIMAL(18,3)) AS x,
+             CAST(CAST(floor(ln(CAST(c AS DOUBLE)) * 1000 + 0.5)
+               AS DOUBLE) / 1000 AS DECIMAL(18,3)) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+      FROM pts GROUP BY source
+    )
+    SELECT source, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the token frequency distribution per source: OLS
+    of ln(freq) on ln(rank) over the vocab relation (a natural corpus
+    shows slope ≈ −1; a bot-generated or templated source deviates — the
+    corpus-health screen). Composes operators/analytics.
+    group_regression_stats (one-pass exact-decimal moments) over
+    MILLI-quantized log points — 3 decimals, so every moment product
+    (6 decimals) fits the DECIMAL(38,6) accumulators LOSSLESSLY; at
+    micro quantization the 12-decimal products get rounded to 6 and the
+    engines' decimal rounding disagreed (measured 1e-5 beta drift).
+    The rank window runs on the VOCAB relation (|distinct tokens| per
+    source — vocab-sized, not corpus-sized; Heaps' law keeps it
+    sub-linear at 100 TB)."""
+    from pyspark.sql import Window
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        group_regression_stats,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(tokens_ws("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("tok").asc()
+    )
+    q3 = lambda col: (  # noqa: E731
+        F.floor(F.log(col.cast("double")) * F.lit(1e3) + F.lit(0.5)).cast(
+            "double"
+        )
+        / F.lit(1e3)
+    )
+    pts = freq.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).select(
+        "source",
+        q3(F.col("rnk")).alias("x"),
+        q3(F.col("c")).alias("y"),
+    )
+    return group_regression_stats(pts, "source", "x", "y", scale=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 10).
 #
@@ -13183,7 +13281,7 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # insertion order).  Round-10 window = exactly the allocation VERDICT r9
 # task 1 prescribes (first-timers, then material changes, then
 # oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (24): dedup_semantic (SemDeDup-style semantic
+#   * first-timer slots (25): dedup_semantic (SemDeDup-style semantic
 #     dedup: md5-medoid clusters + intra-cluster cosine pruning,
 #     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
 #     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
@@ -13215,7 +13313,8 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     prefix-proportionality pinned); robots_crawl_filter (RFC 9309
 #     longest-match rule application, carve-out semantics pinned);
 #     curriculum_stages (exact rank-quartile easy-to-hard staging by
-#     token entropy, balance + monotonicity pinned);
+#     token entropy, balance + monotonicity pinned); zipf_token_fit
+#     (corpus-health power-law fit, milli-quantized exact-moment OLS);
 #   * material changes this round, same-round slots per the
 #     frozen-registry rule (2): multimodal_meta and
 #     multimodal_decode_fallback — the audio sniff kernel gained
@@ -13226,8 +13325,9 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
 #     knn_label_eval … ab_test_zscore in window_age.py order — this
 #     clears the r5 cohort completely;
-#   * 1 of the 47 r6-greens, oldest-first (window_value_family),
-#     leaving weighted_sample_pps, union_slices, twap_daily,
+#   * 0 r6-greens remain in-window — the whole r6 cohort (47) moves to
+#     r11, window_value_family, weighted_sample_pps, union_slices,
+#     twap_daily,
 #     topk_with_other_bucket,
 #     top5_zones, time_to_convert,
 #     streaming_error_monitor,
@@ -13244,14 +13344,14 @@ def q_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
 #     dedup_survivor_weights, dedup_containment, daily_transactions,
 #     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (46) for r11, then the r7
+#     attribution_linear, abc_classification (47) for r11, then the r7
 #     block.
 #
-# Round-11 plan: those 46 r6-greens, then the r7 greens oldest-first —
+# Round-11 plan: those 47 r6-greens, then the r7 greens oldest-first —
 # run tools/window_age.py when planning; any query materially changed
 # in r11 takes a same-round slot first.
-# Steady-state honesty: with 242 queries and a 50-slot window, full
-# re-green cadence is ceil(242/50) = 5 rounds; priority order is
+# Steady-state honesty: with 243 queries and a 50-slot window, full
+# re-green cadence is ceil(243/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -13280,6 +13380,7 @@ _VERIFY_FIRST = [
     "dataset_interleave",
     "robots_crawl_filter",
     "curriculum_stages",
+    "zipf_token_fit",
     # Material changes this round (same-round slots):
     "multimodal_meta",
     "multimodal_decode_fallback",
@@ -13308,7 +13409,6 @@ _VERIFY_FIRST = [
     "activity_islands",
     "ab_test_zscore",
     # r6-greens, oldest-first (20 of 47; the remainder (27) goes to r11):
-    "window_value_family",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -732,3 +732,32 @@ def test_hll_portable_matches_python(spark):
     for g in ("a", "b", "__ALL__"):
         true_d, est_milli, _ = out[g]
         assert abs(est_milli / 1000 - true_d) / true_d < 0.25
+
+
+def test_zipf_fit_recovers_known_slope(spark):
+    """Synthesize an exact power law freq = 1000 * rank^-0.8 and check the
+    fitted slope lands on -0.8 (quantization-tight tolerance)."""
+    from etl_platform_nyc_taxi_spark.queries_registry import QUERIES
+    from etl_platform_nyc_taxi_spark.sources.rows import rows_source
+
+    # build a corpus whose per-source token counts follow the power law
+    data = []
+    doc = 0
+    for rank in range(1, 21):
+        c = max(int(round(1000 * rank ** -0.8)), 1)
+        for _ in range(c):
+            data.append((doc, f"t{rank:03d}", "z"))
+            doc += 1
+    docs = rows_source(
+        spark, [(i, t, s) for i, (doc_id, t, s) in enumerate(data)],
+        "doc_id long, text string, source string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        # provide the other fixture tables the loader may probe lazily —
+        # zipf only reads documents, so the sf_dir just needs that file
+        out = {r["source"]: r for r in QUERIES["zipf_token_fit"](spark, td).collect()}
+    beta = out["z"]["beta"]
+    assert abs(beta - (-0.8)) < 0.02, beta
+    assert out["z"]["corr"] < -0.99

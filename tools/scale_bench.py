@@ -144,6 +144,7 @@ HEAVY = [
     "dataset_interleave",
     "robots_crawl_filter",
     "curriculum_stages",
+    "zipf_token_fit",
 ]
 
 REPLICA_STRIDE = 10_000_000
