@@ -204,8 +204,16 @@ def tokenizer_fertility(
     tokenizer-quality metric (tokens per word; a language the tokenizer
     serves poorly fragments into many subwords, inflating its effective
     sequence length and training cost): per ``group_col``,
-    ``(n_words, n_tokens, n_chars, fertility_micro,
+    ``(n_words, n_oov, n_tokens, n_chars, fertility_micro,
     chars_per_token_micro)`` under the trained BPE segmentation.
+
+    Out-of-vocabulary words (absent from ``vocab_final`` because the
+    training corpus never produced their word key) are NOT dropped
+    (advisor r10: an inner join silently removed exactly the
+    poorly-served mass this audit exists to expose): the join is a LEFT
+    join, an OOV word is priced at its char-level fallback segmentation
+    (one token per character — the pessimistic cost every real BPE pays
+    via byte fallback), and ``n_oov`` makes the dropped mass visible.
 
     Same shape as tokenize_documents: corpus explodes to words, the
     word → segmentation relation broadcasts, the rollup aggregates
@@ -216,22 +224,24 @@ def tokenizer_fertility(
             F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
         ).alias("word"),
     )
-    seg = vocab_final.select(
-        "word",
-        F.size("syms").alias("__nt"),
-        F.length("word").alias("__nc"),
-    )
+    seg = vocab_final.select("word", F.size("syms").alias("__nt"))
     return (
-        words.join(F.broadcast(seg), "word")
+        words.join(F.broadcast(seg), "word", "left")
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("__nt").cast("long").alias("n_tokens"),
-            F.sum("__nc").cast("long").alias("n_chars"),
+            F.sum(F.col("__nt").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("__nt"), F.length("word")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
         )
         .select(
             F.col("grp").alias(group_col),
             "n_words",
+            "n_oov",
             "n_tokens",
             "n_chars",
             F.expr("(1000000 * n_tokens) div n_words").alias(

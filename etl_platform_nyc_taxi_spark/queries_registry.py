@@ -12474,13 +12474,17 @@ def q_hll_portable_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(COALESCE(len(v.syms), length(d.word))) AS BIGINT)
+             AS n_tokens,
            CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
-           CAST((1000000 * SUM(len(v.syms))) // COUNT(*) AS BIGINT)
-             AS fertility_micro,
-           CAST((1000000 * SUM(length(d.word))) // SUM(len(v.syms))
+           CAST((1000000 * SUM(COALESCE(len(v.syms), length(d.word))))
+             // COUNT(*) AS BIGINT) AS fertility_micro,
+           CAST((1000000 * SUM(length(d.word)))
+             // SUM(COALESCE(len(v.syms), length(d.word)))
              AS BIGINT) AS chars_per_token_micro
-    FROM docw d JOIN v{_BPE_MERGES} v USING (word)
+    FROM docw d LEFT JOIN v{_BPE_MERGES} v USING (word)
     GROUP BY d.lang
     """,
 )
@@ -12490,8 +12494,11 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the trained BPE — the standard multilingual tokenizer-quality
     metric (a language the tokenizer serves poorly fragments into more
     subwords, inflating its effective sequence length and training
-    cost). Same broadcast word→segmentation join as bpe_token_counts;
-    exact integer micro ratios."""
+    cost). LEFT join (advisor r10): OOV words are priced at char-level
+    fallback and counted in ``n_oov`` instead of being silently dropped,
+    so the audit no longer under-reports exactly the poorly-served
+    languages it exists to expose. Same broadcast word→segmentation
+    join as bpe_token_counts; exact integer micro ratios."""
     from etl_platform_nyc_taxi_spark.operators.bpe import tokenizer_fertility
 
     vocab_final = _bpe_vocab_final(spark, sf_dir)

@@ -686,7 +686,13 @@ def test_unimax_window_sees_strata_not_corpus(spark):
 
     s = fmt(QUERIES["unimax_allocation"](spark, SF))
     assert "Window" in s and "HashAggregate" in s
-    assert s.index("HashAggregate") > -1
+    # BELOW = the Window's input subtree, which formatted-explain prints
+    # on later lines than the Window node itself (advisor r10: the old
+    # `index(...) > -1` was vacuous — str.index never returns -1).
+    assert "HashAggregate" in s[s.index("Window") :], (
+        "no HashAggregate below the Window — the waterfilling window is "
+        "seeing the raw corpus, not the per-stratum aggregate"
+    )
     assert "PythonEval" not in s and "BatchEvalPython" not in s
 
 

@@ -724,7 +724,11 @@ def test_tokenizer_fertility_hand_computed(spark):
 
     docs = rows_source(
         spark,
-        [(1, "hello world", "en"), (2, "hello hello", "de")],
+        [
+            (1, "hello world", "en"),
+            (2, "hello hello", "de"),
+            (3, "hello unseen", "fr"),  # 'unseen' is OOV for the vocab
+        ],
         "doc_id long, text string, lang string",
     )
     vocab = rows_source(
@@ -734,15 +738,18 @@ def test_tokenizer_fertility_hand_computed(spark):
     )
     got = {
         r["lang"]: (
-            r["n_words"], r["n_tokens"], r["n_chars"],
+            r["n_words"], r["n_oov"], r["n_tokens"], r["n_chars"],
             r["fertility_micro"], r["chars_per_token_micro"],
         )
         for r in tokenizer_fertility(docs, vocab, "lang").collect()
     }
-    # en: hello(2 toks) + world(1 tok) = 2 words, 3 tokens, 10 chars
-    assert got["en"] == (2, 3, 10, 1_500_000, 3_333_333)
-    # de: hello x2 -> 2 words, 4 tokens, 10 chars
-    assert got["de"] == (2, 4, 10, 2_000_000, 2_500_000)
+    # en: hello(2 toks) + world(1 tok) = 2 words, 0 oov, 3 tokens, 10 chars
+    assert got["en"] == (2, 0, 3, 10, 1_500_000, 3_333_333)
+    # de: hello x2 -> 2 words, 0 oov, 4 tokens, 10 chars
+    assert got["de"] == (2, 0, 4, 10, 2_000_000, 2_500_000)
+    # fr: hello(2) + OOV 'unseen' at char fallback (6 tokens) — the OOV
+    # word is PRICED, not dropped (advisor r10), and n_oov exposes it.
+    assert got["fr"] == (2, 1, 8, 11, 4_000_000, 1_375_000)
 
 
 def test_robots_apply_longest_match_semantics(spark):

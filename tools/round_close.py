@@ -88,12 +88,27 @@ def main() -> int:
         ]
     )
     audit = json.load(open("PLAN_AUDIT.json"))
-    per_query = audit.get("queries", audit)
-    pe_total = sum(
-        v.get("python_eval", 0)
-        for v in per_query.values()
-        if isinstance(v, dict)
-    )
+    # Fail LOUDLY on shape drift (advisor r10): a renamed key or a
+    # restructured audit file must not let the gate pass vacuously by
+    # summing an empty set to 0.
+    if "queries" not in audit or not isinstance(audit["queries"], dict):
+        raise SystemExit(
+            "round_close: PLAN_AUDIT.json lacks the expected 'queries' "
+            "dict — plan_report.py output shape changed; fix the gate"
+        )
+    per_query = audit["queries"]
+    bad_shape = [
+        n
+        for n, v in per_query.items()
+        if not isinstance(v, dict) or "python_eval" not in v
+    ]
+    if not per_query or bad_shape:
+        raise SystemExit(
+            "round_close: PLAN_AUDIT.json per-query rows missing the "
+            f"'python_eval' key (first offenders: {bad_shape[:5]}) — "
+            "the gate would be vacuous; fix plan_report.py or this gate"
+        )
+    pe_total = sum(v["python_eval"] for v in per_query.values())
     pe_ok = rc_p == 0 and pe_total == 0
     report["plan_audit"] = {"rc": rc_p, "python_eval_zero": pe_ok}
     print(f"[4/6] plan audit: rc={rc_p} python_eval_zero={pe_ok}")

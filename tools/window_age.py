@@ -1,8 +1,20 @@
 """Driver-window rotation hygiene: compute each query's last driver-green
 round from CORRECTNESS_r*.json and report the age table the rotation
 policy needs (VERDICT r5 task 6) — who is in the current window, who has
-never been sampled, and who breaches the "no green older than two
-rounds" rule at the NEXT round.
+never been sampled, and who breaches the staleness rule at the NEXT
+round.
+
+The staleness rule (amended r11, VERDICT r10 task 1): with a fixed
+50-slot driver window over an N-query registry, the tightest cadence any
+rotation can achieve is ceil(N / 50) rounds, so the rule is "no
+driver-green older than ceil(N/50) rounds" — computed from the live
+registry size, not hard-coded (the original 2-round rule became
+arithmetically unsatisfiable once the registry passed 100 queries).
+The COMPENSATING CONTROL for the longer driver cadence is the
+round-close full-registry differential verify (tools/verify_local.py —
+every query, Spark vs DuckDB, value-hashed) which runs every round via
+tools/round_close.py; the driver window rotates oldest-first on top so
+every query still gets a periodic DRIVER-side proof.
 
 Usage: python tools/window_age.py [--round N]
   --round N: the upcoming round number (default: max seen + 1).
@@ -83,7 +95,10 @@ def main() -> int:
         and n in last_green  # never-green already reported separately
     ]
     # Age = rounds since last green as of the END of the upcoming round.
-    # The two-round rule: by end of round R, last green must be >= R-2.
+    # Staleness bound = the achievable rotation cycle: ceil(N / window).
+    # By end of round R, last green must be >= R - cycle.
+    cycle = -(-len(all_names) // max(len(_VERIFY_FIRST), 1))
+
     def age(n: str) -> int | None:
         return upcoming - last_green[n] if n in last_green else None
 
@@ -91,15 +106,20 @@ def main() -> int:
         (
             (age(n), n)
             for n in all_names
-            if n in last_green and age(n) > 2 and n not in window
+            if n in last_green and age(n) > cycle and n not in window
         ),
         reverse=True,
     )
     covered = [
-        n for n in all_names if n in last_green and age(n) > 2 and n in window
+        n
+        for n in all_names
+        if n in last_green and age(n) > cycle and n in window
     ]
 
-    print(f"registry: {len(all_names)}  window: {len(_VERIFY_FIRST)}")
+    print(
+        f"registry: {len(all_names)}  window: {len(_VERIFY_FIRST)}"
+        f"  cycle bound: {cycle} rounds"
+    )
     print(f"upcoming round: r{upcoming} (history through r{max_round})")
     print(f"\nnever driver-sampled: {len(never)}")
     in_win = [n for n in never if n in window]
@@ -120,8 +140,9 @@ def main() -> int:
             )
         )
     print(
-        f"\ntwo-round-rule breaches at end of r{upcoming}"
-        f" (last green <= r{upcoming - 3}, not in window): {len(breaches)}"
+        f"\nstaleness-rule breaches at end of r{upcoming}"
+        f" (last green <= r{upcoming - cycle - 1}, not in window):"
+        f" {len(breaches)}"
     )
     for a, n in breaches:
         print(f"    {n}  (last green r{upcoming - a}, age {a})")
@@ -134,6 +155,7 @@ def main() -> int:
             {
                 "upcoming_round": upcoming,
                 "registry": len(all_names),
+                "cycle_bound": cycle,
                 "never_sampled_total": len(never),
                 "backlog_after_round": len(out_win),
                 "sampled_never_green": sampled_never_green,
