@@ -3609,6 +3609,254 @@ def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF-PQ geometry (VERDICT r10 task 4). Small nlist/ksub because the
+#: fixtures hold 500–2000 vectors; the operator takes them as parameters.
+_IVFPQ = {"nlist": 8, "nprobe": 3, "m": 8, "dsub": 8, "ksub": 16,
+          "iters": 2, "k": 10, "dim": 64}
+
+#: Trained-artifact cache, keyed by corpus identity: codebooks are
+#: ingest-time artifacts (m·ksub·dsub ints) — train once, serve many;
+#: the bench's warm pass pays zero training actions.
+_IVFPQ_BOOKS: dict[str, tuple[list, list]] = {}
+
+
+def _lloyd_sql(tag: str, dsub: int, k: int, iters: int) -> str:
+    """Unrolled deterministic integer Lloyd's CTE chain over the
+    positional element relation ``els{dsub}(vec_id, s, sp, x)`` —
+    the SQL replay of operators/pq.fit_int_kmeans. Final centroids in
+    ``{tag}{iters}(s, j, sp, cx)``; init = rows vec_id < k; assignment
+    ties to lowest j; update = positive integer floor division; empty
+    clusters keep the previous centroid."""
+    ctes = [
+        f"""{tag}0 AS (
+      SELECT s, sp, vec_id AS j, x AS cx
+      FROM els{dsub} WHERE vec_id < {k}
+    )"""
+    ]
+    prev = f"{tag}0"
+    for it in range(1, iters + 1):
+        a, b, cur = f"{tag}a{it}", f"{tag}b{it}", f"{tag}{it}"
+        ctes.append(f"""{a} AS (
+      SELECT e.vec_id, e.s, c.j, SUM((e.x - c.cx)*(e.x - c.cx)) AS d
+      FROM els{dsub} e JOIN {prev} c ON c.s = e.s AND c.sp = e.sp
+      GROUP BY e.vec_id, e.s, c.j
+    )""")
+        ctes.append(f"""{b} AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM {a}) WHERE rn = 1
+    )""")
+        ctes.append(f"""{cur} AS (
+      SELECT b.s, b.j, e.sp, CAST(SUM(e.x) // COUNT(*) AS BIGINT) AS cx
+      FROM {b} b JOIN els{dsub} e ON e.vec_id = b.vec_id AND e.s = b.s
+      GROUP BY b.s, b.j, e.sp
+      UNION ALL
+      SELECT c.s, c.j, c.sp, c.cx FROM {prev} c
+      WHERE NOT EXISTS (SELECT 1 FROM {b} b WHERE b.s = c.s AND b.j = c.j)
+    )""")
+        prev = cur
+    return ",\n    ".join(ctes)
+
+
+def _ivfpq_replay_cte() -> str:
+    """The full IVF-PQ replay as a CTE prefix: milli+offset quantization,
+    positional explode, both quantizer trainings, corpus list assignment
+    + PQ codes, query probe lists + ADC lookup table, and the final
+    ``adc(query_id, vec_id, adc_dist2)`` candidate relation."""
+    p = _IVFPQ
+    dim, dsub = p["dim"], p["dsub"]
+    return f"""WITH mv AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x*1000 + 0.5) AS BIGINT) + 1048576) AS v
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, p, v[p] AS x
+      FROM mv, (SELECT unnest(range(1, {dim + 1})) AS p) t
+    ),
+    els{dim} AS (
+      SELECT vec_id, 0 AS s, p - 1 AS sp, x FROM el
+    ),
+    els{dsub} AS (
+      SELECT vec_id, (p-1)//{dsub} AS s, (p-1)%{dsub} AS sp, x FROM el
+    ),
+    {_lloyd_sql("cq", dim, p["nlist"], p["iters"])},
+    {_lloyd_sql("pb", dsub, p["ksub"], p["iters"])},
+    ld AS (
+      SELECT e.vec_id, c.j, SUM((e.x - c.cx)*(e.x - c.cx)) AS d
+      FROM els{dim} e JOIN cq{p["iters"]} c ON c.s = e.s AND c.sp = e.sp
+      GROUP BY e.vec_id, c.j
+    ),
+    lists AS (
+      SELECT vec_id, j AS l FROM (
+        SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, j) AS rn
+        FROM ld) WHERE rn = 1
+    ),
+    cd AS (
+      SELECT e.vec_id, e.s, b.j, SUM((e.x - b.cx)*(e.x - b.cx)) AS d
+      FROM els{dsub} e JOIN pb{p["iters"]} b ON b.s = e.s AND b.sp = e.sp
+      GROUP BY e.vec_id, e.s, b.j
+    ),
+    codes AS (
+      SELECT vec_id, s, j FROM (
+        SELECT vec_id, s, j, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                                ORDER BY d, j) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    qlists AS (
+      SELECT vec_id AS query_id, j AS l FROM (
+        SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, j) AS rn
+        FROM ld WHERE vec_id < 8) WHERE rn <= {p["nprobe"]}
+    ),
+    lut AS (
+      SELECT vec_id AS query_id, s, j, d FROM cd WHERE vec_id < 8
+    ),
+    adc AS (
+      SELECT ql.query_id, li.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist2
+      FROM qlists ql
+      JOIN lists li ON li.l = ql.l
+      JOIN codes c2 ON c2.vec_id = li.vec_id
+      JOIN lut l ON l.query_id = ql.query_id AND l.s = c2.s AND l.j = c2.j
+      GROUP BY ql.query_id, li.vec_id
+    )"""
+
+
+_IVFPQ_TOPK_SQL = f"""
+    {_ivfpq_replay_cte()}
+    SELECT query_id, vec_id, adc_dist2, rank FROM (
+      SELECT query_id, vec_id, adc_dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist2, vec_id) AS rank
+      FROM adc) WHERE rank <= {_IVFPQ["k"]}
+"""
+
+
+def _ivfpq_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_platform_nyc_taxi_spark.operators.pq import (
+        fit_int_kmeans,
+        ivfpq_topk,
+    )
+
+    p = _IVFPQ
+    e = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVFPQ_BOOKS:
+        coarse = fit_int_kmeans(
+            e, m=1, dsub=p["dim"], k=p["nlist"], iters=p["iters"]
+        )[0]
+        books = fit_int_kmeans(
+            e, m=p["m"], dsub=p["dsub"], k=p["ksub"], iters=p["iters"]
+        )
+        _IVFPQ_BOOKS[sf_dir] = (coarse, books)
+    coarse, books = _IVFPQ_BOOKS[sf_dir]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk(
+        e,
+        queries,
+        coarse,
+        books,
+        k=p["k"],
+        nprobe=p["nprobe"],
+        partitions=_spread(spark, sf_dir, "embeddings"),
+    )
+
+
+@register("ann_ivfpq", _IVFPQ_TOPK_SQL)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN serving (operators/pq.py; VERDICT r10 task 4): coarse
+    inverted lists + per-subspace product-quantization codes, candidates
+    scored by asymmetric-distance (ADC) table lookups. UNLIKE ann_ivf
+    (float KMeans, verdict-style oracle) this is a FULL-VALUE oracle:
+    training is deterministic integer Lloyd's over milli-quantized
+    vectors, so codebook assignment AND the exact integer ADC distances
+    replay in DuckDB via unrolled-iteration CTEs (the bpe_merges replay
+    discipline). At 100 TB the encoded corpus (m bytes/vector, 16×
+    smaller than float) is written partitioned by list id; a query reads
+    nprobe/nlist of the bytes and never touches a float vector."""
+    return _ivfpq_results(spark, sf_dir)
+
+
+@register(
+    "ann_ivfpq_recall",
+    f"""
+    {_ivfpq_replay_cte()},
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist2, vec_id) AS rn
+        FROM adc) WHERE rn <= {_IVFPQ["k"]}
+    ),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                                  q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[])), 0)
+                   DESC, e.vec_id ASC) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 8) q
+        CROSS JOIN embeddings e) WHERE rnk <= {_IVFPQ["k"]}
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(CAST(COUNT(a.vec_id) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF-PQ path against exact brute-force cosine
+    truth (the ann_recall_eval pattern, VERDICT r10 task 4) — and because
+    the IVF-PQ result set itself replays in SQL, the recall NUMBERS are
+    full-oracle too (micro-units), not verdict booleans: per query,
+    (n_true, n_hit, recall_ppm). Floor pinned in tests/test_pq.py."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, queries, k=_IVFPQ["k"]).select(
+        "query_id", "vec_id"
+    )
+    a = _ivfpq_results(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("__av")
+    )
+    hits = truth.join(
+        a,
+        (truth.query_id == a.query_id) & (F.col("vec_id") == F.col("__av")),
+        "left",
+    ).select(truth.query_id, "vec_id", "__av")
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("__av").cast("long").alias("n_hit"),
+        F.floor(
+            F.count("__av").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
 @register(
     "join_asof",
     """

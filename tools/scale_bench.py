@@ -145,6 +145,13 @@ HEAVY = [
     "robots_crawl_filter",
     "curriculum_stages",
     "zipf_token_fit",
+    # Round 11: IVF-PQ — training is bounded (max_train_rows slice, 2
+    # Lloyd passes over rows×dim elements) and re-runs per corpus; the
+    # serve path (encode literals + broadcast ADC inside probed lists)
+    # is linear in corpus. Recall eval adds the brute-force truth pass
+    # (8 broadcast queries × corpus — linear).
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
 ]
 
 REPLICA_STRIDE = 10_000_000
