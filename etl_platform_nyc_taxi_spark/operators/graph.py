@@ -34,10 +34,14 @@ logger = logging.getLogger(__name__)
 
 #: Rounds the last :func:`connected_components` call took to converge —
 #: observability hook (also logged): iteration count is bounded by the
-#: component DIAMETER, so a deep-chain corpus shows up here first. If real
-#: corpora exceed ~5 rounds, switch to the Kiveris large-star/small-star
-#: variant (round count drops to O(log diameter)).
+#: component DIAMETER for min-label propagation and by O(log diameter)
+#: for the Kiveris large-star/small-star variant
+#: (:func:`connected_components_star`).
 LAST_CC_ROUNDS: int = 0
+
+#: Which algorithm the last :func:`connected_components` call ran:
+#: "minlabel", "star", or "minlabel->star" (auto-escalation fired).
+LAST_CC_METHOD: str = ""
 
 
 def connected_components(
@@ -46,15 +50,61 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     partitions: int | None = None,
+    method: str = "minlabel",
+    star_threshold: int = 8,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = smallest
     node id reachable from the node (undirected). Deterministic.
+
+    ``method``:
+
+    * ``"minlabel"`` (default) — min-label propagation, O(diameter)
+      rounds. The right choice for near-dup graphs, whose components are
+      short mutant↔original chains (3-5 rounds on real corpora).
+    * ``"star"`` — Kiveris alternating large-star/small-star
+      (:func:`connected_components_star`), O(log diameter) rounds: the
+      100 TB escape hatch for deep-chain graphs where diameter grows with
+      the corpus (VERDICT r10 task 5).
+    * ``"auto"`` — min-label capped at ``star_threshold`` rounds; if the
+      graph hasn't converged by then its diameter is pathological for
+      label propagation and the computation escalates to the star
+      variant (which restarts from the edges — labels from a non-
+      converged propagation aren't reusable state, and the threshold
+      bounds the wasted work at ``star_threshold`` cheap rounds).
+
+    Both algorithms produce identical output (property-tested on random
+    graphs in tests/test_graph.py); observability via
+    :data:`LAST_CC_ROUNDS` / :data:`LAST_CC_METHOD`.
 
     ``partitions`` right-sizes the iteration relations: the edge set of a
     near-dup graph is typically orders of magnitude smaller than the
     corpus that produced it, and every loop round pays per-task overhead
     × partition count — coalesce to match the EDGE volume, not the
     upstream scan's width."""
+    global LAST_CC_METHOD
+    if method not in ("minlabel", "star", "auto"):
+        raise ValueError(f"unknown connected-components method: {method!r}")
+    if method == "star":
+        return connected_components_star(edges, src, dst, max_iter, partitions)
+    if method == "auto":
+        try:
+            out = connected_components(
+                edges, src, dst, min(max_iter, star_threshold), partitions
+            )
+            LAST_CC_METHOD = "minlabel"
+            return out
+        except RuntimeError:
+            logger.warning(
+                "min-label propagation exceeded %d rounds — escalating to "
+                "large-star/small-star",
+                star_threshold,
+            )
+            out = connected_components_star(
+                edges, src, dst, max_iter, partitions
+            )
+            LAST_CC_METHOD = "minlabel->star"
+            return out
+    LAST_CC_METHOD = "minlabel"
     if max_iter < 1:
         # The loop body must run at least once for the convergence check
         # (``changed``) to be defined; <1 would be a silent no-op that
@@ -123,6 +173,121 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): same (node, component = min reachable id) contract as
+    :func:`connected_components`, but convergence in O(log diameter)
+    rounds instead of O(diameter) — the variant for 100 TB near-dup
+    graphs where chained mutants stretch component diameter with corpus
+    size.
+
+    Each round rewires the edge relation toward min-id stars:
+
+    * **large-star** — per node ``u``, every STRICTLY LARGER neighbor is
+      reconnected to ``m = min(Γ(u) ∪ {u})``: tall trees flatten
+      (doubling-style) while every changed edge keeps both endpoints in
+      the same component;
+    * **small-star** — per node ``u`` over its smaller-or-equal
+      neighborhood (edges oriented larger→smaller), ``u`` and all its
+      smaller neighbors attach to the minimum: local stars canonicalize.
+
+    Fixpoint = the edge set is a union of min-rooted stars, i.e. exactly
+    the (node → component) mapping. Each phase is one shuffle join + one
+    min-aggregate on the edge relation (the same per-round cost as one
+    min-label round); rounds ``localCheckpoint`` to truncate lineage;
+    convergence is an empty symmetric difference of successive edge sets
+    (two anti-join counts on the checkpointed relations). Deterministic:
+    min() everywhere, no tie-breaking needed."""
+    global LAST_CC_ROUNDS, LAST_CC_METHOD
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Canonical larger→smaller orientation, self-loops dropped (isolated
+    # self-loop nodes re-enter via the final `nodes` join).
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    if partitions:
+        e = e.repartition(partitions, "u")
+    e = e.localCheckpoint(eager=True)
+    rounds = 0
+    delta = 0
+    for _ in range(max_iter):
+        # large-star: symmetrize, m = min of the closed neighborhood,
+        # reconnect every strictly larger neighbor to m. Output edges
+        # (v, m) keep the larger→smaller orientation (m <= u < v).
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_of = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("m"))
+        )
+        ls = (
+            sym.join(m_of, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: per larger-endpoint u over its smaller neighbors,
+        # attach u and every non-min neighbor to the min. Orientation is
+        # preserved (every emitted edge is (x, m) with x > m).
+        nmin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            nmin.select("u", F.col("m").alias("v"))
+            .unionByName(
+                ls.join(nmin, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            new_e.join(e, ["u", "v"], "left_anti").count()
+            + e.join(new_e, ["u", "v"], "left_anti").count()
+        )
+        e = new_e
+        rounds += 1
+        if delta == 0:
+            break
+    LAST_CC_ROUNDS = rounds
+    LAST_CC_METHOD = "star"
+    if delta != 0:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            f"round(s) ({delta} edges still moving) — raise max_iter"
+        )
+    logger.info("connected_components_star converged in %d round(s)", rounds)
+    return nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("component")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame | None = None,
@@ -131,6 +296,8 @@ def dedup_clusters(
     dst: str = "id_b",
     max_iter: int = 20,
     partitions: int | None = None,
+    method: str = "auto",
+    star_threshold: int = 8,
 ) -> DataFrame:
     """Cluster near-dup pairs and pick one canonical doc per cluster.
 
@@ -138,8 +305,23 @@ def dedup_clusters(
     the cluster's minimum id (the standard keep-the-first policy; swap
     the ordering upstream for quality-based selection). With ``all_ids``
     given, singleton docs (no near-dup) appear as their own component —
-    the full keep/drop decision for the corpus in one relation."""
-    comp = connected_components(pairs, src, dst, max_iter, partitions)
+    the full keep/drop decision for the corpus in one relation.
+
+    ``method="auto"`` (default, VERDICT r10 task 5): min-label
+    propagation while the graph converges within ``star_threshold``
+    rounds — the measured 3-5-round regime of real near-dup corpora —
+    escalating to Kiveris large-star/small-star
+    (:func:`connected_components_star`, O(log diameter) rounds) when a
+    deep-chain graph exceeds it. Identical output either way."""
+    comp = connected_components(
+        pairs,
+        src,
+        dst,
+        max_iter,
+        partitions,
+        method=method,
+        star_threshold=star_threshold,
+    )
     if all_ids is not None:
         ids = all_ids.select(F.col(id_col).alias("node")).distinct()
         comp = ids.join(comp, "node", "left").select(

@@ -238,3 +238,121 @@ def test_connected_components_rejects_nonpositive_max_iter(spark):
     for bad in (0, -3):
         with pytest.raises(ValueError, match="max_iter"):
             connected_components(edges, max_iter=bad)
+
+
+# --- Kiveris large-star/small-star (r11: VERDICT r10 task 5) ---------------
+
+
+def test_star_chain_collapses_to_min_label(spark):
+    from etl_platform_nyc_taxi_spark.operators import graph as G
+
+    out = {
+        r["node"]: r["component"]
+        for r in G.connected_components_star(
+            _edges(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    assert G.LAST_CC_METHOD == "star"
+
+
+def test_star_logarithmic_rounds_on_long_chain(spark):
+    # 64-node chain: diameter 63. Min-label needs ~63 rounds; the star
+    # variant must close in O(log diameter) — assert a generous ceiling
+    # far below the linear bound.
+    from etl_platform_nyc_taxi_spark.operators import graph as G
+
+    chain = _edges(spark, [(i + 1, i) for i in range(1, 64)])
+    out = {
+        r["node"]: r["component"]
+        for r in G.connected_components_star(chain, max_iter=20).collect()
+    }
+    assert out == {i: 1 for i in range(1, 65)}
+    assert G.LAST_CC_ROUNDS <= 10, (
+        f"star CC took {G.LAST_CC_ROUNDS} rounds on a 63-diameter chain"
+    )
+
+
+def test_star_handles_self_loops_and_multiple_components(spark):
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            _edges(spark, [(7, 7), (1, 2), (2, 3), (10, 11)])
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 10: 10, 11: 10}
+
+
+def test_star_equals_minlabel_on_random_graphs(spark):
+    """Property: both algorithms produce the identical (node, component)
+    relation on seeded Erdős–Rényi-ish graphs of varied density."""
+    import random
+
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed, n, m in [(11, 30, 15), (12, 40, 40), (13, 25, 80), (14, 50, 10)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        if not pairs:
+            continue
+        edges = _edges(spark, pairs)
+        a = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, max_iter=60).collect()
+        }
+        b = {
+            r["node"]: r["component"]
+            for r in connected_components_star(edges, max_iter=30).collect()
+        }
+        assert a == b, f"divergence on seed {seed}: {a} vs {b}"
+
+
+def test_auto_escalates_above_threshold_and_matches(spark):
+    from etl_platform_nyc_taxi_spark.operators import graph as G
+
+    # 32-node chain, threshold 4: min-label cannot converge in 4 rounds,
+    # auto must escalate to the star variant and still return the exact
+    # min-label components.
+    chain = _edges(spark, [(i + 1, i) for i in range(1, 32)])
+    out = {
+        r["node"]: r["component"]
+        for r in G.connected_components(
+            chain, max_iter=25, method="auto", star_threshold=4
+        ).collect()
+    }
+    assert out == {i: 1 for i in range(1, 33)}
+    assert G.LAST_CC_METHOD == "minlabel->star"
+
+
+def test_auto_stays_minlabel_below_threshold(spark):
+    from etl_platform_nyc_taxi_spark.operators import graph as G
+
+    out = {
+        r["node"]: r["component"]
+        for r in G.connected_components(
+            _edges(spark, [(1, 2), (2, 3)]), method="auto"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+    assert G.LAST_CC_METHOD == "minlabel"
+
+
+def test_connected_components_rejects_unknown_method(spark):
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        connected_components,
+    )
+
+    with pytest.raises(ValueError, match="unknown connected-components"):
+        connected_components(_edges(spark, [(1, 2)]), method="banana")
