@@ -12302,6 +12302,264 @@ def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(sizes, ["lang", "source"], epoch_cap=2)
 
 
+#: One materialized arriving-file directory per fixture (3 parquet files
+#: so maxFilesPerTrigger=1 yields 3 genuine micro-batches) — an
+#: ingest-time artifact like the ANN index dirs.
+_INGEST_SRC_DIRS: dict[str, str] = {}
+
+
+@register(
+    "streaming_corpus_ingest",
+    rf"""
+    WITH arr AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 = 0
+    ),
+    corp AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 4 <> 0
+    ),
+    sh AS (
+      SELECT doc_id AS id,
+             list_distinct([substr(text, CAST(i AS INT), 6)
+                            for i in range(1, greatest(length(text)-5,1)+1)]) AS sh
+      FROM documents
+    ),
+    hv AS (
+      SELECT id,
+             [CAST('0x' || substr(md5(x), 1, 12) AS BIGINT) for x in sh] AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT id,
+             [{_MH_SLOTS_SQL}] AS sig
+      FROM hv
+    ),
+    banded AS (
+      SELECT id, b.b AS band,
+             {_MH_KEY_SQL} AS key
+      FROM sig, (SELECT unnest(range(0,{_MH_BANDS})) AS b) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS old_id
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.id % 4 = 0 AND b.id % 4 <> 0
+    ),
+    hsets AS (SELECT id, list_distinct(hv) AS hs FROM hv),
+    dup AS (
+      SELECT DISTINCT c.new_id
+      FROM cands c
+      JOIN hsets sa ON sa.id = c.new_id
+      JOIN hsets sb ON sb.id = c.old_id
+      WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(sa.hs || sb.hs)) >= 0.6
+    ),
+    eg AS (
+      SELECT DISTINCT unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                               tk -> tk <> '') AS toks
+            FROM corp WHERE doc_id % 5 = 0)
+    ),
+    bloom AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+               || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+      FROM eg CROSS JOIN range(1, 4) r(j)
+    ),
+    tg AS (
+      SELECT doc_id, unnest(list_distinct(
+        [array_to_string(toks[CAST(i AS INT):CAST(i AS INT)+2], ' ')
+         for i in range(1, greatest(len(toks)-2, 1)+1)])) AS gram
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                                       tk -> tk <> '') AS toks FROM arr)
+    ),
+    hit AS (
+      SELECT doc_id, gram
+      FROM (SELECT doc_id, gram,
+                   CAST('0x' || substr(md5('bloom' || CAST(j AS VARCHAR)
+                     || ':' || gram), 1, 12) AS BIGINT) % 131072 AS pos
+            FROM tg CROSS JOIN range(1, 4) r(j)) p
+      JOIN bloom b USING (pos)
+      GROUP BY doc_id, gram
+      HAVING COUNT(*) = 3
+    ),
+    bl AS (
+      SELECT t.doc_id, COUNT(h.gram) * 100 > COUNT(*) * 35 AS flagged
+      FROM tg t LEFT JOIN hit h ON t.doc_id = h.doc_id AND t.gram = h.gram
+      GROUP BY t.doc_id
+    ),
+    qf AS (
+      SELECT doc_id,
+             (n_tok >= 40 AND n_tok <= 100000)
+               AND (avg_len >= 2.0 AND avg_len <= 12.0)
+               AND stop_ratio >= 0.05
+               AND alpha_ratio >= 0.6
+               AND symbol_ratio <= 0.1 AS keep
+      FROM (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               tk -> tk <> '')) AS n_tok,
+               CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                 / len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   tk -> tk <> '')) AS avg_len,
+               CAST(len(list_filter(list_filter(
+                      string_split_regex(trim(text), '\s+'), tk -> tk <> ''),
+                      t -> t IN ('the','a','of','and','to','in','is','it')))
+                    AS DOUBLE)
+                 / len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   tk -> tk <> '')) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / length(text) AS alpha_ratio,
+               CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                    AS DOUBLE) / length(text) AS symbol_ratio
+        FROM arr)
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                      t -> t <> ''))) AS BIGINT) AS n_tok
+      FROM corp GROUP BY 1
+    ),
+    b AS (SELECT CAST(SUM(n_tok) // 8 AS BIGINT) AS budget,
+                 CAST(COUNT(*) AS BIGINT) AS n_strata
+          FROM s),
+    r AS (
+      SELECT s.*, n_tok AS cap,
+             CAST(ROW_NUMBER() OVER
+               (ORDER BY n_tok ASC, lang ASC) AS BIGINT) AS rn,
+             CAST(COALESCE(SUM(n_tok) OVER
+               (ORDER BY n_tok ASC, lang ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM s
+    ),
+    rr AS (
+      SELECT r.*, budget, n_strata,
+             (budget - prefix) // (n_strata - rn + 1) AS candidate
+      FROM r CROSS JOIN b
+    ),
+    sc AS (
+      SELECT MIN(CASE WHEN cap > candidate THEN rn END) AS c_rn,
+             MIN(CASE WHEN cap > candidate THEN prefix END) AS c_prefix
+      FROM rr
+    ),
+    alloc AS (
+      SELECT lang,
+             CAST(CASE WHEN c_rn IS NULL OR rn < c_rn THEN cap
+                  ELSE (budget - c_prefix) // (n_strata - c_rn + 1)
+                       + CASE WHEN rn - c_rn <
+                           (budget - c_prefix) % (n_strata - c_rn + 1)
+                         THEN 1 ELSE 0 END
+             END AS BIGINT) AS alloc
+      FROM rr CROSS JOIN sc
+    ),
+    led AS (
+      SELECT a.doc_id, a.lang, a.source,
+             CAST(len(list_filter(string_split_regex(trim(a.text), '\s+'),
+                                  tk -> tk <> '')) AS BIGINT) AS n_tok,
+             d.new_id IS NOT NULL AS near_dup,
+             COALESCE(bl.flagged, FALSE) AS contaminated,
+             NOT COALESCE(qf.keep, FALSE) AS low_quality
+      FROM arr a
+      LEFT JOIN dup d ON d.new_id = a.doc_id
+      LEFT JOIN bl ON bl.doc_id = a.doc_id
+      LEFT JOIN qf ON qf.doc_id = a.doc_id
+    ),
+    surv AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM led WHERE NOT near_dup AND NOT contaminated AND NOT low_quality
+    ),
+    adm AS (
+      SELECT sv.doc_id, sv.cum <= COALESCE(al.alloc, 0) AS admitted
+      FROM surv sv LEFT JOIN alloc al ON al.lang = sv.lang
+    )
+    SELECT l.doc_id, l.lang, l.source, l.n_tok,
+           l.near_dup, l.contaminated, l.low_quality,
+           COALESCE(a.admitted, FALSE) AS admitted
+    FROM led l LEFT JOIN adm a ON a.doc_id = l.doc_id
+    """,
+)
+def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest capstone (streaming/ingest.py; VERDICT r10
+    task 6): documents arrive as 3 micro-batch files (AvailableNow,
+    maxFilesPerTrigger=1) and each batch runs the incremental LLM-corpus
+    admission pipeline — MinHash probe vs the static corpus
+    (minhash_probe_new, batch×corpus quadrant), Bloom decontamination vs
+    the benchmark slice (corpus doc_id % 5 = 0), the C4/Gopher quality
+    gate — with survivors admitted against a fixed per-LANG UniMax token
+    quota computed from the existing corpus (epoch_cap=1, budget =
+    corpus tokens / 8; lang-level strata so the quota sits meaningfully
+    ABOVE the quality gate's 40-token floor — finer strata drove every
+    quota below the floor and admitted nothing), folded
+    into generation-numbered ledger state (CdcState). The oracle replays
+    the whole composition in batch SQL — the batch-equivalence proof the
+    streaming fold is designed around (per-doc verdicts are pure
+    functions of static context; admission is a deterministic function
+    of the accumulated ledger SET, so the micro-batch slicing cannot
+    change the final relation). Cross-batch state is further pinned in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        unimax_allocation,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        QualityRules,
+        token_count,
+    )
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+    )
+    from etl_platform_nyc_taxi_spark.streaming.ingest import (
+        corpus_ingest_stream,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id", "text", "lang", "source"
+    )
+    eval_slice = corpus.filter(F.col("doc_id") % 5 == 0)
+    sizes = corpus.groupBy("lang").agg(
+        F.sum(token_count("text")).cast("long").alias("n_tok")
+    )
+    budget = sizes.agg(
+        F.expr("CAST(sum(n_tok) div 8 AS LONG)").alias("budget")
+    )
+    alloc = unimax_allocation(sizes, ["lang"], epoch_cap=1, budget=budget)
+    if sf_dir not in _INGEST_SRC_DIRS:
+        src = tempfile.mkdtemp(prefix="ingest_src_")
+        d.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id", "text", "lang", "source"
+        ).repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(
+            src
+        )
+        _INGEST_SRC_DIRS[sf_dir] = src
+    stream = read_stream_auto(
+        spark, _INGEST_SRC_DIRS[sf_dir], maxFilesPerTrigger="1"
+    )
+    state = CdcState(spark, tempfile.mkdtemp(prefix="ingest_state_"))
+    corpus_ingest_stream(
+        stream,
+        corpus,
+        eval_slice,
+        alloc,
+        state,
+        is_new=lambda c: c % 4 == F.lit(0),
+        rules=QualityRules(min_tokens=40, min_stopword_ratio=0.05),
+        partitions=spark.sparkContext.defaultParallelism,
+        strata_cols=["lang"],
+        # 35%: the measured background trigram overlap tops out ~31%
+        # on the fixtures while true eval near-dups sit at 95-100%.
+        flag_pct=35,
+    )
+    out = state.read()
+    assert out is not None
+    return out
+
+
 @register(
     "domain_blocklist_filter",
     r"""

@@ -152,6 +152,11 @@ HEAVY = [
     # (8 broadcast queries × corpus — linear).
     "ann_ivfpq",
     "ann_ivfpq_recall",
+    # Round 11: the streaming ingest capstone — per-batch probe work
+    # scales with |batch|×bucket occupancy (the minhash_probe_new
+    # contract), Bloom/quality linearly with the batch, admission with
+    # the accumulated ledger; corpus replication grows both sides.
+    "streaming_corpus_ingest",
 ]
 
 REPLICA_STRIDE = 10_000_000
