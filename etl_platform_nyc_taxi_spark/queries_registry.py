@@ -13788,140 +13788,90 @@ def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 10).
+# Driver-verification window rotation (round 11).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-10 window = exactly the allocation VERDICT r9
-# task 1 prescribes (first-timers, then material changes, then
-# oldest-green oldest-first; ages from tools/window_age.py):
-#   * first-timer slots (25): dedup_semantic (SemDeDup-style semantic
-#     dedup: md5-medoid clusters + intra-cluster cosine pruning,
-#     VERDICT r9 task 2); the BPE tokenizer family bpe_merges /
-#     bpe_tokenize / bpe_token_counts / pack_sequences_bpe
-#     (deterministic subword train + apply with the full 12-round
-#     training loop replayed in DuckDB, plus BPE-priced packing,
-#     VERDICT r9 task 3); corpus_temperature_mix (n^tau multi-source
-#     mixing with quantized-integer quota arithmetic, VERDICT r9
-#     task 5); bloom_decontaminate / bloom_fp_audit (relational Bloom
-#     filter: approximate-membership decontamination + its
-#     false-positive sizing audit); nb_quality_classifier
-#     (multinomial NB distillation of the stopword-density gate,
-#     micro-nat integer log-probs); unimax_allocation (epoch-capped
-#     waterfilling, exact-BIGINT largest-remainder);
-#     domain_blocklist_filter (label-boundary suffix matching);
-#     corpus_distinct_ngrams (distinct-1/2/3 diversity);
-#     embedding_dispersion (exact mean-pairwise-cosine via the centroid
-#     identity); span_corruption (T5 example prep, deterministic
-#     md5-drawn spans); cm_sketch_audit (count-min, one-sided error
-#     pinned); hll_portable_audit (md5 HLL whose estimate value — and
-#     register merge — replays exactly, unlike the Spark-native HLL
-#     queries); bpe_fertility (per-lang tokenizer fertility under the
-#     trained BPE); text_token_entropy (micro-nat Shannon entropy
-#     compressibility gate); dedup_cdc_chunks (content-defined
-#     chunking, shift-invariance pinned in tests); dedup_jaccard_exact
-#     (prefix-filtered exact similarity join, all-pairs oracle = the
-#     completeness proof); corpus_budget_build (five-stage capstone
-#     composition of the round's families, full-ledger oracle);
-#     dataset_interleave (stride-scheduled training order,
-#     prefix-proportionality pinned); robots_crawl_filter (RFC 9309
-#     longest-match rule application, carve-out semantics pinned);
-#     curriculum_stages (exact rank-quartile easy-to-hard staging by
-#     token entropy, balance + monotonicity pinned); zipf_token_fit
-#     (corpus-health power-law fit, milli-quantized exact-moment OLS);
-#   * material changes this round, same-round slots per the
-#     frozen-registry rule (2): multimodal_meta and
-#     multimodal_decode_fallback — the audio sniff kernel gained
-#     free-format MP3 frame measurement, large-ID3 handling (kernel
-#     evidence return + scan-side syncsafe pre-skip in
-#     attach_media_meta), and Ogg page-structure validation (VERDICT
-#     r9 task 4 + advisor items 2-3);
-#   * the 23 remaining r5-greens (age 5 — the staleness ceiling):
-#     knn_label_eval … ab_test_zscore in window_age.py order — this
-#     clears the r5 cohort completely;
-#   * 0 r6-greens remain in-window — the whole r6 cohort (47) moves to
-#     r11, window_value_family, weighted_sample_pps, union_slices,
-#     twap_daily,
-#     topk_with_other_bucket,
-#     top5_zones, time_to_convert,
-#     streaming_error_monitor,
-#     streaming_cdc_apply, sql_tpch_q9, sql_tpch_q4,
-#     sql_tpch_q22, sql_tpch_q20, sql_tpch_q19, sql_tpch_q17,
-#     sql_tpch_q16, sql_tpch_q15, sql_tpch_q13, sql_tpch_q12 (displaced
-#     late-round by this session's 10 extra first-timers — first-timers
-#     outrank oldest-green), plus sql_tpch_q11, sql_scalar_subquery,
-#     sql_relational_division, sql_lateral_topn, sql_exists_late_ship,
-#     sequence_pattern_counts, scan_project, scalar_functions,
-#     orc_roundtrip_scan, neyman_allocation, market_concentration,
-#     label_centroid_sim, ks_drift, json_roundtrip_extract,
-#     join_asof_forward_tol, gini_by_nation, first_touch_attribution,
-#     filter_range, ewma_smooth, dq_referential, dq_freshness_lag,
-#     dedup_survivor_weights, dedup_containment, daily_transactions,
-#     csv_quarantine_stats, chi2_independence, attribution_time_decay,
-#     attribution_linear, abc_classification (47) for r11, then the r7
-#     block.
+# insertion order).  Round-11 window = the allocation VERDICT r10 task 1
+# prescribes (first-timers, then material changes, then oldest-green
+# oldest-first; ages from tools/window_age.py, whose staleness rule is
+# now the achievable cycle bound ceil(registry/50) with the round-close
+# full verify_local run as the compensating control):
+#   * first-timer slots (3): ann_ivfpq + ann_ivfpq_recall (IVF-PQ ANN
+#     with deterministic integer-Lloyd codebooks — assignment and exact
+#     integer ADC distances replay in unrolled-iteration CTEs; recall@10
+#     vs brute-force truth in exact micro units; VERDICT r10 task 4);
+#     streaming_corpus_ingest (the AvailableNow ingest capstone
+#     composing minhash_probe_new + bloom_decontaminate + quality gate +
+#     UniMax-budgeted admission into CdcState, full batch-replay oracle;
+#     VERDICT r10 task 6);
+#   * material change this round, same-round slot per the
+#     frozen-registry rule: bpe_fertility (advisor r10: LEFT-join vocab
+#     so OOV words price at char-level fallback and surface in a new
+#     n_oov column — output schema changed);
+#   * r6-greens, oldest-first: 46 of the 48 remaining (age 5 — at the
+#     amended cycle bound).  The last two in cohort order
+#     (weighted_sample_pps, window_value_family) are displaced to r12 by the
+#     first-timers (first-timers outrank oldest-green) and MUST lead
+#     r12's window — window_age.py tracks them.
 #
-# Round-11 plan: those 47 r6-greens, then the r7 greens oldest-first —
-# run tools/window_age.py when planning; any query materially changed
-# in r11 takes a same-round slot first.
-# Steady-state honesty: with 243 queries and a 50-slot window, full
-# re-green cadence is ceil(243/50) = 5 rounds; priority order is
+# Steady-state honesty: with 246 queries and a 50-slot window, full
+# re-green cadence is ceil(246/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
     # New this round (first-timer slots):
-    "dedup_semantic",
-    "bpe_merges",
-    "bpe_tokenize",
-    "bpe_token_counts",
-    "corpus_temperature_mix",
-    "pack_sequences_bpe",
-    "bloom_decontaminate",
-    "bloom_fp_audit",
-    "nb_quality_classifier",
-    "unimax_allocation",
-    "domain_blocklist_filter",
-    "corpus_distinct_ngrams",
-    "embedding_dispersion",
-    "span_corruption",
-    "cm_sketch_audit",
-    "hll_portable_audit",
+    "ann_ivfpq",
+    "ann_ivfpq_recall",
+    "streaming_corpus_ingest",
+    # Material change this round (same-round slot):
     "bpe_fertility",
-    "text_token_entropy",
-    "dedup_cdc_chunks",
-    "dedup_jaccard_exact",
-    "corpus_budget_build",
-    "dataset_interleave",
-    "robots_crawl_filter",
-    "curriculum_stages",
-    "zipf_token_fit",
-    # Material changes this round (same-round slots):
-    "multimodal_meta",
-    "multimodal_decode_fallback",
-    # r5-greens, oldest-first (the 23 remaining — r5 cohort cleared):
-    "knn_label_eval",
-    "k_anonymity_audit",
-    "json_key_profile",
-    "json_extract_props",
-    "interarrival_stats",
-    "histogram_totalprice",
-    "graph_bfs",
-    "fd_violations",
-    "dq_report",
-    "dpp_partitioned_join",
-    "dedup_pr_curve",
-    "compaction_plan",
-    "cluster_survivorship",
-    "bucketed_join",
-    "bm25_search",
-    "benford_audit",
-    "basket_lift",
-    "ann_recall_eval",
-    "ann_ivf_served",
-    "ann_ivf",
-    "agg_approx",
-    "activity_islands",
-    "ab_test_zscore",
-    # r6-greens, oldest-first (20 of 47; the remainder (27) goes to r11):
+    # r6-greens, oldest-first (46 of 48; weighted_sample_pps, window_value_family -> r12):
+    "abc_classification",
+    "attribution_linear",
+    "attribution_time_decay",
+    "chi2_independence",
+    "csv_quarantine_stats",
+    "daily_transactions",
+    "dedup_containment",
+    "dedup_survivor_weights",
+    "dq_freshness_lag",
+    "dq_referential",
+    "ewma_smooth",
+    "filter_range",
+    "first_touch_attribution",
+    "gini_by_nation",
+    "join_asof_forward_tol",
+    "json_roundtrip_extract",
+    "ks_drift",
+    "label_centroid_sim",
+    "market_concentration",
+    "neyman_allocation",
+    "orc_roundtrip_scan",
+    "scalar_functions",
+    "scan_project",
+    "sequence_pattern_counts",
+    "sql_exists_late_ship",
+    "sql_lateral_topn",
+    "sql_relational_division",
+    "sql_scalar_subquery",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    "sql_tpch_q22",
+    "sql_tpch_q4",
+    "sql_tpch_q9",
+    "streaming_cdc_apply",
+    "streaming_error_monitor",
+    "time_to_convert",
+    "top5_zones",
+    "topk_with_other_bucket",
+    "twap_daily",
+    "union_slices",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
