@@ -3858,6 +3858,280 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_matryoshka_eval",
+    rf"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[])), 0), 6)
+                 DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e) WHERE rnk <= 10
+    ),
+    tq AS (SELECT query_id, qv[1:16] AS qv FROM q),
+    te AS (SELECT vec_id, embedding[1:16] AS tv FROM embeddings),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT tq.query_id, te.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY tq.query_id ORDER BY
+                 ROUND(list_dot_product(tq.qv::DOUBLE[], te.tv::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(tq.qv::DOUBLE[], tq.qv::DOUBLE[]))
+                          * sqrt(list_dot_product(te.tv::DOUBLE[], te.tv::DOUBLE[])), 0), 6)
+                 DESC, te.vec_id ASC) AS rnk
+        FROM tq CROSS JOIN te) WHERE rnk <= 10
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(CAST(COUNT(a.vec_id) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q_ann_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (r11): recall@10 of cosine search over
+    the FIRST 16 of 64 embedding dims against full-dim truth — the
+    standard MRL (Kusupati et al. 2022) deployment question: how much
+    retrieval quality survives a 4× cheaper prefix embedding? Both
+    rankings are the brute_force_topk plan (corpus never shuffles,
+    queries broadcast, round-6 cosine with vec_id tiebreak), so the
+    recall numbers are exact micro units and fully SQL-replayable. At
+    100 TB this is the eval gate before switching the serving index to
+    prefix vectors (16/64 of the bytes scanned)."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    te = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    tq = queries.select(
+        "query_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    approx = brute_force_topk(te, tq, k=10).select(
+        "query_id", F.col("vec_id").alias("__av")
+    )
+    hits = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (F.col("vec_id") == F.col("__av")),
+        "left",
+    ).select(truth.query_id, "vec_id", "__av")
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("__av").cast("long").alias("n_hit"),
+        F.floor(
+            F.count("__av").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+#: Shared retrieval trunk for the hybrid-search query: tf / doc-length /
+#: df / corpus stats over whitespace tokens — identical to bm25_search's.
+_RRF_TERMS = ("join", "scan", "merge")
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@register(
+    "hybrid_search_rrf",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                        tk -> tk <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(tf) AS len FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len) AS total FROM dl),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    bm25s AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln((stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75
+                    * (CAST(dl.len AS DOUBLE)
+                       / (CAST(stats.total AS DOUBLE)
+                          / CAST(stats.n_docs AS DOUBLE))))),
+               12) AS DECIMAL(32,12)) AS c
+      FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      WHERE tf.term IN {_RRF_TERMS}
+    ),
+    bm25r AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(SUM(c) AS DOUBLE), 6) DESC, doc_id)
+             AS BIGINT) AS r
+      FROM bm25s GROUP BY doc_id
+      QUALIFY r <= {_RRF_DEPTH}
+    ),
+    ctf AS (SELECT term, SUM(tf) AS ctf FROM tf GROUP BY 1),
+    qls AS (
+      SELECT dl.doc_id,
+             CAST(ROUND(ln(
+               (COALESCE(tf.tf, 0) + 2000.0
+                  * (CAST(ctf.ctf AS DOUBLE) / CAST(stats.total AS DOUBLE)))
+               / (dl.len + 2000.0)), 12) AS DECIMAL(32,12)) AS c
+      FROM dl
+      CROSS JOIN stats
+      JOIN ctf ON ctf.term IN {_RRF_TERMS}
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = ctf.term
+    ),
+    qlr AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(CAST(SUM(c) AS DOUBLE), 6) DESC, doc_id)
+             AS BIGINT) AS r
+      FROM qls GROUP BY doc_id
+      QUALIFY r <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id,
+             COALESCE(1000000 // ({_RRF_K} + b.r), 0)
+               + COALESCE(1000000 // ({_RRF_K} + q.r), 0) AS rrf_micro,
+             b.r AS bm25_rank, q.r AS ql_rank
+      FROM bm25r b FULL OUTER JOIN qlr q ON b.doc_id = q.doc_id
+    )
+    SELECT doc_id, bm25_rank, ql_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS rank
+      FROM fused) WHERE rank <= 10
+    """,
+)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (r11; Cormack et al.
+    2009): the query "join scan merge" ranked by BOTH BM25 (Lucene
+    k1=1.2/b=0.75 — bm25_search's exact scorer) and Dirichlet-smoothed
+    query likelihood (µ=2000, the second classical retrieval model),
+    each to depth 20, fused as Σ floor(1e6/(60+rank)) — integer micro
+    units so the fusion is exactly portable; absent-from-one-ranker
+    docs contribute zero, ties break on doc_id. One tokenize pass feeds
+    every aggregate; rankers differ only in their scoring expression
+    over the shared tf/df/len relations, so the second ranker is nearly
+    free — the plan shape hybrid (lexical + semantic) serving uses at
+    100 TB, where each ranker returns its bounded top-k and fusion runs
+    on 2k rows."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(tokens_ws("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("len").alias("total")
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # --- BM25 ranker (bm25_search's scorer verbatim) ---
+    m = (
+        tf.filter(F.col("term").isin(*_RRF_TERMS))
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avg = F.col("total").cast("double") / F.col("n_docs").cast("double")
+    den = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("len").cast("double") / avg)
+    )
+    bm25 = (
+        m.select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * F.lit(2.2)) / den, 12)
+            .cast("decimal(32,12)")
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    bm25r = top_k_per_group(
+        bm25,
+        group_by=[],
+        order=[F.col("score").desc(), F.col("doc_id").asc()],
+        k=_RRF_DEPTH,
+    ).select("doc_id", F.col("rank").cast("long").alias("__br"))
+
+    # --- Dirichlet query-likelihood ranker (µ=2000) over the same trunk ---
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    qterms = ctf.filter(F.col("term").isin(*_RRF_TERMS))
+    ql = (
+        dl.crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + F.lit(2000.0)
+                        * (
+                            F.col("ctf").cast("double")
+                            / F.col("total").cast("double")
+                        )
+                    )
+                    / (F.col("len") + F.lit(2000.0))
+                ),
+                12,
+            )
+            .cast("decimal(32,12)")
+            .alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("score"))
+    )
+    qlr = top_k_per_group(
+        ql,
+        group_by=[],
+        order=[F.col("score").desc(), F.col("doc_id").asc()],
+        k=_RRF_DEPTH,
+    ).select("doc_id", F.col("rank").cast("long").alias("__qr"))
+
+    fused = (
+        bm25r.join(qlr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("__br").alias("bm25_rank"),
+            F.col("__qr").alias("ql_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + __br)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + __qr)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    return top_k_per_group(
+        fused,
+        group_by=[],
+        order=[F.col("rrf_micro").desc(), F.col("doc_id").asc()],
+        k=10,
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
     "join_asof",
     """
     SELECT l.event_id, l.user_id, l.ts,
@@ -13796,26 +14070,31 @@ def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest-first; ages from tools/window_age.py, whose staleness rule is
 # now the achievable cycle bound ceil(registry/50) with the round-close
 # full verify_local run as the compensating control):
-#   * first-timer slots (3): ann_ivfpq + ann_ivfpq_recall (IVF-PQ ANN
+#   * first-timer slots (5): ann_ivfpq + ann_ivfpq_recall (IVF-PQ ANN
 #     with deterministic integer-Lloyd codebooks — assignment and exact
 #     integer ADC distances replay in unrolled-iteration CTEs; recall@10
 #     vs brute-force truth in exact micro units; VERDICT r10 task 4);
 #     streaming_corpus_ingest (the AvailableNow ingest capstone
 #     composing minhash_probe_new + bloom_decontaminate + quality gate +
 #     UniMax-budgeted admission into CdcState, full batch-replay oracle;
-#     VERDICT r10 task 6);
+#     VERDICT r10 task 6); ann_matryoshka_eval (recall@10 of the 16-dim
+#     prefix embedding vs full-dim truth — the MRL serving-switch gate);
+#     hybrid_search_rrf (BM25 + Dirichlet-QL reciprocal-rank fusion in
+#     exact integer micro units, global rankers plan as
+#     TakeOrderedAndProject);
 #   * material change this round, same-round slot per the
 #     frozen-registry rule: bpe_fertility (advisor r10: LEFT-join vocab
 #     so OOV words price at char-level fallback and surface in a new
 #     n_oov column — output schema changed);
-#   * r6-greens, oldest-first: 46 of the 48 remaining (age 5 — at the
-#     amended cycle bound).  The last two in cohort order
-#     (weighted_sample_pps, window_value_family) are displaced to r12 by the
-#     first-timers (first-timers outrank oldest-green) and MUST lead
-#     r12's window — window_age.py tracks them.
+#   * r6-greens, oldest-first: 44 of the 48 remaining (age 5 — at the
+#     amended cycle bound).  The last four in cohort order (twap_daily,
+#     union_slices, weighted_sample_pps, window_value_family) are
+#     displaced to r12 by the first-timers (first-timers outrank
+#     oldest-green) and MUST lead r12's window — window_age.py tracks
+#     them.
 #
-# Steady-state honesty: with 246 queries and a 50-slot window, full
-# re-green cadence is ceil(246/50) = 5 rounds; priority order is
+# Steady-state honesty: with 248 queries and a 50-slot window, full
+# re-green cadence is ceil(248/50) = 5 rounds; priority order is
 # first-timers, then material changes, then oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -13823,9 +14102,12 @@ _VERIFY_FIRST = [
     "ann_ivfpq",
     "ann_ivfpq_recall",
     "streaming_corpus_ingest",
+    "ann_matryoshka_eval",
+    "hybrid_search_rrf",
     # Material change this round (same-round slot):
     "bpe_fertility",
-    # r6-greens, oldest-first (46 of 48; weighted_sample_pps, window_value_family -> r12):
+    # r6-greens, oldest-first (44 of 48; twap_daily, union_slices,
+    # weighted_sample_pps, window_value_family -> r12):
     "abc_classification",
     "attribution_linear",
     "attribution_time_decay",
@@ -13870,8 +14152,6 @@ _VERIFY_FIRST = [
     "time_to_convert",
     "top5_zones",
     "topk_with_other_bucket",
-    "twap_daily",
-    "union_slices",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -729,3 +729,17 @@ def test_cdc_chunk_window_is_doc_partitioned(spark):
     specs = re.findall(r"windowspecdefinition\(([^,]+),", s)
     assert specs and all("__id" in sp for sp in specs), specs
     assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_hybrid_rrf_global_rankers_take_ordered(spark):
+    """The RRF rankers' global row_number windows must plan as
+    TakeOrderedAndProject (LimitPushDownThroughWindow) — map-side top-k,
+    not a full-corpus single-partition sort — and no Python rows."""
+    s = fmt(QR.QUERIES["hybrid_search_rrf"](spark, SF))
+    assert "TakeOrderedAndProject" in s
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_matryoshka_truncated_ranker_take_ordered(spark):
+    s = fmt(QR.QUERIES["ann_matryoshka_eval"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
