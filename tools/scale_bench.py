@@ -157,6 +157,11 @@ HEAVY = [
     # contract), Bloom/quality linearly with the batch, admission with
     # the accumulated ledger; corpus replication grows both sides.
     "streaming_corpus_ingest",
+    # Round 11b: prefix-embedding recall eval (two brute-force passes,
+    # linear) and RRF fusion (shared tokenize trunk, TakeOrderedAndProject
+    # rankers — expect near-linear with slack).
+    "ann_matryoshka_eval",
+    "hybrid_search_rrf",
 ]
 
 REPLICA_STRIDE = 10_000_000
