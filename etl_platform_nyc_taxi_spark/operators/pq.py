@@ -24,7 +24,7 @@ algorithm over **milli-quantized integer** vectors —
 ``floor(x·1000 + 0.5) + OFFSET`` per component — with
 
 * integer squared-L2 distances (exact, order-free),
-* argmin ties broken by lowest centroid id,
+* argmin ties broken by lowest centroid id (``min(struct(d, j))``),
 * centroid update = element-wise ``sum div count`` (integer floor
   division; the uniform ``OFFSET`` keeps every value positive so
   truncating and flooring division agree across engines),
@@ -37,14 +37,23 @@ integer ADC score the oracle can assert value-for-value, a strictly
 stronger correctness surface than the verdict-style recall oracle the
 float IVF path (similarity.ivf_topk) uses.
 
+**Physical form (r11 rework)**: codebooks travel as BROADCAST RELATIONS
+(``m·ksub`` rows), never as literal expression trees — the first cut
+compiled each codeword into the plan (the similarity._nearest_lists
+shape) and the resulting thousand-node expressions spent ~10 s/query in
+codegen at ksub=16, a cost that would grow with every codebook knob.
+Assignment = exploded-subvector ⋈ broadcast codebook + one
+``min_by``-shaped aggregate; ADC = candidate codes ⋈ broadcast
+per-query lookup table + one map-combinable sum. Every join side that
+isn't the corpus is metadata-sized.
+
 Scale notes: training is bounded by ``max_train_rows`` (a coarse/PQ
 codebook needs a large-enough slice, not the corpus); each Lloyd
 iteration is one pass over ``rows × dim`` exploded elements with two
 map-combinable aggregations; codebooks are tiny driver-side artifacts
-(``m·ksub·dsub`` ints) compiled into serving plans as literals — the
-bounded-scalar class (BPE-argmax precedent). Encoding and ADC are pure
-expressions: no UDF, no Python rows, one broadcast join corpus×queries
-restricted to probed lists.
+(``m·ksub·dsub`` ints). Encoding and ADC are equi-joins against
+broadcast relations: no UDF, no Python rows, shuffles keyed on the
+corpus id only.
 
 Reference parity: the reference engine has no ANN at all
 (/root/reference is two batch taxi jobs); this module is part of the
@@ -53,7 +62,7 @@ brief's LLM-data-pipeline extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_platform_nyc_taxi_spark.operators.windows import top_k_per_group
@@ -82,7 +91,8 @@ def quantize_milli(vec_col: str | Column, offset: int = MILLI_OFFSET) -> Column:
 
 def _int_dist2(vec: Column, center: list[int]) -> Column:
     """Exact integer squared L2 between an ``array<bigint>`` column and a
-    literal integer centroid."""
+    literal integer centroid (kept for tiny centroid sets; large
+    codebooks go through the broadcast-relation path instead)."""
     clit = F.array(*[F.lit(int(x)) for x in center])
     return F.aggregate(
         F.zip_with(vec, clit, lambda a, b: (a - b) * (a - b)),
@@ -93,8 +103,9 @@ def _int_dist2(vec: Column, center: list[int]) -> Column:
 
 def int_nearest(vec: Column, centroids: list[list[int]], n: int) -> Column:
     """ids of the ``n`` closest centroids under exact integer L2, ties to
-    the lowest id — centroids compile into the plan as literals (the
-    similarity._nearest_lists shape, integer edition)."""
+    the lowest id — centroids compile into the plan as literals. Use only
+    for SMALL centroid sets (the literal tree grows with every codeword;
+    see the module note on the broadcast-relation form)."""
     d = F.array(
         *[
             F.struct(_int_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
@@ -102,6 +113,71 @@ def int_nearest(vec: Column, centroids: list[list[int]], n: int) -> Column:
         ]
     )
     return F.slice(F.transform(F.array_sort(d), lambda s: s["i"]), 1, n)
+
+
+def _col_dist2(v: Column, cw: Column) -> Column:
+    """Exact integer squared L2 between two ``array<bigint>`` COLUMNS —
+    the join-side twin of :func:`_int_dist2`."""
+    return F.aggregate(
+        F.zip_with(v, cw, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def codebook_df(
+    spark: SparkSession, codebooks: list[list[list[int]]]
+) -> DataFrame:
+    """Materialize trained codebooks as the ``(s, j, cw)`` relation the
+    serving joins broadcast — ``m·ksub`` rows of ``dsub`` longs."""
+    rows = [
+        (s, j, [int(x) for x in cw])
+        for s, book in enumerate(codebooks)
+        for j, cw in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "s int, j int, cw array<bigint>")
+
+
+def _explode_subspaces(
+    df: DataFrame, vec_col: str, id_cols: list[str], m: int, dsub: int
+) -> DataFrame:
+    """One row per (id, subspace): ``(*id_cols, s, v array<bigint>)``."""
+    mv = quantize_milli(vec_col)
+    return df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(mv, s * dsub + 1, dsub).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__e"),
+    ).select(*id_cols, F.col("__e.s").alias("s"), F.col("__e.v").alias("v"))
+
+
+def _assign(
+    sub: DataFrame, cb: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """Nearest codeword per (id, subspace): exploded subvectors ⋈
+    broadcast codebook, argmin via ``min(struct(d, j))`` — lexicographic
+    struct ordering IS the ties-to-lowest-j rule."""
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .select(
+            *id_cols,
+            "s",
+            F.struct(_col_dist2(F.col("v"), F.col("cw")).alias("d"),
+                     F.col("j").alias("j")).alias("__dj"),
+        )
+        .groupBy(*id_cols, "s")
+        .agg(F.min("__dj").alias("__m"))
+        .select(*id_cols, "s", F.col("__m.j").alias("j"),
+                F.col("__m.d").alias("d"))
+    )
 
 
 def fit_int_kmeans(
@@ -119,71 +195,40 @@ def fit_int_kmeans(
 
     Init: codeword ``j`` of every subspace = the slice of the training
     row with ``id_col == j`` (rows ``0..k-1`` — deterministic, present in
-    every fixture, and exactly what the oracle replays). Each iteration
-    runs ONE job: explode to ``(s, pos, x)`` elements, assign under the
-    current literal codebooks, re-aggregate means map-side. The ``m×k``
+    every fixture, and exactly what the oracle replays). Each iteration:
+    assignment via the broadcast-codebook join (:func:`_assign`), then
+    element-wise integer means re-aggregated map-side. The ``m×k``
     centroid rows collected per iteration are the bounded-scalar class.
 
     With ``m=1, dsub=dim`` this trains the coarse quantizer — one
     routine, both quantizers, one replay discipline."""
-    base = corpus.select(
-        F.col(id_col).alias("__id"), quantize_milli(vec_col).alias("__mv")
-    )
+    spark = corpus.sparkSession
+    base = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col))
     if max_train_rows:
         # Deterministic slice, replayable: lowest ids, not limit().
         base = base.filter(F.col("__id") < F.lit(max_train_rows))
-    sub = base.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(F.col("__mv"), s * dsub + 1, dsub).alias("v"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select("__id", F.col("e.s").alias("s"), F.col("e.v").alias("v"))
-    sub = sub.cache()
+    sub = _explode_subspaces(base, vec_col, ["__id"], m, dsub).cache()
     try:
-        init = (
-            sub.filter(F.col("__id") < k)
-            .collect()
-        )
+        init = sub.filter(F.col("__id") < k).collect()
         books: list[list[list[int]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
         for r in init:
             books[r["s"]][r["__id"]] = [int(x) for x in r["v"]]
         for _ in range(iters):
-            # assignment under current codebooks (literal, per-s via CASE
-            # over the exploded subspace id)
-            assigned = sub.select(
-                "s",
-                "v",
-                _assign_expr(books).alias("j"),
-            )
+            cb = codebook_df(spark, books)
+            assigned = _assign(sub, cb, ["__id"]).select("__id", "s", "j")
             newc = (
-                assigned.select(
-                    "s", "j", F.posexplode("v").alias("p", "x")
-                )
+                assigned.join(sub, ["__id", "s"])
+                .select("s", "j", F.posexplode("v").alias("p", "x"))
                 .groupBy("s", "j", "p")
                 .agg(
                     F.sum("x").alias("__sx"),
                     F.count(F.lit(1)).alias("__n"),
                 )
-                .select(
-                    "s",
-                    "j",
-                    "p",
-                    F.expr("__sx div __n").alias("cx"),
-                )
+                .select("s", "j", "p", F.expr("__sx div __n").alias("cx"))
                 .groupBy("s", "j")
                 .agg(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("p", "cx"))
-                        ),
+                        F.array_sort(F.collect_list(F.struct("p", "cx"))),
                         lambda t: t["cx"],
                     ).alias("c")
                 )
@@ -198,43 +243,34 @@ def fit_int_kmeans(
     return books
 
 
-def _assign_expr(books: list[list[list[int]]]) -> Column:
-    """argmin codeword id for the exploded ``(s, v)`` relation under
-    literal codebooks — a CASE over the subspace id, each arm an integer
-    ``int_nearest(…, 1)[0]``."""
-    expr = None
-    for s, cb in enumerate(books):
-        arm = int_nearest(F.col("v"), cb, 1)[0]
-        expr = (
-            F.when(F.col("s") == s, arm)
-            if expr is None
-            else expr.when(F.col("s") == s, arm)
-        )
-    return expr
-
-
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[int]]],
     vec_col: str = "embedding",
     code_col: str = "pq_codes",
     dsub: int | None = None,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Ingest-time PQ encoding: ``array<int>`` of length ``m`` — the
-    nearest codeword id per subspace (uint8 range; stored small). Pure
-    expressions over literal codebooks: no UDF, no shuffle, codegen."""
+    nearest codeword id per subspace (uint8 range; stored small).
+    Broadcast-codebook join + one aggregate; the code array reassembles
+    via subspace-sorted structs (order-insensitive)."""
     m = len(codebooks)
     d = dsub if dsub is not None else len(codebooks[0][0])
-    mv = quantize_milli(vec_col)
-    return corpus.withColumn(
-        code_col,
-        F.array(
-            *[
-                int_nearest(F.slice(mv, s * d + 1, d), codebooks[s], 1)[0]
-                for s in range(m)
-            ]
-        ),
+    ids = id_cols or ["vec_id"]
+    cb = codebook_df(corpus.sparkSession, codebooks)
+    sub = _explode_subspaces(corpus, vec_col, ids, m, d)
+    codes = (
+        _assign(sub, cb, ids)
+        .groupBy(*ids)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "j"))),
+                lambda t: t["j"].cast("int"),
+            ).alias(code_col)
+        )
     )
+    return corpus.join(codes, ids)
 
 
 def ivfpq_topk(
@@ -251,70 +287,76 @@ def ivfpq_topk(
 ) -> DataFrame:
     """IVF-PQ search: probe the ``nprobe`` nearest inverted lists, score
     candidates by exact-integer ADC, return per-query top-k as
-    ``(query_id, vec_id, adc_dist2)`` ordered by ``(adc, vec_id)``.
+    ``(query_id, vec_id, adc_dist2, rank)`` ordered by ``(adc, vec_id)``.
 
-    ADC here is expressed as the sum over subspaces of the squared-L2
-    between the query's milli slice and the candidate's ASSIGNED CODEWORD
-    (a literal lookup via ``element_at`` on the compiled codebook) — the
-    classical per-query lookup table evaluated in-plan, broadcast with
-    the (tiny) query set. The corpus side carries only its list id and
-    its ``m`` codes: at 100 TB the encoded corpus is written partitioned
-    by ``ivf_list`` (sources/parquet.write_partitioned) and a query scans
-    ``nprobe/nlist`` of the bytes with partition pruning; the float
-    vectors never travel."""
+    Relational ADC: the per-query lookup table is the (tiny) query set
+    joined to the broadcast codebook — ``|Q|·m·ksub`` rows — and every
+    candidate's score is one broadcast equi-join on ``(query, s, j)``
+    plus a map-combinable sum over its ``m`` code rows. The corpus side
+    carries only its list id and codes: at 100 TB the encoded corpus is
+    written partitioned by list id (sources/parquet.write_partitioned)
+    and a query scans ``nprobe/nlist`` of the bytes; the float vectors
+    never travel."""
+    spark = corpus.sparkSession
     m = len(codebooks)
     d = len(codebooks[0][0])
+    dim = len(coarse[0])
     if partitions:
         corpus = corpus.repartition(partitions)
-    mvq = quantize_milli(vec_col)
-    c = pq_encode(corpus, codebooks, vec_col, "__codes", d).select(
-        F.col(id_col),
-        F.col("__codes"),
-        int_nearest(mvq, coarse, 1)[0].alias("__list"),
+    coarse_cb = codebook_df(spark, [coarse])  # s = 0, j = list id
+    pq_cb = codebook_df(spark, codebooks)
+
+    # corpus: coarse list + per-subspace codes (exploded form — the ADC
+    # join consumes (id, s, j) rows directly, no array reassembly)
+    c_full = _explode_subspaces(corpus, vec_col, [id_col], 1, dim)
+    lists = _assign(c_full, coarse_cb, [id_col]).select(
+        id_col, F.col("j").alias("__list")
     )
-    q = queries.select(
-        F.col(query_id_col),
-        mvq.alias("__qmv"),
-        F.explode(int_nearest(mvq, coarse, nprobe)).alias("__list"),
-    )
-    # codebook literal: cb[s+1][j+1] = array<long> codeword
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(x)) for x in cw])
-                    for cw in codebooks[s]
-                ]
-            )
-            for s in range(m)
-        ]
-    )
-    adc_terms = [
-        F.aggregate(
-            F.zip_with(
-                F.slice(F.col("__qmv"), s * d + 1, d),
-                F.element_at(
-                    F.element_at(cb_lit, s + 1),
-                    F.col("__codes")[s] + 1,
-                ),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        for s in range(m)
-    ]
-    adc = adc_terms[0]
-    for t in adc_terms[1:]:
-        adc = adc + t
-    scored = (
-        c.join(F.broadcast(q), on="__list")
+    c_sub = _explode_subspaces(corpus, vec_col, [id_col], m, d)
+    codes = _assign(c_sub, pq_cb, [id_col]).select(id_col, "s", "j")
+
+    # queries: nprobe nearest lists + the ADC lookup table
+    q_full = _explode_subspaces(queries, vec_col, [query_id_col], 1, dim)
+    q_lists = (
+        q_full.join(F.broadcast(coarse_cb), "s")
         .select(
-            F.col(query_id_col),
-            F.col(id_col),
-            adc.alias("adc_dist2"),
+            query_id_col,
+            F.struct(
+                _col_dist2(F.col("v"), F.col("cw")).alias("d"),
+                F.col("j").alias("j"),
+            ).alias("__dj"),
         )
-        .dropDuplicates([query_id_col, id_col])
+        .groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list("__dj")), lambda t: t["j"]
+                ),
+                1,
+                nprobe,
+            ).alias("__probes")
+        )
+        .select(query_id_col, F.explode("__probes").alias("__list"))
+    )
+    q_sub = _explode_subspaces(queries, vec_col, [query_id_col], m, d)
+    lut = (
+        q_sub.join(F.broadcast(pq_cb), "s")
+        .select(
+            query_id_col,
+            "s",
+            "j",
+            _col_dist2(F.col("v"), F.col("cw")).alias("__d"),
+        )
+    )
+
+    cand = lists.join(F.broadcast(q_lists), "__list").select(
+        query_id_col, id_col
+    )
+    scored = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), [query_id_col, "s", "j"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").cast("long").alias("adc_dist2"))
     )
     return top_k_per_group(
         scored,
