@@ -150,6 +150,7 @@ def bloom_decontaminate(
     m_bits: int = DEFAULT_M_BITS,
     flag_pct: int = 5,
     partitions: int | None = None,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Per training doc: ``(id, n_grams, n_bloom_hits, flagged)`` where
     ``flagged`` = bloom-hit share of the doc's distinct n-grams exceeds
@@ -159,8 +160,14 @@ def bloom_decontaminate(
     False positives only ever ADD hits, so a Bloom flag set is a superset
     of the exact gate's flag set at the same threshold — the safe
     direction for decontamination (you drop slightly more than needed,
-    never leak eval data)."""
-    bloom = bloom_build(eval_df, text_col, n, k, m_bits)
+    never leak eval data).
+
+    Pass ``bloom`` (a prebuilt :func:`bloom_build` positions relation for
+    the SAME n/k/m_bits — the ingest-time artifact) to skip rebuilding
+    the filter per call; streaming folds build it once per run
+    (streaming/ingest.py)."""
+    if bloom is None:
+        bloom = bloom_build(eval_df, text_col, n, k, m_bits)
     probed = bloom_probe_grams(
         train_df, bloom, id_col, text_col, n, k, m_bits, partitions
     )

@@ -430,15 +430,34 @@ def minhash_probe_new(
     per-task bucket joins stay bounded at ``max_bucket``."""
     hs, sig = _minhash_relations(df, id_col, text_col, k, num_hashes, partitions)
     banded = _banded_signature(sig, num_hashes, bands)
-    join_keys = ["band", "key"]
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
+    if max_bucket is not None:
+        banded = banded.localCheckpoint(eager=False)
     new_side = banded.filter(is_new(F.col("__id")))
     old_side = banded.filter(~is_new(F.col("__id")))
+    hs_new = hs.filter(is_new(F.col("__id")))
+    hs_old = hs.filter(~is_new(F.col("__id")))
+    return _probe_verify(
+        new_side, old_side, hs_new, hs_old, threshold, partitions, max_bucket
+    )
+
+
+def _probe_verify(
+    new_side: DataFrame,
+    old_side: DataFrame,
+    hs_new: DataFrame,
+    hs_old: DataFrame,
+    threshold: float,
+    partitions: int | None,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared probe tail: asymmetric hot-bucket guard, batch-banded ×
+    corpus-banded candidate join, exact-Jaccard verify, per-new-doc
+    rollup. Inputs are the banded and hash-set relations of each side
+    (``__id/band/key/__sig`` and ``__id/__hs``)."""
+    join_keys = ["band", "key"]
     if max_bucket is not None:
-        if max_bucket < 2:
-            raise ValueError("max_bucket must be >= 2")
-        banded = banded.localCheckpoint(eager=False)
-        new_side = banded.filter(is_new(F.col("__id")))
-        old_side = banded.filter(~is_new(F.col("__id")))
         over = (
             old_side.groupBy("band", "key")
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -480,8 +499,8 @@ def minhash_probe_new(
     )
     if partitions:
         cands = cands.repartition(partitions)
-    ha = hs.select(F.col("__id").alias("new_id"), F.col("__hs").alias("__ha"))
-    hb = hs.select(F.col("__id").alias("old_id"), F.col("__hs").alias("__hb"))
+    ha = hs_new.select(F.col("__id").alias("new_id"), F.col("__hs").alias("__ha"))
+    hb = hs_old.select(F.col("__id").alias("old_id"), F.col("__hs").alias("__hb"))
     inter = F.size(F.array_intersect(F.col("__ha"), F.col("__hb"))).cast("double")
     union = (F.size(F.col("__ha")) + F.size(F.col("__hb"))).cast("double") - inter
     return (
@@ -494,6 +513,61 @@ def minhash_probe_new(
             F.count(F.lit(1)).alias("n_matches"),
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
+    )
+
+
+def minhash_corpus_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The materialized ingest-time probe index: ``(banded, hashsets)``
+    relations of the EXISTING corpus, computed once and reused by every
+    arriving batch (:func:`minhash_probe_index`) — the factored-out
+    corpus half of :func:`minhash_probe_new`, which recomputed it per
+    call. At 100 TB this pair is written to storage partitioned by
+    (band, key) — the write_lsh_index pattern — and probes prune to
+    matching partitions; in a streaming fold the caller
+    ``localCheckpoint``s both (streaming/ingest.py does).
+
+    A document's signature depends only on its own text, so probing a
+    prebuilt index is result-identical to the union-input form."""
+    hs, sig = _minhash_relations(
+        corpus, id_col, text_col, k, num_hashes, partitions
+    )
+    return _banded_signature(sig, num_hashes, bands), hs
+
+
+def minhash_probe_index(
+    index: tuple[DataFrame, DataFrame],
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+    partitions: int | None = None,
+    max_bucket: int | None = 128,
+) -> DataFrame:
+    """Probe an arriving batch against a prebuilt corpus index
+    (:func:`minhash_corpus_index` — pass the SAME k/num_hashes/bands):
+    same output contract, guard, and semantics as
+    :func:`minhash_probe_new`, with the corpus signature work paid once
+    at index-build time instead of per probe call."""
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError("max_bucket must be >= 2")
+    old_banded, hs_old = index
+    hs_new, sig_new = _minhash_relations(
+        batch, id_col, text_col, k, num_hashes, partitions
+    )
+    new_banded = _banded_signature(sig_new, num_hashes, bands)
+    return _probe_verify(
+        new_banded, old_banded, hs_new, hs_old, threshold, partitions, max_bucket
     )
 
 

@@ -50,8 +50,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_platform_nyc_taxi_spark.operators.bloom import bloom_decontaminate
-from etl_platform_nyc_taxi_spark.operators.dedup import minhash_probe_new
+from etl_platform_nyc_taxi_spark.operators.bloom import (
+    bloom_build,
+    bloom_decontaminate,
+)
+from etl_platform_nyc_taxi_spark.operators.dedup import (
+    minhash_corpus_index,
+    minhash_probe_index,
+)
 from etl_platform_nyc_taxi_spark.operators.joins import latest_per_key
 from etl_platform_nyc_taxi_spark.operators.text import (
     QualityRules,
@@ -59,6 +65,14 @@ from etl_platform_nyc_taxi_spark.operators.text import (
     token_count,
 )
 from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+
+#: MinHash geometry shared by the index build and the per-batch probe —
+#: ONE definition, because an index built under different k/hashes/bands
+#: produces band keys the probe can never match (zero candidates,
+#: silently: exactly the bug a split build/probe API invites).
+MH_K = 6
+MH_NUM_HASHES = 32
+MH_BANDS = 8
 
 #: Ledger schema the fold maintains; ``admitted`` is recomputed per fold.
 LEDGER_COLS = [
@@ -74,30 +88,32 @@ LEDGER_COLS = [
 
 def gate_batch(
     batch: DataFrame,
-    corpus: DataFrame,
-    eval_slice: DataFrame,
-    is_new: Callable[[Column], Column],
+    corpus_index: tuple[DataFrame, DataFrame],
+    eval_bloom: DataFrame,
     rules: QualityRules,
-    k: int = 6,
-    num_hashes: int = 32,
-    bands: int = 8,
+    k: int = MH_K,
+    num_hashes: int = MH_NUM_HASHES,
+    bands: int = MH_BANDS,
     threshold: float = 0.6,
     flag_pct: int = 5,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Score one arriving batch against the static context: returns the
-    ledger relation (LEDGER_COLS) for exactly the batch's documents.
+    """Score one arriving batch against the static context — a prebuilt
+    corpus MinHash index (operators/dedup.minhash_corpus_index) and a
+    prebuilt eval Bloom positions relation (operators/bloom.bloom_build),
+    both computed ONCE per run, not per micro-batch (r11 rework: the
+    first cut re-signed the whole corpus and re-inserted the eval grams
+    inside every fold). Returns the ledger relation (LEDGER_COLS) for
+    exactly the batch's documents.
 
     ``flag_pct`` is the Bloom-hit share (percent of a doc's distinct
     trigrams) above which the doc counts as contaminated — size it from
     the corpus's measured background trigram-overlap (common-phrase
     trigrams give every doc a nonzero floor; true eval near-dups sit
     near 100%)."""
-    probe = minhash_probe_new(
-        corpus.select("doc_id", "text").unionByName(
-            batch.select("doc_id", "text")
-        ),
-        is_new=is_new,
+    probe = minhash_probe_index(
+        corpus_index,
+        batch.select("doc_id", "text"),
         k=k,
         num_hashes=num_hashes,
         bands=bands,
@@ -105,7 +121,11 @@ def gate_batch(
         partitions=partitions,
     ).select(F.col("new_id").alias("doc_id"), F.lit(True).alias("__dup"))
     bl = bloom_decontaminate(
-        batch, eval_slice, flag_pct=flag_pct, partitions=partitions
+        batch,
+        eval_df=None,  # prebuilt filter below
+        flag_pct=flag_pct,
+        partitions=partitions,
+        bloom=eval_bloom,
     ).select("doc_id", F.col("flagged").alias("__flagged"))
     q = quality_flags(batch.select("doc_id", "text"), rules=rules).select(
         "doc_id", F.col("keep").alias("__keep")
@@ -190,14 +210,33 @@ def corpus_ingest_stream(
     ``state`` and rewriting the admission ledger. At-least-once replays
     converge: the ledger dedupes on doc_id (a doc's gate verdict is a
     pure function of its text + static context) and admission is a
-    deterministic function of the ledger set."""
+    deterministic function of the ledger set.
+
+    The static context materializes ONCE before the stream starts: the
+    corpus MinHash index and the eval Bloom positions are
+    ``localCheckpoint``-ed so every fold probes the same computed
+    relations instead of re-deriving them (the ingest-index posture; at
+    100 TB these live in storage, written by the batch ingest job).
+    ``is_new`` is retained for API symmetry with minhash_probe_new but
+    unused — with a prebuilt index, membership IS the side."""
+    mh_geo = {
+        "k": mh_kwargs.get("k", MH_K),
+        "num_hashes": mh_kwargs.get("num_hashes", MH_NUM_HASHES),
+        "bands": mh_kwargs.get("bands", MH_BANDS),
+    }
+    corpus_index = tuple(
+        r.localCheckpoint(eager=True)
+        for r in minhash_corpus_index(
+            corpus.select("doc_id", "text"), partitions=partitions, **mh_geo
+        )
+    )
+    eval_bloom = bloom_build(eval_slice).localCheckpoint(eager=True)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         gates = gate_batch(
             batch,
-            corpus,
-            eval_slice,
-            is_new=is_new,
+            corpus_index,
+            eval_bloom,
             rules=rules,
             partitions=partitions,
             **mh_kwargs,

@@ -938,3 +938,42 @@ def test_jaccard_prefix_join_prunes_candidates(spark):
     ]
     df = rows_source(spark, data, "doc_id long, text string")
     assert jaccard_prefix_join(df, threshold_pct=60).count() == 0
+
+
+def test_minhash_probe_index_equals_union_form(spark):
+    """The split build/probe API (r11: minhash_corpus_index +
+    minhash_probe_index) must be result-identical to the union-input
+    minhash_probe_new under the SAME geometry — and the geometry must
+    travel together: an index built under different k/hashes/bands
+    produces band keys the probe can never match (zero candidates,
+    silently), which is exactly how the streaming capstone first broke."""
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        minhash_corpus_index,
+        minhash_probe_index,
+        minhash_probe_new,
+    )
+    from etl_platform_nyc_taxi_spark.sources import load_fixture
+
+    d = load_fixture(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    geo = dict(k=6, num_hashes=32, bands=8)
+    union_form = {
+        r["new_id"]: (r["n_matches"], r["max_jaccard"])
+        for r in minhash_probe_new(
+            d, is_new=lambda c: c % 4 == F.lit(0), threshold=0.6,
+            partitions=8, **geo
+        ).collect()
+    }
+    idx = minhash_corpus_index(
+        d.filter(F.col("doc_id") % 4 != 0), partitions=8, **geo
+    )
+    index_form = {
+        r["new_id"]: (r["n_matches"], r["max_jaccard"])
+        for r in minhash_probe_index(
+            idx, d.filter(F.col("doc_id") % 4 == 0), threshold=0.6,
+            partitions=8, **geo
+        ).collect()
+    }
+    assert union_form == index_form
+    assert union_form, "fixture produced no cross-quadrant near-dups"
