@@ -142,7 +142,7 @@ def bloom_probe_grams(
 
 def bloom_decontaminate(
     train_df: DataFrame,
-    eval_df: DataFrame,
+    eval_df: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
@@ -167,6 +167,11 @@ def bloom_decontaminate(
     the filter per call; streaming folds build it once per run
     (streaming/ingest.py)."""
     if bloom is None:
+        if eval_df is None:
+            raise ValueError(
+                "bloom_decontaminate needs an eval_df to build the filter "
+                "from, or a prebuilt bloom positions relation — got neither"
+            )
         bloom = bloom_build(eval_df, text_col, n, k, m_bits)
     probed = bloom_probe_grams(
         train_df, bloom, id_col, text_col, n, k, m_bits, partitions

@@ -562,6 +562,14 @@ def minhash_probe_index(
     if max_bucket is not None and max_bucket < 2:
         raise ValueError("max_bucket must be >= 2")
     old_banded, hs_old = index
+    if max_bucket is not None:
+        # The guard consumes the corpus banded relation twice (bucket
+        # stats + salted join): truncate its lineage so a caller who
+        # didn't pre-checkpoint the index doesn't recompute the corpus
+        # signature pipeline twice per probe (minhash_probe_new
+        # checkpoints the same relation for the same reason; on an
+        # already-checkpointed index this is a cheap no-op scan copy).
+        old_banded = old_banded.localCheckpoint(eager=False)
     hs_new, sig_new = _minhash_relations(
         batch, id_col, text_col, k, num_hashes, partitions
     )

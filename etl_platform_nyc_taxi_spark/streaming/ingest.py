@@ -44,9 +44,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
-from collections.abc import Callable
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -198,7 +196,6 @@ def corpus_ingest_stream(
     eval_slice: DataFrame,
     alloc: DataFrame,
     state: CdcState,
-    is_new: Callable[[Column], Column],
     rules: QualityRules = QualityRules(),
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
@@ -217,8 +214,9 @@ def corpus_ingest_stream(
     ``localCheckpoint``-ed so every fold probes the same computed
     relations instead of re-deriving them (the ingest-index posture; at
     100 TB these live in storage, written by the batch ingest job).
-    ``is_new`` is retained for API symmetry with minhash_probe_new but
-    unused — with a prebuilt index, membership IS the side."""
+    With a prebuilt index, relation membership IS the new/old split — no
+    ``is_new`` predicate exists to disagree with it (code-review r11
+    removed the dead parameter)."""
     mh_geo = {
         "k": mh_kwargs.get("k", MH_K),
         "num_hashes": mh_kwargs.get("num_hashes", MH_NUM_HASHES),
@@ -247,8 +245,17 @@ def corpus_ingest_stream(
             if prior is None
             else prior.select(*LEDGER_COLS).unionByName(gates)
         )
+        # Dedupe on doc_id under a TOTAL order over the payload columns
+        # (code-review r11: ordering by the partition key alone picked
+        # the survivor arbitrarily, violating latest_per_key's own
+        # contract). A doc re-gated identically dedupes trivially; a
+        # doc whose verdict legitimately changed mid-run (rule/quota
+        # reconfiguration) resolves deterministically — same winner on
+        # every replay — instead of flapping.
         ledger = latest_per_key(
-            combined, ["doc_id"], order=[F.col("doc_id").asc()]
+            combined,
+            ["doc_id"],
+            order=[F.col(c).desc() for c in LEDGER_COLS if c != "doc_id"],
         )
         state.write_next(admit_ledger(ledger, alloc, strata_cols))
 

@@ -741,5 +741,13 @@ def test_hybrid_rrf_global_rankers_take_ordered(spark):
 
 
 def test_matryoshka_truncated_ranker_take_ordered(spark):
+    """Both brute-force rankings rank inside a per-query partition
+    (no single-partition global sort of the corpus) and no Python rows
+    anywhere (code-review r11: the first cut asserted only the Python
+    half of its own name)."""
     s = fmt(QR.QUERIES["ann_matryoshka_eval"](spark, SF))
     assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "Window" in s
+    # per-query windows: every Window partitions by query_id, so no
+    # global rangepartitioning sort of the corpus exists in the plan
+    assert "rangepartitioning" not in s.lower()

@@ -1226,7 +1226,6 @@ def _run_ingest(spark, tmp_path, n_files, tag):
         eval_slice,
         alloc,
         state,
-        is_new=lambda c: c % 4 == F.lit(0),
         rules=QualityRules(min_tokens=40, min_stopword_ratio=0.05),
         checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
         partitions=8,
@@ -1289,7 +1288,6 @@ def test_corpus_ingest_replay_converges(spark, tmp_path):
         eval_slice,
         alloc,
         state,
-        is_new=lambda c: c % 4 == F.lit(0),
         rules=QualityRules(min_tokens=40, min_stopword_ratio=0.05),
         checkpoint_dir=str(tmp_path / "ckpt_replay2"),
         partitions=8,
