@@ -32,6 +32,15 @@ from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
+
+class ConvergenceError(RuntimeError):
+    """An iterative graph computation exhausted ``max_iter`` without
+    reaching fixpoint. A dedicated type (ADVICE r11) so ``method="auto"``
+    escalates ONLY on genuine non-convergence — a bare RuntimeError from
+    anywhere else in the attempt (executor loss, a broken input relation)
+    must propagate, not be misdiagnosed as a pathological-diameter graph
+    and silently retried with the star variant."""
+
 #: Rounds the last :func:`connected_components` call took to converge —
 #: observability hook (also logged): iteration count is bounded by the
 #: component DIAMETER for min-label propagation and by O(log diameter)
@@ -93,7 +102,7 @@ def connected_components(
             )
             LAST_CC_METHOD = "minlabel"
             return out
-        except RuntimeError:
+        except ConvergenceError:
             logger.warning(
                 "min-label propagation exceeded %d rounds — escalating to "
                 "large-star/small-star",
@@ -164,7 +173,7 @@ def connected_components(
         # true component would be returned as several — silently wrong
         # dedup clusters. Fail loudly instead: the caller raises
         # max_iter (diameter-bound) for chain-shaped graphs.
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components did not converge in {max_iter} "
             f"round(s) ({changed} labels still moving); the graph "
             "diameter exceeds max_iter — raise max_iter"
@@ -274,7 +283,7 @@ def connected_components_star(
     LAST_CC_ROUNDS = rounds
     LAST_CC_METHOD = "star"
     if delta != 0:
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components_star did not converge in {max_iter} "
             f"round(s) ({delta} edges still moving) — raise max_iter"
         )

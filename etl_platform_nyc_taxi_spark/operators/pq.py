@@ -213,6 +213,21 @@ def fit_int_kmeans(
         books: list[list[list[int]]] = [[None] * k for _ in range(m)]  # type: ignore[list-item]
         for r in init:
             books[r["s"]][r["__id"]] = [int(x) for x in r["v"]]
+        # Init contract (ADVICE r11): rows with id 0..k-1 must ALL exist —
+        # a gap would leave a None codeword that surfaces as an opaque
+        # TypeError inside codebook_df an iteration later, while the SQL
+        # replay (_lloyd_sql's init CTE) would silently train with fewer
+        # centroids: a Spark-vs-oracle divergence armed by any corpus
+        # whose ids don't start at 0. Fail loudly, naming the gaps.
+        missing = sorted(
+            {j for book in books for j, cw in enumerate(book) if cw is None}
+        )
+        if missing:
+            raise ValueError(
+                f"fit_int_kmeans init requires rows with {id_col} in "
+                f"0..{k - 1}; missing ids: {missing} — reindex the "
+                "training slice to a dense 0-based id first"
+            )
         for _ in range(iters):
             cb = codebook_df(spark, books)
             assigned = _assign(sub, cb, ["__id"]).select("__id", "s", "j")

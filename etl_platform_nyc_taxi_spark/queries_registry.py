@@ -17,6 +17,7 @@ value-hash comparison exact:
 
 from __future__ import annotations
 
+import atexit
 from collections.abc import Callable
 from functools import reduce as _reduce
 
@@ -3633,7 +3634,13 @@ def _lloyd_sql(tag: str, dsub: int, k: int, iters: int) -> str:
     operators/pq.fit_int_kmeans. Final centroids in
     ``{tag}{iters}(s, j, sp, cx)``; init = rows vec_id < k; assignment
     ties to lowest j; update = positive integer floor division; empty
-    clusters keep the previous centroid."""
+    clusters keep the previous centroid.
+
+    Init contract (mirrors fit_int_kmeans, ADVICE r11): ids 0..k-1 must
+    ALL exist in the training slice — the Spark trainer raises a
+    ValueError on a gap, whereas this CTE would silently train with
+    fewer centroids; the shared dense-0-based-id precondition is what
+    keeps the two replays equivalent."""
     ctes = [
         f"""{tag}0 AS (
       SELECT s, sp, vec_id AS j, x AS cx
@@ -12604,6 +12611,23 @@ _INGEST_SRC_DIRS: dict[str, str] = {}
 #: idempotent — replaying the same arrivals onto existing state
 #: converges to the same ledger (pinned in tests/test_streaming.py).
 _INGEST_STATE_DIRS: dict[str, str] = {}
+
+
+def _cleanup_ingest_dirs() -> None:
+    """Remove the process-lifetime ingest tempdirs at exit (ADVICE r11:
+    mkdtemp dirs in the two caches above were never removed — a disk
+    leak per bench/verify process). Mirrors corpus_ingest_stream's
+    owned-checkpoint rmtree pattern; safe because the dirs are
+    process-private artifacts rebuilt on demand."""
+    import shutil
+
+    for cache in (_INGEST_SRC_DIRS, _INGEST_STATE_DIRS):
+        for d in cache.values():
+            shutil.rmtree(d, ignore_errors=True)
+        cache.clear()
+
+
+atexit.register(_cleanup_ingest_dirs)
 
 
 @register(

@@ -95,6 +95,7 @@ def gate_batch(
     threshold: float = 0.6,
     flag_pct: int = 5,
     partitions: int | None = None,
+    max_bucket: int | None = 128,
 ) -> DataFrame:
     """Score one arriving batch against the static context — a prebuilt
     corpus MinHash index (operators/dedup.minhash_corpus_index) and a
@@ -108,7 +109,11 @@ def gate_batch(
     trigrams) above which the doc counts as contaminated — size it from
     the corpus's measured background trigram-overlap (common-phrase
     trigrams give every doc a nonzero floor; true eval near-dups sit
-    near 100%)."""
+    near 100%).
+
+    ``max_bucket`` forwards to :func:`minhash_probe_index`'s hot-bucket
+    guard (ADVICE r11: it is a documented knob of the probe and must be
+    settable from the stream, not locked to the probe's default)."""
     probe = minhash_probe_index(
         corpus_index,
         batch.select("doc_id", "text"),
@@ -117,6 +122,7 @@ def gate_batch(
         bands=bands,
         threshold=threshold,
         partitions=partitions,
+        max_bucket=max_bucket,
     ).select(F.col("new_id").alias("doc_id"), F.lit(True).alias("__dup"))
     bl = bloom_decontaminate(
         batch,
@@ -217,6 +223,17 @@ def corpus_ingest_stream(
     With a prebuilt index, relation membership IS the new/old split — no
     ``is_new`` predicate exists to disagree with it (code-review r11
     removed the dead parameter)."""
+    # Reject unknown gate knobs BEFORE the stream starts (ADVICE r11: a
+    # bad key used to surface as a TypeError mid-stream, inside the first
+    # fold, with the checkpoint dir already created).
+    allowed = {"k", "num_hashes", "bands", "threshold", "flag_pct",
+               "max_bucket"}
+    unknown = sorted(set(mh_kwargs) - allowed)
+    if unknown:
+        raise TypeError(
+            f"corpus_ingest_stream: unsupported gate option(s) {unknown}; "
+            f"supported: {sorted(allowed)}"
+        )
     mh_geo = {
         "k": mh_kwargs.get("k", MH_K),
         "num_hashes": mh_kwargs.get("num_hashes", MH_NUM_HASHES),

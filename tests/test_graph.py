@@ -356,3 +356,24 @@ def test_connected_components_rejects_unknown_method(spark):
 
     with pytest.raises(ValueError, match="unknown connected-components"):
         connected_components(_edges(spark, [(1, 2)]), method="banana")
+
+
+def test_non_convergence_raises_dedicated_type(spark):
+    """ADVICE r11: the auto path escalates on ConvergenceError ONLY — a
+    bare RuntimeError from anywhere else must propagate. Pin that the
+    non-convergence raise IS the dedicated subtype (backwards-compatible
+    with RuntimeError catches) on both algorithm variants."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+        connected_components_star,
+    )
+
+    assert issubclass(ConvergenceError, RuntimeError)
+    chain = _edges(spark, [(5, 4), (4, 3), (3, 2), (2, 1)])
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components_star(chain, max_iter=1)

@@ -125,3 +125,15 @@ def test_ivfpq_plan_no_python_and_broadcast(spark):
     plan = buf.getvalue()
     assert "PythonEval" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fit_int_kmeans_rejects_sparse_init_ids(spark):
+    """ADVICE r11: init takes codeword j from the row with vec_id == j,
+    so ids 0..k-1 must all exist — a gap must raise a clear ValueError
+    naming the missing ids, not surface later as an opaque TypeError in
+    codebook_df (Spark) while the SQL replay silently trains with fewer
+    centroids."""
+    rows = [(i + 10, [float(i), float(-i)]) for i in range(6)]  # ids 10..15
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match=r"missing ids: \[0, 1, 2, 3\]"):
+        fit_int_kmeans(df, m=1, dsub=2, k=4, iters=1)

@@ -1327,3 +1327,54 @@ def test_admit_ledger_quota_boundary_and_missing_stratum(spark):
     }
     assert got == {1: True, 2: True, 3: False, 4: False, 5: False,
                    6: False, 7: False}
+
+
+def test_corpus_ingest_rejects_unknown_gate_option():
+    """ADVICE r11: a typo'd gate knob used to surface as a TypeError
+    mid-stream inside the first fold; it must fail BEFORE the stream
+    starts, naming the bad key."""
+    import pytest
+
+    from etl_platform_nyc_taxi_spark.streaming.ingest import (
+        corpus_ingest_stream,
+    )
+
+    with pytest.raises(TypeError, match=r"unsupported gate option.*bogus"):
+        corpus_ingest_stream(
+            None, None, None, None, None, bogus=1  # validated pre-stream
+        )
+
+
+def test_gate_batch_accepts_max_bucket(spark):
+    """ADVICE r11: max_bucket is a documented knob of minhash_probe_index
+    and must be settable through gate_batch (and thus through
+    corpus_ingest_stream's **mh_kwargs)."""
+    from etl_platform_nyc_taxi_spark.operators.bloom import bloom_build
+    from etl_platform_nyc_taxi_spark.operators.dedup import (
+        minhash_corpus_index,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import QualityRules
+    from etl_platform_nyc_taxi_spark.streaming.ingest import (
+        MH_BANDS,
+        MH_K,
+        MH_NUM_HASHES,
+        gate_batch,
+    )
+
+    corpus, arriving = _ingest_fixture_frames(spark)
+    corpus = corpus.limit(40)
+    batch = arriving.limit(10)
+    idx = minhash_corpus_index(
+        corpus.select("doc_id", "text"),
+        k=MH_K, num_hashes=MH_NUM_HASHES, bands=MH_BANDS,
+    )
+    bloom = bloom_build(corpus.limit(5))
+    out = gate_batch(
+        batch, idx, bloom, rules=QualityRules(min_tokens=40),
+        max_bucket=16,
+    )
+    assert out.count() == 10
+    assert set(out.columns) == {
+        "doc_id", "lang", "source", "n_tok",
+        "near_dup", "contaminated", "low_quality",
+    }
