@@ -245,23 +245,45 @@ def fit_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _dist2(vec: Column, center: list[float]) -> Column:
-    clit = F.array(*[F.lit(x) for x in center])
+def _dist2_arr(vec: Column, center: Column) -> Column:
+    """Squared L2 between an ``array<float>`` column and an
+    ``array<double>`` centroid COLUMN — identical IEEE ops in identical
+    order as the retired literal form (``(cast(a) - b)²`` folded
+    sequentially), so the migration is bit-exact."""
     return F.aggregate(
-        F.zip_with(vec, clit, lambda a, b: (a.cast("double") - b) ** 2),
+        F.zip_with(vec, center, lambda a, b: (a.cast("double") - b) ** 2),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
-def _nearest_lists(vec: Column, centroids: list[list[float]], n: int) -> Column:
-    """ids of the n closest centroids, via sort of (dist, id) structs —
-    pure expressions: centroids compile into the plan as literals."""
-    d = F.array(
-        *[
-            F.struct(_dist2(vec, c).alias("d"), F.lit(i).alias("i"))
-            for i, c in enumerate(centroids)
-        ]
+def centroids_relation(spark, centroids: list[list[float]]) -> DataFrame:
+    """The trained coarse quantizer as a ONE-ROW broadcast relation
+    carrying the whole codebook in an ``array<array<double>>`` column
+    (VERDICT r11 task 6). The first cut compiled every centroid into the
+    plan as literal expression trees (`_nearest_lists`, the shape
+    operators/pq.py abandoned for relations): codegen cost grew with
+    every nlist/dim knob — ~10 s/query at pq's ksub=16. As DATA in a
+    column, the scoring expression is one generic higher-order-function
+    loop whose compiled size is constant regardless of nlist; the join
+    is a broadcast-nested-loop against a single metadata-sized row, so
+    assignment keeps its no-shuffle pure-projection property (unlike
+    pq.py's exploded groupBy form, which pays a shuffle per assignment —
+    right for per-subspace PQ codes, overkill for one coarse id)."""
+    rows = [([[float(x) for x in c] for c in centroids],)]
+    return spark.createDataFrame(rows, "__cents array<array<double>>")
+
+
+def _nearest_lists_col(vec: Column, cents: Column, n: int) -> Column:
+    """ids of the n closest centroids from an ``array<array<double>>``
+    codebook COLUMN, via sort of (dist, id) structs — same (distance,
+    lowest-id) tie order as the literal form it replaces."""
+    d = F.zip_with(
+        cents,
+        F.sequence(F.lit(0), F.size(cents) - 1),
+        lambda c, i: F.struct(
+            _dist2_arr(vec, c).alias("d"), i.alias("i")
+        ),
     )
     return F.slice(F.transform(F.array_sort(d), lambda s: s["i"]), 1, n)
 
@@ -277,9 +299,16 @@ def assign_ivf_lists(
     At 100 TB run this once and write the corpus partitioned by
     ``list_col`` (sources/parquet.write_partitioned) — queries then scan
     nprobe/nlist of the data with partition pruning doing the list
-    selection. Pure projection: no UDF, no shuffle, stays in codegen."""
-    return corpus.withColumn(
-        list_col, _nearest_lists(F.col(vec_col), centroids, 1)[0]
+    selection. The codebook arrives as a one-row broadcast relation
+    (:func:`centroids_relation`) — still no shuffle, no UDF, and the
+    compiled expression no longer grows with nlist."""
+    crel = centroids_relation(corpus.sparkSession, centroids)
+    return (
+        corpus.join(F.broadcast(crel))
+        .withColumn(
+            list_col, _nearest_lists_col(F.col(vec_col), F.col("__cents"), 1)[0]
+        )
+        .drop("__cents")
     )
 
 
@@ -304,22 +333,27 @@ def ivf_topk(
     omitting them self-trains as a convenience. Every corpus vector is
     assigned to its nearest centroid — the inverted list — then only the
     ``nprobe`` closest lists per query are searched with exact cosine
-    rerank. Centroids are driver-side constants compiled into the plan as
-    literals (nlist × dim doubles), so assignment is pure expression
-    work: no UDF, no shuffle beyond the bucket join. Approximate like
+    rerank. The codebook travels as a one-row broadcast relation
+    (:func:`centroids_relation` — nlist × dim doubles of DATA, not
+    literal expression trees), so assignment is generic higher-order
+    expression work whose compiled size is constant in nlist: no UDF, no
+    shuffle beyond the bucket join. Approximate like
     :func:`lsh_topk`; recall floor pinned in tests/test_similarity.py."""
     if centroids is None:
         centroids = fit_ivf_centroids(corpus, vec_col, nlist, seed, max_train_rows)
     if partitions:
         corpus = corpus.repartition(partitions)
 
+    crel = centroids_relation(corpus.sparkSession, centroids)
     c = assign_ivf_lists(corpus, centroids, vec_col, "__list").select(
         F.col(id_col), F.col(vec_col), F.col("__list")
     )
-    q = queries.select(
+    q = queries.join(F.broadcast(crel)).select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        F.explode(_nearest_lists(F.col(vec_col), centroids, nprobe)).alias("__list"),
+        F.explode(
+            _nearest_lists_col(F.col(vec_col), F.col("__cents"), nprobe)
+        ).alias("__list"),
     )
     scored = (
         c.join(F.broadcast(q), on="__list")
@@ -630,7 +664,7 @@ def ivf_topk_from_index(
     """Serve IVF ANN from a :func:`write_ivf_index` layout: each query's
     nprobe nearest lists are computed driver-side in numpy (queries are
     small at serve time; EXACT ties broken by list id, matching
-    :func:`_nearest_lists`'s struct sort) and their union compiles into
+    :func:`_nearest_lists_col`'s struct sort) and their union compiles into
     a static partition filter — the scan prunes to those directories and
     the exact cosine rerank runs inside them. ``index`` may be a path or
     a pre-opened DataFrame. Result parity with :func:`ivf_topk` (same
@@ -652,7 +686,7 @@ def ivf_topk_from_index(
         for i, r in enumerate(rows):
             vec = list(r[1])
             # stable argsort == order by (distance, list id), the exact
-            # tie semantics of _nearest_lists' struct sort
+            # tie semantics of _nearest_lists_col's struct sort
             for lid in np.argsort(d2[i], kind="stable")[:nprobe]:
                 probe_rows.append((r[0], vec, int(lid)))
                 lists.add(int(lid))

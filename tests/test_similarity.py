@@ -412,3 +412,47 @@ def test_embedding_dispersion_matches_bruteforce(spark):
         assert abs(mm - want) <= 2, (lbl, mm, want)
         assert dm == 1_000_000 - mm
     assert got["b"][1] >= 999_998  # identical vectors -> mean cos ~= 1
+
+
+def test_ivf_plan_has_no_literal_codebook_trees(spark):
+    """VERDICT r11 task 6: the coarse codebook must travel as DATA (the
+    one-row broadcast relation), never as literal expression trees — the
+    compiled plan's size must not grow with nlist, and no centroid value
+    may appear as a literal in the plan text."""
+    import contextlib
+    import io
+
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        assign_ivf_lists,
+        ivf_topk,
+    )
+
+    emb = load_fixture(spark, SF_DIR, "embeddings")
+    # distinctive, un-foldable centroid components
+    cents = [
+        [0.1234567 + i / 997.0 for _ in range(64)] for i in range(16)
+    ]
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for df in (
+        assign_ivf_lists(emb, cents),
+        ivf_topk(emb, queries, k=5, nprobe=2, centroids=cents),
+    ):
+        plan = plan_of(df)
+        assert "0.1234567" not in plan, "centroid literal leaked into plan"
+        assert "PythonEval" not in plan and "BatchEvalPython" not in plan
+        # the codebook rides a broadcast join of the one-row relation
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    # compiled-plan size is flat in nlist (literal trees grew linearly)
+    small = len(plan_of(assign_ivf_lists(emb, cents[:2])))
+    large = len(plan_of(assign_ivf_lists(emb, cents * 8)))  # 128 centroids
+    assert large < small * 1.5, (small, large)
