@@ -288,6 +288,60 @@ def pq_encode(
     return corpus.join(codes, ids)
 
 
+def _query_probe_lists(
+    queries: DataFrame,
+    coarse_cb: DataFrame,
+    dim: int,
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(query_id, ivf_list)`` — each query's ``nprobe`` nearest coarse
+    lists under exact integer L2, ties to lowest list id (array_sort of
+    (d, j) structs — the lexicographic tie rule everywhere else)."""
+    q_full = _explode_subspaces(queries, vec_col, [query_id_col], 1, dim)
+    return (
+        q_full.join(F.broadcast(coarse_cb), "s")
+        .select(
+            query_id_col,
+            F.struct(
+                _col_dist2(F.col("v"), F.col("cw")).alias("d"),
+                F.col("j").alias("j"),
+            ).alias("__dj"),
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list("__dj")), lambda t: t["j"]
+                ),
+                1,
+                nprobe,
+            ).alias("__probes")
+        )
+        .select(query_id_col, F.explode("__probes").alias("ivf_list"))
+    )
+
+
+def _query_lut(
+    queries: DataFrame,
+    pq_cb: DataFrame,
+    m: int,
+    d: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The per-query ADC lookup table: ``(query_id, s, j, __d)`` —
+    ``|Q|·m·ksub`` rows, broadcast into the candidate scoring join."""
+    q_sub = _explode_subspaces(queries, vec_col, [query_id_col], m, d)
+    return q_sub.join(F.broadcast(pq_cb), "s").select(
+        query_id_col,
+        "s",
+        "j",
+        _col_dist2(F.col("v"), F.col("cw")).alias("__d"),
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -331,44 +385,122 @@ def ivfpq_topk(
     codes = _assign(c_sub, pq_cb, [id_col]).select(id_col, "s", "j")
 
     # queries: nprobe nearest lists + the ADC lookup table
-    q_full = _explode_subspaces(queries, vec_col, [query_id_col], 1, dim)
-    q_lists = (
-        q_full.join(F.broadcast(coarse_cb), "s")
-        .select(
-            query_id_col,
-            F.struct(
-                _col_dist2(F.col("v"), F.col("cw")).alias("d"),
-                F.col("j").alias("j"),
-            ).alias("__dj"),
-        )
-        .groupBy(query_id_col)
-        .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(F.collect_list("__dj")), lambda t: t["j"]
-                ),
-                1,
-                nprobe,
-            ).alias("__probes")
-        )
-        .select(query_id_col, F.explode("__probes").alias("__list"))
-    )
-    q_sub = _explode_subspaces(queries, vec_col, [query_id_col], m, d)
-    lut = (
-        q_sub.join(F.broadcast(pq_cb), "s")
-        .select(
-            query_id_col,
-            "s",
-            "j",
-            _col_dist2(F.col("v"), F.col("cw")).alias("__d"),
-        )
-    )
+    q_lists = _query_probe_lists(
+        queries, coarse_cb, dim, nprobe, query_id_col, vec_col
+    ).withColumnRenamed("ivf_list", "__list")
+    lut = _query_lut(queries, pq_cb, m, d, query_id_col, vec_col)
 
     cand = lists.join(F.broadcast(q_lists), "__list").select(
         query_id_col, id_col
     )
     scored = (
         cand.join(codes, id_col)
+        .join(F.broadcast(lut), [query_id_col, "s", "j"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__d").cast("long").alias("adc_dist2"))
+    )
+    return top_k_per_group(
+        scored,
+        group_by=[query_id_col],
+        order=[F.col("adc_dist2").asc(), F.col(id_col).asc()],
+        k=k,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Encode vectors against FROZEN artifacts (VERDICT r11 task 4): the
+    ingest/append half of IVF-PQ as one relation —
+
+        ``(id_col, ivf_list, s, j)`` — m rows per vector
+
+    i.e. the coarse inverted-list id joined to the exploded PQ codes, the
+    exact shape :func:`ivfpq_topk_encoded`'s scoring join consumes. At
+    100 TB this relation IS the serving index: write it partitioned by
+    ``ivf_list`` (sources/parquet.write_partitioned) so a query scans
+    ``nprobe/nlist`` of the bytes; appends (:func:`ivfpq_append`) land as
+    new files inside existing list directories — no retraining, no
+    rewrite of prior rows. Training stays a separate, bounded job
+    (:func:`fit_int_kmeans`); encoding is two broadcast-codebook assigns
+    plus one id-keyed join."""
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    dim = len(coarse[0])
+    if partitions:
+        corpus = corpus.repartition(partitions)
+    coarse_cb = codebook_df(spark, [coarse])
+    pq_cb = codebook_df(spark, codebooks)
+    c_full = _explode_subspaces(corpus, vec_col, [id_col], 1, dim)
+    lists = _assign(c_full, coarse_cb, [id_col]).select(
+        id_col, F.col("j").alias("ivf_list")
+    )
+    c_sub = _explode_subspaces(corpus, vec_col, [id_col], m, d)
+    codes = _assign(c_sub, pq_cb, [id_col]).select(id_col, "s", "j")
+    return lists.join(codes, id_col).select(id_col, "ivf_list", "s", "j")
+
+
+def ivfpq_append(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Incremental index maintenance: encode ``new_vectors`` against the
+    SAME frozen artifacts the base index was built with and append. The
+    codebooks never move, so an appended index is exactly the index a
+    full re-encode would produce — the invariance
+    tests/test_pq.py pins — while the marginal cost is the new rows
+    only. What frozen codebooks canNOT guarantee is that they still FIT
+    a drifted corpus: measure with the staleness audit
+    (queries_registry ann_ivfpq_drift) and retrain when the recall gap
+    crosses the serving budget."""
+    fresh = ivfpq_encode(
+        new_vectors, coarse, codebooks, id_col, vec_col, partitions
+    )
+    return index.select(id_col, "ivf_list", "s", "j").unionByName(fresh)
+
+
+def ivfpq_topk_encoded(
+    index: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve IVF-PQ from a prebuilt encoded relation
+    (:func:`ivfpq_encode` / :func:`ivfpq_append`): same output contract
+    as :func:`ivfpq_topk` — ``(query_id, vec_id, adc_dist2, rank)`` by
+    ``(adc, vec_id)`` — but the corpus side is the m-bytes-per-vector
+    index, so no float vector and no assignment work appears at query
+    time. The probe-list relation and the ADC lookup table are both
+    query-sized and broadcast; scoring is one equi-join on
+    ``(ivf_list)`` + one on ``(query, s, j)`` + a map-combinable sum."""
+    spark = index.sparkSession
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    dim = len(coarse[0])
+    coarse_cb = codebook_df(spark, [coarse])
+    pq_cb = codebook_df(spark, codebooks)
+    q_lists = _query_probe_lists(
+        queries, coarse_cb, dim, nprobe, query_id_col, vec_col
+    )
+    lut = _query_lut(queries, pq_cb, m, d, query_id_col, vec_col)
+    scored = (
+        index.join(F.broadcast(q_lists), "ivf_list")
         .join(F.broadcast(lut), [query_id_col, "s", "j"])
         .groupBy(query_id_col, id_col)
         .agg(F.sum("__d").cast("long").alias("adc_dist2"))

@@ -137,3 +137,38 @@ def test_fit_int_kmeans_rejects_sparse_init_ids(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match=r"missing ids: \[0, 1, 2, 3\]"):
         fit_int_kmeans(df, m=1, dsub=2, k=4, iters=1)
+
+
+def test_ivfpq_append_equals_full_reencode_and_serving_parity(spark):
+    """VERDICT r11 task 4: codebooks are FROZEN at append time, so an
+    appended index must equal a full re-encode row-for-row, and serving
+    from the encoded relation must match the self-encoding ivfpq_topk
+    pair-for-pair (same artifacts, same nprobe)."""
+    from etl_platform_nyc_taxi_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_encode,
+        ivfpq_topk_encoded,
+    )
+
+    e = load_fixture(spark, SF_DIR, "embeddings")
+    n = e.count()
+    b = (n * 3) // 4
+    base, new = e.filter(F.col("vec_id") < b), e.filter(F.col("vec_id") >= b)
+    coarse = fit_int_kmeans(base, m=1, dsub=64, k=8, iters=2)[0]
+    books = fit_int_kmeans(base, m=8, dsub=8, k=16, iters=2)
+
+    appended = ivfpq_append(
+        ivfpq_encode(base, coarse, books), new, coarse, books
+    )
+    full = ivfpq_encode(e, coarse, books)
+    assert appended.exceptAll(full).isEmpty()
+    assert full.exceptAll(appended).isEmpty()
+
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = ivfpq_topk_encoded(appended, q, coarse, books, k=10, nprobe=3)
+    mem = ivfpq_topk(e, q, coarse, books, k=10, nprobe=3)
+    assert {tuple(r) for r in served.collect()} == {
+        tuple(r) for r in mem.collect()
+    }
