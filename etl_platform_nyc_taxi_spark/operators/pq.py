@@ -511,3 +511,23 @@ def ivfpq_topk_encoded(
         order=[F.col("adc_dist2").asc(), F.col(id_col).asc()],
         k=k,
     )
+
+
+def coarse_probe_lists(
+    vectors: DataFrame,
+    coarse: list[list[int]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id_col, ivf_list)`` — each vector's ``nprobe`` nearest coarse
+    lists under exact integer L2 (ties to lowest list id). The public
+    face of the probe helper for composers outside this module: with
+    ``nprobe=1`` it is the ingest-time list ASSIGNMENT, with higher
+    nprobe the query-time probe set — one deterministic, SQL-replayable
+    routine for both (streaming/ingest.py's semantic gate builds its
+    corpus index and its per-batch probes from exactly this)."""
+    cb = codebook_df(vectors.sparkSession, [coarse])
+    return _query_probe_lists(
+        vectors, cb, len(coarse[0]), nprobe, id_col, vec_col
+    )

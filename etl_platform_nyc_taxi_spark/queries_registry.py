@@ -12893,6 +12893,11 @@ _INGEST_SRC_DIRS: dict[str, str] = {}
 #: converges to the same ledger (pinned in tests/test_streaming.py).
 _INGEST_STATE_DIRS: dict[str, str] = {}
 
+#: Same pair for the SEMANTIC ingest gate query (r12) — separate dirs
+#: because its arrivals are embedding rows, not documents.
+_SEM_INGEST_SRC_DIRS: dict[str, str] = {}
+_SEM_INGEST_STATE_DIRS: dict[str, str] = {}
+
 
 def _cleanup_ingest_dirs() -> None:
     """Remove the process-lifetime ingest tempdirs at exit (ADVICE r11:
@@ -12902,7 +12907,8 @@ def _cleanup_ingest_dirs() -> None:
     process-private artifacts rebuilt on demand."""
     import shutil
 
-    for cache in (_INGEST_SRC_DIRS, _INGEST_STATE_DIRS):
+    for cache in (_INGEST_SRC_DIRS, _INGEST_STATE_DIRS,
+                  _SEM_INGEST_SRC_DIRS, _SEM_INGEST_STATE_DIRS):
         for d in cache.values():
             shutil.rmtree(d, ignore_errors=True)
         cache.clear()
@@ -13158,6 +13164,162 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 35%: the measured background trigram overlap tops out ~31%
         # on the fixtures while true eval near-dups sit at 95-100%.
         flag_pct=35,
+    )
+    out = state.read()
+    assert out is not None
+    return out
+
+
+@register(
+    "streaming_corpus_ingest_semantic",
+    f"""
+    WITH {_ivfpq_common_cte()},
+    nb AS (
+      SELECT CAST(COUNT(*) * 3 // 4 AS BIGINT) AS b FROM embeddings
+    ),
+    btels{_IVFPQ["dim"]} AS (
+      SELECT e.vec_id, e.s, e.sp, e.x FROM tels{_IVFPQ["dim"]} e, nb
+      WHERE e.vec_id < nb.b
+    ),
+    {_lloyd_sql("gcq", _IVFPQ["dim"], _IVFPQ["nlist"], _IVFPQ["iters"],
+                src="btels")},
+    arr AS (
+      SELECT vec_id + 1000000 AS doc_id,
+             [CAST(x*1.01 AS FLOAT) for x in embedding] AS emb
+      FROM embeddings, nb WHERE vec_id < nb.b AND vec_id % 5 = 0
+      UNION ALL
+      SELECT vec_id AS doc_id, embedding AS emb
+      FROM embeddings, nb WHERE vec_id >= nb.b
+    ),
+    amv AS (
+      SELECT doc_id,
+             list_transform(emb::DOUBLE[],
+               x -> CAST(floor(x*1000 + 0.5) AS BIGINT) + 1048576) AS v
+      FROM arr
+    ),
+    ael AS (
+      SELECT doc_id, p - 1 AS sp, v[p] AS x
+      FROM amv, (SELECT unnest(range(1, {_IVFPQ["dim"] + 1})) AS p) t
+    ),
+    gald AS (
+      SELECT a.doc_id, c.j, SUM((a.x - c.cx)*(a.x - c.cx)) AS d
+      FROM ael a JOIN gcq{_IVFPQ["iters"]} c ON c.sp = a.sp
+      GROUP BY a.doc_id, c.j
+    ),
+    aprobes AS (
+      SELECT doc_id, j AS l FROM (
+        SELECT doc_id, j, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY d, j) AS rn
+        FROM gald) WHERE rn <= {_IVFPQ["nprobe"]}
+    ),
+    cld AS (
+      SELECT e.vec_id, c.j, SUM((e.x - c.cx)*(e.x - c.cx)) AS d
+      FROM (SELECT els.* FROM els{_IVFPQ["dim"]} els, nb
+            WHERE els.vec_id < nb.b) e
+      JOIN gcq{_IVFPQ["iters"]} c ON c.sp = e.sp
+      GROUP BY e.vec_id, c.j
+    ),
+    clists AS (
+      SELECT vec_id, j AS l FROM (
+        SELECT vec_id, j, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                             ORDER BY d, j) AS rn
+        FROM cld) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT ap.doc_id, cl.vec_id FROM aprobes ap JOIN clists cl
+      ON cl.l = ap.l
+    ),
+    scored AS (
+      SELECT cd.doc_id, cd.vec_id,
+             CAST(floor(ROUND(
+               list_dot_product(a.emb::DOUBLE[], e.embedding::DOUBLE[])
+               / NULLIF(sqrt(list_dot_product(a.emb::DOUBLE[],
+                                              a.emb::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])), 0),
+               6) * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM cand cd
+      JOIN arr a ON a.doc_id = cd.doc_id
+      JOIN embeddings e ON e.vec_id = cd.vec_id
+    ),
+    best AS (
+      SELECT doc_id, vec_id AS nn_id, cos_micro FROM (
+        SELECT doc_id, vec_id, cos_micro,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cos_micro DESC, vec_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT a.doc_id, b.nn_id, b.cos_micro AS best_cos_micro,
+           COALESCE(b.cos_micro >= 999000, FALSE) AS sem_near_dup
+    FROM arr a LEFT JOIN best b ON b.doc_id = a.doc_id
+    """,
+)
+def q_streaming_corpus_ingest_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic (embedding-ANN) ingest gate on the incremental path
+    (VERDICT r11 task 2 — the lexical capstone's one first-class gap):
+    arriving documents stream in as embedding rows — direction-
+    preserving ×1.01 mutants of corpus members (the paraphrase stand-in
+    a MinHash gate cannot see) plus the genuinely novel newest quarter —
+    and each micro-batch probes a PREBUILT corpus index: integer coarse
+    quantizer trained once pre-stream (operators/pq.fit_int_kmeans, the
+    deterministic Lloyd's — so the WHOLE gate replays value-for-value,
+    unlike a float-KMeans IVF), corpus assigned to lists once
+    (streaming/ingest.build_semantic_index, localCheckpoint-ed), per-doc
+    best exact cosine in the nprobe probed lists in micro units
+    (streaming/ingest.semantic_gate). Verdicts are pure functions of
+    static context and the ledger dedupes on doc_id, so the folded
+    state is batch-split invariant (tests/test_streaming.py); the
+    oracle replays training, assignment, probing, and the cosine verify
+    in one SQL statement."""
+    import tempfile
+
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+    from etl_platform_nyc_taxi_spark.streaming.daily_stream import (
+        read_stream_auto,
+    )
+    from etl_platform_nyc_taxi_spark.streaming.ingest import (
+        semantic_ingest_stream,
+    )
+
+    p = _IVFPQ
+    e = _t(spark, sf_dir, "embeddings")
+    b, coarse, _books = _ivfpq_stale_artifacts(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") < b).select("vec_id", "embedding")
+    if sf_dir not in _SEM_INGEST_SRC_DIRS:
+        mutants = e.filter(
+            (F.col("vec_id") < b) & (F.col("vec_id") % 5 == 0)
+        ).select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("doc_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.01)).cast("float")
+            ).alias("embedding"),
+        )
+        novel = e.filter(F.col("vec_id") >= b).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        src = tempfile.mkdtemp(prefix="sem_ingest_src_")
+        mutants.unionByName(novel).repartitionByRange(
+            3, "doc_id"
+        ).write.mode("overwrite").parquet(src)
+        _SEM_INGEST_SRC_DIRS[sf_dir] = src
+    stream = read_stream_auto(
+        spark, _SEM_INGEST_SRC_DIRS[sf_dir], maxFilesPerTrigger="1"
+    )
+    if sf_dir not in _SEM_INGEST_STATE_DIRS:
+        _SEM_INGEST_STATE_DIRS[sf_dir] = tempfile.mkdtemp(
+            prefix="sem_ingest_state_"
+        )
+    state = CdcState(spark, _SEM_INGEST_STATE_DIRS[sf_dir])
+    semantic_ingest_stream(
+        stream,
+        corpus,
+        state,
+        coarse=coarse,
+        nprobe=p["nprobe"],
+        threshold_micro=999_000,
+        partitions=spark.sparkContext.defaultParallelism,
     )
     out = state.read()
     assert out is not None

@@ -289,3 +289,184 @@ def corpus_ingest_stream(
     finally:
         if owned:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# --- semantic (embedding-ANN) ingest gate (VERDICT r11 task 2) --------------
+#
+# The lexical gate above (MinHash + Bloom + quality) passes a PARAPHRASED
+# near-dup that the batch path would catch via semdedup /
+# embedding_near_dups — the one first-class gap in the LLM-pipeline
+# surface at r11. This gate closes it with the same static-context
+# quadrant discipline: the corpus embedding index is built ONCE before
+# the stream (deterministic integer coarse quantizer, the
+# operators/pq.py machinery — so the whole gate replays value-for-value
+# in the DuckDB oracle, unlike a float-KMeans IVF), and every arriving
+# document probes only its nprobe nearest lists with an exact rounded
+# cosine verify. An arrival never gates on other arrivals, so the final
+# ledger stays a pure function of the arrived SET — batch-split
+# invariance by construction, same as the lexical capstone.
+
+#: Ledger schema the semantic fold maintains.
+SEM_LEDGER_COLS = ["doc_id", "nn_id", "best_cos_micro", "sem_near_dup"]
+
+
+def build_semantic_index(
+    corpus_emb: DataFrame,
+    coarse: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partitions: int | None = None,
+) -> DataFrame:
+    """The prebuilt corpus half of the semantic gate:
+    ``(id, embedding, ivf_list)`` — every corpus vector assigned to its
+    nearest integer-coarse list (operators/pq.coarse_probe_lists,
+    nprobe=1). Built once per run and ``localCheckpoint``-ed by the
+    caller; at 100 TB it is written partitioned by ``ivf_list``
+    (the write_ivf_index layout) so a probe scans nprobe/nlist of the
+    bytes."""
+    from etl_platform_nyc_taxi_spark.operators.pq import coarse_probe_lists
+
+    lists = coarse_probe_lists(corpus_emb, coarse, 1, id_col, vec_col)
+    out = corpus_emb.select(id_col, vec_col).join(lists, id_col)
+    if partitions:
+        out = out.repartition(partitions, "ivf_list")
+    return out
+
+
+def semantic_gate(
+    batch: DataFrame,
+    sem_index: DataFrame,
+    coarse: list[list[int]],
+    nprobe: int = 3,
+    threshold_micro: int = 999_000,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    corpus_id_col: str = "vec_id",
+) -> DataFrame:
+    """Score one arriving batch against the prebuilt corpus embedding
+    index: per document, the best exact cosine (micro units, ties to the
+    lowest corpus id) among the ``nprobe`` probed lists, and the
+    ``sem_near_dup`` verdict at ``threshold_micro``. Returns
+    ``SEM_LEDGER_COLS`` for exactly the batch's documents; documents
+    probing only empty lists keep NULL neighbor columns and a FALSE
+    flag.
+
+    Scale shape: probes and batch vectors broadcast (a micro-batch is
+    small by definition); the corpus index is only ever equi-joined on
+    its partition column, so candidates are the batch×probed-lists
+    quadrant — the corpus never reshuffles and no batch×batch pair ever
+    forms."""
+    from etl_platform_nyc_taxi_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from etl_platform_nyc_taxi_spark.operators.pq import coarse_probe_lists
+    from etl_platform_nyc_taxi_spark.operators.windows import top_k_per_group
+
+    probes = coarse_probe_lists(batch, coarse, nprobe, id_col, vec_col)
+    bvec = batch.select(F.col(id_col), F.col(vec_col).alias("__bvec"))
+    cand = (
+        sem_index.join(F.broadcast(probes), "ivf_list")
+        .join(F.broadcast(bvec), id_col)
+        .select(
+            F.col(id_col),
+            F.col(corpus_id_col).alias("nn_id"),
+            F.floor(
+                F.round(
+                    cosine_similarity(F.col("__bvec"), F.col(vec_col)), 6
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("best_cos_micro"),
+        )
+    )
+    best = top_k_per_group(
+        cand,
+        group_by=[id_col],
+        order=[F.col("best_cos_micro").desc(), F.col("nn_id").asc()],
+        k=1,
+    ).drop("rank")
+    return batch.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        "nn_id",
+        "best_cos_micro",
+        F.coalesce(
+            F.col("best_cos_micro") >= F.lit(threshold_micro), F.lit(False)
+        ).alias("sem_near_dup"),
+    )
+
+
+def semantic_ingest_stream(
+    stream: DataFrame,
+    corpus_emb: DataFrame,
+    state: CdcState,
+    coarse: list[list[int]] | None = None,
+    nlist: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    nprobe: int = 3,
+    threshold_micro: int = 999_000,
+    checkpoint_dir: str | None = None,
+    partitions: int | None = None,
+) -> None:
+    """Run the arriving-embedding stream to completion
+    (Trigger.AvailableNow), folding each micro-batch's semantic-gate
+    verdicts into ``state``. Same convergence contract as
+    :func:`corpus_ingest_stream`: verdicts are pure functions of static
+    context, the ledger dedupes on doc_id under a total order, so
+    replays and alternative batch slicings converge to the same
+    relation (pinned in tests/test_streaming.py).
+
+    The static context materializes ONCE pre-stream: the integer coarse
+    quantizer trains on the corpus (operators/pq.fit_int_kmeans, m=1 —
+    pass ``coarse`` to reuse an ingest-time artifact) and the assigned
+    corpus index is ``localCheckpoint``-ed."""
+    from etl_platform_nyc_taxi_spark.operators.pq import fit_int_kmeans
+
+    if coarse is None:
+        coarse = fit_int_kmeans(
+            corpus_emb, m=1, dsub=dim, k=nlist, iters=iters
+        )[0]
+    sem_index = build_semantic_index(
+        corpus_emb, coarse, partitions=partitions
+    ).localCheckpoint(eager=True)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        gates = semantic_gate(
+            batch,
+            sem_index,
+            coarse,
+            nprobe=nprobe,
+            threshold_micro=threshold_micro,
+        )
+        prior = state.read()
+        combined = (
+            gates
+            if prior is None
+            else prior.select(*SEM_LEDGER_COLS).unionByName(gates)
+        )
+        ledger = latest_per_key(
+            combined,
+            ["doc_id"],
+            order=[
+                F.col(c).desc_nulls_last()
+                for c in SEM_LEDGER_COLS
+                if c != "doc_id"
+            ],
+        )
+        state.write_next(ledger)
+
+    owned = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_sem_ingest_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if owned:
+            shutil.rmtree(ckpt, ignore_errors=True)

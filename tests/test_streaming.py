@@ -1378,3 +1378,69 @@ def test_gate_batch_accepts_max_bucket(spark):
         "doc_id", "lang", "source", "n_tok",
         "near_dup", "contaminated", "low_quality",
     }
+
+
+# --- semantic ingest gate (r12: VERDICT r11 task 2) --------------------------
+
+
+def _run_semantic_ingest(spark, tmp_path, n_files, tag):
+    from etl_platform_nyc_taxi_spark.operators.pq import fit_int_kmeans
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+    from etl_platform_nyc_taxi_spark.streaming.ingest import (
+        semantic_ingest_stream,
+    )
+    from etl_platform_nyc_taxi_spark.sources import load_fixture
+
+    e = load_fixture(spark, "/root/testdata/sf0.001", "embeddings")
+    b = (e.count() * 3) // 4
+    corpus = e.filter(F.col("vec_id") < b).select("vec_id", "embedding")
+    mutants = e.filter(
+        (F.col("vec_id") < b) & (F.col("vec_id") % 5 == 0)
+    ).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.01)).cast("float")
+        ).alias("embedding"),
+    )
+    novel = e.filter(F.col("vec_id") >= b).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    src = str(tmp_path / f"sem_src_{tag}")
+    mutants.unionByName(novel).repartitionByRange(
+        n_files, "doc_id"
+    ).write.mode("overwrite").parquet(src)
+    coarse = fit_int_kmeans(corpus, m=1, dsub=64, k=8, iters=2)[0]
+    state = CdcState(spark, str(tmp_path / f"sem_state_{tag}"))
+    stream = read_stream_auto(spark, src, maxFilesPerTrigger="1")
+    semantic_ingest_stream(
+        stream,
+        corpus,
+        state,
+        coarse=coarse,
+        checkpoint_dir=str(tmp_path / f"sem_ckpt_{tag}"),
+        partitions=8,
+    )
+    return {tuple(r) for r in state.read().collect()}
+
+
+def test_semantic_ingest_batch_split_invariant_and_catches_mutants(
+    spark, tmp_path
+):
+    """The semantic ledger must be a pure function of the arrived SET
+    (verdicts score against the prebuilt corpus index only), and the
+    gate must flag every direction-preserving mutant — the paraphrase
+    stand-in the lexical MinHash gate cannot see — while letting the
+    genuinely novel tail through."""
+    multi = _run_semantic_ingest(spark, tmp_path, 3, "multi")
+    single = _run_semantic_ingest(spark, tmp_path, 1, "single")
+    assert multi == single
+    by_id = {r[0]: r for r in multi}
+    mut = [r for i, r in by_id.items() if i >= 1_000_000]
+    nov = [r for i, r in by_id.items() if i < 1_000_000]
+    assert mut and nov
+    assert all(r[3] for r in mut), "a mutant slipped the semantic gate"
+    # ×1.01 scaling preserves direction exactly: best cosine is 1.0 and
+    # the nearest neighbor is the original vector
+    assert all(r[2] == 1_000_000 for r in mut)
+    assert all(r[1] == r[0] - 1_000_000 for r in mut)
+    assert not any(r[3] for r in nov), "novel vector flagged as near-dup"
