@@ -23,25 +23,33 @@ of how the file source slices them into micro-batches, because
   batch×earlier-batch quadrants never form; a production pipeline
   near-dups the admitted stream against itself in the periodic BATCH
   re-dedup, not at the ingest gate);
-* admission is recomputed per fold over the ACCUMULATED ledger under a
-  deterministic order (doc_id within stratum), so replayed batches
-  converge (idempotent via latest-per-key on doc_id) and arrival order
-  cannot flip an admit decision.
+* admission is a deterministic function of the accumulated ledger SET
+  (prefix-sum ≤ quota over survivors in doc_id order within stratum) —
+  maintained INCREMENTALLY (r12, VERDICT r11 task 3): per-stratum
+  (carry_tok, max_doc_id) counters ride a sibling generation-numbered
+  relation, monotone arrivals admit from the carried prefix sum with a
+  batch-sized window, and a late or replayed id (at or below its
+  stratum's frontier) triggers a stratum-LOCAL recompute — never a
+  full-ledger window. Replays therefore converge (the arriving verdict
+  deterministically replaces the prior row) and arrival order cannot
+  flip an admit decision; incremental-equals-recompute is pinned in
+  tests/test_streaming.py.
 
 Scale notes (100 TB corpus, GB/hour arrivals): the corpus side of the
 probe is the banded-signature relation an ingest pipeline materializes
-once as its index (operators/similarity.write_lsh_index pattern — here
-it is recomputed per batch because the fixture corpus is tiny); the
-Bloom positions relation broadcasts (≤1 MB); the quota relation is
-strata-sized; the ledger fold shuffles on doc_id only. The admission
-recompute scans the accumulated ledger — at scale that state lives in a
-keyed store and the cumulative per-stratum token counters are the only
-hot rows (same stand-in argument as streaming/cdc.py's parquet
-generations).
+once as its index (operators/similarity.write_lsh_index pattern); the
+Bloom positions relation broadcasts (≤1 MB); the quota and counter
+relations are strata-sized. Per-fold ALGORITHMIC work is batch-sized on
+the monotone path (r12): no window ever runs over the accumulated
+ledger — the remaining ledger-sized work is a map-side stratum filter
+and CdcState's whole-relation generation rewrite, the documented
+parquet stand-in for a transactional keyed store (where both become a
+keyed upsert), not part of the algorithm.
 """
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 from pyspark.sql import DataFrame
@@ -196,6 +204,83 @@ def admit_ledger(
     )
 
 
+def _survivor() -> "F.Column":
+    """A ledgered document that no gate fired on — the only rows that
+    consume quota (admitted or not: admission is prefix-sum ≤ alloc over
+    ALL survivors in doc_id order, so a too-big survivor still counts
+    toward the running total that blocks everything after it)."""
+    return (
+        ~F.col("near_dup") & ~F.col("contaminated") & ~F.col("low_quality")
+    )
+
+
+def counters_of_ledger(
+    ledger: DataFrame, strata_cols: list[str] | None = None
+) -> DataFrame:
+    """The carried per-stratum admission counters (VERDICT r11 task 3):
+    ``(strata…, carry_tok, max_doc_id)`` where ``carry_tok`` is the
+    running survivor-token total (the prefix sum every later admission
+    decision continues from) and ``max_doc_id`` is the monotonicity
+    frontier over ALL ledgered docs of the stratum — any arrival at or
+    below it (late or replayed) invalidates the incremental path for
+    that stratum and forces a stratum-local recompute."""
+    strata = strata_cols or ["lang", "source"]
+    return ledger.groupBy(*strata).agg(
+        F.sum(F.when(_survivor(), F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("carry_tok"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def admit_arrivals_incremental(
+    arrivals: DataFrame,
+    counters: DataFrame,
+    alloc: DataFrame,
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Admission for arrivals PROVEN monotone (every doc_id above its
+    stratum's ``max_doc_id``): the cumulative window runs over the BATCH
+    only, seeded by the carried ``carry_tok`` — per-fold work is
+    batch-sized, not ledger-sized. Provably equal to
+    :func:`admit_ledger` over the full accumulated set for such strata:
+    the prefix sum over (prior survivors ∪ new survivors) splits exactly
+    into carry + batch-local running sum when every new id sorts after
+    every prior id."""
+    strata = strata_cols or ["lang", "source"]
+    surv = (
+        arrivals.filter(_survivor())
+        .withColumn(
+            "__cum",
+            F.sum("n_tok").over(
+                Window.partitionBy(*strata)
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(
+            F.broadcast(counters.select(*strata, "carry_tok")),
+            strata,
+            "left",
+        )
+        .withColumn(
+            "__cum", F.col("__cum") + F.coalesce("carry_tok", F.lit(0))
+        )
+    )
+    adm = surv.join(
+        F.broadcast(alloc.select(*strata, "alloc")), strata, "left"
+    ).select(
+        "doc_id",
+        (F.col("__cum") <= F.coalesce(F.col("alloc"), F.lit(0))).alias(
+            "__adm"
+        ),
+    )
+    return arrivals.join(adm, "doc_id", "left").select(
+        *LEDGER_COLS,
+        F.coalesce("__adm", F.lit(False)).alias("admitted"),
+    )
+
+
 def corpus_ingest_stream(
     stream: DataFrame,
     corpus: DataFrame,
@@ -246,35 +331,138 @@ def corpus_ingest_stream(
         )
     )
     eval_bloom = bloom_build(eval_slice).localCheckpoint(eager=True)
+    strata = strata_cols or ["lang", "source"]
+    # Carried admission counters live as a sibling generation-numbered
+    # relation under the ledger's state dir ("gen=" scanning ignores the
+    # subdirectory, and cleanup of the state dir removes both).
+    ctr_state = CdcState(state.spark, os.path.join(state.state_dir,
+                                                   "counters"))
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        gates = gate_batch(
-            batch,
-            corpus_index,
-            eval_bloom,
-            rules=rules,
-            partitions=partitions,
-            **mh_kwargs,
-        )
-        prior = state.read()
-        combined = (
-            gates
-            if prior is None
-            else prior.select(*LEDGER_COLS).unionByName(gates)
-        )
-        # Dedupe on doc_id under a TOTAL order over the payload columns
-        # (code-review r11: ordering by the partition key alone picked
-        # the survivor arbitrarily, violating latest_per_key's own
-        # contract). A doc re-gated identically dedupes trivially; a
-        # doc whose verdict legitimately changed mid-run (rule/quota
-        # reconfiguration) resolves deterministically — same winner on
-        # every replay — instead of flapping.
-        ledger = latest_per_key(
-            combined,
+        # Dedupe the batch on doc_id under a TOTAL order over the payload
+        # columns (code-review r11: a partition-key-only order picked the
+        # survivor arbitrarily). Cross-fold duplicates (replays) resolve
+        # below via the anti-join against the prior ledger plus the
+        # monotonicity check — a replayed id sits at or below its
+        # stratum's frontier, forcing the stratum-local recompute.
+        gates = latest_per_key(
+            gate_batch(
+                batch,
+                corpus_index,
+                eval_bloom,
+                rules=rules,
+                partitions=partitions,
+                **mh_kwargs,
+            ),
             ["doc_id"],
             order=[F.col(c).desc() for c in LEDGER_COLS if c != "doc_id"],
+        ).localCheckpoint(eager=True)  # consumed by several branches below
+        prior = state.read()
+        ctr = ctr_state.read()
+        if prior is None or ctr is None:
+            # First fold (or a pre-counter legacy state dir): full
+            # recompute, then seed the counters.
+            combined = (
+                gates
+                if prior is None
+                else latest_per_key(
+                    prior.select(*LEDGER_COLS).unionByName(gates),
+                    ["doc_id"],
+                    order=[
+                        F.col(c).desc() for c in LEDGER_COLS
+                        if c != "doc_id"
+                    ],
+                )
+            )
+            # Materialize BOTH outputs before either write: write_next
+            # retires the prior generation, and a lazily-evaluated
+            # counter plan would re-read the just-deleted parquet.
+            out = admit_ledger(combined, alloc, strata_cols).localCheckpoint(
+                eager=True
+            )
+            ctr_out = counters_of_ledger(out, strata_cols).localCheckpoint(
+                eager=True
+            )
+            state.write_next(out)
+            ctr_state.write_next(ctr_out)
+            return
+        # VERDICT r11 task 3: per-fold work is batch-sized on the happy
+        # path. Classify each arriving stratum: monotone (every new id
+        # above the carried frontier) admits incrementally from the
+        # carried counter; non-monotone (late arrival or replay) falls
+        # back to a stratum-LOCAL recompute — never the full ledger.
+        frontier = F.coalesce(
+            F.col("max_doc_id"), F.lit(-(1 << 62))
         )
-        state.write_next(admit_ledger(ledger, alloc, strata_cols))
+        cls = (
+            gates.groupBy(*strata)
+            .agg(F.min("doc_id").alias("__min_id"))
+            .join(ctr.select(*strata, "max_doc_id"), strata, "left")
+            .select(*strata, (F.col("__min_id") > frontier).alias("__mono"))
+            .localCheckpoint(eager=True)  # tiny: strata-sized
+        )
+        mono_keys = cls.filter(F.col("__mono")).select(*strata)
+        non_keys = cls.filter(~F.col("__mono")).select(*strata)
+        g_mono = gates.join(F.broadcast(mono_keys), strata, "left_semi")
+        g_non = gates.join(F.broadcast(non_keys), strata, "left_semi")
+        # inc/rec feed BOTH the ledger and the counter roll-forward —
+        # checkpoint them once (batch-/stratum-sized) so neither lineage
+        # executes twice, and so the counter plans below cannot re-read
+        # a generation write_next has already retired.
+        inc = admit_arrivals_incremental(
+            g_mono, ctr, alloc, strata_cols
+        ).localCheckpoint(eager=True)
+        # Stratum-local recompute: prior rows of the affected strata
+        # (replayed ids dropped — the arriving verdict wins) + arrivals.
+        prior_non = (
+            prior.join(F.broadcast(non_keys), strata, "left_semi")
+            .join(g_non.select("doc_id"), "doc_id", "left_anti")
+            .select(*LEDGER_COLS)
+        )
+        rec = admit_ledger(
+            prior_non.unionByName(g_non), alloc, strata_cols
+        ).localCheckpoint(eager=True)
+        prior_keep = prior.join(
+            F.broadcast(non_keys), strata, "left_anti"
+        ).select(*LEDGER_COLS, "admitted")
+        out = prior_keep.unionByName(inc).unionByName(rec)
+        # Counter roll-forward: monotone strata extend (carry += batch
+        # survivors, frontier = max arriving id); recomputed strata
+        # re-derive from their fresh rows; untouched strata carry over.
+        inc_delta = counters_of_ledger(inc, strata_cols).select(
+            *strata,
+            F.col("carry_tok").alias("__d_tok"),
+            F.col("max_doc_id").alias("__d_max"),
+        )
+        ctr_mono = (
+            ctr.join(F.broadcast(non_keys), strata, "left_anti")
+            .join(F.broadcast(inc_delta), strata, "left")
+            .select(
+                *strata,
+                (
+                    F.col("carry_tok") + F.coalesce("__d_tok", F.lit(0))
+                ).alias("carry_tok"),
+                F.greatest(
+                    F.col("max_doc_id"),
+                    F.coalesce("__d_max", F.col("max_doc_id")),
+                ).alias("max_doc_id"),
+            )
+        )
+        ctr_new = inc_delta.join(
+            F.broadcast(ctr.select(*strata)), strata, "left_anti"
+        ).select(
+            *strata,
+            F.col("__d_tok").alias("carry_tok"),
+            F.col("__d_max").alias("max_doc_id"),
+        )
+        ctr_rec = counters_of_ledger(rec, strata_cols)
+        # ledger write first: `out` reads `prior` (its generation stays
+        # alive until this write completes); the counter plans read only
+        # the inc/rec checkpoints and the live ctr generation.
+        state.write_next(out)
+        ctr_state.write_next(
+            ctr_mono.unionByName(ctr_new).unionByName(ctr_rec)
+        )
 
     owned = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
