@@ -3627,7 +3627,7 @@ _IVFPQ_BOOKS: dict[str, tuple[list, list]] = {}
 
 
 def _lloyd_sql(
-    tag: str, dsub: int, k: int, iters: int, src: str = "tels"
+    tag: str, dsub: int, k: int | str, iters: int, src: str = "tels"
 ) -> str:
     """Unrolled deterministic integer Lloyd's CTE chain over the
     TRAINING-SLICE element relation ``tels{dsub}(vec_id, s, sp, x)``
@@ -3642,7 +3642,13 @@ def _lloyd_sql(
     ALL exist in the training slice — the Spark trainer raises a
     ValueError on a gap, whereas this CTE would silently train with
     fewer centroids; the shared dense-0-based-id precondition is what
-    keeps the two replays equivalent."""
+    keeps the two replays equivalent.
+
+    ``k`` may also be a SQL scalar-subquery string (e.g.
+    ``"(SELECT k FROM nl)"``): it appears only in the init filter, so a
+    corpus-size-derived centroid count replays exactly as long as the
+    Spark side computes the same closed form (the semantic ingest gate's
+    nlist ∝ corpus rule)."""
     ctes = [
         f"""{tag}0 AS (
       SELECT s, sp, vec_id AS j, x AS cx
@@ -13170,6 +13176,32 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Semantic-gate artifacts per fixture: (base_boundary, coarse codebook)
+#: with nlist ∝ corpus — GREATEST(8, ceil(b/250)), the constant-list-size
+#: rule that keeps probe work linear (a fixed nlist makes it quadratic
+#: when arrivals and corpus scale together; measured 16.8× at ×10).
+_SEM_GATE: dict[str, tuple[int, list]] = {}
+
+
+def _sem_gate_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, list]:
+    from etl_platform_nyc_taxi_spark.operators.pq import fit_int_kmeans
+
+    if sf_dir not in _SEM_GATE:
+        p = _IVFPQ
+        e = _t(spark, sf_dir, "embeddings")
+        b = (e.count() * 3) // 4
+        nlist = max(8, -(-b // 250))  # == GREATEST(8, ceil(b/250.0))
+        base = e.filter(F.col("vec_id") < b)
+        coarse = fit_int_kmeans(
+            base, m=1, dsub=p["dim"], k=nlist, iters=p["iters"],
+            max_train_rows=p["max_train_rows"],
+        )[0]
+        _SEM_GATE[sf_dir] = (b, coarse)
+    return _SEM_GATE[sf_dir]
+
+
 @register(
     "streaming_corpus_ingest_semantic",
     f"""
@@ -13177,12 +13209,19 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb AS (
       SELECT CAST(COUNT(*) * 3 // 4 AS BIGINT) AS b FROM embeddings
     ),
+    nl AS (
+      -- nlist ∝ corpus (constant ~250-vector lists, floor 8): with a
+      -- FIXED nlist, probing is O(|arrivals|·|corpus|·nprobe/nlist) —
+      -- quadratic when both sides scale (measured 16.8× at ×10 data).
+      -- The Spark side computes the identical closed form.
+      SELECT GREATEST(8, CAST(ceil(b / 250.0) AS BIGINT)) AS k FROM nb
+    ),
     btels{_IVFPQ["dim"]} AS (
       SELECT e.vec_id, e.s, e.sp, e.x FROM tels{_IVFPQ["dim"]} e, nb
       WHERE e.vec_id < nb.b
     ),
-    {_lloyd_sql("gcq", _IVFPQ["dim"], _IVFPQ["nlist"], _IVFPQ["iters"],
-                src="btels")},
+    {_lloyd_sql("gcq", _IVFPQ["dim"], "(SELECT k FROM nl)",
+                _IVFPQ["iters"], src="btels")},
     arr AS (
       SELECT vec_id + 1000000 AS doc_id,
              [CAST(x*1.01 AS FLOAT) for x in embedding] AS emb
@@ -13285,7 +13324,7 @@ def q_streaming_corpus_ingest_semantic(
 
     p = _IVFPQ
     e = _t(spark, sf_dir, "embeddings")
-    b, coarse, _books = _ivfpq_stale_artifacts(spark, sf_dir)
+    b, coarse = _sem_gate_artifacts(spark, sf_dir)
     corpus = e.filter(F.col("vec_id") < b).select("vec_id", "embedding")
     if sf_dir not in _SEM_INGEST_SRC_DIRS:
         mutants = e.filter(
@@ -14554,96 +14593,92 @@ def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver-verification window rotation (round 11).
+# Driver-verification window rotation (round 12).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
-# insertion order).  Round-11 window = the allocation VERDICT r10 task 1
-# prescribes (first-timers, then material changes, then oldest-green
-# oldest-first; ages from tools/window_age.py, whose staleness rule is
-# now the achievable cycle bound ceil(registry/50) with the round-close
-# full verify_local run as the compensating control):
-#   * first-timer slots (5): ann_ivfpq + ann_ivfpq_recall (IVF-PQ ANN
-#     with deterministic integer-Lloyd codebooks — assignment and exact
-#     integer ADC distances replay in unrolled-iteration CTEs; recall@10
-#     vs brute-force truth in exact micro units; VERDICT r10 task 4);
-#     streaming_corpus_ingest (the AvailableNow ingest capstone
-#     composing minhash_probe_new + bloom_decontaminate + quality gate +
-#     UniMax-budgeted admission into CdcState, full batch-replay oracle;
-#     VERDICT r10 task 6); ann_matryoshka_eval (recall@10 of the 16-dim
-#     prefix embedding vs full-dim truth — the MRL serving-switch gate);
-#     hybrid_search_rrf (BM25 + Dirichlet-QL reciprocal-rank fusion in
-#     exact integer micro units, global rankers plan as
-#     TakeOrderedAndProject);
-#   * material change this round, same-round slot per the
-#     frozen-registry rule: bpe_fertility (advisor r10: LEFT-join vocab
-#     so OOV words price at char-level fallback and surface in a new
-#     n_oov column — output schema changed);
-#   * r6-greens, oldest-first: 44 of the 48 remaining (age 5 — at the
-#     amended cycle bound).  The last four in cohort order (twap_daily,
-#     union_slices, weighted_sample_pps, window_value_family) are
-#     displaced to r12 by the first-timers (first-timers outrank
-#     oldest-green) and MUST lead r12's window — window_age.py tracks
-#     them.
+# insertion order).  Priority order (the amended r11 rule): displaced
+# staleness-rule breaches, then first-timers, then material changes,
+# then oldest-green oldest-first; ages from tools/window_age.py (cycle
+# bound = ceil(registry/50), now 6 at 251 queries, with the round-close
+# full verify_local run as the compensating control).
+#   * staleness breaches (4, MUST lead per the r11 rotation plan): the
+#     r6-greens displaced by r11's first-timers — twap_daily,
+#     union_slices, weighted_sample_pps, window_value_family.
+#   * first-timer slots (3): ann_ivfpq_append + ann_ivfpq_drift
+#     (incremental IVF-PQ maintenance + staleness audit, VERDICT r11
+#     task 4) and streaming_corpus_ingest_semantic (the embedding-ANN
+#     ingest gate, VERDICT r11 task 2).
+#   * material changes this round (3): ann_ivf + ann_ivf_served (the
+#     coarse codebook moved from literal expression trees to a one-row
+#     broadcast relation, VERDICT r11 task 6) and
+#     streaming_corpus_ingest (the admission fold now carries
+#     per-stratum counters instead of windowing the full ledger,
+#     VERDICT r11 task 3).
+#   * r7-greens, oldest-first: 40 of the 48.  The last eight in cohort
+#     order (text_stats, tfidf_terms, top_percent_orders,
+#     user_event_profile, weekday_seasonality, window_lag_lead,
+#     window_running_sum, window_topk_per_group) are displaced to r13
+#     and MUST lead r13's window — window_age.py tracks them.
 #
-# Steady-state honesty: with 248 queries and a 50-slot window, full
-# re-green cadence is ceil(248/50) = 5 rounds; priority order is
-# first-timers, then material changes, then oldest-green.
+# Steady-state honesty: with 251 queries and a 50-slot window, full
+# re-green cadence is ceil(251/50) = 6 rounds; priority order is
+# displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
+    # Displaced r6-greens (staleness-rule breaches, lead the window):
+    "twap_daily",
+    "union_slices",
+    "weighted_sample_pps",
+    "window_value_family",
     # New this round (first-timer slots):
-    "ann_ivfpq",
-    "ann_ivfpq_recall",
+    "ann_ivfpq_append",
+    "ann_ivfpq_drift",
+    "streaming_corpus_ingest_semantic",
+    # Material changes this round (same-round slots):
+    "ann_ivf",
+    "ann_ivf_served",
     "streaming_corpus_ingest",
-    "ann_matryoshka_eval",
-    "hybrid_search_rrf",
-    # Material change this round (same-round slot):
-    "bpe_fertility",
-    # r6-greens, oldest-first (44 of 48; twap_daily, union_slices,
-    # weighted_sample_pps, window_value_family -> r12):
-    "abc_classification",
-    "attribution_linear",
-    "attribution_time_decay",
-    "chi2_independence",
-    "csv_quarantine_stats",
-    "daily_transactions",
-    "dedup_containment",
-    "dedup_survivor_weights",
-    "dq_freshness_lag",
-    "dq_referential",
-    "ewma_smooth",
-    "filter_range",
-    "first_touch_attribution",
-    "gini_by_nation",
-    "join_asof_forward_tol",
-    "json_roundtrip_extract",
-    "ks_drift",
-    "label_centroid_sim",
-    "market_concentration",
-    "neyman_allocation",
-    "orc_roundtrip_scan",
-    "scalar_functions",
-    "scan_project",
-    "sequence_pattern_counts",
-    "sql_exists_late_ship",
-    "sql_lateral_topn",
-    "sql_relational_division",
-    "sql_scalar_subquery",
-    "sql_tpch_q11",
-    "sql_tpch_q12",
-    "sql_tpch_q13",
-    "sql_tpch_q15",
-    "sql_tpch_q16",
-    "sql_tpch_q17",
-    "sql_tpch_q19",
-    "sql_tpch_q20",
-    "sql_tpch_q22",
-    "sql_tpch_q4",
-    "sql_tpch_q9",
-    "streaming_cdc_apply",
-    "streaming_error_monitor",
-    "time_to_convert",
-    "top5_zones",
-    "topk_with_other_bucket",
+    # r7-greens, oldest-first (40 of 48; the last 8 -> r13):
+    "agg_cube",
+    "agg_family",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_salted",
+    "ann_lsh",
+    "capped_balance",
+    "corpus_diff",
+    "daily_transactions_day",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_image",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_dim_stats",
+    "explode_tokens",
+    "hourly_latency_bands",
+    "join_anti",
+    "join_fact_fact",
+    "join_salted",
+    "join_semi",
+    "join_snowflake",
+    "join_star_dims",
+    "missing_id_ranges",
+    "moving_average_hourly",
+    "multimodal_frames",
+    "pivot_event_counts",
+    "regression_price_qty",
+    "sessionize_events",
+    "sql_tpch_q1",
+    "streaming_daily_counts",
+    "streaming_dedup",
+    "surrogate_keys",
+    "table_inventory",
+    "text_language_id",
+    "text_pii_redact",
+    "text_quality_filter",
+    "text_repetition",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -118,6 +118,24 @@ def histogram(banded):
     }
 
 
+def guarded_pair_work(banded, cap: int = 128) -> int:
+    """The candidate-pair bound the salt_hot_buckets guard enforces on
+    this banded relation (VERDICT r11 task 5): per bucket of size c,
+    the guard splits into nsalts = ceil(c/cap) content-hash sub-buckets,
+    so pair work is at most nsalts × C(ceil(c/nsalts), 2) — O(c·cap)
+    instead of O(c²). The realized split depends on the content-hash
+    spread; this is the worst-even-split upper bound."""
+    from pyspark.sql import functions as F
+
+    counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("c"))
+    ns = F.ceil(F.col("c") / F.lit(cap))
+    sub = F.ceil(F.col("c") / ns)
+    agg = counts.agg(
+        F.sum(ns * sub * (sub - 1) / 2).alias("gpw")
+    ).collect()[0]
+    return int(agg["gpw"])
+
+
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"

@@ -162,6 +162,14 @@ HEAVY = [
     # rankers — expect near-linear with slack).
     "ann_matryoshka_eval",
     "hybrid_search_rrf",
+    # Round 12: incremental IVF-PQ maintenance (append = encode of the
+    # newest quarter against frozen artifacts — linear in corpus; drift
+    # adds a second training + brute-force truth pass), and the semantic
+    # ingest gate (probe work ∝ |batch| × probed-list occupancy; corpus
+    # index built once pre-stream).
+    "ann_ivfpq_append",
+    "ann_ivfpq_drift",
+    "streaming_corpus_ingest_semantic",
 ]
 
 REPLICA_STRIDE = 10_000_000
