@@ -281,33 +281,24 @@ def admit_arrivals_incremental(
     )
 
 
-def corpus_ingest_stream(
-    stream: DataFrame,
+def make_ingest_fold(
     corpus: DataFrame,
     eval_slice: DataFrame,
     alloc: DataFrame,
     state: CdcState,
     rules: QualityRules = QualityRules(),
-    checkpoint_dir: str | None = None,
     partitions: int | None = None,
     strata_cols: list[str] | None = None,
     **mh_kwargs,
-) -> None:
-    """Run the arriving-document stream to completion
-    (Trigger.AvailableNow), folding each micro-batch's gate results into
-    ``state`` and rewriting the admission ledger. At-least-once replays
-    converge: the ledger dedupes on doc_id (a doc's gate verdict is a
-    pure function of its text + static context) and admission is a
-    deterministic function of the ledger set.
-
-    The static context materializes ONCE before the stream starts: the
-    corpus MinHash index and the eval Bloom positions are
-    ``localCheckpoint``-ed so every fold probes the same computed
-    relations instead of re-deriving them (the ingest-index posture; at
-    100 TB these live in storage, written by the batch ingest job).
-    With a prebuilt index, relation membership IS the new/old split — no
-    ``is_new`` predicate exists to disagree with it (code-review r11
-    removed the dead parameter)."""
+):
+    """Build the per-micro-batch fold: validates the gate knobs,
+    materializes the static context ONCE (corpus MinHash index + eval
+    Bloom, ``localCheckpoint``-ed), opens the carried-counter state, and
+    returns the ``fold(batch_df, batch_id)`` callable
+    :func:`corpus_ingest_stream` hands to ``foreachBatch``. Exposed so
+    the per-fold cost can be driven and measured directly
+    (tools/ingest_flat_probe.py) without paying the static-context
+    build per measurement."""
     # Reject unknown gate knobs BEFORE the stream starts (ADVICE r11: a
     # bad key used to surface as a TypeError mid-stream, inside the first
     # fold, with the checkpoint dir already created).
@@ -463,6 +454,44 @@ def corpus_ingest_stream(
         ctr_state.write_next(
             ctr_mono.unionByName(ctr_new).unionByName(ctr_rec)
         )
+
+    return fold
+
+
+def corpus_ingest_stream(
+    stream: DataFrame,
+    corpus: DataFrame,
+    eval_slice: DataFrame,
+    alloc: DataFrame,
+    state: CdcState,
+    rules: QualityRules = QualityRules(),
+    checkpoint_dir: str | None = None,
+    partitions: int | None = None,
+    strata_cols: list[str] | None = None,
+    **mh_kwargs,
+) -> None:
+    """Run the arriving-document stream to completion
+    (Trigger.AvailableNow), folding each micro-batch's gate results into
+    ``state`` and rewriting the admission ledger. At-least-once replays
+    converge: the ledger dedupes on doc_id (a doc's gate verdict is a
+    pure function of its text + static context) and admission is a
+    deterministic function of the ledger set — maintained incrementally
+    via carried per-stratum counters (module docstring; VERDICT r11
+    task 3).
+
+    The static context materializes ONCE before the stream starts
+    (:func:`make_ingest_fold`): the corpus MinHash index and the eval
+    Bloom positions are ``localCheckpoint``-ed so every fold probes the
+    same computed relations instead of re-deriving them (the
+    ingest-index posture; at 100 TB these live in storage, written by
+    the batch ingest job). With a prebuilt index, relation membership
+    IS the new/old split — no ``is_new`` predicate exists to disagree
+    with it (code-review r11 removed the dead parameter)."""
+    fold = make_ingest_fold(
+        corpus, eval_slice, alloc, state,
+        rules=rules, partitions=partitions, strata_cols=strata_cols,
+        **mh_kwargs,
+    )
 
     owned = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
