@@ -3970,11 +3970,14 @@ def _ivfpq_stale_chain() -> str:
     )"""
 
 
-#: Stale (base-slice-trained) artifacts + appended-index cache, keyed by
-#: fixture: (base_boundary, coarse, codebooks) and the localCheckpoint-ed
-#: encoded relation — ingest-time artifacts, built once, served many.
+#: Stale (base-slice-trained) artifacts, keyed by fixture:
+#: (base_boundary, coarse, codebooks) — ingest-time artifacts, built
+#: once, served many. The appended ENCODED INDEX itself goes through
+#: _served_index as a list-partitioned parquet layout: a re-readable
+#: storage artifact (bench.py's per-query unpersist sweep destroys any
+#: cross-query localCheckpoint — lineage-truncated blocks cannot be
+#: recomputed), and the true 100 TB posture anyway.
 _IVFPQ_STALE: dict[str, tuple[int, list, list]] = {}
-_IVFPQ_APPEND_IDX: dict[str, DataFrame] = {}
 
 
 def _ivfpq_stale_artifacts(
@@ -4012,23 +4015,32 @@ def _ivfpq_append_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _IVFPQ
     e = _t(spark, sf_dir, "embeddings")
     b, coarse, books = _ivfpq_stale_artifacts(spark, sf_dir)
-    if sf_dir not in _IVFPQ_APPEND_IDX:
+
+    def build(path: str) -> None:
         base = e.filter(F.col("vec_id") < b)
         new = e.filter(F.col("vec_id") >= b)
-        idx = ivfpq_append(
-            ivfpq_encode(
-                base, coarse, books,
-                partitions=_spread(spark, sf_dir, "embeddings"),
-            ),
-            new, coarse, books,
+        (
+            ivfpq_append(
+                ivfpq_encode(
+                    base, coarse, books,
+                    partitions=_spread(spark, sf_dir, "embeddings"),
+                ),
+                new, coarse, books,
+            )
+            # one task per inverted list -> <=1 file per list dir (the
+            # write_ivf_index dynamic-partition-write note)
+            .repartition("ivf_list")
+            .write.mode("overwrite")
+            .partitionBy("ivf_list")
+            .parquet(path)
         )
-        _IVFPQ_APPEND_IDX[sf_dir] = idx.localCheckpoint(eager=True)
+
+    idx = _served_index("ivfpq_append", sf_dir, spark, build)
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivfpq_topk_encoded(
-        _IVFPQ_APPEND_IDX[sf_dir], queries, coarse, books,
-        k=p["k"], nprobe=p["nprobe"],
+        idx, queries, coarse, books, k=p["k"], nprobe=p["nprobe"],
     )
 
 

@@ -172,3 +172,24 @@ def test_ivfpq_append_equals_full_reencode_and_serving_parity(spark):
     assert {tuple(r) for r in served.collect()} == {
         tuple(r) for r in mem.collect()
     }
+
+
+def test_append_index_survives_unpersist_sweep(spark):
+    """bench.py's per-query hygiene blocking-unpersists EVERY persistent
+    RDD between queries (its _gc_sweep). A cross-query cache must
+    therefore be a re-readable storage artifact, never a localCheckpoint
+    — lineage-truncated blocks cannot be recomputed once swept (r12: the
+    first appended-index cache died exactly this way, mid-bench)."""
+    from etl_platform_nyc_taxi_spark import queries_registry as QR
+
+    first = {tuple(r) for r in QR.QUERIES["ann_ivfpq_append"](
+        spark, SF_DIR).collect()}
+    # replicate bench._gc_sweep's destructive part
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(True)
+    spark.catalog.clearCache()
+    again = {tuple(r) for r in QR.QUERIES["ann_ivfpq_drift"](
+        spark, SF_DIR).collect()}
+    assert first and again  # both executed post-sweep without recompute loss
