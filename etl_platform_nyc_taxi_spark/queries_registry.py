@@ -38,6 +38,21 @@ from etl_platform_nyc_taxi_spark.operators.dedup import (
     simhash_near_dups,
 )
 from etl_platform_nyc_taxi_spark.operators.joins import anti_join, join_dim
+from etl_platform_nyc_taxi_spark.operators.preference import (
+    BT_ITERS,
+    DUEL_BLOCK,
+    S0,
+    S_MAX,
+    S_MIN,
+    TERM_SCALE,
+    bradley_terry,
+    cohen_kappa_pairs,
+    duel_matrix,
+    fleiss_kappa,
+    stage_duels,
+    synthetic_annotations,
+    wilson_win_matrix,
+)
 from etl_platform_nyc_taxi_spark.functions.vectors import mean_center
 from etl_platform_nyc_taxi_spark.operators.similarity import (
     brute_force_topk,
@@ -14605,6 +14620,309 @@ def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Preference & annotation analytics (round 12) — the RLHF-preference-data
+# slice of the LLM-pipeline surface: Bradley-Terry strengths over a
+# deterministic duel ledger, Wilson-bounded win matrices, and
+# inter-annotator agreement over a portable synthetic rater panel.
+# operators/preference.py carries the determinism contract (exact-integer
+# MM rounds, fixed double trees); these constants mirror it into DuckDB.
+# ---------------------------------------------------------------------------
+
+# Duel-ledger staging contract (preference.stage_duels): blocked
+# row_number pairing inside (lang, doc_id-block), higher n_chars wins,
+# ties to the lower doc_id, canonical item_a < item_b.
+_PREF_DUELS_SQL = f"""
+    pref_r AS (
+      SELECT lang, doc_id // {DUEL_BLOCK} AS blk, doc_id, source,
+             CAST(n_chars AS BIGINT) AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang, doc_id // {DUEL_BLOCK}
+               ORDER BY doc_id) AS BIGINT) AS rn
+      FROM documents
+    ),
+    pref_l AS (
+      SELECT lang, blk, (rn - 1) // 2 AS pair,
+             source AS i1, score AS s1, doc_id AS id1
+      FROM pref_r WHERE rn % 2 = 1
+    ),
+    pref_rt AS (
+      SELECT lang, blk, (rn - 2) // 2 AS pair,
+             source AS i2, score AS s2, doc_id AS id2
+      FROM pref_r WHERE rn % 2 = 0
+    ),
+    pref_d AS (
+      SELECT CASE WHEN i1 < i2 THEN i1 ELSE i2 END AS item_a,
+             CASE WHEN i1 < i2 THEN i2 ELSE i1 END AS item_b,
+             CASE WHEN (s1 > s2 OR (s1 = s2 AND id1 < id2)) = (i1 < i2)
+                  THEN 1 ELSE 0 END AS win_a
+      FROM pref_l JOIN pref_rt USING (lang, blk, pair)
+      WHERE i1 <> i2
+    ),
+    pref_m AS MATERIALIZED (
+      SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(win_a) AS BIGINT) AS wins_a
+      FROM pref_d GROUP BY item_a, item_b
+    )"""
+
+
+def _bt_rounds_sql(iters: int) -> str:
+    """Unrolled MM rounds (preference.bradley_terry): per pair
+    ``term = n·TERM_SCALE // (s_a+s_b)``, per item the exact BIGINT sum,
+    update ``clamp(wins·TERM_SCALE // denom)`` — same integers, same
+    floors, same clamp as the Spark loop."""
+    out = []
+    prev = "bt_s0"
+    for k in range(1, iters + 1):
+        out.append(
+            f""",
+    bt_t{k} AS MATERIALIZED (
+      SELECT m.item_a, m.item_b,
+             (m.n * {TERM_SCALE}) // (sa.s + sb.s) AS term
+      FROM pref_m m
+      JOIN {prev} sa ON m.item_a = sa.item
+      JOIN {prev} sb ON m.item_b = sb.item
+    ),
+    bt_d{k} AS MATERIALIZED (
+      SELECT item, CAST(SUM(term) AS BIGINT) AS denom FROM (
+        SELECT item_a AS item, term FROM bt_t{k}
+        UNION ALL
+        SELECT item_b AS item, term FROM bt_t{k})
+      GROUP BY item
+    ),
+    bt_s{k} AS MATERIALIZED (
+      SELECT i.item,
+             GREATEST({S_MIN}, LEAST({S_MAX},
+               (i.wins * {TERM_SCALE}) // d.denom)) AS s
+      FROM bt_it i JOIN bt_d{k} d ON i.item = d.item
+    )"""
+        )
+        prev = f"bt_s{k}"
+    return "".join(out)
+
+
+@register(
+    "preference_bradley_terry",
+    f"""
+    WITH {_PREF_DUELS_SQL},
+    bt_it AS MATERIALIZED (
+      SELECT item, CAST(SUM(n) AS BIGINT) AS n_duels,
+             CAST(SUM(w) AS BIGINT) AS wins
+      FROM (
+        SELECT item_a AS item, n, wins_a AS w FROM pref_m
+        UNION ALL
+        SELECT item_b AS item, n, n - wins_a AS w FROM pref_m)
+      GROUP BY item
+    ),
+    bt_s0 AS MATERIALIZED (
+      SELECT item, CAST({S0} AS BIGINT) AS s FROM bt_it
+    ){_bt_rounds_sql(BT_ITERS)},
+    bt_tot AS (
+      SELECT CAST(SUM(s) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k
+      FROM bt_s{BT_ITERS}
+    ),
+    bt_norm AS (
+      SELECT i.item, i.n_duels, i.wins,
+             (s.s * t.k * {S0}) // t.tot AS strength_micro
+      FROM bt_it i
+      JOIN bt_s{BT_ITERS} s ON i.item = s.item
+      CROSS JOIN bt_tot t
+    )
+    SELECT item, n_duels, wins, strength_micro,
+           CAST(DENSE_RANK() OVER (ORDER BY strength_micro DESC) AS BIGINT)
+             AS rnk
+    FROM bt_norm
+    """,
+)
+def q_preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry source-strength leaderboard from deterministic
+    pairwise duels (the RLHF preference-model estimation, run as exact
+    fixed-8-round integer MM — Hunter 2004). The corpus-sized staging
+    pass (blocked duel windows, one map-combinable shuffle into the
+    items² win matrix) is the 100 TB half; the MM loop then runs on the
+    metadata-sized matrix only, broadcast-joined each round with flat
+    lineage (operators/preference.bradley_terry). Reference parity:
+    /root/reference has no preference analytics — extension surface."""
+    d = _t(spark, sf_dir, "documents")
+    return bradley_terry(duel_matrix(stage_duels(d)), iters=BT_ITERS)
+
+
+_PREF_Z = 1.959964
+_PREF_ZZ = _PREF_Z * _PREF_Z
+
+
+@register(
+    "preference_win_wilson",
+    f"""
+    WITH {_PREF_DUELS_SQL},
+    pref_w AS (
+      SELECT item_a, item_b, n, wins_a,
+             CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM pref_m WHERE n >= 1
+    )
+    SELECT item_a, item_b, n, wins_a,
+           p AS win_rate,
+           (p + {_PREF_ZZ!r} / (2.0 * nd)
+              - {_PREF_Z!r} * sqrt(p * (1.0 - p) / nd
+                                   + {_PREF_ZZ!r} / (4.0 * nd * nd)))
+             / (1.0 + {_PREF_ZZ!r} / nd) AS wilson_lo,
+           (p + {_PREF_ZZ!r} / (2.0 * nd)
+              + {_PREF_Z!r} * sqrt(p * (1.0 - p) / nd
+                                   + {_PREF_ZZ!r} / (4.0 * nd * nd)))
+             / (1.0 + {_PREF_ZZ!r} / nd) AS wilson_hi
+    FROM pref_w
+    """,
+)
+def q_preference_win_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win-rate matrix with Wilson 95% score intervals — the
+    model-vs-model win-rate table every preference eval publishes, with
+    uncertainty that stays valid at small n. Same duel staging as
+    preference_bradley_terry; the Wilson bounds are a fixed tree of
+    correctly-rounded double ops on the exact integer (n, wins) pairs,
+    so the values replay bit-for-bit in the oracle (no float is ever
+    aggregated). items²-sized output."""
+    d = _t(spark, sf_dir, "documents")
+    return wilson_win_matrix(duel_matrix(stage_duels(d)), z=_PREF_Z)
+
+
+# Synthetic rater panel (preference.synthetic_annotations): latent band
+# from the global score max, md5-portable ±1 flips — the staging CONTRACT
+# the agreement queries pin.
+_ANN_RATERS, _ANN_FLIP, _ANN_CATS = 5, 15, 4
+_ANN_PANEL_SQL = f"""
+    ann_mx AS (
+      SELECT MAX(CAST(n_chars AS BIGINT)) AS mx FROM documents
+    ),
+    ann_base AS (
+      SELECT doc_id, lang AS grp,
+             LEAST({_ANN_CATS - 1},
+                   (CAST(n_chars AS BIGINT) * {_ANN_CATS}) // (mx + 1))
+               AS band
+      FROM documents, ann_mx
+    ),
+    ann AS (
+      SELECT doc_id, grp, r AS rater,
+             GREATEST(0, LEAST({_ANN_CATS - 1}, band + CASE
+               WHEN h % 100 >= {_ANN_FLIP} THEN 0
+               WHEN h % 2 = 0 THEN -1 ELSE 1 END)) AS category
+      FROM (
+        SELECT doc_id, grp, band, r,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                     || CAST(r AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM ann_base, generate_series(1, {_ANN_RATERS}) AS t(r))
+    )"""
+
+
+@register(
+    "annotator_agreement_fleiss",
+    f"""
+    WITH {_ANN_PANEL_SQL},
+    ann_dc AS (
+      SELECT grp, doc_id, category, CAST(COUNT(*) AS BIGINT) AS ndc
+      FROM ann GROUP BY grp, doc_id, category
+    ),
+    ann_pg AS (
+      SELECT grp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(SUM(ndc * ndc) AS BIGINT) AS sq,
+             CAST(SUM(ndc) AS BIGINT) AS tot
+      FROM ann_dc GROUP BY grp
+    ),
+    ann_m2 AS (
+      SELECT grp, CAST(SUM(mc * mc) AS BIGINT) AS m2 FROM (
+        SELECT grp, category, CAST(SUM(ndc) AS BIGINT) AS mc
+        FROM ann_dc GROUP BY grp, category)
+      GROUP BY grp
+    ),
+    ann_g AS (
+      SELECT p.grp, p.n_docs, p.sq, m.m2,
+             p.tot // p.n_docs AS r,
+             p.n_docs * (p.tot // p.n_docs) AS nr
+      FROM ann_pg p JOIN ann_m2 m ON p.grp = m.grp
+    ),
+    ann_k AS (
+      SELECT grp, n_docs, r AS n_raters,
+             CAST(sq - nr AS DOUBLE) / CAST(nr * (r - 1) AS DOUBLE)
+               AS p_bar,
+             CAST(m2 AS DOUBLE)
+               / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE)) AS p_e
+      FROM ann_g
+    )
+    SELECT grp, n_docs, n_raters, p_bar, p_e,
+           (p_bar - p_e) / (1.0 - p_e) AS kappa
+    FROM ann_k
+    """,
+)
+def q_annotator_agreement_fleiss(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleiss' kappa per language over a 5-rater panel — the label-quality
+    gate an annotation pipeline runs before trusting human preference /
+    category labels. Integer accumulators (squared per-doc category
+    counts, squared marginals) are map-combinable in two shuffles; the
+    ratios are a fixed correctly-rounded double tree, portable without
+    quantization (operators/preference.fleiss_kappa)."""
+    d = _t(spark, sf_dir, "documents")
+    return fleiss_kappa(
+        synthetic_annotations(
+            d, n_raters=_ANN_RATERS, flip_pct=_ANN_FLIP, n_cats=_ANN_CATS
+        )
+    )
+
+
+@register(
+    "annotator_kappa_pairs",
+    f"""
+    WITH {_ANN_PANEL_SQL},
+    ck_pairs AS (
+      SELECT a.rater AS rater_a, b.rater AS rater_b,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN a.category = b.category
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      FROM ann a JOIN ann b
+        ON a.doc_id = b.doc_id AND a.rater < b.rater
+      GROUP BY a.rater, b.rater
+    ),
+    ck_marg AS (
+      SELECT rater, category, CAST(COUNT(*) AS BIGINT) AS m
+      FROM ann GROUP BY rater, category
+    ),
+    ck_cross AS (
+      SELECT a.rater AS rater_a, b.rater AS rater_b,
+             CAST(SUM(a.m * b.m) AS BIGINT) AS mm
+      FROM ck_marg a JOIN ck_marg b
+        ON a.category = b.category AND a.rater < b.rater
+      GROUP BY a.rater, b.rater
+    ),
+    ck AS (
+      SELECT p.rater_a, p.rater_b, p.n_docs,
+             CAST(p.n_agree AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS po,
+             CAST(c.mm AS DOUBLE)
+               / (CAST(p.n_docs AS DOUBLE) * CAST(p.n_docs AS DOUBLE))
+               AS pe
+      FROM ck_pairs p JOIN ck_cross c
+        ON p.rater_a = c.rater_a AND p.rater_b = c.rater_b
+    )
+    SELECT rater_a, rater_b, n_docs, po, pe,
+           (po - pe) / (1.0 - pe) AS kappa
+    FROM ck
+    """,
+)
+def q_annotator_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for every rater pair — the drill-down that names
+    WHICH annotator drifted when the Fleiss panel number drops. The
+    doc-level relation joins once on doc_id (panel-sized rows, raters²
+    output); chance agreement comes from the raters' marginal category
+    counts, never from doc×doc work
+    (operators/preference.cohen_kappa_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return cohen_kappa_pairs(
+        synthetic_annotations(
+            d, n_raters=_ANN_RATERS, flip_pct=_ANN_FLIP, n_cats=_ANN_CATS
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 12).
 #
 # The correctness driver oracles the FIRST 50 registered queries (dict
@@ -14616,24 +14934,27 @@ def q_zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * staleness breaches (4, MUST lead per the r11 rotation plan): the
 #     r6-greens displaced by r11's first-timers — twap_daily,
 #     union_slices, weighted_sample_pps, window_value_family.
-#   * first-timer slots (3): ann_ivfpq_append + ann_ivfpq_drift
+#   * first-timer slots (7): ann_ivfpq_append + ann_ivfpq_drift
 #     (incremental IVF-PQ maintenance + staleness audit, VERDICT r11
-#     task 4) and streaming_corpus_ingest_semantic (the embedding-ANN
-#     ingest gate, VERDICT r11 task 2).
+#     task 4), streaming_corpus_ingest_semantic (the embedding-ANN
+#     ingest gate, VERDICT r11 task 2), and the r12 preference family —
+#     preference_bradley_terry, preference_win_wilson,
+#     annotator_agreement_fleiss, annotator_kappa_pairs.
 #   * material changes this round (3): ann_ivf + ann_ivf_served (the
 #     coarse codebook moved from literal expression trees to a one-row
 #     broadcast relation, VERDICT r11 task 6) and
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * r7-greens, oldest-first: 40 of the 48.  The last eight in cohort
-#     order (text_stats, tfidf_terms, top_percent_orders,
+#   * r7-greens, oldest-first: 36 of the 48.  The last twelve in cohort
+#     order (text_language_id, text_pii_redact, text_quality_filter,
+#     text_repetition, text_stats, tfidf_terms, top_percent_orders,
 #     user_event_profile, weekday_seasonality, window_lag_lead,
 #     window_running_sum, window_topk_per_group) are displaced to r13
 #     and MUST lead r13's window — window_age.py tracks them.
 #
-# Steady-state honesty: with 251 queries and a 50-slot window, full
-# re-green cadence is ceil(251/50) = 6 rounds; priority order is
+# Steady-state honesty: with 255 queries and a 50-slot window, full
+# re-green cadence is ceil(255/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -14646,11 +14967,15 @@ _VERIFY_FIRST = [
     "ann_ivfpq_append",
     "ann_ivfpq_drift",
     "streaming_corpus_ingest_semantic",
+    "preference_bradley_terry",
+    "preference_win_wilson",
+    "annotator_agreement_fleiss",
+    "annotator_kappa_pairs",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (40 of 48; the last 8 -> r13):
+    # r7-greens, oldest-first (36 of 48; the last 12 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -14687,10 +15012,6 @@ _VERIFY_FIRST = [
     "streaming_dedup",
     "surrogate_keys",
     "table_inventory",
-    "text_language_id",
-    "text_pii_redact",
-    "text_quality_filter",
-    "text_repetition",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
