@@ -237,6 +237,51 @@ def bradley_terry(matrix: DataFrame, iters: int = BT_ITERS) -> DataFrame:
     )
 
 
+def bt_calibration(
+    matrix: DataFrame, strengths: DataFrame, buckets: int = 10
+) -> DataFrame:
+    """Reward-model-style calibration curve for fitted Bradley-Terry
+    strengths: (decile, n_pairs, n_duels, wins, pred_avg_micro,
+    emp_micro) — BT-predicted win probability vs the empirical win rate,
+    bucketed by predicted probability.
+
+    Per pair: ``pred = s_a·10⁶ // (s_a + s_b)`` (scale-invariant, so the
+    normalized strengths serve directly); bucket = ``min(buckets−1,
+    pred·buckets // 10⁶)``. Per bucket, the duel-weighted predicted mean
+    and the empirical rate are exact integer ratios in micro units — a
+    calibrated fit shows pred_avg ≈ emp in every bucket. All inputs are
+    items²-sized; this never touches the corpus.
+    """
+    sa = strengths.select(
+        F.col("item").alias("item_a"), F.col("strength_micro").alias("s_a")
+    )
+    sb = strengths.select(
+        F.col("item").alias("item_b"), F.col("strength_micro").alias("s_b")
+    )
+    j = (
+        matrix.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .withColumn("pred", F.expr(f"(s_a * {S0}) div (s_a + s_b)"))
+        .withColumn(
+            "decile",
+            F.least(
+                F.lit(buckets - 1), F.expr(f"(pred * {buckets}) div {S0}")
+            ).cast("long"),
+        )
+    )
+    return j.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("n").cast("long").alias("n_duels"),
+        F.sum("wins_a").cast("long").alias("wins"),
+        F.expr("CAST(sum(pred * n) div sum(n) AS BIGINT)").alias(
+            "pred_avg_micro"
+        ),
+        F.expr(f"CAST((sum(wins_a) * {S0}) div sum(n) AS BIGINT)").alias(
+            "emp_micro"
+        ),
+    )
+
+
 def wilson_win_matrix(matrix: DataFrame, z: float = 1.959964) -> DataFrame:
     """Win-rate matrix with Wilson score interval bounds per ordered pair:
     (item_a, item_b, n, wins_a, win_rate, wilson_lo, wilson_hi).

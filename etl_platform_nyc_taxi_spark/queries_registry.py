@@ -46,6 +46,7 @@ from etl_platform_nyc_taxi_spark.operators.preference import (
     S_MIN,
     TERM_SCALE,
     bradley_terry,
+    bt_calibration,
     cohen_kappa_pairs,
     duel_matrix,
     fleiss_kappa,
@@ -14700,9 +14701,9 @@ def _bt_rounds_sql(iters: int) -> str:
     return "".join(out)
 
 
-@register(
-    "preference_bradley_terry",
-    f"""
+# Shared BT chain: staging + MM rounds + normalized strengths — reused by
+# the leaderboard query and the calibration curve below.
+_PREF_BT_CHAIN_SQL = f"""
     WITH {_PREF_DUELS_SQL},
     bt_it AS MATERIALIZED (
       SELECT item, CAST(SUM(n) AS BIGINT) AS n_duels,
@@ -14720,13 +14721,19 @@ def _bt_rounds_sql(iters: int) -> str:
       SELECT CAST(SUM(s) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k
       FROM bt_s{BT_ITERS}
     ),
-    bt_norm AS (
+    bt_norm AS MATERIALIZED (
       SELECT i.item, i.n_duels, i.wins,
              (s.s * t.k * {S0}) // t.tot AS strength_micro
       FROM bt_it i
       JOIN bt_s{BT_ITERS} s ON i.item = s.item
       CROSS JOIN bt_tot t
-    )
+    )"""
+
+
+@register(
+    "preference_bradley_terry",
+    _PREF_BT_CHAIN_SQL
+    + """
     SELECT item, n_duels, wins, strength_micro,
            CAST(DENSE_RANK() OVER (ORDER BY strength_micro DESC) AS BIGINT)
              AS rnk
@@ -14744,6 +14751,46 @@ def q_preference_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     /root/reference has no preference analytics — extension surface."""
     d = _t(spark, sf_dir, "documents")
     return bradley_terry(duel_matrix(stage_duels(d)), iters=BT_ITERS)
+
+
+@register(
+    "preference_bt_calibration",
+    _PREF_BT_CHAIN_SQL
+    + f"""
+    , cal_j AS (
+      SELECT m.n, m.wins_a,
+             (sa.strength_micro * {S0})
+               // (sa.strength_micro + sb.strength_micro) AS pred
+      FROM pref_m m
+      JOIN bt_norm sa ON m.item_a = sa.item
+      JOIN bt_norm sb ON m.item_b = sb.item
+    )
+    SELECT LEAST(9, (pred * 10) // {S0}) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n) AS BIGINT) AS n_duels,
+           CAST(SUM(wins_a) AS BIGINT) AS wins,
+           CAST(SUM(pred * n) AS BIGINT) // CAST(SUM(n) AS BIGINT)
+             AS pred_avg_micro,
+           (CAST(SUM(wins_a) AS BIGINT) * {S0}) // CAST(SUM(n) AS BIGINT)
+             AS emp_micro
+    FROM cal_j GROUP BY LEAST(9, (pred * 10) // {S0})
+    """,
+)
+def q_preference_bt_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration curve of the fitted Bradley-Terry model — the
+    reward-model eval: per predicted-probability decile, the
+    duel-weighted predicted mean vs the empirical win rate, both as
+    exact integer micro units. A well-fit BT shows pred ≈ emp per
+    bucket; divergence localizes WHERE the preference model is
+    over/under-confident. Reuses the duel matrix (localCheckpoint, one
+    staging pass) for both the MM fit and the calibration join
+    (operators/preference.bt_calibration)."""
+    d = _t(spark, sf_dir, "documents")
+    m = duel_matrix(stage_duels(d)).localCheckpoint(eager=True)
+    bt = bradley_terry(m, iters=BT_ITERS)
+    return bt_calibration(m, bt.select("item", "strength_micro"))
 
 
 _PREF_Z = 1.959964
@@ -14934,27 +14981,29 @@ def q_annotator_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * staleness breaches (4, MUST lead per the r11 rotation plan): the
 #     r6-greens displaced by r11's first-timers — twap_daily,
 #     union_slices, weighted_sample_pps, window_value_family.
-#   * first-timer slots (7): ann_ivfpq_append + ann_ivfpq_drift
+#   * first-timer slots (8): ann_ivfpq_append + ann_ivfpq_drift
 #     (incremental IVF-PQ maintenance + staleness audit, VERDICT r11
 #     task 4), streaming_corpus_ingest_semantic (the embedding-ANN
 #     ingest gate, VERDICT r11 task 2), and the r12 preference family —
 #     preference_bradley_terry, preference_win_wilson,
-#     annotator_agreement_fleiss, annotator_kappa_pairs.
+#     annotator_agreement_fleiss, annotator_kappa_pairs,
+#     preference_bt_calibration.
 #   * material changes this round (3): ann_ivf + ann_ivf_served (the
 #     coarse codebook moved from literal expression trees to a one-row
 #     broadcast relation, VERDICT r11 task 6) and
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * r7-greens, oldest-first: 36 of the 48.  The last twelve in cohort
-#     order (text_language_id, text_pii_redact, text_quality_filter,
+#   * r7-greens, oldest-first: 35 of the 48.  The last thirteen in
+#     cohort order (table_inventory, text_language_id, text_pii_redact,
+#     text_quality_filter,
 #     text_repetition, text_stats, tfidf_terms, top_percent_orders,
 #     user_event_profile, weekday_seasonality, window_lag_lead,
 #     window_running_sum, window_topk_per_group) are displaced to r13
 #     and MUST lead r13's window — window_age.py tracks them.
 #
-# Steady-state honesty: with 255 queries and a 50-slot window, full
-# re-green cadence is ceil(255/50) = 6 rounds; priority order is
+# Steady-state honesty: with 256 queries and a 50-slot window, full
+# re-green cadence is ceil(256/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -14971,11 +15020,12 @@ _VERIFY_FIRST = [
     "preference_win_wilson",
     "annotator_agreement_fleiss",
     "annotator_kappa_pairs",
+    "preference_bt_calibration",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (36 of 48; the last 12 -> r13):
+    # r7-greens, oldest-first (35 of 48; the last 13 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15011,7 +15061,6 @@ _VERIFY_FIRST = [
     "streaming_daily_counts",
     "streaming_dedup",
     "surrogate_keys",
-    "table_inventory",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -11,6 +11,7 @@ from etl_platform_nyc_taxi_spark.operators.preference import (
     BT_ITERS,
     S0,
     bradley_terry,
+    bt_calibration,
     cohen_kappa_pairs,
     duel_matrix,
     fleiss_kappa,
@@ -161,6 +162,24 @@ def test_cohen_kappa_pairs(spark):
     assert out[(1, 3)]["po"] == 0.5
     assert abs(out[(1, 3)]["pe"] - 0.5) < 1e-12
     assert out[(1, 3)]["kappa"] == 0.0
+
+
+def test_bt_calibration_buckets_and_weights(spark):
+    m = _matrix(
+        spark, [("A", "B", 10, 9), ("A", "C", 10, 9), ("B", "C", 10, 5)]
+    )
+    bt = bradley_terry(m)
+    cal = bt_calibration(m, bt.select("item", "strength_micro"))
+    out = {r["decile"]: r.asDict() for r in cal.collect()}
+    assert sum(v["n_pairs"] for v in out.values()) == 3
+    assert sum(v["n_duels"] for v in out.values()) == 30
+    for v in out.values():
+        assert 0 <= v["decile"] <= 9
+        assert 0 <= v["pred_avg_micro"] <= S0
+        assert 0 <= v["emp_micro"] <= S0
+    # the B-vs-C coin-flip pair lands in the middle deciles with emp 0.5
+    mid = [v for v in out.values() if v["n_pairs"] == 1 and v["wins"] == 5]
+    assert mid and mid[0]["emp_micro"] == S0 // 2
 
 
 def test_bt_pipeline_end_to_end(spark):

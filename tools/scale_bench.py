@@ -170,6 +170,13 @@ HEAVY = [
     "ann_ivfpq_append",
     "ann_ivfpq_drift",
     "streaming_corpus_ingest_semantic",
+    # Round 12: preference analytics — duel staging and the rater panel
+    # are corpus-linear (blocked windows / hash flips); the estimation
+    # loops (8 MM rounds, kappa ratios) run on items²/raters²-sized
+    # relations, so their cost must stay FLAT as the corpus replicates.
+    "preference_bradley_terry",
+    "annotator_agreement_fleiss",
+    "annotator_kappa_pairs",
 ]
 
 REPLICA_STRIDE = 10_000_000
