@@ -14969,6 +14969,150 @@ def q_annotator_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "l_diversity_audit",
+    """
+    WITH pb AS (
+      SELECT c_nationkey, c_mktsegment,
+             LEAST(3, GREATEST(0,
+               CAST(floor(c_acctbal / 2500.0) AS BIGINT) + 1)) AS band
+      FROM customer
+    ),
+    ld_cnts AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pb GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    ld_cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(SUM(cnt) AS BIGINT) AS sz,
+             CAST(COUNT(*) AS BIGINT) AS l_distinct
+      FROM ld_cnts GROUP BY c_nationkey, c_mktsegment
+    ),
+    ld_gl AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS g FROM pb GROUP BY band
+    ),
+    ld_nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM pb),
+    ld_dense AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.sz, c.l_distinct,
+             b.band, COALESCE(t.cnt, 0) AS cnt, COALESCE(g.g, 0) AS g,
+             n.nn
+      FROM ld_cls c
+      CROSS JOIN generate_series(0, 3) AS b(band)
+      LEFT JOIN ld_cnts t ON t.c_nationkey = c.c_nationkey
+        AND t.c_mktsegment = c.c_mktsegment AND t.band = b.band
+      LEFT JOIN ld_gl g ON g.band = b.band
+      CROSS JOIN ld_nn n
+    ),
+    ld_cum AS (
+      SELECT c_nationkey, c_mktsegment, sz, l_distinct, band, nn,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS cum_cnt,
+             CAST(SUM(g) OVER w AS BIGINT) AS cum_g
+      FROM ld_dense
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY band)
+    ),
+    ld_agg AS (
+      SELECT c_nationkey, c_mktsegment, sz, l_distinct,
+             CAST(SUM(CASE WHEN band < 3
+               THEN abs(cum_cnt * nn - cum_g * sz) ELSE 0 END) AS BIGINT)
+               AS sum_abs,
+             MAX(nn) AS nn
+      FROM ld_cum GROUP BY c_nationkey, c_mktsegment, sz, l_distinct
+    )
+    SELECT c_nationkey, c_mktsegment, sz, l_distinct,
+           CAST(sum_abs AS DOUBLE)
+             / (3.0 * CAST(sz AS DOUBLE) * CAST(nn AS DOUBLE))
+             AS t_closeness
+    FROM ld_agg
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity + t-closeness audit per quasi-identifier class — the
+    two privacy screens past k-anonymity (Machanavajjhala 2006, Li
+    2007) a data release runs before publishing customer-grained
+    training data. Sensitive attribute = account-balance band (4
+    ordered categories); per (nation, segment) class: distinct
+    sensitive values (l) and the ordered-category EMD against the
+    global distribution (t = Σ|cumulative deltas| / (m−1), exact
+    BIGINT numerators, one fixed-tree double at the end — exact up to
+    ~3·10⁹ rows, pre-aggregate beyond). The dense class×band grid is
+    |QI-domain|·m rows (metadata-sized); every corpus-touching
+    aggregate is map-side combinable, and the cumulative window runs
+    over 4-row partitions. Sibling of k_anonymity_audit."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.least(
+        F.lit(3),
+        F.greatest(
+            F.lit(0), F.floor(F.col("c_acctbal") / F.lit(2500.0)) + F.lit(1)
+        ),
+    ).cast("long")
+    pb = c.select("c_nationkey", "c_mktsegment", band.alias("band"))
+    cnts = pb.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cls = cnts.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("long").alias("sz"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+    )
+    gl = pb.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("g"))
+    nn = pb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    bands = cls.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "sz",
+        "l_distinct",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long"))
+        ).alias("band"),
+    )
+    dense = (
+        bands.join(cnts, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0).cast("long")))
+        .join(F.broadcast(gl), "band", "left")
+        .withColumn("g", F.coalesce("g", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(nn))
+    )
+    w = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "sz",
+        "l_distinct",
+        "band",
+        "nn",
+        F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+        F.sum("g").over(w).cast("long").alias("cum_g"),
+    )
+    agg = cum.groupBy("c_nationkey", "c_mktsegment", "sz", "l_distinct").agg(
+        F.sum(
+            F.when(
+                F.col("band") < 3,
+                F.abs(
+                    F.col("cum_cnt") * F.col("nn")
+                    - F.col("cum_g") * F.col("sz")
+                ),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_abs"),
+        F.max("nn").alias("nn"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "sz",
+        "l_distinct",
+        (
+            F.col("sum_abs").cast("double")
+            / (
+                F.lit(3.0)
+                * F.col("sz").cast("double")
+                * F.col("nn").cast("double")
+            )
+        ).alias("t_closeness"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-verification window rotation (round 12).
 #
@@ -14981,29 +15125,30 @@ def q_annotator_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * staleness breaches (4, MUST lead per the r11 rotation plan): the
 #     r6-greens displaced by r11's first-timers — twap_daily,
 #     union_slices, weighted_sample_pps, window_value_family.
-#   * first-timer slots (8): ann_ivfpq_append + ann_ivfpq_drift
+#   * first-timer slots (9): ann_ivfpq_append + ann_ivfpq_drift
 #     (incremental IVF-PQ maintenance + staleness audit, VERDICT r11
 #     task 4), streaming_corpus_ingest_semantic (the embedding-ANN
 #     ingest gate, VERDICT r11 task 2), and the r12 preference family —
 #     preference_bradley_terry, preference_win_wilson,
 #     annotator_agreement_fleiss, annotator_kappa_pairs,
-#     preference_bt_calibration.
+#     preference_bt_calibration — plus l_diversity_audit (the privacy
+#     screens past k-anonymity).
 #   * material changes this round (3): ann_ivf + ann_ivf_served (the
 #     coarse codebook moved from literal expression trees to a one-row
 #     broadcast relation, VERDICT r11 task 6) and
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * r7-greens, oldest-first: 35 of the 48.  The last thirteen in
-#     cohort order (table_inventory, text_language_id, text_pii_redact,
-#     text_quality_filter,
+#   * r7-greens, oldest-first: 34 of the 48.  The last fourteen in
+#     cohort order (surrogate_keys, table_inventory, text_language_id,
+#     text_pii_redact, text_quality_filter,
 #     text_repetition, text_stats, tfidf_terms, top_percent_orders,
 #     user_event_profile, weekday_seasonality, window_lag_lead,
 #     window_running_sum, window_topk_per_group) are displaced to r13
 #     and MUST lead r13's window — window_age.py tracks them.
 #
-# Steady-state honesty: with 256 queries and a 50-slot window, full
-# re-green cadence is ceil(256/50) = 6 rounds; priority order is
+# Steady-state honesty: with 257 queries and a 50-slot window, full
+# re-green cadence is ceil(257/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -15021,11 +15166,12 @@ _VERIFY_FIRST = [
     "annotator_agreement_fleiss",
     "annotator_kappa_pairs",
     "preference_bt_calibration",
+    "l_diversity_audit",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (35 of 48; the last 13 -> r13):
+    # r7-greens, oldest-first (34 of 48; the last 14 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15060,7 +15206,6 @@ _VERIFY_FIRST = [
     "sql_tpch_q1",
     "streaming_daily_counts",
     "streaming_dedup",
-    "surrogate_keys",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
