@@ -751,3 +751,41 @@ def test_matryoshka_truncated_ranker_take_ordered(spark):
     # per-query windows: every Window partitions by query_id, so no
     # global rangepartitioning sort of the corpus exists in the plan
     assert "rangepartitioning" not in s.lower()
+
+
+def test_bt_estimation_loop_broadcasts_metadata_relations(spark):
+    """The Bradley-Terry MM loop must never shuffle-join: strengths and
+    denominators are items²-sized and join the (checkpointed) matrix via
+    broadcast; no Python rows, no cartesian product, and the only
+    ranking window runs on the items-sized normalized relation."""
+    s = fmt(QR.QUERIES["preference_bradley_terry"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastHashJoin" in s
+    # the corpus-sized duel staging was folded into the checkpointed
+    # matrix before the loop — the final plan sees only metadata scans
+    assert "Scan parquet" not in s
+
+
+def test_duel_staging_windows_are_blocked(spark):
+    """Duel staging row_numbers inside (lang, id-block) sub-partitions —
+    a global or per-lang-only sort would serialize at 100 TB."""
+    from etl_platform_nyc_taxi_spark.operators.preference import stage_duels
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    d = load_fixture(spark, SF, "documents")
+    s = fmt(stage_duels(d))
+    assert re.search(r"hashpartitioning\(__g[^)]*__blk", s), (
+        "window partitioning must include the id-block column"
+    )
+
+
+def test_l_diversity_cumulative_window_is_class_partitioned(spark):
+    """The t-closeness cumulative window runs over 4-row class
+    partitions, never a global order; corpus aggregates are map-side
+    combinable (partial_count) and the band/total relations broadcast."""
+    s = fmt(QR.QUERIES["l_diversity_audit"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert "partial_count" in s
+    assert "BroadcastExchange" in s
