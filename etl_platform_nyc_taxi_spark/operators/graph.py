@@ -506,3 +506,72 @@ def bfs_distances(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited.select(F.col("n").alias(node_col), F.col("dist").cast("int").alias("dist"))
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation over a pair relation: ``(node,
+    label)`` after a FIXED number of rounds — the community detector
+    that keeps chained near-dups apart where connected components
+    over-merges them (A~B and B~C chain into one CC even when A≁C;
+    under LPA a node adopts the label most FREQUENT among its
+    neighbors, so low-connectivity bridges don't propagate).
+
+    Determinism contract (full-oracle replayable, unlike classic async
+    LPA): rounds are synchronous (all updates read the previous round's
+    labels), the vote is over the CLOSED neighborhood (neighbors' labels
+    plus the node's own — self-inclusion damps the 2-cycle oscillation
+    synchronous LPA exhibits on chains/bipartite structure), the update
+    is "most frequent label, ties to the SMALLEST label", and the round
+    count is fixed — no convergence-dependent stopping, no traversal
+    order. Init label = own id.
+
+    Scale shape: per round one equi-join (edges ⋈ labels, shuffled on
+    the node key) + one count aggregate (map-combinable) + one
+    row_number window PARTITIONED BY NODE (neighbor-label-count-sized
+    partitions); ``localCheckpoint`` keeps lineage flat (the
+    connected_components discipline). Isolated nodes never enter —
+    compose with a left join against the full id universe, as
+    :func:`dedup_clusters` does for CC.
+    """
+    from pyspark.sql import Window
+
+    # checkpoint the PAIR relation before symmetrizing: the union reads
+    # it twice, and an un-materialized reference would execute the whole
+    # upstream pair trunk (LSH signature + verify) once per branch — the
+    # bfs_distances lesson, re-measured here as 2× trunk cost at ×10.
+    pairs = pairs.localCheckpoint(eager=True)
+    sym = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        votes = sym.join(labels, sym["v"] == labels["node"]).select(
+            "u", "label"
+        ).unionByName(
+            labels.select(F.col("node").alias("u"), "label")
+        )
+        cnt = votes.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -14969,6 +14969,95 @@ def q_annotator_kappa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_rounds_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA rounds (operators/graph.
+    label_propagation): most-frequent label over the CLOSED
+    neighborhood (neighbors + self), ties to the smallest label — same
+    join, same votes, same tie-break as the Spark loop. MATERIALIZED:
+    each round references the previous one twice (neighbor join + self
+    votes), and the pair trunk must evaluate once."""
+    out = []
+    for k in range(1, rounds + 1):
+        out.append(
+            f""",
+    lp{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT u AS node, label,
+               ROW_NUMBER() OVER (PARTITION BY u
+                 ORDER BY COUNT(*) DESC, label ASC) AS rn
+        FROM (
+          SELECT s.u, l.label
+          FROM lpa_sym s JOIN lp{k - 1} l ON l.node = s.v
+          UNION ALL
+          SELECT node AS u, label FROM lp{k - 1}
+        ) GROUP BY u, label
+      ) WHERE rn = 1
+    )"""
+        )
+    return "".join(out)
+
+
+@register(
+    "dedup_communities_lpa",
+    rf"""
+    WITH lpa_pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_MINHASH_PAIRS_SQL}) p
+    ),
+    lpa_sym AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM lpa_pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM lpa_pairs
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, u AS label FROM lpa_sym
+    ){_lpa_rounds_sql(_LPA_ROUNDS)},
+    lpa_allids AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id FROM documents
+    )
+    SELECT a.doc_id, COALESCE(l.label, a.doc_id) AS community
+    FROM lpa_allids a LEFT JOIN lp{_LPA_ROUNDS} l ON l.node = a.doc_id
+    """,
+)
+def q_dedup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the MinHash near-dup graph via fixed-
+    round synchronous label propagation — the clustering that keeps
+    chained near-dups APART where connected components over-merges
+    them (A~B~C collapses to one CC even when A and C share nothing; a
+    closed-neighborhood frequency vote doesn't let a single bridge doc
+    pull two dense cores together). Same pair
+    trunk as dedup_clusters, so the two relations diff directly: every
+    community is a subset of a CC, and the split points name the
+    bridge docs. Deterministic by construction (synchronous rounds,
+    ties to the smallest label, fixed round count) — full-oracle
+    replayable, unlike classic async LPA
+    (operators/graph.label_propagation)."""
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        label_propagation,
+    )
+
+    corpus = _docs_with_mutants(spark, sf_dir)
+    pairs = minhash_near_dups(
+        corpus,
+        k=6,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        threshold=0.6,
+        partitions=spark.sparkContext.defaultParallelism,
+    )
+    lab = label_propagation(pairs, rounds=_LPA_ROUNDS)
+    allids = corpus.select("doc_id")
+    return allids.join(
+        lab, allids["doc_id"] == lab["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("community")
+    )
+
+
 @register(
     "l_diversity_audit",
     """
@@ -15125,30 +15214,31 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   * staleness breaches (4, MUST lead per the r11 rotation plan): the
 #     r6-greens displaced by r11's first-timers — twap_daily,
 #     union_slices, weighted_sample_pps, window_value_family.
-#   * first-timer slots (9): ann_ivfpq_append + ann_ivfpq_drift
+#   * first-timer slots (10): ann_ivfpq_append + ann_ivfpq_drift
 #     (incremental IVF-PQ maintenance + staleness audit, VERDICT r11
 #     task 4), streaming_corpus_ingest_semantic (the embedding-ANN
 #     ingest gate, VERDICT r11 task 2), and the r12 preference family —
 #     preference_bradley_terry, preference_win_wilson,
 #     annotator_agreement_fleiss, annotator_kappa_pairs,
 #     preference_bt_calibration — plus l_diversity_audit (the privacy
-#     screens past k-anonymity).
+#     screens past k-anonymity) and dedup_communities_lpa
+#     (closed-neighborhood LPA over the near-dup graph).
 #   * material changes this round (3): ann_ivf + ann_ivf_served (the
 #     coarse codebook moved from literal expression trees to a one-row
 #     broadcast relation, VERDICT r11 task 6) and
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * r7-greens, oldest-first: 34 of the 48.  The last fourteen in
-#     cohort order (surrogate_keys, table_inventory, text_language_id,
-#     text_pii_redact, text_quality_filter,
+#   * r7-greens, oldest-first: 33 of the 48.  The last fifteen in
+#     cohort order (streaming_dedup, surrogate_keys, table_inventory,
+#     text_language_id, text_pii_redact, text_quality_filter,
 #     text_repetition, text_stats, tfidf_terms, top_percent_orders,
 #     user_event_profile, weekday_seasonality, window_lag_lead,
 #     window_running_sum, window_topk_per_group) are displaced to r13
 #     and MUST lead r13's window — window_age.py tracks them.
 #
-# Steady-state honesty: with 257 queries and a 50-slot window, full
-# re-green cadence is ceil(257/50) = 6 rounds; priority order is
+# Steady-state honesty: with 258 queries and a 50-slot window, full
+# re-green cadence is ceil(258/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -15167,11 +15257,12 @@ _VERIFY_FIRST = [
     "annotator_kappa_pairs",
     "preference_bt_calibration",
     "l_diversity_audit",
+    "dedup_communities_lpa",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (34 of 48; the last 14 -> r13):
+    # r7-greens, oldest-first (33 of 48; the last 15 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15205,7 +15296,6 @@ _VERIFY_FIRST = [
     "sessionize_events",
     "sql_tpch_q1",
     "streaming_daily_counts",
-    "streaming_dedup",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -377,3 +377,37 @@ def test_non_convergence_raises_dedicated_type(spark):
         connected_components(chain, max_iter=1)
     with pytest.raises(ConvergenceError, match="did not converge"):
         connected_components_star(chain, max_iter=1)
+
+
+def test_label_propagation_two_triangles_with_bridge(spark):
+    """Two triangles joined by one bridge edge: CC merges everything;
+    closed-neighborhood LPA keeps the two dense cores as distinct
+    communities (the anti-over-merge property the operator exists for)."""
+    from etl_platform_nyc_taxi_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id_a long, id_b long",
+    )
+    cc = connected_components(edges)
+    assert len({r[1] for r in cc.collect()}) == 1  # one CC
+    lab = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[4] == lab[5] == lab[6]
+    assert lab[1] != lab[4]
+
+
+def test_label_propagation_deterministic_and_chain_stable(spark):
+    """Self-inclusion damps the 2-cycle oscillation of synchronous LPA:
+    a 3-chain converges to one community and repeated runs are
+    bit-identical."""
+    from etl_platform_nyc_taxi_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    a = sorted(tuple(r) for r in label_propagation(edges).collect())
+    b = sorted(tuple(r) for r in label_propagation(edges).collect())
+    assert a == b
+    assert a == [(1, 1), (2, 1), (3, 1)]

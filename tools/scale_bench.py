@@ -170,6 +170,10 @@ HEAVY = [
     "ann_ivfpq_append",
     "ann_ivfpq_drift",
     "streaming_corpus_ingest_semantic",
+    # Round 12: LPA communities — same MinHash pair trunk as
+    # dedup_clusters plus 4 fixed vote rounds (join + count + node-
+    # partitioned window each); expect the dedup_clusters profile.
+    "dedup_communities_lpa",
     # Round 12: preference analytics — duel staging and the rater panel
     # are corpus-linear (blocked windows / hash flips); the estimation
     # loops (8 MM rounds, kappa ratios) run on items²/raters²-sized
