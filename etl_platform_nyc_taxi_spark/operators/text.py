@@ -539,6 +539,163 @@ def bigram_lm_scores(
     )
 
 
+def stupid_backoff_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    flag_avg_nll_micro: int = 3_700_000,
+) -> DataFrame:
+    """Held-out document scoring under a Stupid-Backoff trigram LM
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the web-scale LM recipe that deliberately skips
+    normalization and discounting so the model is nothing but raw
+    n-gram counts, exactly the shape a distributed engine aggregates
+    best. The score of each held-out trigram (w1, w2, w3) is
+
+      S = c3(w1 w2 w3) / c2(w1 w2)              if the trigram was seen
+        = α · c2(w2 w3) / c1(w2)                 else if the bigram was
+        = α² · (c1(w3) + 1) / (N + V)            else (final level
+                                                  add-one smoothed so
+                                                  unseen words stay
+                                                  finite — our one
+                                                  deviation from the
+                                                  paper's c(w3)/N)
+
+    with α = 0.4 (the paper's constant). Seen higher-order counts
+    imply their denominators exist (a trigram contains its context
+    bigram), so the chain never divides by NULL.
+
+    Output per scored doc: ``n_trigrams``, per-backoff-level occurrence
+    counts (``n_tri_hits`` / ``n_bi_hits`` / ``n_uni_hits`` — the
+    model-coverage audit), ``nll_micro``, and ``is_outlier``. Docs with
+    fewer than three tokens score (0, 0, 0, 0, 0, false).
+
+    Engine-portable determinism (the bigram_lm_scores discipline): each
+    trigram's ``-ln S`` is quantized to integer micro-nats —
+    ``FLOOR(-ln(S)·1e6 + 0.5)`` where S is one or two exactly-rounded
+    IEEE ops on exact integers — and the per-doc total is an
+    order-independent BIGINT sum; the outlier flag is a pure integer
+    compare.
+
+    Scale shape (100 TB): n-gram extraction is a HOF projection at scan
+    speed; all model aggregates shuffle on n-gram keys with map-side
+    combine; the scored relation is pre-aggregated (count ``k`` per
+    (doc, trigram)) so joins move trigram TYPES, not occurrences; the
+    three model tables are orders smaller than the corpus and join on
+    their own keys (AQE broadcasts the unigram table when it fits);
+    (N, V) joins as a 1-row broadcast relation, never a driver
+    action."""
+    ttoks = train.select(tokens_ws(text_col).alias("t"))
+    tri_of = "transform(slice(t, 1, size(t) - 2), (w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2, element_at(t, i + 3) AS w3))"
+    bi_of = "transform(slice(t, 1, size(t) - 1), (w, i) -> struct(w AS w1, element_at(t, i + 2) AS w2))"
+    c3 = (
+        ttoks.filter(F.size("t") >= 3)
+        .select(F.explode(F.expr(tri_of)).alias("g"))
+        .groupBy("g.w1", "g.w2", "g.w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    c2 = (
+        ttoks.filter(F.size("t") >= 2)
+        .select(F.explode(F.expr(bi_of)).alias("g"))
+        .groupBy("g.w1", "g.w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = (
+        ttoks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    nv = ttoks.select(F.explode("t").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("w").cast("long").alias("vsz"),
+    )
+    per_doc = (
+        score.select(F.col(id_col), tokens_ws(text_col).alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(F.col(id_col), F.explode(F.expr(tri_of)).alias("g"))
+        .groupBy(id_col, "g.w1", "g.w2", "g.w3")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    joined = (
+        per_doc.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.withColumnRenamed("c2", "c12"), ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            c1.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")), "w2", "left"
+        )
+        .join(
+            c1.select(F.col("w").alias("w3"), F.col("c1").alias("cw3")), "w3", "left"
+        )
+        .crossJoin(F.broadcast(nv))
+    )
+    a = float(alpha)
+    s_expr = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(a) * (F.col("c23").cast("double") / F.col("cw2").cast("double")),
+        )
+        .otherwise(
+            F.lit(a * a)
+            * (
+                (F.coalesce("cw3", F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_tokens") + F.col("vsz")).cast("double")
+            )
+        )
+    )
+    level = F.when(F.col("c3").isNotNull(), F.lit(0)).when(
+        F.col("c23").isNotNull(), F.lit(1)
+    ).otherwise(F.lit(2))
+    nm = F.floor(-F.log(s_expr) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    agg = (
+        joined.select(F.col(id_col), "k", nm.alias("nm"), level.alias("lv"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("lv") == 0, F.col("k")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_tri_hits"),
+            F.sum(F.when(F.col("lv") == 1, F.col("k")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_bi_hits"),
+            F.sum(F.when(F.col("lv") == 2, F.col("k")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_uni_hits"),
+            F.sum(F.col("k") * F.col("nm")).cast("long").alias("nll_micro"),
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        score.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_trigrams", z).alias("n_trigrams"),
+            F.coalesce("n_tri_hits", z).alias("n_tri_hits"),
+            F.coalesce("n_bi_hits", z).alias("n_bi_hits"),
+            F.coalesce("n_uni_hits", z).alias("n_uni_hits"),
+            F.coalesce("nll_micro", z).alias("nll_micro"),
+            (
+                F.coalesce("nll_micro", z)
+                > F.lit(int(flag_avg_nll_micro)) * F.coalesce("n_trigrams", z)
+            ).alias("is_outlier"),
+        )
+    )
+
+
 def normalize_text(text_col: str | Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -15202,6 +15202,106 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SB_THR = 3_700_000  # avg-NLL micro-nats: flags the worst ~15% of the fixture
+
+
+@register(
+    "lm_stupid_backoff",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         tk -> tk <> '') AS t
+      FROM documents
+    ),
+    tr AS (SELECT t FROM toks WHERE doc_id % 5 != 0),
+    g3 AS (SELECT t[CAST(r.i AS INT)] AS w1, t[CAST(r.i AS INT) + 1] AS w2,
+                  t[CAST(r.i AS INT) + 2] AS w3
+           FROM tr, unnest(range(1, len(t) - 1)) AS r(i)),
+    cc3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+            FROM g3 GROUP BY 1, 2, 3),
+    g2 AS (SELECT t[CAST(r.i AS INT)] AS w1, t[CAST(r.i AS INT) + 1] AS w2
+           FROM tr, unnest(range(1, len(t))) AS r(i)),
+    cc2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM g2 GROUP BY 1, 2),
+    cc1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+            FROM (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                  CAST(COUNT(DISTINCT w) AS BIGINT) AS vsz
+           FROM (SELECT unnest(t) AS w FROM tr)),
+    pd AS (SELECT doc_id, t[CAST(r.i AS INT)] AS w1,
+                  t[CAST(r.i AS INT) + 1] AS w2,
+                  t[CAST(r.i AS INT) + 2] AS w3,
+                  CAST(COUNT(*) AS BIGINT) AS k
+           FROM toks, unnest(range(1, len(t) - 1)) AS r(i)
+           WHERE doc_id % 5 = 0
+           GROUP BY 1, 2, 3, 4),
+    j AS (
+      SELECT pd.doc_id, pd.k,
+             CASE WHEN t3.c3 IS NOT NULL THEN 0
+                  WHEN b23.c2 IS NOT NULL THEN 1 ELSE 2 END AS lv,
+             CAST(FLOOR(-ln(
+               CASE WHEN t3.c3 IS NOT NULL
+                    THEN CAST(t3.c3 AS DOUBLE) / CAST(b12.c2 AS DOUBLE)
+                    WHEN b23.c2 IS NOT NULL
+                    THEN 0.4 * (CAST(b23.c2 AS DOUBLE)
+                                / CAST(u2.c1 AS DOUBLE))
+                    ELSE (0.4 * 0.4)
+                         * (CAST(COALESCE(u3.c1, 0) + 1 AS DOUBLE)
+                            / CAST(nv.n_tokens + nv.vsz AS DOUBLE))
+               END) * 1000000 + 0.5) AS BIGINT) AS nm
+      FROM pd
+      LEFT JOIN cc3 t3 USING (w1, w2, w3)
+      LEFT JOIN cc2 b12 ON pd.w1 = b12.w1 AND pd.w2 = b12.w2
+      LEFT JOIN cc2 b23 ON pd.w2 = b23.w1 AND pd.w3 = b23.w2
+      LEFT JOIN cc1 u2 ON pd.w2 = u2.w
+      LEFT JOIN cc1 u3 ON pd.w3 = u3.w
+      CROSS JOIN nv
+    ),
+    a AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_trigrams,
+                 CAST(SUM(CASE WHEN lv = 0 THEN k ELSE 0 END) AS BIGINT)
+                   AS n_tri_hits,
+                 CAST(SUM(CASE WHEN lv = 1 THEN k ELSE 0 END) AS BIGINT)
+                   AS n_bi_hits,
+                 CAST(SUM(CASE WHEN lv = 2 THEN k ELSE 0 END) AS BIGINT)
+                   AS n_uni_hits,
+                 CAST(SUM(k * nm) AS BIGINT) AS nll_micro
+          FROM j GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(a.n_trigrams, 0) AS n_trigrams,
+           COALESCE(a.n_tri_hits, 0) AS n_tri_hits,
+           COALESCE(a.n_bi_hits, 0) AS n_bi_hits,
+           COALESCE(a.n_uni_hits, 0) AS n_uni_hits,
+           COALESCE(a.nll_micro, 0) AS nll_micro,
+           COALESCE(a.nll_micro, 0) > {_SB_THR} * COALESCE(a.n_trigrams, 0)
+             AS is_outlier
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity filter under a Stupid-Backoff trigram LM
+    (operators/text.stupid_backoff_scores; Brants et al. 2007) — the
+    web-scale LM that is nothing but raw n-gram counts, trained on 80%
+    of the corpus and scoring the held-out 20%, so all three backoff
+    levels genuinely fire (unlike self-scoring, where every trigram is
+    seen). Emits per-level hit counts — the model-coverage audit — plus
+    the micro-nat NLL total and the outlier flag. Complements the
+    add-one bigram self-LM (quality_perplexity): backoff scores are
+    sharper on repetitive/templated text because seen trigrams are
+    scored by pure relative frequency, not smoothed mass."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        stupid_backoff_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stupid_backoff_scores(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        flag_avg_nll_micro=_SB_THR,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM (SentencePiece-family) subword tokenizer (round 12) —
 # operators/unigram.py. Hard-EM training: seed substring counts → seed
@@ -15511,21 +15611,22 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (3): the unigram-LM
+#   * first-timer slots, late-r12 additions (4): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
-#     tokenizer_fertility_compare.
-#   * r7-greens, oldest-first: 30 of the 48.  The last eighteen in
-#     cohort order (sessionize_events, sql_tpch_q1,
-#     streaming_daily_counts, streaming_dedup, surrogate_keys,
-#     table_inventory, text_language_id, text_pii_redact,
-#     text_quality_filter, text_repetition, text_stats, tfidf_terms,
-#     top_percent_orders, user_event_profile, weekday_seasonality,
-#     window_lag_lead, window_running_sum, window_topk_per_group) are
-#     displaced to r13 and MUST lead r13's window — window_age.py
-#     tracks them.
+#     tokenizer_fertility_compare — and lm_stupid_backoff (held-out
+#     trigram LM scoring).
+#   * r7-greens, oldest-first: 29 of the 48.  The last nineteen in
+#     cohort order (regression_price_qty, sessionize_events,
+#     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
+#     surrogate_keys, table_inventory, text_language_id,
+#     text_pii_redact, text_quality_filter, text_repetition,
+#     text_stats, tfidf_terms, top_percent_orders, user_event_profile,
+#     weekday_seasonality, window_lag_lead, window_running_sum,
+#     window_topk_per_group) are displaced to r13 and MUST lead r13's
+#     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 258 queries and a 50-slot window, full
-# re-green cadence is ceil(258/50) = 6 rounds; priority order is
+# Steady-state honesty: with 262 queries and a 50-slot window, full
+# re-green cadence is ceil(262/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -15548,11 +15649,12 @@ _VERIFY_FIRST = [
     "unigram_vocab",
     "unigram_tokenize",
     "tokenizer_fertility_compare",
+    "lm_stupid_backoff",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (30 of 48; the last 18 -> r13):
+    # r7-greens, oldest-first (29 of 48; the last 19 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15582,7 +15684,6 @@ _VERIFY_FIRST = [
     "moving_average_hourly",
     "multimodal_frames",
     "pivot_event_counts",
-    "regression_price_qty",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

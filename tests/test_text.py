@@ -789,3 +789,82 @@ def test_robots_apply_longest_match_semantics(spark):
     assert got[5] == (True, None)
     assert got[6] == (True, "/same")
     assert len(got) == 6  # no frontier row lost or duplicated
+
+
+def test_stupid_backoff_level_routing_hand_computed(spark):
+    """Train: 'a b c a b c'; score doc exercises all three levels:
+    (a b c) seen trigram, (b c x)->? ... hand-build each level."""
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        stupid_backoff_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c a b d")], "doc_id long, text string"
+    )
+    # train counts: tokens N=6, V=4. trigrams: (a,b,c),(b,c,a),(c,a,b),
+    # (a,b,d); bigrams: (a,b)x2,(b,c),(c,a),(b,d); unigrams a2 b2 c1 d1.
+    score = spark.createDataFrame(
+        [(0, "a b c"), (5, "c a b"), (10, "b c q"), (15, "q q z"), (20, "a b")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in stupid_backoff_scores(train, score).collect()
+    }
+    m = lambda s: math.floor(-math.log(s) * 1e6 + 0.5)  # noqa: E731
+    # doc 0: trigram (a,b,c) seen: S = c3/c2(a,b) = 1/2, level tri
+    assert rows[0]["n_tri_hits"] == 1 and rows[0]["nll_micro"] == m(1 / 2)
+    # doc 5: (c,a,b) seen: S = 1/1
+    assert rows[5]["n_tri_hits"] == 1 and rows[5]["nll_micro"] == m(1.0)
+    # doc 10: (b,c,q) unseen; bigram (c,q) unseen -> level uni on w3=q:
+    # S = 0.16 * (0+1)/(N+V) = 0.16 * 1/10
+    assert rows[10]["n_uni_hits"] == 1
+    assert rows[10]["nll_micro"] == m((0.4 * 0.4) * (1 / 10))
+    # doc 15: (q,q,z) unseen, (q,z) unseen -> uni level on z (unseen)
+    assert rows[15]["n_uni_hits"] == 1
+    # doc 20: fewer than 3 tokens -> zero-fill, not dropped
+    assert rows[20]["n_trigrams"] == 0 and rows[20]["is_outlier"] is False
+
+
+def test_stupid_backoff_bigram_level(spark):
+    """A trigram whose suffix bigram WAS seen scores at the bigram
+    level: S = 0.4 * c2(w2 w3)/c1(w2)."""
+    import math
+
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        stupid_backoff_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "x a b y a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame([(0, "z a b")], "doc_id long, text string")
+    r = stupid_backoff_scores(train, score).collect()[0]
+    # (z,a,b): trigram unseen; suffix bigram (a,b) seen twice; c1(a)=2
+    assert r["n_bi_hits"] == 1 and r["n_tri_hits"] == 0
+    assert r["nll_micro"] == math.floor(
+        -math.log(0.4 * (2 / 2)) * 1e6 + 0.5
+    )
+
+
+def test_stupid_backoff_total_is_sum_of_levels(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        stupid_backoff_scores,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = stupid_backoff_scores(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+    bad = out.filter(
+        F.col("n_trigrams")
+        != F.col("n_tri_hits") + F.col("n_bi_hits") + F.col("n_uni_hits")
+    ).count()
+    assert bad == 0
+    # every scored doc appears exactly once (zero-fill keeps short docs)
+    assert out.count() == docs.filter(F.col("doc_id") % 5 == 0).count()
