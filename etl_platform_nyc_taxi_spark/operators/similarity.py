@@ -999,3 +999,104 @@ def embedding_dispersion(
             ),
         )
     )
+
+
+def hard_triplets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch-hard triplet mining for contrastive/metric training
+    (Hermans et al. 2017, "In Defense of the Triplet Loss"): for every
+    anchor, the hardest positive (LEAST-similar same-label vector) and
+    the hardest negative (MOST-similar different-label vector), plus
+    the triplet margin — the example-selection step a contrastive
+    training-data pipeline runs before building (anchor, pos, neg)
+    batches, and the curriculum signal (mine the violated triplets
+    first).
+
+    Output per anchor: ``(anchor_id, label, pos_id, pos_cos, neg_id,
+    neg_cos, margin, violates)`` with ``margin = pos_cos − neg_cos``
+    and ``violates = margin <= 0`` (the un-margined triplet constraint
+    already broken). Anchors whose label has no second member are
+    omitted (no positive exists).
+
+    Determinism: cosines are rounded to ``round_digits`` (the
+    brute_force_topk discipline — one exactly-rounded double per pair,
+    portable across engines), and both argmins break ties by smallest
+    candidate id via a (key, id) window order.
+
+    Scale shape: this is the EXACT form — a self-join scored at
+    O(n²/p) like brute_force_topk, with both reductions as partitioned
+    windows pre-truncated by WindowGroupLimit (never a global sort).
+    At 100 TB the negative side swaps in ANN candidates (hardest
+    negatives are near-anchors by definition — lsh_topk / ivf_topk
+    produce exactly that candidate set) and the positive side stays a
+    label-blocked join (label blocks are bounded by class balance);
+    the reduction and margin algebra are unchanged."""
+    from pyspark.sql import Window
+
+    a = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__avec"),
+    )
+    b = df.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(label_col).alias("cand_label"),
+        F.col(vec_col).alias("__bvec"),
+    )
+    cos = F.round(
+        cosine_similarity(F.col("__avec"), F.col("__bvec")), round_digits
+    )
+    pairs = (
+        a.join(b, F.col("anchor_id") != F.col("cand_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "cand_id",
+            "cand_label",
+            cos.alias("cos"),
+        )
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").asc(), F.col("cand_id").asc()
+    )
+    pos = (
+        pairs.filter(F.col("cand_label") == F.col("label"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "label",
+            F.col("cand_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    neg = (
+        pairs.filter(F.col("cand_label") != F.col("label"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        (F.col("pos_cos") - F.col("neg_cos") <= F.lit(0.0)).alias(
+            "violates"
+        ),
+    )

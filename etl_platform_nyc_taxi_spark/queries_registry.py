@@ -15202,6 +15202,58 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "triplet_mining",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor_id, a.label AS label,
+             b.vec_id AS cand_id, b.label AS cand_label,
+             ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                  a.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                    b.embedding::DOUBLE[])),
+                            0), 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    pos AS (
+      SELECT anchor_id, label, cand_id AS pos_id, cos AS pos_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos ASC, cand_id ASC) AS rn
+        FROM pairs WHERE cand_label = label) t
+      WHERE rn = 1
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, cand_id ASC) AS rn
+        FROM pairs WHERE cand_label != label) t
+      WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           p.pos_cos - n.neg_cos AS margin,
+           p.pos_cos - n.neg_cos <= 0.0 AS violates
+    FROM pos p JOIN neg n USING (anchor_id)
+    """,
+)
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining over the embeddings table
+    (operators/similarity.hard_triplets; Hermans et al. 2017): per
+    anchor, the hardest positive (least-similar same-label), hardest
+    negative (most-similar other-label), and the triplet margin — the
+    example-selection pass a contrastive training pipeline runs before
+    batch building. Exact form here (the all-pairs oracle IS the
+    completeness proof); at scale the negative side swaps in ANN
+    candidates (lsh_topk/ivf_topk emit exactly the near-anchor set)
+    with the same reduction."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        hard_triplets,
+    )
+
+    return hard_triplets(_t(spark, sf_dir, "embeddings"))
+
+
 _SB_THR = 3_700_000  # avg-NLL micro-nats: flags the worst ~15% of the fixture
 
 
@@ -15611,22 +15663,23 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (4): the unigram-LM
+#   * first-timer slots, late-r12 additions (5): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
-#     tokenizer_fertility_compare — and lm_stupid_backoff (held-out
-#     trigram LM scoring).
-#   * r7-greens, oldest-first: 29 of the 48.  The last nineteen in
-#     cohort order (regression_price_qty, sessionize_events,
-#     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
-#     surrogate_keys, table_inventory, text_language_id,
-#     text_pii_redact, text_quality_filter, text_repetition,
-#     text_stats, tfidf_terms, top_percent_orders, user_event_profile,
-#     weekday_seasonality, window_lag_lead, window_running_sum,
-#     window_topk_per_group) are displaced to r13 and MUST lead r13's
-#     window — window_age.py tracks them.
+#     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
+#     trigram LM scoring) and triplet_mining (batch-hard contrastive
+#     pair selection).
+#   * r7-greens, oldest-first: 28 of the 48.  The last twenty in
+#     cohort order (pivot_event_counts, regression_price_qty,
+#     sessionize_events, sql_tpch_q1, streaming_daily_counts,
+#     streaming_dedup, surrogate_keys, table_inventory,
+#     text_language_id, text_pii_redact, text_quality_filter,
+#     text_repetition, text_stats, tfidf_terms, top_percent_orders,
+#     user_event_profile, weekday_seasonality, window_lag_lead,
+#     window_running_sum, window_topk_per_group) are displaced to r13
+#     and MUST lead r13's window — window_age.py tracks them.
 #
-# Steady-state honesty: with 262 queries and a 50-slot window, full
-# re-green cadence is ceil(262/50) = 6 rounds; priority order is
+# Steady-state honesty: with 263 queries and a 50-slot window, full
+# re-green cadence is ceil(263/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -15650,11 +15703,12 @@ _VERIFY_FIRST = [
     "unigram_tokenize",
     "tokenizer_fertility_compare",
     "lm_stupid_backoff",
+    "triplet_mining",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (29 of 48; the last 19 -> r13):
+    # r7-greens, oldest-first (28 of 48; the last 20 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15683,7 +15737,6 @@ _VERIFY_FIRST = [
     "missing_id_ranges",
     "moving_average_hourly",
     "multimodal_frames",
-    "pivot_event_counts",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -456,3 +456,54 @@ def test_ivf_plan_has_no_literal_codebook_trees(spark):
     small = len(plan_of(assign_ivf_lists(emb, cents[:2])))
     large = len(plan_of(assign_ivf_lists(emb, cents * 8)))  # 128 centroids
     assert large < small * 1.5, (small, large)
+
+
+def test_hard_triplets_hand_computed(spark):
+    """4 vectors, 2 labels, hand-checkable cosines: anchors pick the
+    least-similar same-label and most-similar other-label candidates."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        hard_triplets,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.1]),   # near v1, same label
+        (3, 1, [0.0, 1.0]),   # orthogonal to v1
+        (4, 1, [0.6, 0.8]),   # 53 deg from v1, closest other-label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
+    # anchor 1: only positive is 2; hardest negative is 4 (cos 0.6 > 0)
+    assert out[1]["pos_id"] == 2 and out[1]["neg_id"] == 4
+    assert abs(out[1]["neg_cos"] - 0.6) < 1e-9
+    # anchor 3: positive 4 (cos 0.8); hardest negative 2 (cos ~0.0995 > 0)
+    assert out[3]["pos_id"] == 4 and out[3]["neg_id"] == 2
+    # margin algebra + flag
+    for r in out.values():
+        assert abs(r["margin"] - (r["pos_cos"] - r["neg_cos"])) < 1e-12
+        assert r["violates"] == (r["margin"] <= 0.0)
+    # anchor 1 margin: pos_cos ~0.995 > neg 0.6 -> not violated
+    assert out[1]["violates"] is False
+
+
+def test_hard_triplets_tiebreak_and_singleton_label(spark):
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        hard_triplets,
+    )
+
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),   # identical twin — cos 1.0 with anchor 1
+        (3, 0, [1.0, 0.0]),   # another twin: tie on cos -> min cand_id
+        (9, 5, [0.5, 0.5]),   # singleton label: no positive -> omitted
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
+    assert 9 not in out                      # no positive exists
+    assert out[1]["pos_id"] == 2             # tie (cos 1.0): min id wins
+    assert out[2]["pos_id"] == 1
+    assert out[1]["neg_id"] == 9             # only negative available
