@@ -15203,6 +15203,230 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heaps_law_fit",
+    r"""
+    WITH docw AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    nt AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+           FROM docw GROUP BY 1, 2),
+    fo AS (SELECT source, tok, MIN(doc_id) AS first_doc
+           FROM docw GROUP BY 1, 2),
+    nw AS (SELECT source, first_doc AS doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_new
+           FROM fo GROUP BY 1, 2),
+    cum AS (
+      SELECT nt.source, nt.doc_id,
+             SUM(nt.n_tok) OVER (PARTITION BY nt.source ORDER BY nt.doc_id)
+               AS cum_tok,
+             SUM(COALESCE(nw.n_new, 0)) OVER (PARTITION BY nt.source
+                                              ORDER BY nt.doc_id) AS cum_voc
+      FROM nt LEFT JOIN nw ON nt.source = nw.source
+                          AND nt.doc_id = nw.doc_id
+    ),
+    pts AS (
+      SELECT source,
+             CAST(CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * 1000 + 0.5)
+               AS DOUBLE) / 1000 AS DECIMAL(18,3)) AS x,
+             CAST(CAST(floor(ln(CAST(cum_voc AS DOUBLE)) * 1000 + 0.5)
+               AS DOUBLE) / 1000 AS DECIMAL(18,3)) AS y
+      FROM cum WHERE cum_tok >= 1 AND cum_voc >= 1
+    ),
+    m AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(y * y AS DECIMAL(38,6))) AS syy
+      FROM pts GROUP BY source
+    )
+    SELECT source, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: OLS of ln(cumulative
+    distinct words) on ln(cumulative tokens) in doc_id (ingestion)
+    order — V(N) ≈ K·N^β with β ≈ 0.4–0.6 for natural text; a
+    saturated β ≈ 0 exposes a closed-vocabulary/templated source (the
+    synthetic fixture shows exactly that) and β ≈ 1 a randomized one.
+    The Zipf fit's companion: Zipf reads the frequency DISTRIBUTION,
+    Heaps the growth CURVE — together the corpus-health pair.
+
+    Scale shape: cumulative distinct is NEVER a running COUNT DISTINCT
+    (the user_growth_curve rule) — a word contributes +1 only at its
+    per-source first-occurrence doc (one min-agg on the vocab-sized
+    relation); both cumsums are partitioned windows over the DOC-sized
+    per-doc aggregate; the OLS is the shared exact-decimal moment
+    pass (operators/analytics.group_regression_stats) over
+    milli-quantized log points."""
+    from pyspark.sql import Window
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        group_regression_stats,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
+
+    docw = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.explode(tokens_ws("text")).alias("tok")
+    )
+    nt = docw.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    nw = (
+        docw.groupBy("source", "tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = (
+        nt.join(nw, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).alias("cum_voc"),
+        )
+        .filter((F.col("cum_tok") >= 1) & (F.col("cum_voc") >= 1))
+    )
+    q3 = lambda col: (  # noqa: E731
+        F.floor(F.log(col.cast("double")) * F.lit(1e3) + F.lit(0.5)).cast(
+            "double"
+        )
+        / F.lit(1e3)
+    )
+    pts = cum.select(
+        "source",
+        q3(F.col("cum_tok")).alias("x"),
+        q3(F.col("cum_voc")).alias("y"),
+    )
+    return group_regression_stats(pts, "source", "x", "y", scale=3)
+
+
+@register(
+    "ann_int8_recall",
+    rf"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[])), 0), 6)
+                 DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e) t WHERE rnk <= 10
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS m,
+             embedding
+      FROM embeddings
+    ),
+    iq AS (
+      SELECT vec_id,
+             [CASE WHEN m = 0 THEN 0.0
+                   ELSE round(CAST(x AS DOUBLE) * 127.0 / m)
+              END for x in embedding] AS v
+      FROM qz
+    ),
+    tq AS (SELECT vec_id AS query_id, v AS qv FROM iq WHERE vec_id < 8),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT tq.query_id, iq.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY tq.query_id ORDER BY
+                 ROUND(list_dot_product(tq.qv::DOUBLE[], iq.v::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(tq.qv::DOUBLE[], tq.qv::DOUBLE[]))
+                          * sqrt(list_dot_product(iq.v::DOUBLE[], iq.v::DOUBLE[])), 0), 6)
+                 DESC, iq.vec_id ASC) AS rnk
+        FROM tq CROSS JOIN iq) t WHERE rnk <= 10
+    )
+    SELECT t.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           CAST(floor(CAST(COUNT(a.vec_id) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS recall_ppm
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization recall audit (the ann_matryoshka_eval
+    pattern): recall@10 of cosine search over symmetric per-vector
+    int8-quantized embeddings (functions/vectors.quantize_int8 — the
+    4×-smaller storage/bandwidth format) against float truth — the
+    eval gate before switching a billion-vector serving corpus to int8.
+    The quantized ranking is MORE portable than the float one: every
+    dot product is a sum of integer products (|q| ≤ 127, exact in
+    doubles), so the round-6 ranking key replays bit-for-bit. Per-query
+    exact micro-unit recall, deterministic vec_id tie-breaks."""
+    from etl_platform_nyc_taxi_spark.functions.vectors import quantize_int8
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    qe = e.select(
+        "vec_id",
+        quantize_int8(F.col("embedding")).cast("array<double>").alias(
+            "embedding"
+        ),
+    )
+    qq = qe.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = brute_force_topk(qe, qq, k=10).select(
+        "query_id", F.col("vec_id").alias("__av")
+    )
+    hits = truth.join(
+        approx,
+        (truth.query_id == approx.query_id)
+        & (F.col("vec_id") == F.col("__av")),
+        "left",
+    ).select(truth.query_id, "vec_id", "__av")
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.count("__av").cast("long").alias("n_hit"),
+        F.floor(
+            F.count("__av").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@register(
     "triplet_mining",
     """
     WITH pairs AS (
@@ -15663,23 +15887,25 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (5): the unigram-LM
+#   * first-timer slots, late-r12 additions (7): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
-#     trigram LM scoring) and triplet_mining (batch-hard contrastive
-#     pair selection).
-#   * r7-greens, oldest-first: 28 of the 48.  The last twenty in
-#     cohort order (pivot_event_counts, regression_price_qty,
-#     sessionize_events, sql_tpch_q1, streaming_daily_counts,
-#     streaming_dedup, surrogate_keys, table_inventory,
-#     text_language_id, text_pii_redact, text_quality_filter,
-#     text_repetition, text_stats, tfidf_terms, top_percent_orders,
-#     user_event_profile, weekday_seasonality, window_lag_lead,
-#     window_running_sum, window_topk_per_group) are displaced to r13
-#     and MUST lead r13's window — window_age.py tracks them.
+#     trigram LM scoring), triplet_mining (batch-hard contrastive pair
+#     selection), heaps_law_fit (vocabulary-growth corpus health), and
+#     ann_int8_recall (quantized-serving eval gate).
+#   * r7-greens, oldest-first: 26 of the 48.  The last twenty-two in
+#     cohort order (moving_average_hourly, multimodal_frames,
+#     pivot_event_counts, regression_price_qty, sessionize_events,
+#     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
+#     surrogate_keys, table_inventory, text_language_id,
+#     text_pii_redact, text_quality_filter, text_repetition,
+#     text_stats, tfidf_terms, top_percent_orders, user_event_profile,
+#     weekday_seasonality, window_lag_lead, window_running_sum,
+#     window_topk_per_group) are displaced to r13 and MUST lead r13's
+#     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 263 queries and a 50-slot window, full
-# re-green cadence is ceil(263/50) = 6 rounds; priority order is
+# Steady-state honesty: with 265 queries and a 50-slot window, full
+# re-green cadence is ceil(265/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -15704,11 +15930,13 @@ _VERIFY_FIRST = [
     "tokenizer_fertility_compare",
     "lm_stupid_backoff",
     "triplet_mining",
+    "heaps_law_fit",
+    "ann_int8_recall",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (28 of 48; the last 20 -> r13):
+    # r7-greens, oldest-first (26 of 48; the last 22 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15735,8 +15963,6 @@ _VERIFY_FIRST = [
     "join_snowflake",
     "join_star_dims",
     "missing_id_ranges",
-    "moving_average_hourly",
-    "multimodal_frames",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -181,6 +181,20 @@ HEAVY = [
     "preference_bradley_terry",
     "annotator_agreement_fleiss",
     "annotator_kappa_pairs",
+    # Round 12b: the unigram tokenizer family (training cost rides the
+    # DISTINCT-WORD relation — replicas suffix every token, so vocab
+    # grows ~10x and the Viterbi folds/recounts with it; apply is
+    # map-only), the tokenizer bake-off (adds the BPE chain on the same
+    # collapsed vocab), and the backoff LM (three n-gram count aggs +
+    # scoring joins, all corpus-linear with map-side combine).
+    # triplet_mining is deliberately NOT here (the dedup_pr_curve
+    # precedent): its exact all-pairs form is honestly quadratic by
+    # contract — the oracle-provable completeness baseline — and its
+    # documented scale path swaps the negative side for ANN candidates.
+    "unigram_vocab",
+    "unigram_tokenize",
+    "tokenizer_fertility_compare",
+    "lm_stupid_backoff",
 ]
 
 REPLICA_STRIDE = 10_000_000
