@@ -1100,3 +1100,146 @@ def hard_triplets(
             "violates"
         ),
     )
+
+
+def hard_triplets_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    num_planes: int = 4,
+    num_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`hard_triplets` with the negative side mined from LSH
+    candidate buckets instead of all pairs — the 100 TB path the exact
+    form documents.
+
+    Hardest negatives are near-anchors by definition, so the candidate
+    set only needs recall at MODERATE cosine — hence fewer planes per
+    table than the near-dup configuration (wider buckets; occupancy is
+    held constant at scale by growing ``num_planes`` with log(corpus),
+    the standard LSH sizing). Negative candidates form ONLY inside
+    matching (table, bucket) cells; the positive side stays the exact
+    label-blocked join (bounded by class balance), so the triplet
+    margin's positive term is exact and only the negative term is a
+    lower bound (a missed negative can only make the reported margin
+    LARGER — the conservative direction for violation mining is
+    documented, not hidden: ``n_cand_neg`` exposes per-anchor candidate
+    coverage).
+
+    Output adds ``n_cand_neg`` to the :func:`hard_triplets` schema;
+    anchors with no positive or no candidate negative are omitted.
+    Deterministic: seeded hyperplanes (replayed in the registry
+    oracle), round-6 cosines, (key, id) tie-breaks."""
+    from pyspark.sql import Window
+
+    sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lab"),
+        F.col(vec_col).alias("__v"),
+        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cand = (
+        a.join(b, on=["__table", "__bucket"])
+        .filter(F.col("a.__id") != F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("anchor_id"),
+            F.col("b.__id").alias("cand_id"),
+        )
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__jid"),
+        F.col(label_col).alias("__jlab"),
+        F.col(vec_col).alias("__jv"),
+    )
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("__jid").alias("anchor_id"),
+                F.col("__jlab").alias("label"),
+                F.col("__jv").alias("__av"),
+            ),
+            "anchor_id",
+        )
+        .join(
+            vecs.select(
+                F.col("__jid").alias("cand_id"),
+                F.col("__jlab").alias("cand_label"),
+                F.col("__jv").alias("__bv"),
+            ),
+            "cand_id",
+        )
+        .filter(F.col("cand_label") != F.col("label"))
+        .select(
+            "anchor_id",
+            "label",
+            "cand_id",
+            F.round(
+                cosine_similarity(F.col("__av"), F.col("__bv")), round_digits
+            ).alias("cos"),
+        )
+    )
+    wn = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    neg = (
+        scored.withColumn("rn", F.row_number().over(wn))
+        .withColumn(
+            "n_cand_neg",
+            F.count(F.lit(1)).over(Window.partitionBy("anchor_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+            F.col("n_cand_neg").cast("long").alias("n_cand_neg"),
+        )
+    )
+    p1 = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__av"),
+    )
+    p2 = df.select(
+        F.col(id_col).alias("pos_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__bv"),
+    )
+    wp = Window.partitionBy("anchor_id").orderBy(
+        F.col("pos_cos").asc(), F.col("pos_id").asc()
+    )
+    pos = (
+        p1.join(p2, "label")
+        .filter(F.col("anchor_id") != F.col("pos_id"))
+        .select(
+            "anchor_id",
+            "label",
+            "pos_id",
+            F.round(
+                cosine_similarity(F.col("__av"), F.col("__bv")), round_digits
+            ).alias("pos_cos"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", "label", "pos_id", "pos_cos")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "label",
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        "n_cand_neg",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        (F.col("pos_cos") - F.col("neg_cos") <= F.lit(0.0)).alias(
+            "violates"
+        ),
+    )

@@ -15478,6 +15478,110 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(_t(spark, sf_dir, "embeddings"))
 
 
+def _triplet_ann_oracle_sql(
+    num_planes: int = 4, num_tables: int = 6, dim: int = 64, seed: int = 42
+) -> str:
+    """DuckDB mirror of :func:`operators.similarity.hard_triplets_lsh`:
+    the seeded hyperplanes embed as literals, negative candidates form
+    only inside matching (table, bucket) cells, positives stay the
+    exact label-blocked join — both argmins tie-broken by id."""
+    plane_rows = _plane_values_sql(num_planes, num_tables, dim, seed)
+    np_, nt = num_planes, num_tables
+    return f"""
+    WITH planes(pid, plane) AS (VALUES
+      {plane_rows}),
+    sig AS (
+      SELECT e.vec_id, p.pid // {np_} AS tbl,
+             CAST(SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                 p.plane) >= 0
+                           THEN 1 << (p.pid % {np_}) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.pid // {np_}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS cand_id
+      FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                            AND a.vec_id != b.vec_id
+    ),
+    scored AS (
+      SELECT c.anchor_id, x.label AS label, c.cand_id,
+             ROUND(list_dot_product(x.embedding::DOUBLE[],
+                                    y.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(x.embedding::DOUBLE[],
+                                                  x.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(y.embedding::DOUBLE[],
+                                                    y.embedding::DOUBLE[])),
+                            0), 6) AS cos
+      FROM cand c
+      JOIN embeddings x ON x.vec_id = c.anchor_id
+      JOIN embeddings y ON y.vec_id = c.cand_id
+      WHERE y.label != x.label
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos, n_cand_neg
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, cand_id ASC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY anchor_id) AS BIGINT)
+                 AS n_cand_neg
+        FROM scored) t
+      WHERE rn = 1
+    ),
+    pos AS (
+      SELECT anchor_id, label, pos_id, pos_cos FROM (
+        SELECT a.vec_id AS anchor_id, a.label AS label,
+               b.vec_id AS pos_id,
+               ROUND(list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+                     / NULLIF(sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                                    a.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                      b.embedding::DOUBLE[])),
+                              0), 6) AS pos_cos,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY ROUND(
+                                    list_dot_product(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[])
+                                    / NULLIF(sqrt(list_dot_product(
+                                        a.embedding::DOUBLE[],
+                                        a.embedding::DOUBLE[]))
+                                      * sqrt(list_dot_product(
+                                          b.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[])), 0), 6)
+                                    ASC, b.vec_id ASC) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id != b.vec_id) t
+      WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.label, p.pos_id, p.pos_cos,
+           n.neg_id, n.neg_cos, n.n_cand_neg,
+           p.pos_cos - n.neg_cos AS margin,
+           p.pos_cos - n.neg_cos <= 0.0 AS violates
+    FROM pos p JOIN neg n USING (anchor_id)
+    """
+
+
+@register("triplet_mining_ann", _triplet_ann_oracle_sql())
+def q_triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining with the negative side mined from LSH
+    candidate buckets (operators/similarity.hard_triplets_lsh) — the
+    100 TB realization of triplet_mining's documented scale path:
+    negative candidates form only inside matching (table, bucket)
+    cells of a 4-plane × 6-table hyperplane signature (wide buckets —
+    hard negatives only need recall at moderate cosine), positives
+    stay the exact label-blocked join, and ``n_cand_neg`` exposes
+    per-anchor candidate coverage. A missed negative can only make the
+    reported margin larger — the conservative direction for violation
+    mining. Seeded hyperplanes replay in the oracle, so even the
+    \"approximate\" candidate set is value-checked."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        hard_triplets_lsh,
+    )
+
+    return hard_triplets_lsh(_t(spark, sf_dir, "embeddings"))
+
+
 _SB_THR = 3_700_000  # avg-NLL micro-nats: flags the worst ~15% of the fixture
 
 
@@ -15887,14 +15991,16 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (7): the unigram-LM
+#   * first-timer slots, late-r12 additions (8): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
 #     trigram LM scoring), triplet_mining (batch-hard contrastive pair
-#     selection), heaps_law_fit (vocabulary-growth corpus health), and
-#     ann_int8_recall (quantized-serving eval gate).
-#   * r7-greens, oldest-first: 26 of the 48.  The last twenty-two in
-#     cohort order (moving_average_hourly, multimodal_frames,
+#     selection), heaps_law_fit (vocabulary-growth corpus health),
+#     ann_int8_recall (quantized-serving eval gate), and
+#     triplet_mining_ann (the LSH-candidate scale path made real).
+#   * r7-greens, oldest-first: 25 of the 48.  The last twenty-three in
+#     cohort order (missing_id_ranges, moving_average_hourly,
+#     multimodal_frames,
 #     pivot_event_counts, regression_price_qty, sessionize_events,
 #     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
 #     surrogate_keys, table_inventory, text_language_id,
@@ -15904,8 +16010,8 @@ def q_tokenizer_fertility_compare(
 #     window_topk_per_group) are displaced to r13 and MUST lead r13's
 #     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 265 queries and a 50-slot window, full
-# re-green cadence is ceil(265/50) = 6 rounds; priority order is
+# Steady-state honesty: with 266 queries and a 50-slot window, full
+# re-green cadence is ceil(266/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -15932,11 +16038,12 @@ _VERIFY_FIRST = [
     "triplet_mining",
     "heaps_law_fit",
     "ann_int8_recall",
+    "triplet_mining_ann",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (26 of 48; the last 22 -> r13):
+    # r7-greens, oldest-first (25 of 48; the last 23 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -15962,7 +16069,6 @@ _VERIFY_FIRST = [
     "join_semi",
     "join_snowflake",
     "join_star_dims",
-    "missing_id_ranges",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -507,3 +507,34 @@ def test_hard_triplets_tiebreak_and_singleton_label(spark):
     assert out[1]["pos_id"] == 2             # tie (cos 1.0): min id wins
     assert out[2]["pos_id"] == 1
     assert out[1]["neg_id"] == 9             # only negative available
+
+
+def test_hard_triplets_lsh_is_conservative_vs_exact(spark):
+    """LSH-candidate mining: positives identical to the exact form;
+    the mined negative is a lower bound (missed candidates can only
+    raise the reported margin), and n_cand_neg is exposed."""
+    from etl_platform_nyc_taxi_spark.operators.similarity import (
+        hard_triplets,
+        hard_triplets_lsh,
+    )
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+    )
+    exact = {r["anchor_id"]: r for r in hard_triplets(df).collect()}
+    ann = {r["anchor_id"]: r for r in hard_triplets_lsh(df).collect()}
+    assert set(ann) <= set(exact)
+    # wide 4-plane buckets at this corpus size: coverage must be broad
+    assert len(ann) >= int(0.9 * len(exact))
+    for aid, r in ann.items():
+        e = exact[aid]
+        assert (r["pos_id"], r["pos_cos"]) == (e["pos_id"], e["pos_cos"])
+        assert r["neg_cos"] <= e["neg_cos"] + 1e-12
+        assert r["margin"] >= e["margin"] - 1e-12
+        assert 1 <= r["n_cand_neg"]
+    # the top candidate usually IS the true hardest at this scale
+    agree = sum(
+        1 for aid in ann if ann[aid]["neg_id"] == exact[aid]["neg_id"]
+    )
+    assert agree >= int(0.5 * len(ann))
