@@ -15440,6 +15440,7 @@ def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                     b.embedding::DOUBLE[])),
                             0), 6) AS cos
       FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+      WHERE a.vec_id % 5 = 0
     ),
     pos AS (
       SELECT anchor_id, label, cand_id AS pos_id, cos AS pos_cos FROM (
@@ -15467,15 +15468,17 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor, the hardest positive (least-similar same-label), hardest
     negative (most-similar other-label), and the triplet margin — the
     example-selection pass a contrastive training pipeline runs before
-    batch building. Exact form here (the all-pairs oracle IS the
-    completeness proof); at scale the negative side swaps in ANN
-    candidates (lsh_topk/ivf_topk emit exactly the near-anchor set)
-    with the same reduction."""
+    batch building. EXACT form over a 20% anchor eval-slice (the
+    dedup_pr_curve contract: exact truth is for evaluation, not the
+    full corpus — quadratic cost is priced per anchor); candidates are
+    the full corpus, and triplet_mining_ann is the full-anchor scale
+    path this slice grades."""
     from etl_platform_nyc_taxi_spark.operators.similarity import (
         hard_triplets,
     )
 
-    return hard_triplets(_t(spark, sf_dir, "embeddings"))
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_triplets(e, anchors=e.filter(F.col("vec_id") % 5 == 0))
 
 
 def _triplet_ann_oracle_sql(
