@@ -789,3 +789,54 @@ def test_l_diversity_cumulative_window_is_class_partitioned(spark):
     assert "rangepartitioning" not in s.lower()
     assert "partial_count" in s
     assert "BroadcastExchange" in s
+
+
+def test_triplet_mining_windows_are_anchor_partitioned(spark):
+    """Both argmin reductions run inside per-anchor partitions (never a
+    global sort of the pair relation) and no Python rows; the pair
+    scorer is expression-only."""
+    s = fmt(QR.QUERIES["triplet_mining"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert re.search(r"hashpartitioning\(anchor_id", s)
+
+
+def test_triplet_mining_ann_no_allpairs_negative_join(spark):
+    """The LSH variant's negative candidates come from a bucket
+    equi-join — the only non-equi join allowed in the plan is the
+    anchors × cand_id inequality INSIDE candidate cells, never a
+    corpus × corpus cartesian; signatures are the declared Arrow
+    stage."""
+    s = fmt(QR.QUERIES["triplet_mining_ann"](spark, SF))
+    assert "CartesianProduct" not in s
+    assert re.search(r"hashpartitioning\(anchor_id", s)
+    # signature kernel is the one Arrow stage; no row-at-a-time Python
+    assert "BatchEvalPython" not in s
+
+
+def test_stupid_backoff_aggregates_partial_and_nv_broadcast(spark):
+    """All n-gram count aggregates must be map-side combinable
+    (partial_count) and the (N, V) scalar joins as a broadcast 1-row
+    relation; no Python rows."""
+    s = fmt(QR.QUERIES["lm_stupid_backoff"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "partial_count" in s
+    assert "BroadcastExchange" in s
+
+
+def test_heaps_cumsum_is_source_partitioned(spark):
+    """The growth-curve cumsums run per source over the DOC-sized
+    per-doc aggregate — partitioned window, no global sort, and the
+    vocab first-occurrence agg is map-side combinable."""
+    s = fmt(QR.QUERIES["heaps_law_fit"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "rangepartitioning" not in s.lower()
+    assert re.search(r"hashpartitioning\(source", s)
+
+
+def test_unigram_training_fold_has_no_python(spark):
+    """The distributed Viterbi apply is pure expressions: no Python
+    rows anywhere in the tokenize plan (the fold + constant cost map
+    column live inside one projection)."""
+    s = fmt(QR.QUERIES["unigram_tokenize"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
