@@ -15481,6 +15481,175 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(e, anchors=e.filter(F.col("vec_id") % 5 == 0))
 
 
+@register(
+    "retrieval_ndcg",
+    r"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlab, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    ranked AS (
+      SELECT query_id, qlab, vec_id, rnk,
+             CASE WHEN elab = qlab THEN 1 ELSE 0 END AS rel
+      FROM (
+        SELECT q.query_id, q.qlab, e.vec_id, e.label AS elab,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+                   / NULLIF(sqrt(list_dot_product(q.qv::DOUBLE[],
+                                                  q.qv::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[])), 0),
+                   6)
+                 DESC, e.vec_id ASC) AS rnk
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id != q.query_id) t
+      WHERE rnk <= 10
+    ),
+    nrel AS (
+      SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel_total
+      FROM q JOIN embeddings e ON e.label = q.qlab
+                              AND e.vec_id != q.query_id
+      GROUP BY 1
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_at_10,
+             CAST(SUM(CASE WHEN rel = 1
+                           THEN CAST(floor(1000000 * ln(2)
+                                  / ln(CAST(rnk + 1 AS DOUBLE)) + 0.5)
+                                AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS dcg_micro,
+             CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rnk END), 0)
+                  AS BIGINT) AS first_rel_rank
+      FROM ranked GROUP BY 1
+    ),
+    idcg AS (
+      SELECT d.query_id, d.n_rel_at_10, n.n_rel_total, d.dcg_micro,
+             d.first_rel_rank,
+             CAST(COALESCE(list_sum([CAST(floor(1000000 * ln(2)
+                    / ln(CAST(i + 1 AS DOUBLE)) + 0.5) AS BIGINT)
+                  for i in range(1,
+                    CAST(LEAST(n.n_rel_total, 10) AS INT) + 1)]), 0)
+               AS BIGINT) AS idcg_micro
+      FROM dcg d JOIN nrel n USING (query_id)
+    )
+    SELECT query_id, n_rel_at_10, n_rel_total, dcg_micro, idcg_micro,
+           CASE WHEN idcg_micro = 0 THEN 0
+                ELSE dcg_micro * 1000000 // idcg_micro END AS ndcg_ppm,
+           CASE WHEN first_rel_rank = 0 THEN 0
+                ELSE 1000000 // first_rel_rank END AS mrr_ppm
+    FROM idcg
+    """,
+)
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval for the search family: NDCG@10 and MRR of
+    cosine retrieval against label-match relevance — the standard
+    ranking metrics a retrieval pipeline gates deployments on, in
+    exact integer units: per-rank DCG weights quantize to micro
+    (floor(1e6·ln2/ln(rank+1) + 0.5)) so the discounted sums are
+    order-independent BIGINTs and NDCG/MRR are integer divisions —
+    fully SQL-replayable, unlike float DCG. The ideal DCG folds over
+    sequence(1, min(n_rel, 10)) — a bounded in-row expression, no
+    extra pass. Ranking is the brute_force_topk plan (corpus never
+    shuffles, queries broadcast, round-6 key, vec_id tie-break) with
+    self-hits excluded."""
+    import math  # noqa: F401  (documentation: constants mirror ln(2))
+
+    from etl_platform_nyc_taxi_spark.functions.vectors import dot, l2_norm
+    from etl_platform_nyc_taxi_spark.operators.windows import (
+        top_k_per_group,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("__qv"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    denom = F.col("__qn") * F.col("__en")
+    scored = (
+        e.select(
+            "vec_id",
+            F.col("label").alias("elab"),
+            F.col("embedding").alias("__ev"),
+            l2_norm(F.col("embedding")).alias("__en"),
+        )
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlab",
+            "vec_id",
+            "elab",
+            F.round(
+                dot(F.col("__qv"), F.col("__ev"))
+                / F.when(denom != 0.0, denom),
+                6,
+            ).alias("cos"),
+        )
+    )
+    ranked = top_k_per_group(
+        scored,
+        group_by=["query_id"],
+        order=[F.col("cos").desc(), F.col("vec_id").asc()],
+        k=10,
+        rank_name="rnk",
+    ).select(
+        "query_id",
+        "rnk",
+        F.when(F.col("elab") == F.col("qlab"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    )
+    wexpr = F.floor(
+        F.lit(1000000.0)
+        * F.log(F.lit(2.0))
+        / F.log((F.col("rnk") + F.lit(1)).cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    dcg = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel_at_10"),
+        F.sum(F.when(F.col("rel") == 1, wexpr).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dcg_micro"),
+        F.coalesce(
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    nrel = (
+        q.select("query_id", "qlab")
+        .join(
+            e.select(F.col("vec_id").alias("__eid"), F.col("label").alias("qlab")),
+            "qlab",
+        )
+        .filter(F.col("__eid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rel_total"))
+    )
+    out = dcg.join(nrel, "query_id").withColumn(
+        "idcg_micro",
+        F.expr(
+            "aggregate(sequence(1, CAST(LEAST(n_rel_total, 10) AS INT)),"
+            " CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + CAST(floor(1000000 * ln(2)"
+            " / ln(CAST(i + 1 AS DOUBLE)) + 0.5) AS BIGINT))"
+        ),
+    )
+    return out.select(
+        "query_id",
+        "n_rel_at_10",
+        "n_rel_total",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(F.col("idcg_micro") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("dcg_micro * 1000000 DIV idcg_micro"))
+        .alias("ndcg_ppm"),
+        F.when(F.col("first_rel_rank") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("1000000 DIV first_rel_rank"))
+        .alias("mrr_ppm"),
+    )
+
+
 def _triplet_ann_oracle_sql(
     num_planes: int = 4, num_tables: int = 6, dim: int = 64, seed: int = 42
 ) -> str:
@@ -15994,16 +16163,17 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (8): the unigram-LM
+#   * first-timer slots, late-r12 additions (9): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
 #     trigram LM scoring), triplet_mining (batch-hard contrastive pair
 #     selection), heaps_law_fit (vocabulary-growth corpus health),
-#     ann_int8_recall (quantized-serving eval gate), and
-#     triplet_mining_ann (the LSH-candidate scale path made real).
-#   * r7-greens, oldest-first: 25 of the 48.  The last twenty-three in
-#     cohort order (missing_id_ranges, moving_average_hourly,
-#     multimodal_frames,
+#     ann_int8_recall (quantized-serving eval gate),
+#     triplet_mining_ann (the LSH-candidate scale path made real), and
+#     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval).
+#   * r7-greens, oldest-first: 24 of the 48.  The last twenty-four in
+#     cohort order (join_star_dims, missing_id_ranges,
+#     moving_average_hourly, multimodal_frames,
 #     pivot_event_counts, regression_price_qty, sessionize_events,
 #     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
 #     surrogate_keys, table_inventory, text_language_id,
@@ -16013,8 +16183,8 @@ def q_tokenizer_fertility_compare(
 #     window_topk_per_group) are displaced to r13 and MUST lead r13's
 #     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 266 queries and a 50-slot window, full
-# re-green cadence is ceil(266/50) = 6 rounds; priority order is
+# Steady-state honesty: with 267 queries and a 50-slot window, full
+# re-green cadence is ceil(267/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -16042,11 +16212,12 @@ _VERIFY_FIRST = [
     "heaps_law_fit",
     "ann_int8_recall",
     "triplet_mining_ann",
+    "retrieval_ndcg",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (25 of 48; the last 23 -> r13):
+    # r7-greens, oldest-first (24 of 48; the last 24 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -16071,7 +16242,6 @@ _VERIFY_FIRST = [
     "join_salted",
     "join_semi",
     "join_snowflake",
-    "join_star_dims",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
