@@ -538,3 +538,43 @@ def test_hard_triplets_lsh_is_conservative_vs_exact(spark):
         1 for aid in ann if ann[aid]["neg_id"] == exact[aid]["neg_id"]
     )
     assert agree >= int(0.5 * len(ann))
+
+
+def test_retrieval_ndcg_matches_python_recompute(spark):
+    """NDCG/MRR math pinned against a from-scratch Python recompute of
+    the same ranking at sf0.001 — catches weight/fold drift
+    independently of the SQL oracle."""
+    import math
+
+    from etl_platform_nyc_taxi_spark import queries_registry as QR
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["query_id"]: r for r in QR.QUERIES["retrieval_ndcg"](spark, sf).collect()}
+
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: (r["label"], [float(x) for x in r["embedding"]]) for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    w = lambda r: math.floor(1e6 * math.log(2) / math.log(r + 1) + 0.5)  # noqa: E731
+    for qid in [i for i in vecs if i < 8]:
+        qlab, qv = vecs[qid]
+        ranked = sorted(
+            ((cos(qv, v), -i) for i, (lab, v) in vecs.items() if i != qid),
+            reverse=True,
+        )[:10]
+        rels = [1 if vecs[-i][0] == qlab else 0 for (_, i) in ranked]
+        dcg = sum(w(r + 1) for r, rel in enumerate(rels) if rel)
+        n_rel = sum(1 for i, (lab, _) in vecs.items() if i != qid and lab == qlab)
+        idcg = sum(w(i) for i in range(1, min(n_rel, 10) + 1))
+        g = got[qid]
+        assert g["dcg_micro"] == dcg, qid
+        assert g["idcg_micro"] == idcg, qid
+        assert g["ndcg_ppm"] == (dcg * 1_000_000 // idcg if idcg else 0), qid
+        first = next((r + 1 for r, rel in enumerate(rels) if rel), 0)
+        assert g["mrr_ppm"] == (1_000_000 // first if first else 0), qid
+        assert 0 <= g["ndcg_ppm"] <= 1_000_000
