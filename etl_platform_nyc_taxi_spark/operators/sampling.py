@@ -825,3 +825,125 @@ def interleave_sources(
             ),
         )
     )
+
+
+def epoch_decay_micro(max_epochs: int, decay_milli: int) -> list[int]:
+    """Per-epoch value-decay weights in exact micro units:
+    ``floor(1e6 · (decay_milli/1000)^(e-1))`` for e = 1..max_epochs,
+    computed ONCE in exact integer arithmetic — the literals embed
+    identically in the Spark plan and the DuckDB oracle, so no float
+    power ever crosses an engine boundary."""
+    return [
+        (1_000_000 * decay_milli ** (e - 1)) // (1000 ** (e - 1))
+        for e in range(1, max_epochs + 1)
+    ]
+
+
+def epoch_allocation(
+    sizes: DataFrame,
+    key_cols: list[str],
+    n_col: str = "n_tok",
+    q_col: str = "q_milli",
+    max_epochs: int = 6,
+    decay_milli: int = 500,
+    budget: DataFrame | None = None,
+) -> DataFrame:
+    """Quality-weighted data-constrained epoch allocation (the
+    Muennighoff et al. 2023, arXiv:2305.16264 regime: when the token
+    budget exceeds the unique data, repeat it — but repeated epochs
+    decay in value, so spend the budget where marginal utility is
+    highest).
+
+    Model: the e-th epoch of stratum s is worth ``q_s · δ^(e-1)`` per
+    token (``q_s`` a milli quality weight, δ the per-epoch decay).
+    The greedy optimum orders all (stratum, epoch) candidates by
+    marginal utility and fills until the budget crosses; because
+    utility strictly decreases in e for a fixed stratum, greedy never
+    takes epoch e before e-1 — feasibility is free.
+
+    Everything is exact integer: decay weights are precomputed micro
+    literals (:func:`epoch_decay_micro`), the sort key is
+    ``q_milli · decay_micro`` (BIGINT, total-ordered with (key, e)
+    tie-breaks), the running token cost is a cumulative window, and
+    the budget-crossing candidate gets the exact remainder, so
+    ``Σ alloc = min(budget, capacity)`` token-exactly.
+
+    Returns one row per stratum: ``(key_cols..., n_tok, q_milli,
+    epochs_full, alloc_tok, epochs_micro, eff_tok_micro)`` where
+    ``eff_tok_micro = Σ_e alloc_e · decay_micro_e`` is the
+    effective-unique-token account (the paper's diminishing-returns
+    ledger) and ``epochs_micro = 1e6·alloc div n``.
+
+    ``budget``: optional 1-row ``(budget long)`` relation; default
+    1.5× the total unique tokens, computed in-plan. Scale shape: the
+    candidate relation is |strata|·max_epochs rows (metadata-sized);
+    the deliberately-unpartitioned cumulative window is the §7.5 safe
+    shape; nothing corpus-sized appears anywhere."""
+    from pyspark.sql import Window
+
+    decays = epoch_decay_micro(max_epochs, decay_milli)
+    if budget is None:
+        budget = sizes.agg(
+            F.expr(f"CAST(SUM({n_col}) * 3 DIV 2 AS BIGINT)").alias("budget")
+        )
+    decay_case = "CASE e " + " ".join(
+        f"WHEN {e} THEN CAST({d} AS BIGINT)"
+        for e, d in enumerate(decays, start=1)
+    ) + " END"
+    cand = (
+        sizes.select(
+            *key_cols,
+            F.col(n_col).cast("long").alias("n_tok"),
+            F.col(q_col).cast("long").alias("q_milli"),
+        )
+        .where(F.col(q_col) > 0)
+        .select(
+            "*", F.explode(F.expr(f"sequence(1, {max_epochs})")).alias("e")
+        )
+        .withColumn("decay_micro", F.expr(decay_case))
+        .withColumn("util", F.col("q_milli") * F.col("decay_micro"))
+    )
+    w = Window.orderBy(
+        F.col("util").desc(), *[F.col(k) for k in key_cols], F.col("e")
+    )
+    cum = (
+        cand.withColumn("cum", F.sum("n_tok").over(w))
+        .crossJoin(F.broadcast(budget))
+        .withColumn(
+            "alloc_e",
+            F.when(F.col("cum") <= F.col("budget"), F.col("n_tok"))
+            .when(
+                F.col("cum") - F.col("n_tok") < F.col("budget"),
+                F.col("budget") - (F.col("cum") - F.col("n_tok")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return (
+        cum.groupBy(*key_cols)
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            F.max("q_milli").alias("q_milli"),
+            F.sum(F.when(F.col("alloc_e") == F.col("n_tok"), 1).otherwise(0))
+            .cast("long")
+            .alias("epochs_full"),
+            F.sum("alloc_e").cast("long").alias("alloc_tok"),
+            F.sum(F.col("alloc_e") * F.col("decay_micro"))
+            .cast("long")
+            .alias("eff_tok_micro"),
+        )
+        .withColumn(
+            "epochs_micro",
+            F.expr("CAST(alloc_tok * 1000000 DIV n_tok AS BIGINT)"),
+        )
+        .select(
+            *key_cols,
+            "n_tok",
+            "q_milli",
+            "epochs_full",
+            "alloc_tok",
+            "epochs_micro",
+            "eff_tok_micro",
+        )
+    )

@@ -15481,6 +15481,99 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(e, anchors=e.filter(F.col("vec_id") % 5 == 0))
 
 
+#: per-epoch value-decay micro weights for data_constrained_epochs —
+#: MUST equal operators/sampling.epoch_decay_micro(6, 500); pinned by
+#: tests/test_sampling.py.
+_EPOCH_DECAYS = [1000000, 500000, 250000, 125000, 62500, 31250]
+
+
+@register(
+    "data_constrained_epochs",
+    rf"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         tk -> tk <> '') AS t
+      FROM documents
+    ),
+    sz AS (
+      SELECT source, CAST(SUM(len(t)) AS BIGINT) AS n_tok,
+             CAST(SUM(len(list_filter(t, x -> x IN
+                    ('the','a','of','and','to','in','is','it')))) * 1000
+                  // SUM(len(t)) AS BIGINT) AS q_milli
+      FROM toks GROUP BY 1
+    ),
+    b AS (SELECT CAST(SUM(n_tok) * 3 // 2 AS BIGINT) AS budget FROM sz),
+    cand AS (
+      SELECT s.source, s.n_tok, s.q_milli, e.e,
+             CASE e.e {' '.join(f'WHEN {e} THEN CAST({d} AS BIGINT)' for e, d in enumerate(_EPOCH_DECAYS, start=1))} END
+               AS decay_micro,
+             s.q_milli * CASE e.e {' '.join(f'WHEN {e} THEN CAST({d} AS BIGINT)' for e, d in enumerate(_EPOCH_DECAYS, start=1))} END
+               AS util
+      FROM sz s, (VALUES (1),(2),(3),(4),(5),(6)) e(e)
+      WHERE s.q_milli > 0
+    ),
+    cum AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY util DESC, source, e) AS cum
+      FROM cand
+    ),
+    a AS (
+      SELECT cum.*, b.budget,
+             CASE WHEN cum <= budget THEN n_tok
+                  WHEN cum - n_tok < budget THEN budget - (cum - n_tok)
+                  ELSE 0 END AS alloc_e
+      FROM cum CROSS JOIN b
+    )
+    SELECT source, MAX(n_tok) AS n_tok, MAX(q_milli) AS q_milli,
+           CAST(SUM(CASE WHEN alloc_e = n_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS epochs_full,
+           CAST(SUM(alloc_e) AS BIGINT) AS alloc_tok,
+           CAST(SUM(alloc_e) * 1000000 // MAX(n_tok) AS BIGINT)
+             AS epochs_micro,
+           CAST(SUM(alloc_e * decay_micro) AS BIGINT) AS eff_tok_micro
+    FROM a GROUP BY source
+    """,
+)
+def q_data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted data-constrained epoch allocation
+    (operators/sampling.epoch_allocation; Muennighoff et al. 2023):
+    when the training budget (here 1.5× the unique tokens) exceeds the
+    data, spend the excess on REPEATS where marginal utility
+    q·δ^(epoch-1) is highest — high-quality sources earn extra epochs
+    first, and every epoch's value decays by δ=0.5. The quality weight
+    is the per-source stopword density (milli units, exact integers —
+    the natural-text proxy the rule gates already use); the
+    effective-token ledger ``eff_tok_micro`` prices each repeated
+    token at its decayed value, the paper's diminishing-returns
+    account. Everything is exact BIGINT over the metadata-sized
+    (source × epoch) relation; the decay weights are shared literal
+    constants (epoch_decay_micro), so the greedy fill replays
+    token-exactly in SQL."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        epoch_allocation,
+    )
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        stopword_hits,
+        tokens_ws,
+    )
+
+    toks = tokens_ws("text")
+    sizes = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.size(toks).alias("nt"), stopword_hits(toks).alias("sh"))
+        .groupBy("source")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tok"),
+            F.expr("CAST(SUM(sh) * 1000 DIV SUM(nt) AS BIGINT)").alias(
+                "q_milli"
+            ),
+        )
+    )
+    return epoch_allocation(
+        sizes, ["source"], max_epochs=6, decay_milli=500
+    )
+
+
 @register(
     "retrieval_ndcg",
     r"""
@@ -16163,16 +16256,18 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (9): the unigram-LM
+#   * first-timer slots, late-r12 additions (10): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
 #     trigram LM scoring), triplet_mining (batch-hard contrastive pair
 #     selection), heaps_law_fit (vocabulary-growth corpus health),
 #     ann_int8_recall (quantized-serving eval gate),
-#     triplet_mining_ann (the LSH-candidate scale path made real), and
-#     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval).
-#   * r7-greens, oldest-first: 24 of the 48.  The last twenty-four in
-#     cohort order (join_star_dims, missing_id_ranges,
+#     triplet_mining_ann (the LSH-candidate scale path made real),
+#     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval), and
+#     data_constrained_epochs (quality-weighted epoch repetition under
+#     a token budget).
+#   * r7-greens, oldest-first: 23 of the 48.  The last twenty-five in
+#     cohort order (join_snowflake, join_star_dims, missing_id_ranges,
 #     moving_average_hourly, multimodal_frames,
 #     pivot_event_counts, regression_price_qty, sessionize_events,
 #     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
@@ -16183,8 +16278,8 @@ def q_tokenizer_fertility_compare(
 #     window_topk_per_group) are displaced to r13 and MUST lead r13's
 #     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 267 queries and a 50-slot window, full
-# re-green cadence is ceil(267/50) = 6 rounds; priority order is
+# Steady-state honesty: with 268 queries and a 50-slot window, full
+# re-green cadence is ceil(268/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -16213,11 +16308,12 @@ _VERIFY_FIRST = [
     "ann_int8_recall",
     "triplet_mining_ann",
     "retrieval_ndcg",
+    "data_constrained_epochs",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (24 of 48; the last 24 -> r13):
+    # r7-greens, oldest-first (23 of 48; the last 25 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -16241,7 +16337,6 @@ _VERIFY_FIRST = [
     "join_fact_fact",
     "join_salted",
     "join_semi",
-    "join_snowflake",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -665,3 +665,69 @@ def test_interleave_prefix_proportionality(spark):
         key=lambda r: (r["order_key"], r["source"], r["doc_id"]),
     )
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]
+
+
+def test_epoch_decay_micro_literals_match_registry():
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        epoch_decay_micro,
+    )
+    from etl_platform_nyc_taxi_spark.queries_registry import _EPOCH_DECAYS
+
+    assert epoch_decay_micro(6, 500) == _EPOCH_DECAYS
+    # general decays floor deterministically
+    assert epoch_decay_micro(3, 602) == [1000000, 602000, 362404]
+
+
+def test_epoch_allocation_greedy_hand_computed(spark):
+    """2 strata, q 900 vs 300, n 100 each, budget 250, delta 0.5:
+    greedy order by q*decay: hi e1 (900k), hi e2 (450k), lo e1 (300k),
+    hi e3 (225k)... fill 100 + 100 + partial 50 of lo e1."""
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        epoch_allocation,
+    )
+
+    sizes = spark.createDataFrame(
+        [("hi", 100, 900), ("lo", 100, 300)],
+        "source string, n_tok long, q_milli long",
+    )
+    budget = spark.createDataFrame([(250,)], "budget long")
+    out = {
+        r["source"]: r
+        for r in epoch_allocation(
+            sizes, ["source"], budget=budget
+        ).collect()
+    }
+    hi, lo = out["hi"], out["lo"]
+    assert hi["epochs_full"] == 2 and hi["alloc_tok"] == 200
+    assert lo["epochs_full"] == 0 and lo["alloc_tok"] == 50
+    # effective ledger: hi = 100*1e6 + 100*5e5; lo = 50*1e6
+    assert hi["eff_tok_micro"] == 100 * 1_000_000 + 100 * 500_000
+    assert lo["eff_tok_micro"] == 50 * 1_000_000
+    assert hi["epochs_micro"] == 2_000_000 and lo["epochs_micro"] == 500_000
+
+
+def test_epoch_allocation_budget_exact_and_capacity_cap(spark):
+    from pyspark.sql import functions as F
+
+    from etl_platform_nyc_taxi_spark.operators.sampling import (
+        epoch_allocation,
+    )
+
+    sizes = spark.createDataFrame(
+        [("a", 70, 500), ("b", 30, 400), ("c", 11, 100)],
+        "source string, n_tok long, q_milli long",
+    )
+    # budget below capacity: sum(alloc) == budget exactly
+    budget = spark.createDataFrame([(123,)], "budget long")
+    out = epoch_allocation(sizes, ["source"], budget=budget)
+    assert out.agg(F.sum("alloc_tok")).first()[0] == 123
+    # budget above 6-epoch capacity: every stratum saturates
+    big = spark.createDataFrame([(10_000,)], "budget long")
+    sat = epoch_allocation(sizes, ["source"], budget=big)
+    assert all(r["epochs_full"] == 6 for r in sat.collect())
+    # zero-quality strata are excluded from allocation entirely
+    z = spark.createDataFrame(
+        [("z", 50, 0), ("a", 50, 10)], "source string, n_tok long, q_milli long"
+    )
+    zz = epoch_allocation(z, ["source"], budget=budget)
+    assert [r["source"] for r in zz.collect()] == ["a"]

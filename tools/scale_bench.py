@@ -195,6 +195,12 @@ HEAVY = [
     "unigram_tokenize",
     "tokenizer_fertility_compare",
     "lm_stupid_backoff",
+    # Round 12b: growth-curve cumsums over the per-doc aggregate
+    # (docs-linear windows), and the two 8-query ranking evals (cost
+    # linear in corpus — queries broadcast, corpus never shuffles).
+    "heaps_law_fit",
+    "ann_int8_recall",
+    "retrieval_ndcg",
 ]
 
 REPLICA_STRIDE = 10_000_000
