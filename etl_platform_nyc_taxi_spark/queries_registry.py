@@ -16162,6 +16162,51 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_token_counts",
+    f"""
+    {_unigram_oracle_cte()},
+    docw AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    )
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(str_split(u.tokens, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(u.cost_micro) AS BIGINT) AS nll_micro
+    FROM docw d JOIN ug_final u USING (word)
+    GROUP BY d.doc_id
+    """,
+)
+def q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM token accounting — the packing-budget
+    pricing bpe_token_counts provides, under the OTHER tokenizer
+    family, plus the per-doc unigram NLL (Σ word path costs, exact
+    BIGINT micro-nats — a compression-quality signal for free, since
+    the Viterbi cost IS the word's negative log-likelihood). Documents
+    explode to words once; the word → (n_tokens, cost) table
+    broadcasts (vocab-sized); the rollup aggregates map-side."""
+    seg = _unigram_segmented(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.col("vit.seg"), " ")).cast("long").alias("n_uni"),
+        F.col("vit.cost").alias("wcost"),
+    )
+    docw = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word"),
+    )
+    return (
+        docw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_uni").cast("long").alias("n_tokens"),
+            F.sum("wcost").cast("long").alias("nll_micro"),
+        )
+    )
+
+
+@register(
     "tokenizer_fertility_compare",
     f"""
     {_bpe_oracle_cte().replace("WITH ", "WITH RECURSIVE ", 1).lstrip()},
@@ -16256,18 +16301,20 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (10): the unigram-LM
+#   * first-timer slots, late-r12 additions (11): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
 #     trigram LM scoring), triplet_mining (batch-hard contrastive pair
 #     selection), heaps_law_fit (vocabulary-growth corpus health),
 #     ann_int8_recall (quantized-serving eval gate),
 #     triplet_mining_ann (the LSH-candidate scale path made real),
-#     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval), and
+#     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval),
 #     data_constrained_epochs (quality-weighted epoch repetition under
-#     a token budget).
-#   * r7-greens, oldest-first: 23 of the 48.  The last twenty-five in
-#     cohort order (join_snowflake, join_star_dims, missing_id_ranges,
+#     a token budget), and unigram_token_counts (per-doc packing
+#     pricing + NLL under the unigram tokenizer).
+#   * r7-greens, oldest-first: 22 of the 48.  The last twenty-six in
+#     cohort order (join_semi, join_snowflake, join_star_dims,
+#     missing_id_ranges,
 #     moving_average_hourly, multimodal_frames,
 #     pivot_event_counts, regression_price_qty, sessionize_events,
 #     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
@@ -16278,8 +16325,8 @@ def q_tokenizer_fertility_compare(
 #     window_topk_per_group) are displaced to r13 and MUST lead r13's
 #     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 268 queries and a 50-slot window, full
-# re-green cadence is ceil(268/50) = 6 rounds; priority order is
+# Steady-state honesty: with 269 queries and a 50-slot window, full
+# re-green cadence is ceil(269/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -16309,11 +16356,12 @@ _VERIFY_FIRST = [
     "triplet_mining_ann",
     "retrieval_ndcg",
     "data_constrained_epochs",
+    "unigram_token_counts",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (23 of 48; the last 25 -> r13):
+    # r7-greens, oldest-first (22 of 48; the last 26 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -16336,7 +16384,6 @@ _VERIFY_FIRST = [
     "join_anti",
     "join_fact_fact",
     "join_salted",
-    "join_semi",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close
