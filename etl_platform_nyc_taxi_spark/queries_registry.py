@@ -15481,6 +15481,121 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(e, anchors=e.filter(F.col("vec_id") % 5 == 0))
 
 
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_ROUNDS = 8
+
+
+def _markov_oracle_sql() -> str:
+    """DuckDB replay of operators/analytics.markov_removal_attribution:
+    journey framing + transition counts via the same (ts, event_id)
+    total order, then all removal variants value-iterating together as
+    one (variant × state) relation — _MK_ROUNDS unrolled MATERIALIZED
+    rounds of exact integer micro arithmetic."""
+    vals = ",".join(f"('{c}')" for c in _MK_CHANNELS)
+    rounds = []
+    for k in range(1, _MK_ROUNDS + 1):
+        rounds.append(f"""
+    mt_m{k} AS MATERIALIZED (
+      SELECT t.variant, t.src AS state,
+             CAST(SUM(t.c * CASE WHEN t.dst = 'CONV' THEN 1000000
+                                 ELSE COALESCE(p.p, 0) END)
+                  // MAX(t.n) AS BIGINT) AS p
+      FROM mt_tv t LEFT JOIN mt_m{k - 1} p
+        ON p.variant = t.variant AND p.state = t.dst
+      GROUP BY 1, 2
+    )""")
+    return f"""
+    WITH mt_ev AS (
+      SELECT user_id AS u, event_type AS t, ts, event_id FROM events
+    ),
+    mt_fp AS (
+      SELECT u, ts AS fts, event_id AS fid FROM (
+        SELECT u, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id)
+                 AS rn
+        FROM mt_ev WHERE t = 'purchase') x
+      WHERE rn = 1
+    ),
+    mt_touch AS (
+      SELECT e.u, e.t, e.ts, e.event_id, f.u IS NOT NULL AS conv
+      FROM mt_ev e LEFT JOIN mt_fp f USING (u)
+      WHERE e.t != 'purchase'
+        AND (f.u IS NULL OR (e.ts, e.event_id) < (f.fts, f.fid))
+    ),
+    mt_seq AS (
+      SELECT u, t, conv,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id)
+               AS rn,
+             LEAD(t) OVER (PARTITION BY u ORDER BY ts, event_id) AS nxt
+      FROM mt_touch
+    ),
+    mt_edges AS (
+      SELECT t AS src,
+             COALESCE(nxt, CASE WHEN conv THEN 'CONV'
+                                ELSE 'NULLSTATE' END) AS dst
+      FROM mt_seq
+      UNION ALL
+      SELECT 'START', t FROM mt_seq WHERE rn = 1
+      UNION ALL
+      SELECT 'START', 'CONV' FROM mt_fp f
+      WHERE f.u NOT IN (SELECT DISTINCT u FROM mt_touch)
+    ),
+    mt_c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+             FROM mt_edges GROUP BY 1, 2),
+    mt_n AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM mt_c GROUP BY 1),
+    mt_tv AS MATERIALIZED (
+      SELECT v.variant, c.src, c.dst, c.c, n.n
+      FROM mt_c c JOIN mt_n n USING (src)
+      CROSS JOIN (VALUES ('__full__'),{vals}) v(variant)
+      WHERE c.src != v.variant AND c.dst != v.variant
+    ),
+    mt_m0 AS (SELECT variant, src AS state, CAST(0 AS BIGINT) AS p
+              FROM mt_tv WHERE FALSE),{",".join(rounds)},
+    mt_start AS (SELECT variant, p FROM mt_m{_MK_ROUNDS}
+                 WHERE state = 'START'),
+    mt_full AS (SELECT p AS pf FROM mt_start WHERE variant = '__full__'),
+    mt_rem AS (
+      SELECT ch.channel, f.pf AS p_full_micro,
+             CAST(COALESCE(s.p, 0) AS BIGINT) AS p_removed_micro,
+             CAST(GREATEST(f.pf - COALESCE(s.p, 0), 0) AS BIGINT)
+               AS removal_effect_micro
+      FROM (VALUES {vals}) ch(channel)
+      LEFT JOIN mt_start s ON s.variant = ch.channel
+      CROSS JOIN mt_full f
+    ),
+    mt_tot AS (SELECT CAST(SUM(removal_effect_micro) AS BIGINT) AS tot
+               FROM mt_rem)
+    SELECT r.channel, r.p_full_micro, r.p_removed_micro,
+           r.removal_effect_micro,
+           CAST(CASE WHEN t.tot = 0 THEN 0
+                     ELSE r.removal_effect_micro * 1000000 // t.tot END
+                AS BIGINT) AS share_micro
+    FROM mt_rem r CROSS JOIN mt_tot t
+    """
+
+
+@register("attribution_markov", _markov_oracle_sql())
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution by Markov removal effects
+    (operators/analytics.markov_removal_attribution; Anderl et al.
+    2014) — the model-based answer to the position heuristics the
+    registry already ships (first_touch_attribution,
+    attribution_linear): build the first-order journey chain over each
+    user's pre-conversion touches, compute conversion-absorption
+    probability from START by 8 exact-integer value-iteration rounds,
+    and credit each channel by how much that probability drops when
+    the channel is knocked out. Every removal variant iterates
+    simultaneously as ONE (variant × state) relation; the oracle
+    replays all 8 rounds in unrolled MATERIALIZED CTEs."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        markov_removal_attribution,
+    )
+
+    return markov_removal_attribution(
+        _t(spark, sf_dir, "events"), channels=_MK_CHANNELS
+    )
+
+
 #: per-epoch value-decay micro weights for data_constrained_epochs —
 #: MUST equal operators/sampling.epoch_decay_micro(6, 500); pinned by
 #: tests/test_sampling.py.
@@ -16301,7 +16416,7 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (11): the unigram-LM
+#   * first-timer slots, late-r12 additions (12): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
 #     trigram LM scoring), triplet_mining (batch-hard contrastive pair
@@ -16310,11 +16425,12 @@ def q_tokenizer_fertility_compare(
 #     triplet_mining_ann (the LSH-candidate scale path made real),
 #     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval),
 #     data_constrained_epochs (quality-weighted epoch repetition under
-#     a token budget), and unigram_token_counts (per-doc packing
-#     pricing + NLL under the unigram tokenizer).
-#   * r7-greens, oldest-first: 22 of the 48.  The last twenty-six in
-#     cohort order (join_semi, join_snowflake, join_star_dims,
-#     missing_id_ranges,
+#     a token budget), unigram_token_counts (per-doc packing pricing +
+#     NLL under the unigram tokenizer), and attribution_markov
+#     (removal-effect multi-touch attribution).
+#   * r7-greens, oldest-first: 21 of the 48.  The last twenty-seven in
+#     cohort order (join_salted, join_semi, join_snowflake,
+#     join_star_dims, missing_id_ranges,
 #     moving_average_hourly, multimodal_frames,
 #     pivot_event_counts, regression_price_qty, sessionize_events,
 #     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
@@ -16325,8 +16441,8 @@ def q_tokenizer_fertility_compare(
 #     window_topk_per_group) are displaced to r13 and MUST lead r13's
 #     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 269 queries and a 50-slot window, full
-# re-green cadence is ceil(269/50) = 6 rounds; priority order is
+# Steady-state honesty: with 270 queries and a 50-slot window, full
+# re-green cadence is ceil(270/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -16357,11 +16473,12 @@ _VERIFY_FIRST = [
     "retrieval_ndcg",
     "data_constrained_epochs",
     "unigram_token_counts",
+    "attribution_markov",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (22 of 48; the last 26 -> r13):
+    # r7-greens, oldest-first (21 of 48; the last 27 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -16383,7 +16500,6 @@ _VERIFY_FIRST = [
     "hourly_latency_bands",
     "join_anti",
     "join_fact_fact",
-    "join_salted",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

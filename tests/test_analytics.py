@@ -761,3 +761,80 @@ def test_zipf_fit_recovers_known_slope(spark):
     beta = out["z"]["beta"]
     assert abs(beta - (-0.8)) < 0.02, beta
     assert out["z"]["corr"] < -0.99
+
+
+def test_markov_attribution_hand_computed(spark):
+    """4-user chain solvable by hand: absorption probabilities, removal
+    effects, exact shares, and post-conversion touch exclusion."""
+    from datetime import datetime
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        markov_removal_attribution,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: view -> click -> purchase
+        (1, "view", t(0), 10), (1, "click", t(1), 11), (1, "purchase", t(2), 12),
+        # u2: view -> purchase
+        (2, "view", t(0), 20), (2, "purchase", t(1), 21),
+        # u3: click, never converts
+        (3, "click", t(0), 30),
+        # u4: converts with no touches
+        (4, "purchase", t(0), 40),
+        # u5: converts first, later touch must be ignored
+        (5, "purchase", t(0), 50), (5, "view", t(1), 51),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(
+            ev, channels=("view", "click", "error")
+        ).collect()
+    }
+    # chain with u5 = a second touchless conversion:
+    # START: view 2, click 1, CONV 2 (n=5); view: click 1, CONV 1 (n=2);
+    # click: CONV 1, NULLSTATE 1 (n=2)
+    # p(click)=500000; p(view)=750000; p(START)=(1.5M+0.5M+2M)/5=800000
+    assert out["view"]["p_full_micro"] == 800_000
+    # remove view: START=(0.5M+2M)/5=500000 -> effect 300000
+    assert out["view"]["p_removed_micro"] == 500_000
+    assert out["view"]["removal_effect_micro"] == 300_000
+    # remove click: p(view)=500000; START=(1M+2M)/5=600000 -> 200000
+    assert out["click"]["removal_effect_micro"] == 200_000
+    # absent channel: zero effect, zero share
+    assert out["error"]["removal_effect_micro"] == 0
+    # shares split 1e6 by exact integer division: 600000 / 400000 / 0
+    assert out["view"]["share_micro"] == 600_000
+    assert out["click"]["share_micro"] == 400_000
+    assert out["error"]["share_micro"] == 0
+
+
+def test_markov_attribution_all_journeys_start_with_one_channel(spark):
+    """Knocking out the only entry channel must drop conversion to the
+    touchless floor, not default to the full probability."""
+    from datetime import datetime
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        markov_removal_attribution,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "click", t(0), 1), (1, "purchase", t(1), 2),
+        (2, "click", t(0), 3),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_removal_attribution(ev, channels=("click",)).collect()
+    }
+    # full: START -> click w.p. 1; click -> CONV w.p. 1/2 -> 500000
+    assert out["click"]["p_full_micro"] == 500_000
+    # removing click leaves START with no surviving edges: probability 0
+    assert out["click"]["p_removed_micro"] == 0
+    assert out["click"]["share_micro"] == 1_000_000
