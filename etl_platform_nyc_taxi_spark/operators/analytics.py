@@ -1231,3 +1231,147 @@ def markov_removal_attribution(
         .cast("long")
         .alias("share_micro"),
     )
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    entry_type: str = "signup",
+    event_type: str = "purchase",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-conversion with right
+    censoring — the estimator churn/activation analyses need when many
+    subjects have not converted YET (dropping them, as a naive
+    time-to-convert percentile does, biases the curve optimistic).
+
+    Cohort: each user's FIRST ``entry_type`` event starts the clock;
+    the first ``event_type`` at-or-after entry converts at duration
+    ``t``; users with no such conversion are censored at their last
+    observed event. Durations bucket to ``bucket_us`` (default hours),
+    which also bounds the curve relation by the calendar span — not
+    the corpus — at any scale.
+
+    Estimator: S(t) = Π_{dᵢ ≤ t} (1 − dᵢ/nᵢ) over conversion times,
+    with the product carried in LOG space as exact prefix sums: each
+    step's factor quantizes ONCE — ``floor(ln((nᵢ−dᵢ)/nᵢ)·1e6)``,
+    one exactly-rounded IEEE division of two exact BIGINTs — and the
+    cumulative sum is an ordered window over the bucketed-duration
+    relation (order-deterministic, engine-portable; the float product
+    a textbook implementation carries is summation-order-dependent).
+    ``surv_ppm = floor(exp(log_surv/1e6)·1e6 + 0.5)`` maps back for
+    display. Steps where every at-risk subject converts (nᵢ = dᵢ)
+    drop the survival to 0 and are emitted with NULL log (ln 0).
+
+    Returns one row per conversion-time bucket: ``(dur_bucket,
+    n_risk, n_events, n_censored, log_surv_micro, surv_ppm)``.
+
+    Scale shape: two corpus-sized aggregations (per-user entry /
+    conversion / censor reductions); everything after runs on the
+    bucketed-duration relation. The unpartitioned prefix-sum window is
+    the §7.5 post-aggregate safe shape."""
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    entry = (
+        ev.filter(F.col("t") == entry_type)
+        .groupBy("u")
+        .agg(F.min("ts").alias("t0"))
+    )
+    conv = (
+        ev.filter(F.col("t") == event_type)
+        .join(entry, "u")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("u")
+        .agg(F.min("ts").alias("tc"))
+    )
+    last = ev.groupBy("u").agg(F.max("ts").alias("tl"))
+    dur_us = lambda a, b: (  # noqa: E731
+        F.unix_micros(F.col(a).cast("timestamp"))
+        - F.unix_micros(F.col(b).cast("timestamp"))
+    )
+    subjects = (
+        entry.join(conv, "u", "left")
+        .join(last, "u")
+        .select(
+            "u",
+            F.col("tc").isNotNull().alias("converted"),
+            F.when(F.col("tc").isNotNull(), dur_us("tc", "t0"))
+            .otherwise(dur_us("tl", "t0"))
+            .alias("__dur_us"),
+        )
+        .withColumn(
+            "dur_bucket",
+            F.expr(f"CAST(__dur_us DIV {bucket_us} AS BIGINT)"),
+        )
+        .drop("__dur_us")
+    )
+    steps = subjects.groupBy("dur_bucket").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_events"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    n_total = subjects.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    w = Window.orderBy("dur_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = (
+        steps.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("n_tot")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(w),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+    step_log = F.when(
+        F.col("n_risk") > F.col("n_events"),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("long"),
+    )
+    wc = Window.orderBy("dur_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    curve = at_risk.withColumn("step_log", step_log).withColumn(
+        "log_surv_micro",
+        F.when(
+            F.max(F.col("step_log").isNull().cast("int")).over(wc) == 0,
+            F.sum("step_log").over(wc),
+        ).cast("long"),
+    )
+    return curve.select(
+        "dur_bucket",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "log_surv_micro",
+        F.when(
+            F.col("log_surv_micro").isNull(), F.lit(0)
+        )
+        .otherwise(
+            F.floor(
+                F.exp(F.col("log_surv_micro").cast("double") / F.lit(1e6))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+        .alias("surv_ppm"),
+    )

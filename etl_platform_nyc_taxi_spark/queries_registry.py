@@ -15481,6 +15481,93 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_triplets(e, anchors=e.filter(F.col("vec_id") % 5 == 0))
 
 
+@register(
+    "survival_km",
+    r"""
+    WITH km_ev AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+    km_entry AS (SELECT u, MIN(ts) AS t0 FROM km_ev
+                 WHERE t = 'signup' GROUP BY 1),
+    km_conv AS (
+      SELECT e.u, MIN(e.ts) AS tc
+      FROM km_ev e JOIN km_entry en USING (u)
+      WHERE e.t = 'purchase' AND e.ts >= en.t0
+      GROUP BY 1
+    ),
+    km_last AS (SELECT u, MAX(ts) AS tl FROM km_ev GROUP BY 1),
+    km_subj AS (
+      SELECT en.u, c.u IS NOT NULL AS converted,
+             CAST((epoch_us(COALESCE(c.tc, l.tl)) - epoch_us(en.t0))
+                  // 3600000000 AS BIGINT) AS dur_bucket
+      FROM km_entry en
+      LEFT JOIN km_conv c USING (u)
+      JOIN km_last l USING (u)
+    ),
+    km_steps AS (
+      SELECT dur_bucket,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+             CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censored
+      FROM km_subj GROUP BY 1
+    ),
+    km_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM km_subj),
+    km_risk AS (
+      SELECT s.*,
+             CAST(t.n_tot - COALESCE(SUM(s.n_events + s.n_censored)
+               OVER (ORDER BY s.dur_bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk
+      FROM km_steps s CROSS JOIN km_tot t
+    ),
+    km_curve AS (
+      SELECT dur_bucket, n_risk, n_events, n_censored,
+             CASE WHEN n_risk > n_events
+                  THEN CAST(floor(ln(CAST(n_risk - n_events AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE)) * 1000000)
+                       AS BIGINT)
+             END AS step_log
+      FROM km_risk WHERE n_events > 0
+    )
+    SELECT dur_bucket, n_risk, n_events, n_censored,
+           CASE WHEN MAX(CASE WHEN step_log IS NULL THEN 1 ELSE 0 END)
+                  OVER (ORDER BY dur_bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) = 0
+                THEN CAST(SUM(step_log)
+                  OVER (ORDER BY dur_bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT)
+           END AS log_surv_micro,
+           CAST(COALESCE(floor(exp(CAST(SUM(step_log)
+                  OVER (ORDER BY dur_bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE) / 1000000) * 1000000
+                  + 0.5), 0) AS BIGINT)
+             * CASE WHEN MAX(CASE WHEN step_log IS NULL THEN 1 ELSE 0 END)
+                      OVER (ORDER BY dur_bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) = 0
+                    THEN 1 ELSE 0 END AS surv_ppm
+    FROM km_curve
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion survival curve with right
+    censoring (operators/analytics.km_survival): signup starts the
+    clock, the first at-or-after purchase converts, everyone else is
+    censored at their last observed event — the estimator that keeps
+    not-yet-converted users in the risk set instead of silently
+    dropping them (the bias in a naive time-to-convert percentile).
+    The survival product is carried in LOG space as exact prefix sums
+    of once-quantized step factors, so the curve is order-independent
+    BIGINT arithmetic end to end and replays bit-for-bit — a float
+    running product would be summation-order-dependent. Hour buckets
+    bound the curve relation by the calendar, not the corpus."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import km_survival
+
+    return km_survival(_t(spark, sf_dir, "events"))
+
+
 _MK_CHANNELS = ("click", "error", "signup", "view")
 _MK_ROUNDS = 8
 
@@ -16416,7 +16503,7 @@ def q_tokenizer_fertility_compare(
 #     streaming_corpus_ingest (the admission fold now carries
 #     per-stratum counters instead of windowing the full ledger,
 #     VERDICT r11 task 3).
-#   * first-timer slots, late-r12 additions (12): the unigram-LM
+#   * first-timer slots, late-r12 additions (13): the unigram-LM
 #     tokenizer family — unigram_vocab, unigram_tokenize,
 #     tokenizer_fertility_compare — plus lm_stupid_backoff (held-out
 #     trigram LM scoring), triplet_mining (batch-hard contrastive pair
@@ -16426,11 +16513,12 @@ def q_tokenizer_fertility_compare(
 #     retrieval_ndcg (exact-integer NDCG@10/MRR ranking eval),
 #     data_constrained_epochs (quality-weighted epoch repetition under
 #     a token budget), unigram_token_counts (per-doc packing pricing +
-#     NLL under the unigram tokenizer), and attribution_markov
-#     (removal-effect multi-touch attribution).
-#   * r7-greens, oldest-first: 21 of the 48.  The last twenty-seven in
-#     cohort order (join_salted, join_semi, join_snowflake,
-#     join_star_dims, missing_id_ranges,
+#     NLL under the unigram tokenizer), attribution_markov
+#     (removal-effect multi-touch attribution), and survival_km
+#     (censoring-aware Kaplan-Meier time-to-convert).
+#   * r7-greens, oldest-first: 20 of the 48.  The last twenty-eight in
+#     cohort order (join_fact_fact, join_salted, join_semi,
+#     join_snowflake, join_star_dims, missing_id_ranges,
 #     moving_average_hourly, multimodal_frames,
 #     pivot_event_counts, regression_price_qty, sessionize_events,
 #     sql_tpch_q1, streaming_daily_counts, streaming_dedup,
@@ -16441,8 +16529,8 @@ def q_tokenizer_fertility_compare(
 #     window_topk_per_group) are displaced to r13 and MUST lead r13's
 #     window — window_age.py tracks them.
 #
-# Steady-state honesty: with 270 queries and a 50-slot window, full
-# re-green cadence is ceil(270/50) = 6 rounds; priority order is
+# Steady-state honesty: with 271 queries and a 50-slot window, full
+# re-green cadence is ceil(271/50) = 6 rounds; priority order is
 # displaced breaches, first-timers, material changes, oldest-green.
 # ---------------------------------------------------------------------------
 _VERIFY_FIRST = [
@@ -16474,11 +16562,12 @@ _VERIFY_FIRST = [
     "data_constrained_epochs",
     "unigram_token_counts",
     "attribution_markov",
+    "survival_km",
     # Material changes this round (same-round slots):
     "ann_ivf",
     "ann_ivf_served",
     "streaming_corpus_ingest",
-    # r7-greens, oldest-first (21 of 48; the last 27 -> r13):
+    # r7-greens, oldest-first (20 of 48; the last 28 -> r13):
     "agg_cube",
     "agg_family",
     "agg_grouping_sets",
@@ -16499,7 +16588,6 @@ _VERIFY_FIRST = [
     "explode_tokens",
     "hourly_latency_bands",
     "join_anti",
-    "join_fact_fact",
 ]
 # Window occupancy: exactly 50 names above = the driver's 50-query
 # oracle window.  Flakiness-probe every name before round close

@@ -838,3 +838,61 @@ def test_markov_attribution_all_journeys_start_with_one_channel(spark):
     # removing click leaves START with no surviving edges: probability 0
     assert out["click"]["p_removed_micro"] == 0
     assert out["click"]["share_micro"] == 1_000_000
+
+
+def test_km_survival_hand_computed_with_censoring(spark):
+    """Classic KM: censored subjects stay in the risk set through their
+    censoring bucket; the log-space curve matches an exact recompute."""
+    import math
+    from datetime import datetime, timedelta
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import km_survival
+
+    t0 = datetime(2024, 1, 1)
+    h = lambda x: t0 + timedelta(hours=x)  # noqa: E731
+    rows = [
+        (1, "signup", t0, 1), (1, "purchase", h(1), 2),
+        (2, "signup", t0, 3), (2, "purchase", h(2), 4),
+        (3, "signup", t0, 5), (3, "view", h(1.5), 6),      # censored b1
+        (4, "signup", t0, 7), (4, "view", h(3), 8),        # censored b3
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {r["dur_bucket"]: r for r in km_survival(ev).collect()}
+    assert set(out) == {1, 2}                 # event buckets only
+    b1, b2 = out[1], out[2]
+    assert (b1["n_risk"], b1["n_events"], b1["n_censored"]) == (4, 1, 1)
+    assert (b2["n_risk"], b2["n_events"], b2["n_censored"]) == (2, 1, 0)
+    l1 = math.floor(math.log(3 / 4) * 1e6)
+    l2 = math.floor(math.log(1 / 2) * 1e6)
+    assert b1["log_surv_micro"] == l1
+    assert b2["log_surv_micro"] == l1 + l2
+    assert b1["surv_ppm"] == math.floor(math.exp(l1 / 1e6) * 1e6 + 0.5)
+    assert b2["surv_ppm"] == math.floor(math.exp((l1 + l2) / 1e6) * 1e6 + 0.5)
+
+
+def test_km_survival_zero_step_and_pre_entry_conversion(spark):
+    """When every at-risk subject converts the curve hits exact zero
+    (NULL log, surv 0); purchases BEFORE signup never convert."""
+    from datetime import datetime, timedelta
+
+    from etl_platform_nyc_taxi_spark.operators.analytics import km_survival
+
+    t0 = datetime(2024, 1, 1)
+    h = lambda x: t0 + timedelta(hours=x)  # noqa: E731
+    rows = [
+        (1, "signup", t0, 1), (1, "purchase", h(1), 2),
+        (2, "signup", t0, 3), (2, "purchase", h(1), 4),
+        # u3 purchased BEFORE signup: censored at its last event
+        (3, "purchase", h(-2), 5), (3, "signup", t0, 6), (3, "view", h(0.5), 7),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    out = {r["dur_bucket"]: r for r in km_survival(ev).collect()}
+    # u3 censored in bucket 0; bucket 1: risk 2, both convert
+    assert set(out) == {1}
+    b1 = out[1]
+    assert (b1["n_risk"], b1["n_events"]) == (2, 2)
+    assert b1["log_surv_micro"] is None and b1["surv_ppm"] == 0
