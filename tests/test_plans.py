@@ -840,3 +840,31 @@ def test_unigram_training_fold_has_no_python(spark):
     column live inside one projection)."""
     s = fmt(QR.QUERIES["unigram_tokenize"](spark, SF))
     assert "PythonEval" not in s and "BatchEvalPython" not in s
+
+
+def test_markov_journey_windows_are_user_partitioned(spark):
+    """Journey framing windows partition by user (never a global sort
+    of events); the value-iteration plan folds the corpus-sized
+    staging into the checkpointed transition relation (the BT-loop
+    shape) and joins it via broadcast; no Python rows."""
+    from etl_platform_nyc_taxi_spark.operators.analytics import (
+        journey_transitions,
+    )
+    from etl_platform_nyc_taxi_spark.sources.parquet import load_fixture
+
+    j = fmt(journey_transitions(load_fixture(spark, SF, "events")))
+    assert re.search(r"hashpartitioning\(u#", j)
+    s = fmt(QR.QUERIES["attribution_markov"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "BroadcastExchange" in s
+    assert "Scan parquet" not in s  # staging folded pre-iteration
+
+
+def test_km_curve_windows_run_on_the_bucket_aggregate(spark):
+    """The KM prefix-sum windows are the post-aggregate safe shape:
+    they order the bucketed-duration relation, and the subject
+    reductions are map-side combinable; no Python rows."""
+    s = fmt(QR.QUERIES["survival_km"](spark, SF))
+    assert "PythonEval" not in s and "BatchEvalPython" not in s
+    assert "partial_count" in s or "partial_min" in s or "partial_sum" in s
+    assert "BroadcastExchange" in s

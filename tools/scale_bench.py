@@ -201,6 +201,13 @@ HEAVY = [
     "heaps_law_fit",
     "ann_int8_recall",
     "retrieval_ndcg",
+    # Round 12c: events-driven (only documents/embeddings replicate in
+    # the synthesis, so — like graph_pagerank — these rows pin the
+    # FIXED cost of the Markov value-iteration rounds and the KM curve
+    # windows, which run on metadata-sized relations after the
+    # one-window-pass journey/risk front end).
+    "attribution_markov",
+    "survival_km",
 ]
 
 REPLICA_STRIDE = 10_000_000
