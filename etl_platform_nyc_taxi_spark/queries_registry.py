@@ -10034,8 +10034,8 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Division guards with NULLIF-style whens so an empty truth band reads
     NULL, not a crash, on both engines."""
     from etl_platform_nyc_taxi_spark.operators.dedup import (
+        _banded_signature,
         _minhash_relations,
-        minhash_candidates,
     )
     from etl_platform_nyc_taxi_spark.sources.rows import rows_source
 
@@ -10048,7 +10048,7 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 4 == 0
     )
     par = spark.sparkContext.defaultParallelism
-    hs, _sig = _minhash_relations(corpus, "doc_id", "text", 6, _MH_N, par)
+    hs, sig = _minhash_relations(corpus, "doc_id", "text", 6, _MH_N, par)
     meta = corpus.select(
         F.col("doc_id").alias("__id"), "lang", "source"
     )
@@ -10068,35 +10068,45 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jac"))
     )
-    cands = minhash_candidates(
-        corpus,
-        id_col="doc_id",
-        text_col="text",
-        k=6,
-        num_hashes=_MH_N,
-        bands=_MH_BANDS,
-        partitions=par,
-        max_bucket=None,
+    # Candidates from the SAME signature relation the truth stage already
+    # built (r12 optimization, guide §2.3/§2.4): the old shape called
+    # minhash_candidates(corpus, ...), whose partial aggregate differs
+    # from the trunk's, so ReuseExchange could not share it and the md5
+    # shingle pass ran TWICE. _banded_signature over `sig` is
+    # value-identical (min over the distinct hash set == min over the
+    # multiset), so the candidate pairs are unchanged.
+    banded = _banded_signature(sig, _MH_N, _MH_BANDS)
+    ba, bb = banded.alias("a"), banded.alias("b")
+    cands = (
+        ba.join(bb, on=["band", "key"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
     )
-    cand_blocked = truth.join(cands, ["id_a", "id_b"])
     ts = rows_source(spark, [(0.5,), (0.6,), (0.7,), (0.8,)], "t double")
-    tr = (
-        truth.crossJoin(F.broadcast(ts))
+    # One pass over the truth pairs (r12 optimization): the old shape
+    # aggregated `truth` twice — once raw (n_true) and once inner-joined
+    # to candidates (tp/n_cand) — re-running the quadratic blocked
+    # Jaccard per consumer. A left join marks candidacy per pair, and
+    # one threshold-expanded aggregate reads all three counters off the
+    # same rows. n_cand = |truth ∩ cands| exactly as before (the old
+    # inner join dropped candidate pairs outside the truth blocks).
+    flagged = truth.join(
+        cands.withColumn("__c", F.lit(True)), ["id_a", "id_b"], "left"
+    ).withColumn("__c", F.coalesce("__c", F.lit(False)))
+    per_t = (
+        flagged.crossJoin(F.broadcast(ts))
         .groupBy("t")
         .agg(
             F.sum(F.when(F.col("jac") >= F.col("t"), 1).otherwise(0)).alias(
                 "n_true"
-            )
-        )
-    )
-    cd = (
-        cand_blocked.crossJoin(F.broadcast(ts))
-        .groupBy("t")
-        .agg(
-            F.sum(F.when(F.col("jac") >= F.col("t"), 1).otherwise(0)).alias(
-                "tp"
             ),
-            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(
+                F.when(
+                    (F.col("jac") >= F.col("t")) & F.col("__c"), 1
+                ).otherwise(0)
+            ).alias("tp"),
+            F.sum(F.when(F.col("__c"), 1).otherwise(0)).alias("n_cand"),
         )
     )
     prec = F.when(
@@ -10107,7 +10117,7 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_true") > 0,
         F.round(F.col("tp").cast("double") / F.col("n_true").cast("double"), 6),
     )
-    return tr.join(cd, "t").select(
+    return per_t.select(
         F.col("t").alias("threshold"),
         "n_true",
         "tp",
