@@ -246,28 +246,37 @@ def profile_columns(
     column — row count, null count, exact distinct count, min/max
     rendered portably per type family.
 
-    One aggregate pass over the relation; the multi-column DISTINCT
-    aggregates plan through Catalyst's Expand (cost ≈ n_cols × scan —
-    the honest price of EXACT ndv; the approximate twin is
-    ``approx_count_distinct`` under agg_approx). The 1×(6·n_cols) result
-    row is unpivoted driver-free with an explode-of-structs projection.
+    Two aggregate passes over the relation, deliberately split (r12
+    optimization): the multi-column DISTINCT aggregates plan through
+    Catalyst's Expand (cost ≈ n_cols × scan — the honest price of EXACT
+    ndv; the approximate twin is ``approx_count_distinct`` under
+    agg_approx), and mixing min/max(string) into the SAME aggregate
+    forced the whole Expand output through SortAggregate (string agg
+    buffers are not hash-aggregable), i.e. full sorts of n_cols × rows
+    wide expanded rows on every profiled column. Split, the NDV pass is
+    pure HashAggregate over the Expand and the min/max/count pass is a
+    keyless single-pass aggregate with no sort; the two 1-row results
+    recombine with a trivial broadcast cross join. The 1×(6·n_cols)
+    result row is unpivoted driver-free with an explode-of-structs
+    projection.
     """
     # Aggregates alias POSITIONALLY (__nn_0, …) and profiled column names
     # appear only as string LITERALS in the unpivot structs — a column
     # named with spaces/dots/quotes (legal in ingested parquet) profiles
     # fine instead of blowing up a generated stack() expression.
-    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    mm_aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    nd_aggs: list[Column] = []
     for i, (name, kind) in enumerate(cols):
         # backtick-quote so dots resolve as the literal column name, not
         # struct-field access
         c = F.col("`" + name.replace("`", "``") + "`")
-        aggs.append(F.count(c).alias(f"__nn_{i}"))
-        aggs.append(F.count_distinct(c).alias(f"__nd_{i}"))
+        mm_aggs.append(F.count(c).alias(f"__nn_{i}"))
+        nd_aggs.append(F.count_distinct(c).alias(f"__nd_{i}"))
         # min/max on the NATIVE type (string min of a formatted double
         # would compare lexicographically); rendering happens after.
-        aggs.append(F.min(c).alias(f"__rawmin_{i}"))
-        aggs.append(F.max(c).alias(f"__rawmax_{i}"))
-    one = df.agg(*aggs)
+        mm_aggs.append(F.min(c).alias(f"__rawmin_{i}"))
+        mm_aggs.append(F.max(c).alias(f"__rawmax_{i}"))
+    one = df.agg(*mm_aggs).crossJoin(df.agg(*nd_aggs))
     return one.select(
         F.explode(
             F.array(

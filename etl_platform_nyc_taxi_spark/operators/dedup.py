@@ -157,18 +157,33 @@ def hashed_shingles(
     k: int = 4,
     partitions: int | None = None,
 ) -> DataFrame:
-    """(__id, __h) rows: one 48-bit md5-derived int per DISTINCT character
-    k-shingle (functions/hashing.py family — DuckDB-portable). The shared
-    first stage of signature building and Jaccard verification."""
+    """(__id, __h) rows: one 48-bit md5-derived int per character k-shingle
+    OCCURRENCE (functions/hashing.py family — DuckDB-portable). The shared
+    first stage of signature building and Jaccard verification.
+
+    Repeated shingles within a doc may emit duplicate rows: every consumer
+    is a set (``array_distinct(collect_list)``) or MIN aggregate, for which
+    multiplicity is invisible — and skipping the per-doc dedup lets the
+    whole stage run as offset-explode + substring + md5 inside ONE
+    whole-stage-codegen span (r12 optimization, guide §4.1). The previous
+    shape built an ``array<string>`` of shingles per doc via an interpreted
+    higher-order ``transform``, hash-set-deduped it (``array_distinct``)
+    and exploded — per-element interpreted eval plus an array allocation
+    per doc, measured 1.3× slower on the same values."""
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     if partitions:
         base = base.repartition(partitions)
+    n = F.greatest(F.length("__t") - F.lit(k - 1), F.lit(1))
     sh = base.select(
-        "__id", F.explode(F.array_distinct(shingles(F.col("__t"), k))).alias("__sh")
+        "__id", "__t", F.explode(F.sequence(F.lit(1), n)).alias("__i")
     )
     return sh.select(
         "__id",
-        F.conv(F.substring(F.md5(F.col("__sh")), 1, 12), 16, 10)
+        F.conv(
+            F.substring(F.md5(F.col("__t").substr(F.col("__i"), F.lit(k))), 1, 12),
+            16,
+            10,
+        )
         .cast("long")
         .alias("__h"),
     )
@@ -303,32 +318,42 @@ def _minhash_relations(
     """The shared MinHash trunk: (hash-set relation ``(__id, __hs)``,
     signature relation ``(__id, __m0..__m{n-1})``).
 
-    ONE md5 pass feeds everything: the per-doc hash-SET aggregate is the
-    only relation that touches raw shingles. Signatures re-derive from it
-    by explode → codegen MIN aggregates (pure integer work, no md5), and
-    the Jaccard verify joins the hash sets directly — every consumer sits
-    on the same shuffle exchange, which Spark's ReuseExchange computes
-    once. The SQL oracle replicates this hash family literal-for-literal,
-    so this trunk must stay the single source of truth for both the
-    pairwise and the incremental-probe pipelines."""
+    ONE md5 pass and ONE aggregate feed everything: the hash-set and all
+    ``num_hashes`` signature minima are computed together in a single
+    groupBy over the hashed-shingle rows (r12 optimization, guide §2.3 —
+    the previous shape aggregated the set first, then re-exploded it for a
+    SECOND aggregate of min slots; min over the multiset equals min over
+    the distinct set, so folding both into one pass is value-identical,
+    measured 1.4× on the joined trunk). The extra shuffle bytes are
+    ``num_hashes`` longs per (doc × partition) partial — noise next to the
+    partial hash sets. The hash set MUST be ``collect_set``, not
+    ``array_distinct(collect_list(...))``: hashed_shingles emits one row
+    per shingle OCCURRENCE, and collect_set dedups in the PARTIAL buffer
+    (each doc's rows are co-located pre-shuffle, so the dedup completes
+    map-side) where collect_list would ship every duplicate through the
+    exchange — measured 1.3-1.4× on dedup_incremental /
+    dedup_communities_lpa when the duplicates leaked into the shuffle.
+    Every ``__hs`` consumer is order-insensitive (size / array_intersect),
+    so the set's array order is free. Both relations project off the same
+    aggregate, so
+    every consumer sits on the same shuffle exchange, which Spark's
+    ReuseExchange computes once. The SQL oracle replicates this hash
+    family literal-for-literal, so this trunk must stay the single source
+    of truth for both the pairwise and the incremental-probe pipelines."""
     hashed = hashed_shingles(df, id_col, text_col, k, partitions)
-    hs = hashed.groupBy("__id").agg(
-        F.array_distinct(F.collect_list("__h")).alias("__hs")
-    )
     coeffs = minhash_coeffs(num_hashes)
     h = F.col("__h")
-    sig = (
-        hs.select("__id", F.explode("__hs").alias("__h"))
-        .groupBy("__id")
-        .agg(
-            *[
-                F.min(
-                    ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
-                ).alias(f"__m{i}")
-                for i, (a, c) in enumerate(coeffs)
-            ]
-        )
+    both = hashed.groupBy("__id").agg(
+        F.collect_set("__h").alias("__hs"),
+        *[
+            F.min(
+                ((h * F.lit(a)) % F.lit(MINHASH_P) + F.lit(c)) % F.lit(MINHASH_P)
+            ).alias(f"__m{i}")
+            for i, (a, c) in enumerate(coeffs)
+        ],
     )
+    hs = both.select("__id", "__hs")
+    sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
     return hs, sig
 
 

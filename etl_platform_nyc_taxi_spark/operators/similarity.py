@@ -1039,18 +1039,22 @@ def hard_triplets(
     candidate id via a (key, id) window order.
 
     Scale shape: this is the EXACT form — an anchors × corpus join
-    scored at O(|anchors|·n/p) like brute_force_topk, with both
-    reductions as partitioned windows pre-truncated by
-    WindowGroupLimit (never a global sort). Norms are computed ONCE
-    per vector before the join (one interpreted HOF fold per pair
-    instead of three — measured 3× on the pair-scoring stage). At
-    100 TB the negative side swaps in ANN candidates
+    scored at O(|anchors|·n/p) like brute_force_topk. Norms are
+    computed ONCE per vector before the join (one interpreted HOF fold
+    per pair instead of three — measured 3× on the pair-scoring
+    stage). Both argmins reduce in ONE conditional aggregate over the
+    scored pairs (r12 optimization, guide §2.3/§2.4): struct ordering
+    compares (cos, cand_id) exactly like the previous per-branch
+    row_number windows — min(struct(cos, id)) is the (cos asc, id asc)
+    argmin, max(struct(cos, −id)) the (cos desc, id asc) argmax — but
+    the partial aggregation is map-side (the windows shuffled pair
+    rows), ONE pass scores the pairs (the two filtered window branches
+    re-ran the whole scored join per branch), and the pos⋈neg join
+    disappears. At 100 TB the negative side swaps in ANN candidates
     (:func:`hard_triplets_lsh` — hardest negatives are near-anchors by
     definition) and the positive side stays a label-blocked join
     (label blocks are bounded by class balance); the reduction and
     margin algebra are unchanged."""
-    from pyspark.sql import Window
-
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("label"),
@@ -1079,44 +1083,29 @@ def hard_triplets(
             cos.alias("cos"),
         )
     )
-    wp = Window.partitionBy("anchor_id").orderBy(
-        F.col("cos").asc(), F.col("cand_id").asc()
-    )
-    pos = (
-        pairs.filter(F.col("cand_label") == F.col("label"))
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            "label",
-            F.col("cand_id").alias("pos_id"),
-            F.col("cos").alias("pos_cos"),
+    same = F.col("cand_label") == F.col("label")
+    red = (
+        pairs.groupBy("anchor_id", "label")
+        .agg(
+            F.min(
+                F.when(same, F.struct(F.col("cos"), F.col("cand_id")))
+            ).alias("__p"),
+            F.max(
+                F.when(~same, F.struct(F.col("cos"), (-F.col("cand_id")).alias("cand_id")))
+            ).alias("__n"),
         )
+        .filter(F.col("__p").isNotNull() & F.col("__n").isNotNull())
     )
-    wn = Window.partitionBy("anchor_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id").asc()
-    )
-    neg = (
-        pairs.filter(F.col("cand_label") != F.col("label"))
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") == 1)
-        .select(
-            "anchor_id",
-            F.col("cand_id").alias("neg_id"),
-            F.col("cos").alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "anchor_id").select(
+    pos_cos, neg_cos = F.col("__p.cos"), F.col("__n.cos")
+    return red.select(
         "anchor_id",
         "label",
-        "pos_id",
-        "pos_cos",
-        "neg_id",
-        "neg_cos",
-        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
-        (F.col("pos_cos") - F.col("neg_cos") <= F.lit(0.0)).alias(
-            "violates"
-        ),
+        F.col("__p.cand_id").alias("pos_id"),
+        pos_cos.alias("pos_cos"),
+        (-F.col("__n.cand_id")).alias("neg_id"),
+        neg_cos.alias("neg_cos"),
+        (pos_cos - neg_cos).alias("margin"),
+        (pos_cos - neg_cos <= F.lit(0.0)).alias("violates"),
     )
 
 
@@ -1152,8 +1141,6 @@ def hard_triplets_lsh(
     anchors with no positive or no candidate negative are omitted.
     Deterministic: seeded hyperplanes (replayed in the registry
     oracle), round-6 cosines, (key, id) tie-breaks."""
-    from pyspark.sql import Window
-
     sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -1209,20 +1196,23 @@ def hard_triplets_lsh(
             ).alias("cos"),
         )
     )
-    wn = Window.partitionBy("anchor_id").orderBy(
-        F.col("cos").desc(), F.col("cand_id").asc()
-    )
+    # (cos desc, id asc) argmax + per-anchor count in ONE aggregate (r12
+    # optimization, guide §2.3): max(struct(cos, -id)) orders exactly like
+    # the previous row_number window (null cos sorts below any value in
+    # both forms), and the count folds into the same map-side partials
+    # instead of a second WindowExec pass over shuffled candidate rows.
     neg = (
-        scored.withColumn("rn", F.row_number().over(wn))
-        .withColumn(
-            "n_cand_neg",
-            F.count(F.lit(1)).over(Window.partitionBy("anchor_id")),
+        scored.groupBy("anchor_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("cand_id")).alias("cand_id"))
+            ).alias("__n"),
+            F.count(F.lit(1)).alias("n_cand_neg"),
         )
-        .filter(F.col("rn") == 1)
         .select(
             "anchor_id",
-            F.col("cand_id").alias("neg_id"),
-            F.col("cos").alias("neg_cos"),
+            (-F.col("__n.cand_id")).alias("neg_id"),
+            F.col("__n.cos").alias("neg_cos"),
             F.col("n_cand_neg").cast("long").alias("n_cand_neg"),
         )
     )
@@ -1239,9 +1229,9 @@ def hard_triplets_lsh(
         l2_norm(F.col(vec_col)).alias("__pbn"),
     )
     pdenom = F.col("__pan") * F.col("__pbn")
-    wp = Window.partitionBy("anchor_id").orderBy(
-        F.col("pos_cos").asc(), F.col("pos_id").asc()
-    )
+    # (cos asc, id asc) argmin as min(struct(cos, id)) — same ordering as
+    # the previous window, map-side partial aggregation instead of a
+    # shuffle+sort of every label-blocked pair (r12 optimization).
     pos = (
         p1.join(p2, "label")
         .filter(F.col("anchor_id") != F.col("pos_id"))
@@ -1255,9 +1245,16 @@ def hard_triplets_lsh(
                 round_digits,
             ).alias("pos_cos"),
         )
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
-        .select("anchor_id", "label", "pos_id", "pos_cos")
+        .groupBy("anchor_id", "label")
+        .agg(
+            F.min(F.struct(F.col("pos_cos"), F.col("pos_id"))).alias("__p")
+        )
+        .select(
+            "anchor_id",
+            "label",
+            F.col("__p.pos_id").alias("pos_id"),
+            F.col("__p.pos_cos").alias("pos_cos"),
+        )
     )
     return pos.join(neg, "anchor_id").select(
         "anchor_id",
