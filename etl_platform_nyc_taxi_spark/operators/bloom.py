@@ -107,11 +107,16 @@ def bloom_probe_grams(
     """Probe every distinct (doc, n-gram) of the training corpus against
     the filter: ``(id, __gram, bloom_hit boolean)``.
 
-    A gram hits iff ALL ``k`` of its positions are set — implemented as an
-    inner equi-join of the k probe positions against the (broadcast)
+    A gram hits iff ALL ``k`` of its positions are set — implemented as a
+    LEFT equi-join of the k probe positions against the (broadcast)
     positions relation, then ``count(matched j) = k`` per (doc, gram).
-    The training side is read once, exploded to grams with map-side
-    distinct, and never shuffled against itself."""
+    The left join preserves exactly k rows per (doc, gram), so the ONE
+    aggregate emits every gram with its hit flag directly — the previous
+    shape inner-joined, aggregated only the hits, and then sort-merge
+    joined the (doc, gram) relation back to itself to restore misses,
+    re-running the n-gram explode AND shuffling gram strings twice (r12
+    optimization, guide §2.1/§3). The training side is read once and
+    never shuffled against itself."""
     if partitions:
         train_df = train_df.repartition(partitions)
     grams = train_df.select(
@@ -126,17 +131,21 @@ def bloom_probe_grams(
         "__gram",
         _positions(F.col("__gram"), F.col("__j"), m_bits),
     )
-    matched = (
-        probes.join(F.broadcast(bloom), "pos")
+    return (
+        probes.join(
+            F.broadcast(bloom.withColumn("__set", F.lit(True))),
+            "pos",
+            "left",
+        )
         .groupBy("__id", "__gram")
-        .agg(F.count(F.lit(1)).alias("__n_set"))
-        .filter(F.col("__n_set") == k)
-        .select("__id", "__gram", F.lit(True).alias("bloom_hit"))
-    )
-    return grams.join(matched, ["__id", "__gram"], "left").select(
-        F.col("__id"),
-        F.col("__gram"),
-        F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+        .agg(
+            F.count("__set").alias("__n_set")
+        )
+        .select(
+            "__id",
+            "__gram",
+            (F.col("__n_set") == k).alias("bloom_hit"),
+        )
     )
 
 

@@ -831,7 +831,13 @@ def ngram_jaccard_pairs(
         >= F.lit(threshold) * F.greatest(F.col("a.__n"), F.col("b.__n"))
     )
     inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g"))).cast("double")
-    union = F.size(F.array_union(F.col("a.__g"), F.col("b.__g"))).cast("double")
+    # |A∪B| = |A| + |B| − |A∩B| on the already-distinct gram arrays —
+    # the sizes are precomputed per side, so the per-pair array_union
+    # hash-set build (as costly as the intersect) is pure waste (r12
+    # optimization, guide §2.3). Same integers, same IEEE quotient.
+    union = (
+        F.col("a.__n") + F.col("b.__n")
+    ).cast("double") - inter
     return (
         a.join(b, cond & (F.col("a.__id") < F.col("b.__id")) & size_ok)
         .select(
@@ -1638,19 +1644,27 @@ def jaccard_prefix_join(
         "__id",
         F.explode(_word_ngrams("__txt", ngram)).alias("elem"),
     )
-    freq = el.groupBy("elem").agg(F.count(F.lit(1)).alias("__df"))
+    # Global document frequency as a COUNT window over the element
+    # partition: ONE exchange of the element relation, where the former
+    # groupBy + equi-join shipped it twice (once as aggregate partials,
+    # once as the join probe side) — r12 optimization, guide §2.1. The
+    # hot-element placement is identical (the join also co-located every
+    # occurrence of an element), so no new skew. The sorted element
+    # array projects its field natively (GetArrayStructFields) instead
+    # of an interpreted per-element transform lambda.
+    from pyspark.sql import Window
+
+    with_df = el.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("elem"))
+    )
     ordered = (
-        el.join(freq, "elem")
-        .groupBy("__id")
+        with_df.groupBy("__id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(F.col("__df"), F.col("elem").alias("e"))
-                    )
-                ),
-                lambda s: s["e"],
-            ).alias("arr")
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__df"), F.col("elem").alias("e"))
+                )
+            ).getField("e").alias("arr")
         )
         .select(
             "__id", "arr", F.size("arr").cast("long").alias("sz")

@@ -60,8 +60,14 @@ def nb_train(
         F.col(label_col).alias("cls"), F.explode(tokens_ws(text_col)).alias("tok")
     )
     ctc = toks.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("c"))
-    ncls = toks.groupBy("cls").agg(F.count(F.lit(1)).alias("n_tok"))
-    vocab = toks.agg(F.countDistinct("tok").cast("long").alias("vsz"))
+    # n_cls and V re-aggregate the (cls, tok, c) relation instead of the
+    # raw token explode: sum(c) per class == occurrence count, distinct
+    # tok over ctc == train vocabulary, and every consumer now sits on
+    # the SAME (cls, tok) exchange, which ReuseExchange computes once —
+    # the previous shape ran the tokenize+explode trunk three times (r12
+    # optimization, guide §2.3).
+    ncls = ctc.groupBy("cls").agg(F.sum("c").alias("n_tok"))
+    vocab = ctc.agg(F.countDistinct("tok").cast("long").alias("vsz"))
     docs = train_df.groupBy(F.col(label_col).alias("cls")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
@@ -151,17 +157,22 @@ def nb_classify(
 ) -> DataFrame:
     """Argmax over :func:`nb_score`: ``(id, predicted, score_micro)``.
     Deterministic tie-break: highest score, then lexicographically
-    smallest class. The rank window partitions by doc over a
-    classes-sized frame (≤ |classes| rows per doc) — never a global
-    window."""
-    from pyspark.sql import Window
-
+    smallest class. The reduction is ONE conditional aggregate —
+    ``min(struct(-score, cls))`` orders (-score asc, cls asc) ==
+    (score desc, cls asc), exactly the previous row_number window's
+    ORDER BY — so the partial argmax folds map-side instead of
+    shuffling + sorting the doc×class frame (r12 optimization, guide
+    §2.3; scores are never null, every doc keeps its row)."""
     scored = nb_score(test_df, model, classes, id_col, text_col)
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score_micro").desc(), F.col("cls").asc()
+    best = scored.groupBy(id_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("score_micro")).alias("neg"), F.col("cls")
+            )
+        ).alias("__b")
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("cls").alias("predicted"), "score_micro")
+    return best.select(
+        id_col,
+        F.col("__b.cls").alias("predicted"),
+        (-F.col("__b.neg")).alias("score_micro"),
     )

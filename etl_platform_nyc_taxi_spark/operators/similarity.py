@@ -464,10 +464,19 @@ def embedding_near_dups_lsh(
 
     sigs = table_signatures_udf(num_planes, num_tables, dim, seed)
     src = df.repartition(partitions) if partitions else df
+    # Norm bound ONCE per vector BEFORE the bucket explode and the pair
+    # join (the hard_triplets prenorm precedent, r12, guide §4.1): the
+    # candidate verify then folds one interpreted HOF (the dot) per pair
+    # instead of three — bit-exact factorization of cosine_similarity.
     base = src.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
-        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__bucket"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+    ).select(
+        "__id",
+        "__v",
+        "__n",
+        F.posexplode(sigs(F.col("__v"))).alias("__table", "__bucket"),
     )
     join_keys = ["__table", "__bucket"]
     if max_bucket is not None:
@@ -476,7 +485,8 @@ def embedding_near_dups_lsh(
         )
         join_keys.append("__salt")
     a, b = base.alias("a"), base.alias("b")
-    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    denom = F.col("a.__n") * F.col("b.__n")
+    cos = dot(F.col("a.__v"), F.col("b.__v")) / F.when(denom != 0.0, denom)
     return (
         a.join(b, on=join_keys)
         .filter(F.col("a.__id") < F.col("b.__id"))

@@ -9910,16 +9910,23 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries keep the corpus unshuffled (the brute_force_topk shape);
     both rank windows run over bounded relations (k rows per query /
     labels per query)."""
-    from etl_platform_nyc_taxi_spark.operators.similarity import (
-        cosine_similarity,
-    )
+    from etl_platform_nyc_taxi_spark.functions.vectors import dot, l2_norm
 
-    e = _t(spark, sf_dir, "embeddings")
+    # Norms bind ONCE per vector before the pair join (the hard_triplets
+    # prenorm precedent — one interpreted HOF fold per pair instead of
+    # three, bit-exact factorization of cosine_similarity), and the
+    # corpus side spreads across cores (the fixture reads as 1-2 splits
+    # while the pair scoring is CPU-big/byte-small) — r12, guide §2.2/§4.
+    e = _t(spark, sf_dir, "embeddings").repartition(
+        _spread(spark, sf_dir, "embeddings")
+    ).select("vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("__cn"))
     q = e.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         F.col("label").alias("true_label"),
+        F.col("__cn").alias("__qn"),
     )
+    denom = F.col("__qn") * F.col("__cn")
     scored = (
         e.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -9929,7 +9936,9 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.round(
-                cosine_similarity(F.col("__qv"), F.col("embedding")), 6
+                dot(F.col("__qv"), F.col("embedding"))
+                / F.when(denom != 0.0, denom),
+                6,
             ).alias("cosine"),
         )
     )
@@ -9942,13 +9951,16 @@ def q_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = r.groupBy("query_id", "true_label", "label").agg(
         F.count(F.lit(1)).alias("c")
     )
-    w_vote = Window.partitionBy("query_id").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
+    # (c desc, label asc) argmax as min(struct(-c, label)) — the r12
+    # conditional-aggregate form (same ordering as the retired window).
     p = (
-        v.withColumn("pr", F.row_number().over(w_vote))
-        .filter(F.col("pr") == 1)
-        .select("true_label", F.col("label").alias("predicted"))
+        v.groupBy("query_id", "true_label")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("__w")
+        )
+        .select("true_label", F.col("__w.label").alias("predicted"))
     )
     correct = F.sum(
         F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
@@ -10180,7 +10192,14 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    # The embeddings fixture reads as 1-2 splits; the per-pair cosine
+    # fold is CPU-big/byte-small, so spread the corpus side across
+    # cores for both the exact and the LSH scorer (r12, guide §2.2 —
+    # same rationale as the dedup ops' partitions knob).
+    spread = _spread(spark, sf_dir, "embeddings")
+    truth = brute_force_topk(e.repartition(spread), queries, k=10).select(
+        "query_id", "vec_id"
+    )
     lsh = lsh_topk(
         e,
         queries,
@@ -10189,6 +10208,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_tables=8,
         dim=64,
         seed=42,
+        partitions=spread,
     ).select("query_id", F.col("vec_id").alias("__lv"))
     hits = truth.join(
         lsh,
@@ -13208,6 +13228,12 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 35%: the measured background trigram overlap tops out ~31%
         # on the fixtures while true eval near-dups sit at 95-100%.
         flag_pct=35,
+        # Fold shuffle width sized to the micro-batch volume (~1/3 of
+        # the arrival slice), not the cluster — the stream_join state
+        # rule (r12, guide §2.2). At GB-scale micro-batches this knob
+        # rises with batch bytes; the static index above still builds
+        # at session width.
+        fold_shuffle_partitions=8,
     )
     out = state.read()
     assert out is not None
@@ -13397,6 +13423,8 @@ def q_streaming_corpus_ingest_semantic(
         nprobe=p["nprobe"],
         threshold_micro=999_000,
         partitions=spark.sparkContext.defaultParallelism,
+        # Micro-batch-sized fold shuffle width (see the lexical ingest).
+        fold_shuffle_partitions=8,
     )
     out = state.read()
     assert out is not None
@@ -14247,11 +14275,12 @@ def q_corpus_budget_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, classes = nb_train(
         corpus.filter(F.col("doc_id") % 5 != 0), "label", "text"
     )
-    # nb_score consumes `classes` twice (per-token defaults + the
-    # doc×class frame) and each use would re-run the training-token
-    # aggregate trunk; both relations are model-sized — checkpoint
-    model = model.localCheckpoint(eager=False)
-    classes = classes.localCheckpoint(eager=False)
+    # nb_score consumes `classes` twice and `model` once, but since the
+    # r12 nb_train rework every use derives from the SAME (cls, tok)
+    # count exchange, which ReuseExchange computes once inside the one
+    # pred plan — the former model/classes checkpoints only added two
+    # serial materialization barriers (~3 s of the query's critical
+    # path) without saving any work.
     spread = _spread(spark, sf_dir, "documents")
     # the checkpointed lab relation carries the scan's few partitions —
     # spread the tokenize/md5-heavy explodes across cores (the CPU-big/

@@ -468,6 +468,7 @@ def corpus_ingest_stream(
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
     strata_cols: list[str] | None = None,
+    fold_shuffle_partitions: int | None = None,
     **mh_kwargs,
 ) -> None:
     """Run the arriving-document stream to completion
@@ -495,7 +496,25 @@ def corpus_ingest_stream(
 
     owned = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
+    # Scope the fold's shuffle width to the MICRO-BATCH volume, not the
+    # session (= cluster) width — the stream_join lesson generalized
+    # (r12, guide §2.2): every relation inside a fold is batch- or
+    # strata-sized, so a cluster-wide shuffle width only multiplies AQE
+    # stage-planning round-trips and empty tasks. The static context
+    # above deliberately builds BEFORE this scope at full width (it is
+    # corpus-sized). Restored in ``finally``; ``None`` leaves the
+    # session untouched.
+    prev = (
+        stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        if fold_shuffle_partitions
+        else None
+    )
     try:
+        if fold_shuffle_partitions:
+            stream.sparkSession.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(fold_shuffle_partitions),
+            )
         q = (
             stream.writeStream.foreachBatch(fold)
             .option("checkpointLocation", ckpt)
@@ -504,6 +523,10 @@ def corpus_ingest_stream(
         )
         q.awaitTermination()
     finally:
+        if prev is not None:
+            stream.sparkSession.conf.set(
+                "spark.sql.shuffle.partitions", prev
+            )
         if owned:
             shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -626,6 +649,7 @@ def semantic_ingest_stream(
     threshold_micro: int = 999_000,
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
+    fold_shuffle_partitions: int | None = None,
 ) -> None:
     """Run the arriving-embedding stream to completion
     (Trigger.AvailableNow), folding each micro-batch's semantic-gate
@@ -676,7 +700,19 @@ def semantic_ingest_stream(
 
     owned = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_sem_ingest_")
+    # Batch-volume-scoped fold shuffle width, restored in finally — see
+    # corpus_ingest_stream (the static index above builds pre-scope).
+    prev = (
+        stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        if fold_shuffle_partitions
+        else None
+    )
     try:
+        if fold_shuffle_partitions:
+            stream.sparkSession.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(fold_shuffle_partitions),
+            )
         q = (
             stream.writeStream.foreachBatch(fold)
             .option("checkpointLocation", ckpt)
@@ -685,5 +721,9 @@ def semantic_ingest_stream(
         )
         q.awaitTermination()
     finally:
+        if prev is not None:
+            stream.sparkSession.conf.set(
+                "spark.sql.shuffle.partitions", prev
+            )
         if owned:
             shutil.rmtree(ckpt, ignore_errors=True)
