@@ -43,20 +43,35 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = 6,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: (query_id, vec_id, cosine, rank).
 
     Queries are broadcast (small side by definition); ranking uses a
     deterministic (cosine desc, vec_id asc) total order. ``round_digits``
     quantizes the ranking key so results are stable across engines/float
-    paths; pass None for raw doubles."""
+    paths; pass None for raw doubles.
+
+    Norms bind ONCE per vector before the pair expansion (r12, guide
+    §4.1 — one interpreted HOF fold per scored pair instead of three;
+    bit-exact factorization of ``cosine_similarity``). ``partitions``
+    spreads a few-split corpus scan across cores — the scoring is
+    CPU-big/byte-small (callers reading a well-partitioned 100 TB layout
+    leave it None)."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
-    cos = cosine_similarity(F.col("__qvec"), F.col(vec_col))
+    c = corpus.repartition(partitions) if partitions else corpus
+    c = c.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__cn")
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    cos = dot(F.col("__qvec"), F.col(vec_col)) / F.when(denom != 0.0, denom)
     if round_digits is not None:
         cos = F.round(cos, round_digits)
-    scored = corpus.join(F.broadcast(q)).select(
+    scored = c.join(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
         cos.alias("cosine"),

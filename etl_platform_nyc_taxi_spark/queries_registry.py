@@ -2411,7 +2411,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(e, queries, k=10)
+    return brute_force_topk(
+        e, queries, k=10,
+        partitions=_spread(spark, sf_dir, "embeddings"),
+    )
 
 
 def _plane_values_sql(
@@ -3437,7 +3440,9 @@ def _ivf_recall_eval(
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    truth = brute_force_topk(
+        e, queries, k=10, partitions=_spread(spark, sf_dir, "embeddings")
+    ).select("query_id", "vec_id")
     a = approx.select("query_id", F.col("vec_id").alias("__av"))
     hits = truth.join(
         a,
@@ -3897,7 +3902,10 @@ def q_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(e, queries, k=_IVFPQ["k"]).select(
+    truth = brute_force_topk(
+        e, queries, k=_IVFPQ["k"],
+        partitions=_spread(spark, sf_dir, "embeddings"),
+    ).select(
         "query_id", "vec_id"
     )
     a = _ivfpq_results(spark, sf_dir).select(
@@ -4160,7 +4168,10 @@ def q_ann_ivfpq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(e, queries, k=_IVFPQ["k"]).select(
+    truth = brute_force_topk(
+        e, queries, k=_IVFPQ["k"],
+        partitions=_spread(spark, sf_dir, "embeddings"),
+    ).select(
         "query_id", "vec_id"
     )
     stale = _ivfpq_append_results(spark, sf_dir).select(
@@ -4253,12 +4264,16 @@ def q_ann_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    truth = brute_force_topk(
+        e, queries, k=10, partitions=_spread(spark, sf_dir, "embeddings")
+    ).select("query_id", "vec_id")
     te = e.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
     tq = queries.select(
         "query_id", F.slice("embedding", 1, 16).alias("embedding")
     )
-    approx = brute_force_topk(te, tq, k=10).select(
+    approx = brute_force_topk(
+        te, tq, k=10, partitions=_spread(spark, sf_dir, "embeddings")
+    ).select(
         "query_id", F.col("vec_id").alias("__av")
     )
     hits = truth.join(
@@ -15432,7 +15447,9 @@ def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    truth = brute_force_topk(e, queries, k=10).select("query_id", "vec_id")
+    truth = brute_force_topk(
+        e, queries, k=10, partitions=_spread(spark, sf_dir, "embeddings")
+    ).select("query_id", "vec_id")
     qe = e.select(
         "vec_id",
         quantize_int8(F.col("embedding")).cast("array<double>").alias(
@@ -15442,7 +15459,9 @@ def q_ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq = qe.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = brute_force_topk(qe, qq, k=10).select(
+    approx = brute_force_topk(
+        qe, qq, k=10, partitions=_spread(spark, sf_dir, "embeddings")
+    ).select(
         "query_id", F.col("vec_id").alias("__av")
     )
     hits = truth.join(
