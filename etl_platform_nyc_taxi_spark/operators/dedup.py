@@ -1057,12 +1057,58 @@ def minhash_estimate_audit(
 # ---------------------------------------------------------------------------
 
 
+def _window_fp_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, __pos, __fp) — one row per stride-1 ``window``-token sliding
+    window; ``__pos`` is the window's 1-based start token index, ``__fp``
+    its md5 fingerprint over the single-space-joined tokens. The shared
+    first stage of the whole substring-dedup family.
+
+    r12 shape (guide §4.1, the :func:`hashed_shingles` precedent): the
+    start offsets explode FIRST and each fingerprint is a plain
+    slice → array_join → md5 projection, so the whole stage runs as ONE
+    WholeStageCodegen span. The previous shape built the full fingerprint
+    array per document with an interpreted higher-order ``transform``
+    lambda — per-element interpreted eval plus one large array allocation
+    per doc. Values are identical (same tokens, same join, same md5).
+
+    Docs shorter than ``window`` emit nothing: the pre-explode filter
+    replaces the CASE guard the transform needed (``sequence(1, n)``
+    DESCENDS for n < 1 instead of returning empty).
+
+    ``partitions`` spreads the pre-explode projection — the per-position
+    md5 is CPU-big/byte-small, so a few-split fixture scan must fan out;
+    callers reading a well-partitioned 100 TB layout leave it None."""
+    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
+    if partitions:
+        t = t.repartition(partitions)
+    n = F.size("__t")
+    rows = t.filter(n >= window).select(
+        F.col(id_col),
+        "__t",
+        F.explode(F.sequence(F.lit(1), n - F.lit(window - 1))).alias("__p"),
+    )
+    return rows.select(
+        F.col(id_col),
+        F.col("__p").cast("long").alias("__pos"),
+        F.md5(
+            F.array_join(F.slice("__t", F.col("__p"), F.lit(window)), " ")
+        ).alias("__fp"),
+    )
+
+
 def exact_substring_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 16,
     max_docs_per_window: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Substring-level exact duplication report (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): find
@@ -1107,19 +1153,11 @@ def exact_substring_pairs(
         raise ValueError("window must be >= 2 tokens")
     if max_docs_per_window < 2:
         raise ValueError("max_docs_per_window must be >= 2")
-    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
-    # CASE keeps short docs out of sequence(): Spark's sequence(1, n)
-    # DESCENDS for n < 1 ([1, 0]) instead of returning empty the way
-    # generate_series does — the guard is correctness, not style.
-    win_fps = (
-        f"CASE WHEN size(__t) >= {window} "
-        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
-        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
-        f"ELSE array() END"
+    fps = (
+        _window_fp_rows(df, id_col, text_col, window, partitions)
+        .select(F.col(id_col), "__fp")
+        .distinct()
     )
-    fps = t.select(
-        F.col(id_col), F.explode(F.expr(win_fps)).alias("__fp")
-    ).distinct()
     # Four consumers (pair sides a/b, occupancy counts, per-doc counts)
     # would each re-run tokenize + per-position md5 over the whole
     # corpus; materialize the fingerprint trunk once instead (non-eager
@@ -1163,6 +1201,7 @@ def substring_dedup_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 16,
+    partitions: int | None = None,
 ) -> DataFrame:
     """The REMOVAL side of substring-level dedup (Lee et al. 2022): for
     every verbatim ``window``-token span that appears in more than one
@@ -1191,19 +1230,7 @@ def substring_dedup_spans(
 
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
-    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
-    win_fps = (
-        f"CASE WHEN size(__t) >= {window} "
-        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
-        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
-        f"ELSE array() END"
-    )
-    # posexplode is 0-based; positions below are 1-based token indexes
-    wins = t.select(
-        F.col(id_col), F.posexplode(F.expr(win_fps)).alias("__p0", "__fp")
-    ).select(
-        F.col(id_col), (F.col("__p0") + 1).cast("long").alias("__pos"), "__fp"
-    )
+    wins = _window_fp_rows(df, id_col, text_col, window, partitions)
     wins = wins.localCheckpoint(eager=False)  # two consumers, one scan
     shared = (
         wins.groupBy("__fp")
@@ -1255,6 +1282,7 @@ def apply_substring_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 16,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Apply the :func:`substring_dedup_spans` removal plan — the final
     stage of Lee et al. 2022's pipeline: drop every deletable span's
@@ -1271,7 +1299,7 @@ def apply_substring_dedup(
     against the span list, no UDF, no extra shuffle beyond the plan's
     own group-bys plus one left join back to the corpus."""
     spans = (
-        substring_dedup_spans(df, id_col, text_col, window)
+        substring_dedup_spans(df, id_col, text_col, window, partitions)
         .groupBy(id_col)
         .agg(
             F.collect_list(
@@ -1311,6 +1339,7 @@ def longest_shared_substring(
     text_col: str = "text",
     window: int = 16,
     max_docs_per_window: int = 32,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Longest verbatim shared token span per document pair — the
     contamination-LENGTH metric (a 200-token verbatim overlap is a leak;
@@ -1335,18 +1364,7 @@ def longest_shared_substring(
         raise ValueError("max_docs_per_window must be >= 2")
     from pyspark.sql import Window as W
 
-    t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
-    win_fps = (
-        f"CASE WHEN size(__t) >= {window} "
-        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
-        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
-        f"ELSE array() END"
-    )
-    wins = t.select(
-        F.col(id_col), F.posexplode(F.expr(win_fps)).alias("__p0", "__fp")
-    ).select(
-        F.col(id_col), (F.col("__p0") + 1).cast("long").alias("__pos"), "__fp"
-    )
+    wins = _window_fp_rows(df, id_col, text_col, window, partitions)
     wins = wins.localCheckpoint(eager=False)
     ok = (
         wins.groupBy("__fp")
@@ -1400,6 +1418,7 @@ def substring_probe_new(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 16,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Ingest-time substring-level contamination probe — the
     batch-arrival twin of :func:`exact_substring_pairs`, shaped like
@@ -1423,26 +1442,14 @@ def substring_probe_new(
         raise ValueError("window must be >= 2 tokens")
     from pyspark.sql import Window as W
 
-    win_fps = (
-        f"CASE WHEN size(__t) >= {window} "
-        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
-        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
-        f"ELSE array() END"
+    corpus_fps = (
+        _window_fp_rows(corpus, id_col, text_col, window, partitions)
+        .select("__fp")
+        .distinct()
     )
-
-    def wins(df: DataFrame) -> DataFrame:
-        t = df.select(F.col(id_col), tokens_ws(text_col).alias("__t"))
-        return t.select(
-            F.col(id_col),
-            F.posexplode(F.expr(win_fps)).alias("__p0", "__fp"),
-        ).select(
-            F.col(id_col),
-            (F.col("__p0") + 1).cast("long").alias("__pos"),
-            "__fp",
-        )
-
-    corpus_fps = wins(corpus).select("__fp").distinct()
-    bw = wins(batch).localCheckpoint(eager=False)
+    bw = _window_fp_rows(
+        batch, id_col, text_col, window, partitions
+    ).localCheckpoint(eager=False)
     hits = bw.join(corpus_fps, "__fp").select(id_col, "__pos")
     w_doc = W.partitionBy(id_col).orderBy("__pos")
     prev = F.lag("__pos").over(w_doc)
@@ -1527,10 +1534,14 @@ def cdc_chunk_dedup(
     if partitions:
         base = base.repartition(partitions)
     n = F.size("__t")
-    flags = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.when(
-            i <= n - F.lit(window - 1),
+    # r12 (guide §4.1, the _window_fp_rows precedent): explode the token
+    # positions first, then compute the boundary flag as a plain
+    # slice → array_join → md5 projection per row — one WholeStageCodegen
+    # span instead of an interpreted per-element transform lambda plus an
+    # arrays_zip allocation per doc. Same md5 inputs → same flags.
+    flag = (
+        F.when(
+            F.col("pos") <= F.size("__t") - F.lit(window - 1),
             F.pmod(
                 F.conv(
                     F.substring(
@@ -1538,7 +1549,10 @@ def cdc_chunk_dedup(
                             F.concat(
                                 F.lit("cdc:"),
                                 F.array_join(
-                                    F.slice("__t", i, F.lit(window)), " "
+                                    F.slice(
+                                        "__t", F.col("pos"), F.lit(window)
+                                    ),
+                                    " ",
                                 ),
                             )
                         ),
@@ -1551,18 +1565,17 @@ def cdc_chunk_dedup(
                 F.lit(divisor),
             )
             == 0,
-        ).otherwise(F.lit(False)),
+        )
+        .otherwise(F.lit(False))
+        .cast("int")
     )
     rows = base.filter(n > 0).select(
-        "__id",
-        F.posexplode(F.arrays_zip(F.col("__t"), flags.alias("__f"))).alias(
-            "pos0", "z"
-        ),
+        "__id", "__t", F.explode(F.sequence(F.lit(1), n)).alias("pos")
     ).select(
         "__id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("z.__t").alias("tok"),
-        F.col("z.__f").cast("int").alias("flag"),
+        "pos",
+        F.element_at("__t", F.col("pos")).alias("tok"),
+        flag.alias("flag"),
     )
     cum = W.partitionBy("__id").orderBy("pos").rowsBetween(
         W.unboundedPreceding, 0
@@ -1570,12 +1583,9 @@ def cdc_chunk_dedup(
     chunked = rows.withColumn("chunk_id", F.sum("flag").over(cum))
     chunks = chunked.groupBy("__id", "chunk_id").agg(
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", F.col("tok").alias("t")))
-                ),
-                lambda s: s["t"],
-            ),
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("tok").alias("t")))
+            ).getField("t"),
             " ",
         ).alias("chunk_text"),
         F.count(F.lit(1)).cast("long").alias("len_tokens"),

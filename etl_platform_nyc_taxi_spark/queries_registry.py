@@ -1822,6 +1822,7 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"),
         window=16,
         max_docs_per_window=32,
+        partitions=_spread(spark, sf_dir, "documents"),
     )
 
 
@@ -1889,7 +1890,11 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         substring_dedup_spans,
     )
 
-    return substring_dedup_spans(_t(spark, sf_dir, "documents"), window=16)
+    return substring_dedup_spans(
+        _t(spark, sf_dir, "documents"),
+        window=16,
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
 
 
 @register(
@@ -2042,7 +2047,11 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_substring_dedup,
     )
 
-    return apply_substring_dedup(_t(spark, sf_dir, "documents"), window=16)
+    return apply_substring_dedup(
+        _t(spark, sf_dir, "documents"),
+        window=16,
+        partitions=_spread(spark, sf_dir, "documents"),
+    )
 
 
 @register(
@@ -2094,7 +2103,10 @@ def q_dedup_longest_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return longest_shared_substring(
-        _t(spark, sf_dir, "documents"), window=16, max_docs_per_window=32
+        _t(spark, sf_dir, "documents"),
+        window=16,
+        max_docs_per_window=32,
+        partitions=_spread(spark, sf_dir, "documents"),
     )
 
 
@@ -2154,6 +2166,7 @@ def q_dedup_substring_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         docs.filter(F.col("doc_id") % 10 != 0),
         window=16,
+        partitions=_spread(spark, sf_dir, "documents"),
     )
 
 
