@@ -650,30 +650,32 @@ def simhash_signatures(
         F.col(id_col), hash_fn(F.col("__tok")).alias("__h"),
         F.col("__tok").isNull().alias("__null"),
     )
-    h = F.col("__h")
-    null_tok = F.col("__null")
+    # The per-bit sums and the signature fold are built as SQL strings
+    # parsed by ONE expr() call each (r12, guide §5 driver overhead):
+    # assembling ~nbits·10 Column objects through py4j measured 1.3 s of
+    # driver time PER INVOCATION at nbits=60 — half this query's wall —
+    # while the parsed expressions are token-identical to the Column
+    # originals (same CASE/shift/sum tree, same types, same values).
     bit_sums = [
-        F.sum(
-            F.when(null_tok, F.lit(0)).otherwise(
-                F.shiftright(h, b).bitwiseAND(F.lit(1))
-            )
+        F.expr(
+            f"sum(CASE WHEN __null THEN 0 "
+            f"ELSE shiftright(__h, {b}) & 1 END)"
         ).alias(f"__b{b}")
         for b in range(nbits)
     ]
     agg = hashed.groupBy(id_col).agg(
-        F.sum((~null_tok).cast("long")).alias("__n"), *bit_sums
+        F.expr("sum(CAST(NOT __null AS BIGINT))").alias("__n"), *bit_sums
     )
     # bit b set iff majority vote positive: 2*ones_b > n  (ties -> 0, matching
     # simhash64's `acc > 0` on the ±1 accumulator; empty docs -> 0).
     # Bit 63, when present, is the sign bit: its set-value is -(2^63).
     bit_vals = [-(1 << 63) if b == 63 else 1 << b for b in range(nbits)]
-    out = None
-    for b in range(nbits):
-        term = F.when(
-            F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(bit_vals[b]).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        out = term if out is None else out + term
-    return agg.select(F.col(id_col), out.alias("simhash"))
+    fold = " + ".join(
+        f"(CASE WHEN __b{b} * 2 > __n THEN CAST({bit_vals[b]} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(nbits)
+    )
+    return agg.select(F.col(id_col), F.expr(fold).alias("simhash"))
 
 
 def simhash_near_dups(

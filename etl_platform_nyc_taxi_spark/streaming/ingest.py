@@ -322,6 +322,12 @@ def make_ingest_fold(
         )
     )
     eval_bloom = bloom_build(eval_slice).localCheckpoint(eager=True)
+    # The quota relation is strata-sized but its LINEAGE is a corpus-wide
+    # tokenize (the UniMax sizes aggregate): un-checkpointed, every
+    # admission plan in every fold re-ran that corpus pass — measured
+    # ~14 s of executor time per fold at sf0.1 (r12, guide §1.2). Static
+    # context, so it materializes once with the index and the Bloom.
+    alloc = alloc.localCheckpoint(eager=True)
     strata = strata_cols or ["lang", "source"]
     # Carried admission counters live as a sibling generation-numbered
     # relation under the ledger's state dir ("gen=" scanning ignores the
@@ -385,75 +391,138 @@ def make_ingest_fold(
         frontier = F.coalesce(
             F.col("max_doc_id"), F.lit(-(1 << 62))
         )
-        cls = (
+        # The classification is STRATA-sized by construction (grouped on
+        # the stratum key), so it lands on the driver as plain control
+        # flow — the same single job the former localCheckpoint paid,
+        # but the rows now let the fold SKIP whichever branch is
+        # provably empty (r12, guide §1.2): in-order arrival makes every
+        # fold all-monotone; an exact replay makes every fold
+        # all-non-monotone. Each skipped branch saves an eager-checkpoint
+        # job over an empty relation plus its anti-join plans. The mixed
+        # case (some strata late, some fresh) keeps the general path
+        # with the keys rebuilt as literal relations — value-identical
+        # to the former cls.filter() split.
+        cls_rows = (
             gates.groupBy(*strata)
             .agg(F.min("doc_id").alias("__min_id"))
             .join(ctr.select(*strata, "max_doc_id"), strata, "left")
             .select(*strata, (F.col("__min_id") > frontier).alias("__mono"))
-            .localCheckpoint(eager=True)  # tiny: strata-sized
+            .collect()
         )
-        mono_keys = cls.filter(F.col("__mono")).select(*strata)
-        non_keys = cls.filter(~F.col("__mono")).select(*strata)
-        g_mono = gates.join(F.broadcast(mono_keys), strata, "left_semi")
-        g_non = gates.join(F.broadcast(non_keys), strata, "left_semi")
+        all_mono = all(r["__mono"] for r in cls_rows)
+        all_non = not any(r["__mono"] for r in cls_rows)
+        key_schema = gates.select(*strata).schema
+
+        def _keys(rows):
+            return state.spark.createDataFrame(
+                [tuple(r[c] for c in strata) for r in rows], key_schema
+            )
+
+        if all_mono:
+            g_mono, g_non = gates, None
+        elif all_non:
+            g_mono, g_non = None, gates
+            non_keys = _keys(cls_rows)
+        else:
+            non_keys = _keys([r for r in cls_rows if not r["__mono"]])
+            mono_keys = _keys([r for r in cls_rows if r["__mono"]])
+            g_mono = gates.join(F.broadcast(mono_keys), strata, "left_semi")
+            g_non = gates.join(F.broadcast(non_keys), strata, "left_semi")
         # inc/rec feed BOTH the ledger and the counter roll-forward —
         # checkpoint them once (batch-/stratum-sized) so neither lineage
         # executes twice, and so the counter plans below cannot re-read
         # a generation write_next has already retired.
-        inc = admit_arrivals_incremental(
-            g_mono, ctr, alloc, strata_cols
-        ).localCheckpoint(eager=True)
-        # Stratum-local recompute: prior rows of the affected strata
-        # (replayed ids dropped — the arriving verdict wins) + arrivals.
-        prior_non = (
-            prior.join(F.broadcast(non_keys), strata, "left_semi")
-            .join(g_non.select("doc_id"), "doc_id", "left_anti")
-            .select(*LEDGER_COLS)
+        inc = (
+            admit_arrivals_incremental(
+                g_mono, ctr, alloc, strata_cols
+            ).localCheckpoint(eager=True)
+            if g_mono is not None
+            else None
         )
-        rec = admit_ledger(
-            prior_non.unionByName(g_non), alloc, strata_cols
-        ).localCheckpoint(eager=True)
-        prior_keep = prior.join(
-            F.broadcast(non_keys), strata, "left_anti"
-        ).select(*LEDGER_COLS, "admitted")
-        out = prior_keep.unionByName(inc).unionByName(rec)
+        if g_non is not None:
+            # Stratum-local recompute: prior rows of the affected strata
+            # (replayed ids dropped — the arriving verdict wins) +
+            # arrivals. All-non skips the key semi-join: every prior row
+            # of an arriving stratum is affected.
+            prior_aff = (
+                prior
+                if all_non
+                else prior.join(F.broadcast(non_keys), strata, "left_semi")
+            )
+            prior_non = prior_aff.join(
+                g_non.select("doc_id"), "doc_id", "left_anti"
+            ).select(*LEDGER_COLS)
+            rec = admit_ledger(
+                prior_non.unionByName(g_non), alloc, strata_cols
+            ).localCheckpoint(eager=True)
+        else:
+            rec = None
+        # Prior rows of untouched strata carry through unchanged. With
+        # no recomputed strata that is the WHOLE prior ledger; with all
+        # strata recomputed it is empty only if every prior stratum also
+        # arrived — late strata absent from this batch must still carry,
+        # so all_non keeps the anti-join against the arriving keys.
+        prior_keep = (
+            prior.select(*LEDGER_COLS, "admitted")
+            if all_mono
+            else prior.join(
+                F.broadcast(non_keys), strata, "left_anti"
+            ).select(*LEDGER_COLS, "admitted")
+        )
+        parts = [p for p in (inc, rec) if p is not None]
+        out = prior_keep
+        for p in parts:
+            out = out.unionByName(p)
         # Counter roll-forward: monotone strata extend (carry += batch
         # survivors, frontier = max arriving id); recomputed strata
         # re-derive from their fresh rows; untouched strata carry over.
-        inc_delta = counters_of_ledger(inc, strata_cols).select(
-            *strata,
-            F.col("carry_tok").alias("__d_tok"),
-            F.col("max_doc_id").alias("__d_max"),
-        )
-        ctr_mono = (
-            ctr.join(F.broadcast(non_keys), strata, "left_anti")
-            .join(F.broadcast(inc_delta), strata, "left")
-            .select(
+        ctr_parts = []
+        if inc is not None:
+            inc_delta = counters_of_ledger(inc, strata_cols).select(
                 *strata,
-                (
-                    F.col("carry_tok") + F.coalesce("__d_tok", F.lit(0))
-                ).alias("carry_tok"),
-                F.greatest(
-                    F.col("max_doc_id"),
-                    F.coalesce("__d_max", F.col("max_doc_id")),
-                ).alias("max_doc_id"),
+                F.col("carry_tok").alias("__d_tok"),
+                F.col("max_doc_id").alias("__d_max"),
             )
-        )
-        ctr_new = inc_delta.join(
-            F.broadcast(ctr.select(*strata)), strata, "left_anti"
-        ).select(
-            *strata,
-            F.col("__d_tok").alias("carry_tok"),
-            F.col("__d_max").alias("max_doc_id"),
-        )
-        ctr_rec = counters_of_ledger(rec, strata_cols)
+            ctr_keep = (
+                ctr
+                if all_mono
+                else ctr.join(F.broadcast(non_keys), strata, "left_anti")
+            )
+            ctr_parts.append(
+                ctr_keep.join(F.broadcast(inc_delta), strata, "left").select(
+                    *strata,
+                    (
+                        F.col("carry_tok") + F.coalesce("__d_tok", F.lit(0))
+                    ).alias("carry_tok"),
+                    F.greatest(
+                        F.col("max_doc_id"),
+                        F.coalesce("__d_max", F.col("max_doc_id")),
+                    ).alias("max_doc_id"),
+                )
+            )
+            ctr_parts.append(
+                inc_delta.join(
+                    F.broadcast(ctr.select(*strata)), strata, "left_anti"
+                ).select(
+                    *strata,
+                    F.col("__d_tok").alias("carry_tok"),
+                    F.col("__d_max").alias("max_doc_id"),
+                )
+            )
+        else:
+            ctr_parts.append(
+                ctr.join(F.broadcast(non_keys), strata, "left_anti")
+            )
+        if rec is not None:
+            ctr_parts.append(counters_of_ledger(rec, strata_cols))
+        ctr_out = ctr_parts[0]
+        for p in ctr_parts[1:]:
+            ctr_out = ctr_out.unionByName(p)
         # ledger write first: `out` reads `prior` (its generation stays
         # alive until this write completes); the counter plans read only
         # the inc/rec checkpoints and the live ctr generation.
         state.write_next(out)
-        ctr_state.write_next(
-            ctr_mono.unionByName(ctr_new).unionByName(ctr_rec)
-        )
+        ctr_state.write_next(ctr_out)
 
     return fold
 
@@ -564,10 +633,18 @@ def build_semantic_index(
     caller; at 100 TB it is written partitioned by ``ivf_list``
     (the write_ivf_index layout) so a probe scans nprobe/nlist of the
     bytes."""
+    from etl_platform_nyc_taxi_spark.functions.vectors import l2_norm
     from etl_platform_nyc_taxi_spark.operators.pq import coarse_probe_lists
 
     lists = coarse_probe_lists(corpus_emb, coarse, 1, id_col, vec_col)
-    out = corpus_emb.select(id_col, vec_col).join(lists, id_col)
+    # ``__cn`` = the vector's L2 norm, computed ONCE at index-build time
+    # (r12, guide §4.1 — the brute_force_topk precedent): the gate's
+    # per-pair cosine then folds one dot product instead of three
+    # interpreted HOF passes. Bit-exact factorization of
+    # cosine_similarity (same IEEE ops, earlier binding).
+    out = corpus_emb.select(
+        id_col, vec_col, l2_norm(F.col(vec_col)).alias("__cn")
+    ).join(lists, id_col)
     if partitions:
         out = out.repartition(partitions, "ivf_list")
     return out
@@ -596,27 +673,31 @@ def semantic_gate(
     its partition column, so candidates are the batch×probed-lists
     quadrant — the corpus never reshuffles and no batch×batch pair ever
     forms."""
-    from etl_platform_nyc_taxi_spark.functions.vectors import (
-        cosine_similarity,
-    )
+    from etl_platform_nyc_taxi_spark.functions.vectors import dot, l2_norm
     from etl_platform_nyc_taxi_spark.operators.pq import coarse_probe_lists
     from etl_platform_nyc_taxi_spark.operators.windows import top_k_per_group
 
     probes = coarse_probe_lists(batch, coarse, nprobe, id_col, vec_col)
-    bvec = batch.select(F.col(id_col), F.col(vec_col).alias("__bvec"))
+    # Batch norms bind once per document; the index carries its norms
+    # from build time — per candidate pair the cosine is ONE dot fold
+    # plus a multiply (bit-exact factorization of cosine_similarity;
+    # r12, guide §4.1 — see build_semantic_index).
+    bvec = batch.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__bvec"),
+        l2_norm(F.col(vec_col)).alias("__bn"),
+    )
+    denom = F.col("__bn") * F.col("__cn")
+    cos = dot(F.col("__bvec"), F.col(vec_col)) / F.when(
+        denom != 0.0, denom
+    )
     cand = (
         sem_index.join(F.broadcast(probes), "ivf_list")
         .join(F.broadcast(bvec), id_col)
         .select(
             F.col(id_col),
             F.col(corpus_id_col).alias("nn_id"),
-            F.floor(
-                F.round(
-                    cosine_similarity(F.col("__bvec"), F.col(vec_col)), 6
-                )
-                * 1000000
-                + F.lit(0.5)
-            )
+            F.floor(F.round(cos, 6) * 1000000 + F.lit(0.5))
             .cast("long")
             .alias("best_cos_micro"),
         )

@@ -1499,3 +1499,73 @@ def test_corpus_ingest_incremental_admission_equals_recompute(
     assert {r[0] for r in got} == {
         r["doc_id"] for r in arriving.select("doc_id").collect()
     }
+
+
+def test_corpus_ingest_mixed_mono_and_recompute_fold(spark, tmp_path):
+    """r12 fold fast-paths: one micro-batch carrying BOTH a monotone
+    stratum (fresh ids above its frontier) and a non-monotone one
+    (replayed ids at/below its frontier) must take the MIXED path —
+    incremental admission for the former, stratum-local recompute for
+    the latter — and still equal a from-scratch admit_ledger over the
+    accumulated set (the all-mono / all-non fast paths are covered by
+    test_corpus_ingest_incremental_admission_equals_recompute)."""
+    from etl_platform_nyc_taxi_spark.operators.text import QualityRules
+    from etl_platform_nyc_taxi_spark.streaming.cdc import CdcState
+    from etl_platform_nyc_taxi_spark.streaming.ingest import (
+        LEDGER_COLS,
+        admit_ledger,
+        corpus_ingest_stream,
+    )
+
+    corpus, arriving = _ingest_fixture_frames(spark)
+    eval_slice = corpus.filter(F.col("doc_id") % 5 == 0)
+    alloc = _ingest_alloc(spark, corpus)
+    langs = sorted(
+        r["lang"] for r in arriving.select("lang").distinct().collect()
+    )
+    assert len(langs) >= 2
+    la, lb = langs[0], langs[1]
+    ids_b = sorted(
+        r["doc_id"]
+        for r in arriving.filter(F.col("lang") == lb)
+        .select("doc_id")
+        .collect()
+    )
+    assert len(ids_b) >= 2
+    mid_b = ids_b[len(ids_b) // 2]
+    wave1 = arriving.filter(
+        (F.col("lang") != lb) | (F.col("doc_id") < mid_b)
+    )
+    replay_a = arriving.filter(
+        (F.col("lang") == la) & (F.col("doc_id") % 8 == 0)
+    )
+    assert replay_a.count() > 0
+    # ONE file -> ONE micro-batch holding lb's fresh high ids (monotone)
+    # next to la's replayed ids (non-monotone).
+    wave2 = arriving.filter(
+        (F.col("lang") == lb) & (F.col("doc_id") >= mid_b)
+    ).unionByName(replay_a)
+    state = CdcState(spark, str(tmp_path / "state_mix"))
+    for tag, wave, nf in (("w1", wave1, 2), ("w2", wave2, 1)):
+        src = str(tmp_path / f"src_{tag}")
+        wave.coalesce(nf).write.mode("overwrite").parquet(src)
+        corpus_ingest_stream(
+            read_stream_auto(spark, src, maxFilesPerTrigger="1"),
+            corpus,
+            eval_slice,
+            alloc,
+            state,
+            rules=QualityRules(min_tokens=40, min_stopword_ratio=0.05),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            partitions=8,
+            strata_cols=["lang"],
+            flag_pct=35,
+        )
+    led = state.read()
+    recomputed = admit_ledger(led.select(*LEDGER_COLS), alloc, ["lang"])
+    got = {tuple(r) for r in led.collect()}
+    want = {tuple(r) for r in recomputed.collect()}
+    assert got == want
+    assert {r[0] for r in got} == {
+        r["doc_id"] for r in arriving.select("doc_id").collect()
+    }
