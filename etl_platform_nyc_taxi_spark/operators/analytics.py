@@ -1146,9 +1146,10 @@ def markov_removal_attribution(
     truly zero effect) and shares an exact integer split of 1e6.
 
     Scale shape: the corpus-sized work is the one window pass in
-    :func:`journey_transitions`; the value iteration runs on the
-    (variants × states) relation — at most (|channels|+1)² rows —
-    with the transition relation broadcast."""
+    :func:`journey_transitions`; the value iteration folds over the
+    per-variant collected edge row — at most (|channels|+1)² edges per
+    variant — as ``rounds`` map projections (r12; see the inline
+    comment for the CollapseProject guard)."""
     tcounts = journey_transitions(
         events, user_col, type_col, ts_col, id_col, conversion
     ).localCheckpoint(eager=False)
@@ -1159,44 +1160,59 @@ def markov_removal_attribution(
     tv = (
         tcounts.crossJoin(F.broadcast(variants))
         .filter((F.col("src") != F.col("variant")) & (F.col("dst") != F.col("variant")))
-        .localCheckpoint(eager=False)
     )
-    p = None  # round 0: all-zero (handled by the COALESCE below)
-    for k in range(rounds):
-        joined = (
-            tv.join(
-                p.withColumnRenamed("state", "dst"),
-                ["variant", "dst"],
-                "left",
-            )
-            if p is not None
-            else tv.withColumn("p", F.lit(None).cast("long"))
+    # r12 (guide §1.2/§2.4): the iteration relation is METADATA-sized by
+    # construction (≤ (|channels|+1)² edges per variant), so the whole
+    # value iteration folds over ONE collected row per variant — each
+    # round is a projection mapping the per-state probability map
+    # ``__p{k} → __p{k+1}`` with the same exact-BIGINT arithmetic
+    # (``SUM(c·pd) DIV n`` — the per-edge fold sums in BIGINT, order-free,
+    # and ``n`` is the carried FULL out-degree, identical per src-edge).
+    # The former shape ran the 8 rounds as shuffle-aggregate/broadcast
+    # stages — ~43 AQE micro-stages whose scheduling was the whole wall
+    # (measured 4.8 s → 2.4 s at sf0.1; compute is the 2 journey-framing
+    # window passes either way). Two guard rails: each round is a
+    # SEPARATE named column (Catalyst analysis linear in ``rounds``), and
+    # the round's domain comes from ``map_keys(__p{k-1})`` so the
+    # previous map is referenced twice — CollapseProject then never
+    # inlines round k−1 into round k (single-reference chaining measured
+    # exponential past 4 rounds — the bpe.py nested-fold lesson).
+    one = tv.groupBy("variant").agg(
+        F.expr(
+            "collect_list(named_struct('src', src, 'dst', dst, 'c', c,"
+            " 'n', n)) AS __es"
         )
-        p = (
-            joined.select(
-                "variant",
-                "src",
-                "c",
-                "n",
-                F.when(F.col("dst") == "CONV", F.lit(1_000_000))
-                .otherwise(F.coalesce("p", F.lit(0)))
-                .cast("long")
-                .alias("pd"),
-            )
-            .groupBy("variant", F.col("src").alias("state"))
-            .agg(
-                F.expr("CAST(SUM(c * pd) DIV MAX(n) AS BIGINT)").alias("p")
-            )
+    ).select(
+        "variant",
+        "__es",
+        F.expr("array_distinct(transform(__es, e -> e.src)) AS __sts"),
+    )
+    prev = False
+    for k in range(1, rounds + 1):
+        pd = (
+            "CASE WHEN e.dst = 'CONV' THEN CAST(1000000 AS BIGINT) "
+            f"ELSE coalesce(element_at(__p{k - 1}, e.dst),"
+            " CAST(0 AS BIGINT)) END"
+            if prev
+            else "CASE WHEN e.dst = 'CONV' THEN CAST(1000000 AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
-        # lineage truncation every few rounds only: the per-round plan
-        # growth over a (variants × states) relation is modest, and
-        # per-round checkpoints add materialization barriers without
-        # buying time (measured: identical 4.8 s at sf0.1 either way —
-        # the cost is the 8 sequential shuffle rounds themselves, the
-        # family profile pagerank/BT already document)
-        if k % 4 == 3 and k != rounds - 1:
-            p = p.localCheckpoint(eager=False)
-    start = p.filter(F.col("state") == "START").select("variant", "p")
+        dom = f"map_keys(__p{k - 1})" if prev else "__sts"
+        one = one.select(
+            "*",
+            F.expr(
+                f"map_from_arrays({dom}, transform({dom}, st ->"
+                f" aggregate(filter(__es, e -> e.src = st),"
+                f" CAST(0 AS BIGINT), (acc, e) -> acc + e.c * ({pd}))"
+                f" div element_at(filter(__es, e -> e.src = st), 1).n"
+                f" )) AS __p{k}"
+            ),
+        )
+        prev = True
+    # variants-sized; flat lineage for the 3-consumer tail below
+    start = one.select(
+        "variant", F.expr(f"element_at(__p{rounds}, 'START') AS p")
+    ).localCheckpoint(eager=False)
     full = start.filter(F.col("variant") == "__full__").select(
         F.col("p").alias("p_full_micro")
     )

@@ -1146,6 +1146,27 @@ def image_features(
         return _fake_image_features(b, dim)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # content-addressed decode memo, per task (r12, guide §1.2):
+        # features are a pure function of the payload bytes, so each
+        # DISTINCT blob decodes once per task and duplicates are a dict
+        # hit — the §8 "decide on small rows" rule applied to the decode
+        # kernel (dedup-heavy corpora and LUT-built fixtures alike).
+        # Keyed by md5 digest, not the blob, so the memo holds 16 bytes
+        # + the feature row per distinct payload; worst case
+        # (all-distinct) adds one hash per blob, ~1e-4 of a pure-Python
+        # decode.
+        import hashlib
+
+        memo: dict[bytes, list[float]] = {}
+
+        def feat_memo(b) -> list[float]:
+            b = bytes(b or b"")
+            key = hashlib.md5(b).digest()
+            hit = memo.get(key)
+            if hit is None:
+                hit = memo[key] = _feat(b)
+            return hit
+
         for pdf in batches:
             payloads = pdf[payload_col]
             yield pd.DataFrame(
@@ -1154,7 +1175,7 @@ def image_features(
                     "size_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype(
                         "int64"
                     ),
-                    "feat": payloads.map(lambda b: _feat(b or b"")),
+                    "feat": payloads.map(feat_memo),
                 }
             )
 
@@ -1450,8 +1471,22 @@ def audio_features(
         return duration_ms, feat
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # content-addressed decode memo, per task — the image_features
+        # twin (r12, guide §1.2): distinct payloads decode once.
+        import hashlib
+
+        memo: dict[bytes, tuple[int, list[float]]] = {}
+
+        def audio_memo(b) -> tuple[int, list[float]]:
+            b = bytes(b or b"")
+            key = hashlib.md5(b).digest()
+            hit = memo.get(key)
+            if hit is None:
+                hit = memo[key] = _audio(b)
+            return hit
+
         for pdf in batches:
-            decoded = pdf[payload_col].map(lambda b: _audio(b or b""))
+            decoded = pdf[payload_col].map(audio_memo)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

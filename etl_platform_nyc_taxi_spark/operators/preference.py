@@ -94,25 +94,31 @@ def stage_duels(
         F.col(score_col).cast("long").alias("__score"),
     ).withColumn("__blk", F.expr(f"__id div {DUEL_BLOCK}"))
     w = Window.partitionBy("__g", "__blk").orderBy(F.col("__id").asc())
-    r = d.withColumn("__rn", F.row_number().over(w))
-    left = r.filter(F.col("__rn") % 2 == 1).select(
-        "__g",
-        "__blk",
-        ((F.col("__rn") - 1) / 2).cast("long").alias("__pair"),
-        F.col("__item").alias("__i1"),
-        F.col("__score").alias("__s1"),
-        F.col("__id").alias("__id1"),
-    )
-    right = r.filter(F.col("__rn") % 2 == 0).select(
-        "__g",
-        "__blk",
-        ((F.col("__rn") - 2) / 2).cast("long").alias("__pair"),
-        F.col("__item").alias("__i2"),
-        F.col("__score").alias("__s2"),
-        F.col("__id").alias("__id2"),
+    # rank 2k−1 pairs with rank 2k ⇔ every odd-rank row pairs with the
+    # NEXT row in the same window order: one lead() pass in the SAME
+    # WindowExec as the row_number — no filtered split + self-join (r12,
+    # guide §2.4: the former shape re-shuffled and sort-merge-joined the
+    # two halves of a relation the window had already sorted). The odd
+    # tail row's lead() is NULL ⇒ it sits out, exactly as before.
+    r = d.select(
+        "__item",
+        "__score",
+        "__id",
+        F.row_number().over(w).alias("__rn"),
+        F.lead("__item").over(w).alias("__i2"),
+        F.lead("__score").over(w).alias("__s2"),
+        F.lead("__id").over(w).alias("__id2"),
     )
     duel = (
-        left.join(right, ["__g", "__blk", "__pair"])
+        r.filter((F.col("__rn") % 2 == 1) & F.col("__id2").isNotNull())
+        .select(
+            F.col("__item").alias("__i1"),
+            F.col("__score").alias("__s1"),
+            F.col("__id").alias("__id1"),
+            "__i2",
+            "__s2",
+            "__id2",
+        )
         .filter(F.col("__i1") != F.col("__i2"))
         .withColumn(
             "__w1",
@@ -178,57 +184,82 @@ def bradley_terry(matrix: DataFrame, iters: int = BT_ITERS) -> DataFrame:
     Each round, per pair: ``term = n·10¹² // (s_a + s_b)`` (micro units
     of n/(s_a+s_b)); per item: ``denom = Σ term`` (exact BIGINT);
     update: ``s' = clamp(wins·10¹² // denom)``. Zero-win items pin to
-    S_MIN instead of collapsing the denominator. All relations here are
-    items²-sized; each round is two broadcast-joins + one tiny agg, with
-    ``localCheckpoint`` truncating lineage (the bpe.py loop discipline).
+    S_MIN instead of collapsing the denominator.
+
+    Shape (r12, guide §1.2/§2.4): the matrix is items²-sized METADATA,
+    so the whole MM loop folds over a single collected row — the matrix
+    and item ledgers ``collect_list`` into one (``__es``, ``__its``)
+    row and each round is ONE projection mapping the strength map
+    ``__s{k} → __s{k+1}`` with exact-BIGINT ``div`` arithmetic (the
+    per-edge term computes inside each endpoint's fold — same floored
+    value, and BIGINT sums are order-free, so every strength is
+    bit-identical to the former per-round join/aggregate loop; pinned
+    by tests/test_preference.py). The previous shape ran 8 eager
+    localCheckpoint rounds of broadcast-joins — ~40 scheduler
+    round-trips and 0.4 s of actual compute (measured 5.2 s wall at
+    sf0.1 → 0.7 s). Each round is a SEPARATE named column, so Catalyst
+    analysis stays linear in ``iters`` (the bpe.py nested-fold lesson);
+    CollapseProject keeps the rounds apart because each map is
+    referenced many times by its successor. The corpus-sized staging
+    stays distributed; only items²-sized ledgers ever reach this fold.
     """
     m = matrix.localCheckpoint(eager=True)
-    items = _bt_items(m).localCheckpoint(eager=True)
-    s = items.select("item", F.lit(S0).cast("long").alias("s"))
-    for _ in range(iters):
-        sa = s.select(F.col("item").alias("item_a"), F.col("s").alias("s_a"))
-        sb = s.select(F.col("item").alias("item_b"), F.col("s").alias("s_b"))
-        t = (
-            m.join(F.broadcast(sa), "item_a")
-            .join(F.broadcast(sb), "item_b")
-            .withColumn("term", F.expr(f"(n * {TERM_SCALE}) div (s_a + s_b)"))
+    items = _bt_items(m)
+    one = m.agg(
+        F.expr(
+            "collect_list(named_struct('a', item_a, 'b', item_b, 'n', n))"
+            " AS __es"
         )
-        two = t.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("item_a").alias("item"), F.col("term").alias("term")),
-                    F.struct(F.col("item_b").alias("item"), F.col("term").alias("term")),
-                )
-            ).alias("e")
-        )
-        denom = two.groupBy("e.item").agg(F.sum("e.term").alias("denom"))
-        s = (
-            items.join(F.broadcast(denom), "item")
-            .withColumn(
-                "s",
-                F.greatest(
-                    F.lit(S_MIN),
-                    F.least(
-                        F.lit(S_MAX),
-                        F.expr(f"(wins * {TERM_SCALE}) div denom"),
-                    ),
-                ).cast("long"),
+    ).join(
+        items.agg(
+            F.expr(
+                "collect_list(named_struct('item', item, 'n_duels',"
+                " n_duels, 'wins', wins)) AS __its"
             )
-            .select("item", "s")
-            .localCheckpoint(eager=True)
         )
-    tot = s.agg(
-        F.sum("s").alias("tot"), F.count(F.lit(1)).alias("k")
     )
+    one = one.select(
+        "*",
+        F.expr(
+            f"map_from_arrays(transform(__its, x -> x.item),"
+            f" transform(__its, x -> CAST({S0} AS BIGINT))) AS __s0"
+        ),
+    )
+    for k in range(iters):
+        one = one.select(
+            "*",
+            F.expr(
+                f"map_from_arrays(transform(__its, x -> x.item),"
+                f" transform(__its, x -> greatest(CAST({S_MIN} AS BIGINT),"
+                f" least(CAST({S_MAX} AS BIGINT),"
+                f" (x.wins * {TERM_SCALE}) div aggregate("
+                f"   filter(__es, e -> e.a = x.item OR e.b = x.item),"
+                f"   CAST(0 AS BIGINT),"
+                f"   (acc, e) -> acc + (e.n * {TERM_SCALE}) div"
+                f"     (element_at(__s{k}, e.a) + element_at(__s{k}, e.b)))"
+                f" )))) AS __s{k + 1}"
+            ),
+        )
     from pyspark.sql import Window
 
-    normed = (
-        items.join(F.broadcast(s), "item")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("strength_micro", F.expr(f"(s * k * {S0}) div tot"))
+    per = one.select(
+        F.explode("__its").alias("x"),
+        F.col(f"__s{iters}").alias("__sf"),
+        F.expr(
+            f"aggregate(map_values(__s{iters}), CAST(0 AS BIGINT),"
+            f" (acc, v) -> acc + v) AS __tot"
+        ),
+        F.size("__its").cast("long").alias("__k"),
+    ).select(
+        F.col("x.item").alias("item"),
+        F.col("x.n_duels").alias("n_duels"),
+        F.col("x.wins").alias("wins"),
+        F.expr(f"(element_at(__sf, x.item) * __k * {S0}) div __tot").alias(
+            "strength_micro"
+        ),
     )
     wr = Window.orderBy(F.col("strength_micro").desc())
-    return normed.select(
+    return per.select(
         "item",
         "n_duels",
         "wins",

@@ -448,6 +448,7 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 1024,
+    partitions: int | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling"):
@@ -486,25 +487,48 @@ def dsir_weights(
     base = df.select(
         F.col(id_col), is_target.alias("__tgt"), tokens_ws(text_col).alias("__t")
     )
-    feats = base.select(
-        F.col(id_col),
-        "__tgt",
-        F.explode(
-            F.concat(
-                F.col("__t"),
-                F.expr(
-                    "transform(slice(__t, 1, greatest(size(__t) - 1, 0)),"
-                    " (w, i) -> concat(w, ' ', element_at(__t, i + 2)))"
-                ),
+    if partitions:
+        base = base.repartition(partitions)
+    # offset-explode (r12, guide §4.1): one generator over 2·size−1
+    # feature slots — slot i ≤ size is unigram i, slot i > size is the
+    # bigram starting at i−size — replaces the interpreted per-doc
+    # transform/concat that BUILT the feature array before exploding.
+    # Identical feature MULTISET (consumers only aggregate); tokenless
+    # docs are filtered here and restored by the final left join's
+    # coalesce, exactly as before (explode of an empty array).
+    n = F.size("__t")
+    feats = (
+        base.filter(n > 0)
+        .select(
+            F.col(id_col),
+            "__tgt",
+            "__t",
+            F.explode(F.sequence(F.lit(1), 2 * n - 1)).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            "__tgt",
+            F.when(
+                F.col("__i") <= F.size("__t"),
+                F.element_at("__t", F.col("__i")),
             )
-        ).alias("__f"),
-    ).select(
-        F.col(id_col),
-        "__tgt",
-        F.pmod(
-            F.conv(F.substring(F.md5("__f"), 1, 12), 16, 10).cast("long"),
-            F.lit(buckets),
-        ).alias("__b"),
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.element_at("__t", F.col("__i") - F.size("__t")),
+                    F.element_at("__t", F.col("__i") - F.size("__t") + 1),
+                )
+            )
+            .alias("__f"),
+        )
+        .select(
+            F.col(id_col),
+            "__tgt",
+            F.pmod(
+                F.conv(F.substring(F.md5("__f"), 1, 12), 16, 10).cast("long"),
+                F.lit(buckets),
+            ).alias("__b"),
+        )
     )
     doc_bins = feats.groupBy(id_col, "__tgt", "__b").agg(
         F.count(F.lit(1)).alias("__k")

@@ -421,16 +421,22 @@ def embedding_near_dups(
     src = df
     if partitions:
         src = src.repartition(partitions)
+    # norm bound ONCE per vector before the pair join (r12, guide §4.1 —
+    # the embedding_near_dups_lsh prenorm precedent): the per-pair verify
+    # folds one interpreted HOF (the dot) instead of three; bit-exact
+    # factorization of cosine_similarity (same IEEE sqrt/mul/div tree).
     base = src.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cos = cosine_similarity(F.col("a.__v"), F.col("b.__v"))
+    denom = F.col("a.__n") * F.col("b.__n")
+    cos = dot(F.col("a.__v"), F.col("b.__v")) / F.when(denom != 0.0, denom)
     return (
         a.join(b, cond)
         .select(
@@ -806,6 +812,7 @@ def semdedup(
     centroids: list[list[float]] | None = None,
     round_digits: int = 6,
     target_occupancy: int = 320,
+    pair_partitions: int | None = None,
 ) -> DataFrame:
     """SemDeDup semantic near-dup pruning (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings coarsely, compare pairs ONLY
@@ -903,6 +910,16 @@ def semdedup(
             (-F.col("__p.n")).alias("__simc"),
         )
     )
+    if pair_partitions:
+        # One explicit hash repartition on the join key before the pair
+        # self-join (r12, guide §2.2/§2.5): the assignment aggregate's
+        # output is byte-small, so AQE coalesces it to 1-2 partitions —
+        # but the intra-cluster pair stage is CPU-quadratic in occupancy,
+        # not byte-bound. The explicit width spreads that compute across
+        # cores AND both join sides plus the final left join project off
+        # the SAME exchange (ReuseExchange), so the assignment argmin
+        # runs once instead of once per consumer.
+        assigned = assigned.repartition(pair_partitions, "cluster")
     a = assigned.select(
         F.col(id_col).alias("__ida"),
         "cluster",

@@ -30,13 +30,22 @@ def tokens_ws(text: str | Column) -> Column:
     Empty and whitespace-only inputs yield an EMPTY array: bare
     ``split(trim(''), '\\s+')`` returns ``['']`` (split semantics), which
     inflated empty docs to 1 token and emitted an empty-string term from
-    every explode-site downstream (operator review r7). The trailing
-    filter removes that phantom token; on non-degenerate input the two
-    forms are identical because ``\\s+`` splitting of trimmed text never
-    produces interior empties. Oracle SQL mirrors this with
+    every explode-site downstream (operator review r7). ``\\s+`` splitting
+    never produces interior empties, and stripping the full whitespace
+    class off both ends first (``trim`` strips SPACES only — a
+    tab/newline-bounded doc still split to boundary empties, pinned by
+    tests/test_text.py) removes the boundary ones, so the phantom token
+    exists ONLY in the whitespace-only case — branch on that instead of
+    running an interpreted per-element higher-order ``filter`` over every
+    token of every row (r12, guide §4.1: this column sits under dozens of
+    hot explodes and the branch keeps the whole tokenize inside
+    whole-stage codegen). Oracle SQL mirrors with
     ``list_filter(string_split_regex(...), t -> t <> '')``."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    t = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def tokens_bpe(text: str | Column) -> Column:
@@ -198,6 +207,25 @@ def word_ngrams(text_col: str | Column, n: int = 2) -> Column:
     )
 
 
+def ngram_offsets(toks: Column, n: int) -> Column:
+    """Start offsets (1-based) of every word ``n``-gram of ``toks`` —
+    ``sequence(1, greatest(size-n+1, 1))``: the explode-first twin of
+    :func:`word_ngrams`. ``explode(ngram_offsets(t, n))`` followed by one
+    :func:`ngram_at` projection emits the identical gram multiset while
+    the whole stage stays in whole-stage codegen (r12, guide §4.1 — the
+    interpreted higher-order ``transform`` built an array of gram strings
+    per doc before exploding it; same rework as dedup.hashed_shingles)."""
+    return F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+
+
+def ngram_at(toks: Column, i: Column, n: int) -> Column:
+    """The word ``n``-gram of ``toks`` starting at 1-based offset ``i`` —
+    the same ``concat_ws(' ', slice(...))`` expression as
+    :func:`word_ngrams`'s lambda body, so grams are bit-identical
+    (including the clamped short-doc gram)."""
+    return F.concat_ws(" ", F.slice(toks, i, n))
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -214,12 +242,14 @@ def repetition_stats(
     aggregations combine map-side, so the shuffle carries counts, not
     grams — the scale-safe form vs per-doc interpreted array counting
     (O(grams²) per row)."""
-    base = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    base = df.select(F.col(id_col), tokens_ws(F.col(text_col)).alias("__t"))
     if partitions:
         base = base.repartition(partitions)
+    # offset-explode + gram projection (codegen) instead of exploding an
+    # interpreted per-doc gram array — identical gram multiset
     g = base.select(
-        F.col(id_col), F.explode(word_ngrams(F.col("__t"), n)).alias("__gram")
-    )
+        F.col(id_col), "__t", F.explode(ngram_offsets(F.col("__t"), n)).alias("__i")
+    ).select(F.col(id_col), ngram_at(F.col("__t"), F.col("__i"), n).alias("__gram"))
     per = g.groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
     total = F.sum("__c")
     distinct = F.count(F.lit(1))
@@ -868,6 +898,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.6,
     df_cap_ppm: int = 200_000,
     df_cap_abs: int = 1000,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine document-pair similarity via an inverted-index
     self-join — the term-space twin of embedding cosine near-dup: pairs
@@ -892,9 +923,10 @@ def tfidf_cosine_pairs(
     DECIMAL(38,12) before the order-free sums, and norm/ratio are
     correctly-rounded IEEE sqrt/divide — bit-identical on any engine.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.explode(tokens_ws(text_col)).alias("term")
-    )
+    base = df.select(F.col(id_col).alias("__id"), tokens_ws(text_col).alias("__t"))
+    if partitions:
+        base = base.repartition(partitions)
+    toks = base.select("__id", F.explode("__t").alias("term"))
     tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
@@ -919,7 +951,14 @@ def tfidf_cosine_pairs(
         ),
         6,
     )
-    weighted = kept.select("__id", "term", w.alias("w"))
+    # Materialize the surviving weighted postings ONCE (r12, guide §1.2):
+    # three consumers (norms, both join sides) each re-ran the
+    # tokenize+TF+DF trunk — the different downstream keys (__id vs term)
+    # mean no exchange is reusable. The postings relation is the capped
+    # inverted index — exactly what an ingest pipeline persists.
+    weighted = kept.select("__id", "term", w.alias("w")).localCheckpoint(
+        eager=False
+    )
     sq = F.round(F.col("w") * F.col("w"), 12).cast("decimal(38,12)")
     norms = weighted.groupBy("__id").agg(
         F.sqrt(F.sum(sq).cast("double")).alias("norm")
@@ -1015,34 +1054,37 @@ def distinct_ngram_diversity(
     boundary). A source whose distinct-2 ratio collapses relative to its
     peers is dominated by boilerplate.
 
-    Shape: one explode + two-level count aggregate per n (map-side
-    combinable, shuffled on the gram key), unioned across the requested
-    orders — linear passes, no self-joins."""
-    base = df.select(F.col(group_col).alias("grp"), F.col(text_col).alias("__t"))
+    Shape: ONE tokenize + explode pass for every requested order — rows
+    fan out to (n, offset) via two chained generators and the gram is a
+    codegen ``slice``/``concat_ws`` projection (r12, guide §2.3/§4.1: the
+    previous per-n loop re-tokenized and re-scanned the corpus once per
+    order through an interpreted gram-array ``transform``) — then one
+    (grp, n, gram) count and one (grp, n) rollup, both map-side
+    combinable."""
+    base = df.select(
+        F.col(group_col).alias("grp"), tokens_ws(F.col(text_col)).alias("__t")
+    )
     if partitions:
         base = base.repartition(partitions)
-    outs = []
+    ng = base.select(
+        "grp", "__t", F.explode(F.array(*[F.lit(n) for n in ns])).alias("n")
+    )
+    # per-n offsets/grams: ns is a tiny static tuple, so both are a CASE
+    # over literal n — stays codegen, no lambda
+    offs, gram = None, None
     for n in ns:
-        g = base.select(
-            "grp", F.explode(word_ngrams(F.col("__t"), n)).alias("__gram")
-        )
-        per = g.groupBy("grp", "__gram").agg(F.count(F.lit(1)).alias("__c"))
-        outs.append(
-            per.groupBy("grp")
-            .agg(
-                F.sum("__c").cast("long").alias("total_grams"),
-                F.count(F.lit(1)).cast("long").alias("distinct_grams"),
-            )
-            .select(
-                "grp",
-                F.lit(n).cast("int").alias("n"),
-                "total_grams",
-                "distinct_grams",
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
+        ob = ngram_offsets(F.col("__t"), n)
+        gb = ngram_at(F.col("__t"), F.col("__i"), n)
+        offs = ob if offs is None else F.when(F.col("n") == n, ob).otherwise(offs)
+        gram = gb if gram is None else F.when(F.col("n") == n, gb).otherwise(gram)
+    g = ng.select(
+        "grp", "n", "__t", F.explode(offs).alias("__i")
+    ).select("grp", "n", gram.alias("__gram"))
+    per = g.groupBy("grp", "n", "__gram").agg(F.count(F.lit(1)).alias("__c"))
+    out = per.groupBy("grp", "n").agg(
+        F.sum("__c").cast("long").alias("total_grams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+    ).select("grp", F.col("n").cast("int").alias("n"), "total_grams", "distinct_grams")
     return out.select(
         F.col("grp").alias(group_col),
         "n",

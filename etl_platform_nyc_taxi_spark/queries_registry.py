@@ -884,6 +884,7 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(
         _t(spark, sf_dir, "documents"),
         is_target=F.col("lang") == F.lit("en"),
+        partitions=_spread(spark, sf_dir, "documents"),
     )
 
 
@@ -990,11 +991,23 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary statistics: global top-20 word bigrams.
-    Explode → two-phase count (map-side combine) → row_number over the
-    AGGREGATE only (the engine's global-window scale rule), deterministic
-    (cnt desc, gram asc) total order."""
-    d = _t(spark, sf_dir, "documents")
-    g = d.select(F.explode(word_ngrams("text", 2)).alias("gram"))
+    Offset-explode + codegen gram projection (r12, guide §4.1 — no
+    interpreted gram-array transform), spread across cores (the fixture
+    reads as one split; guide §2.5 input skew) → two-phase count
+    (map-side combine) → row_number over the AGGREGATE only (the
+    engine's global-window scale rule), deterministic (cnt desc, gram
+    asc) total order."""
+    from etl_platform_nyc_taxi_spark.operators.text import (
+        ngram_at,
+        ngram_offsets,
+        tokens_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(tokens_ws("text").alias("__t"))
+    d = d.repartition(_spread(spark, sf_dir, "documents"))
+    g = d.select(
+        "__t", F.explode(ngram_offsets(F.col("__t"), 2)).alias("__i")
+    ).select(ngram_at(F.col("__t"), F.col("__i"), 2).alias("gram"))
     counted = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     return ranked(
         counted,
@@ -1951,8 +1964,6 @@ def q_corpus_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size. Ties broken by fingerprint for
     deterministic LIMIT selection; the text slice touches only the 20
     winning (doc, pos) pairs."""
-    from pyspark.sql import Window as W
-
     from etl_platform_nyc_taxi_spark.operators.text import tokens_ws
 
     window = 16
@@ -1960,50 +1971,60 @@ def q_corpus_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens_ws("text").alias("__t")
     )
     t = t.localCheckpoint(eager=False)  # trunk feeds windows AND slices
-    win_fps = (
-        f"CASE WHEN size(__t) >= {window} "
-        f"THEN transform(sequence(1, size(__t) - {window} + 1), "
-        f"i -> md5(array_join(slice(__t, i, {window}), ' '))) "
-        f"ELSE array() END"
+    # r12 (guide §4.1/§2.3/§2.4): offset-explode + codegen md5 projection
+    # (the dedup substring-trunk shape) replaces the interpreted per-doc
+    # fingerprint-array transform; the representative (min (doc_id, pos)
+    # occurrence — exactly the former row_number()==1 under the same
+    # order) folds into the SAME aggregate as the stats, deleting a full
+    # window pass + exchange + join; and the top-20 TakeOrderedAndProject
+    # runs BEFORE the text-slice join, so the slice join touches 20 rows
+    # (broadcast) instead of every repeated fingerprint.
+    wins = (
+        t.filter(F.size("__t") >= window)
+        .select(
+            "doc_id",
+            "__t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(window - 1))
+            ).alias("__p"),
+        )
+        .select(
+            "doc_id",
+            F.col("__p").cast("long").alias("__pos"),
+            F.md5(
+                F.array_join(F.slice("__t", F.col("__p"), window), " ")
+            ).alias("__fp"),
+        )
     )
-    wins = t.select(
-        F.col("doc_id"), F.posexplode(F.expr(win_fps)).alias("__p0", "__fp")
-    ).select(
-        "doc_id", (F.col("__p0") + 1).cast("long").alias("__pos"), "__fp"
-    )
-    wins = wins.localCheckpoint(eager=False)
-    stats = (
+    top = (
         wins.groupBy("__fp")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_occurrences"),
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.min(
+                F.struct(F.col("doc_id").alias("d"), F.col("__pos").alias("p"))
+            ).alias("__rep"),
         )
         .filter(F.col("n_docs") >= 2)
-    )
-    rep = (
-        wins.withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy("__fp").orderBy("doc_id", "__pos")
-            ),
+        .orderBy(F.col("n_occurrences").desc(), F.col("__fp").asc())
+        .limit(20)
+        .select(
+            "__fp",
+            "n_occurrences",
+            "n_docs",
+            F.col("__rep.d").alias("doc_id"),
+            F.col("__rep.p").alias("__pos"),
         )
-        .filter(F.col("__rn") == 1)
-        .select("__fp", "doc_id", "__pos")
     )
     return (
-        stats.join(rep, "__fp")
-        .join(t, "doc_id")
+        t.join(F.broadcast(top), "doc_id")
         .select(
             F.array_join(
                 F.slice(F.col("__t"), F.col("__pos").cast("int"), window), " "
             ).alias("span_text"),
             "n_occurrences",
             "n_docs",
-            "__fp",
         )
-        .orderBy(F.col("n_occurrences").desc(), F.col("__fp").asc())
-        .limit(20)
-        .drop("__fp")
     )
 
 
@@ -3077,7 +3098,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
-    return semdedup(e.unionByName(m), num_seeds=None, eps=0.999)
+    return semdedup(
+        e.unionByName(m),
+        num_seeds=None,
+        eps=0.999,
+        # quadratic-in-occupancy pair stage: spread the cluster join
+        # across cores (r12 — AQE coalesced the byte-small assignment
+        # exchange to 2 tasks; see semdedup docstring)
+        pair_partitions=_spread(spark, sf_dir, "embeddings", rows_per_task=64),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5061,7 +5090,20 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream_auto(spark, f"{sf_dir}/events.parquet")
     out = sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
     sink = "stream_sessions"
-    run_available_now(out, sink, output_mode="append")
+    # applyInPandasWithState opens a state store AND a Python worker per
+    # shuffle partition per micro-batch; at the session width (32) the
+    # store open/commit + worker spin-up cost ran 227 s of executor time
+    # on a ~2k-user state (r12 profile). Scope the stateful width to the
+    # workload — the streaming_stream_join precedent (the 100 TB rule:
+    # size state partitions to key cardinality × per-key state, not the
+    # batch shuffle width); measured 5.9 s → 2.9 s at sf0.1. Restored in
+    # finally.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        run_available_now(out, sink, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
 
 
@@ -9051,6 +9093,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.6,
         df_cap_ppm=200_000,
         df_cap_abs=1000,
+        partitions=_spread(spark, sf_dir, "documents"),
     )
 
 
@@ -9149,7 +9192,16 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("__w.start").cast("date").alias("day"), "bin", "cnt")
     )
     sink = "stream_qsketch"
-    run_available_now(daily, sink)
+    # streaming aggregation state: one store per shuffle partition per
+    # micro-batch — scope the stateful width to the (day × bin) key
+    # space (the streaming_stream_join/sessionize precedent, guide §2.2);
+    # restored in finally
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        run_available_now(daily, sink)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     sk = spark.table(sink).select(
         F.date_trunc("week", F.col("day")).cast("date").alias("week"),
         "bin",
@@ -9676,6 +9728,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("item"),
         )
         .distinct()
+        # four consumers (n_baskets, item counts, both pair-join sides)
+        # with three distinct downstream keys — materialize the distinct
+        # basket-item relation once (r12, guide §1.2); this is the
+        # basket fact an ingest pipeline lands anyway
+        .localCheckpoint(eager=False)
     )
     nb = b.agg(F.countDistinct("basket").alias("n_baskets"))
     cnt = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))

@@ -753,15 +753,23 @@ def test_matryoshka_truncated_ranker_take_ordered(spark):
     assert "rangepartitioning" not in s.lower()
 
 
-def test_bt_estimation_loop_broadcasts_metadata_relations(spark):
-    """The Bradley-Terry MM loop must never shuffle-join: strengths and
-    denominators are items²-sized and join the (checkpointed) matrix via
-    broadcast; no Python rows, no cartesian product, and the only
-    ranking window runs on the items-sized normalized relation."""
+def test_bt_estimation_loop_is_single_row_fold(spark):
+    """The Bradley-Terry MM loop must never shuffle: the items²-sized
+    matrix collects into ONE row and every MM round is a projection
+    mapping the strength map (r12 shape — the former per-round
+    broadcast-join/checkpoint loop spent its whole wall on scheduler
+    round-trips). No Python rows, no cartesian product, no shuffle
+    join anywhere, and each round stays a SEPARATE projection column
+    (map_from_arrays per round) so Catalyst analysis is linear in
+    iters."""
+    from etl_platform_nyc_taxi_spark.operators.preference import BT_ITERS
+
     s = fmt(QR.QUERIES["preference_bradley_terry"](spark, SF))
     assert "PythonEval" not in s and "BatchEvalPython" not in s
     assert "CartesianProduct" not in s
-    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+    # one map per MM round survives in the plan
+    assert s.count("map_from_arrays") >= BT_ITERS
     # the corpus-sized duel staging was folded into the checkpointed
     # matrix before the loop — the final plan sees only metadata scans
     assert "Scan parquet" not in s
