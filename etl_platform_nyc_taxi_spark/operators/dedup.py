@@ -340,10 +340,27 @@ def _minhash_relations(
     ReuseExchange computes once. The SQL oracle replicates this hash
     family literal-for-literal, so this trunk must stay the single source
     of truth for both the pairwise and the incremental-probe pipelines."""
+    both = _minhash_combined(df, id_col, text_col, k, num_hashes, partitions)
+    hs = both.select("__id", "__hs")
+    sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
+    return hs, sig
+
+
+def _minhash_combined(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    partitions: int | None,
+) -> DataFrame:
+    """The single-aggregate trunk itself: ``(__id, __hs, __m0..__m{n-1})``
+    — the one relation both :func:`_minhash_relations` projections and
+    :func:`minhash_corpus_index`'s materialized form derive from."""
     hashed = hashed_shingles(df, id_col, text_col, k, partitions)
     coeffs = minhash_coeffs(num_hashes)
     h = F.col("__h")
-    both = hashed.groupBy("__id").agg(
+    return hashed.groupBy("__id").agg(
         F.collect_set("__h").alias("__hs"),
         *[
             F.min(
@@ -352,9 +369,6 @@ def _minhash_relations(
             for i, (a, c) in enumerate(coeffs)
         ],
     )
-    hs = both.select("__id", "__hs")
-    sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
-    return hs, sig
 
 
 def minhash_near_dups(
@@ -549,6 +563,7 @@ def minhash_corpus_index(
     num_hashes: int = 8,
     bands: int = 4,
     partitions: int | None = None,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The materialized ingest-time probe index: ``(banded, hashsets)``
     relations of the EXISTING corpus, computed once and reused by every
@@ -556,14 +571,25 @@ def minhash_corpus_index(
     corpus half of :func:`minhash_probe_new`, which recomputed it per
     call. At 100 TB this pair is written to storage partitioned by
     (band, key) — the write_lsh_index pattern — and probes prune to
-    matching partitions; in a streaming fold the caller
-    ``localCheckpoint``s both (streaming/ingest.py does).
+    matching partitions.
+
+    ``materialize=True`` eagerly ``localCheckpoint``s the COMBINED
+    set+signature aggregate BEFORE the pair projects off it (r12, guide
+    §1.2): both returned relations share that one aggregate, so a caller
+    who checkpoints each relation separately (the streaming fold) pays
+    the whole md5 signature trunk once per relation — measured 2×16 s of
+    executor time per `streaming_corpus_ingest` run at sf0.1 for a trunk
+    that computes once under this flag.
 
     A document's signature depends only on its own text, so probing a
     prebuilt index is result-identical to the union-input form."""
-    hs, sig = _minhash_relations(
+    both = _minhash_combined(
         corpus, id_col, text_col, k, num_hashes, partitions
     )
+    if materialize:
+        both = both.localCheckpoint(eager=True)
+    hs = both.select("__id", "__hs")
+    sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
     return _banded_signature(sig, num_hashes, bands), hs
 
 

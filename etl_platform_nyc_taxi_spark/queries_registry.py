@@ -9728,11 +9728,11 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("item"),
         )
         .distinct()
-        # four consumers (n_baskets, item counts, both pair-join sides)
-        # with three distinct downstream keys — materialize the distinct
-        # basket-item relation once (r12, guide §1.2); this is the
-        # basket fact an ingest pipeline lands anyway
-        .localCheckpoint(eager=False)
+        # NOT checkpointed (r12, measured): four consumers re-derive the
+        # broadcast-join + distinct trunk, but the trunk is cheaper than
+        # a checkpoint write+read of the basket fact (2.49 s → 3.19 s
+        # with localCheckpoint here — guide §5, caching only pays when
+        # recompute is the more expensive side)
     )
     nb = b.agg(F.countDistinct("basket").alias("n_baskets"))
     cnt = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))

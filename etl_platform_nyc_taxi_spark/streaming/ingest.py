@@ -315,10 +315,18 @@ def make_ingest_fold(
         "num_hashes": mh_kwargs.get("num_hashes", MH_NUM_HASHES),
         "bands": mh_kwargs.get("bands", MH_BANDS),
     }
+    # materialize=True checkpoints the COMBINED set+signature aggregate
+    # inside the index builder, so the two outer checkpoints here only
+    # re-project/explode the materialized row — the md5 trunk used to
+    # execute once PER relation (2×16 s of executor per run at sf0.1;
+    # r12, guide §1.2).
     corpus_index = tuple(
         r.localCheckpoint(eager=True)
         for r in minhash_corpus_index(
-            corpus.select("doc_id", "text"), partitions=partitions, **mh_geo
+            corpus.select("doc_id", "text"),
+            partitions=partitions,
+            materialize=True,
+            **mh_geo,
         )
     )
     eval_bloom = bloom_build(eval_slice).localCheckpoint(eager=True)
