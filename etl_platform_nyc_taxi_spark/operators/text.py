@@ -30,22 +30,22 @@ def tokens_ws(text: str | Column) -> Column:
     Empty and whitespace-only inputs yield an EMPTY array: bare
     ``split(trim(''), '\\s+')`` returns ``['']`` (split semantics), which
     inflated empty docs to 1 token and emitted an empty-string term from
-    every explode-site downstream (operator review r7). ``\\s+`` splitting
-    never produces interior empties, and stripping the full whitespace
-    class off both ends first (``trim`` strips SPACES only — a
-    tab/newline-bounded doc still split to boundary empties, pinned by
-    tests/test_text.py) removes the boundary ones, so the phantom token
-    exists ONLY in the whitespace-only case — branch on that instead of
-    running an interpreted per-element higher-order ``filter`` over every
-    token of every row (r12, guide §4.1: this column sits under dozens of
-    hot explodes and the branch keeps the whole tokenize inside
-    whole-stage codegen). Oracle SQL mirrors with
-    ``list_filter(string_split_regex(...), t -> t <> '')``."""
+    every explode-site downstream (operator review r7). The trailing
+    filter removes that phantom token; on non-degenerate input the two
+    forms are identical because ``\\s+`` splitting of trimmed text never
+    produces interior empties. Oracle SQL mirrors this with
+    ``list_filter(string_split_regex(...), t -> t <> '')``.
+
+    r12 note: a ``regexp_replace('^\\s+|\\s+$')`` + branch rewrite
+    (to remove the per-element higher-order filter) was tried and
+    REVERTED — the anchored-alternation regex scans every position of
+    every document and measured consistently SLOWER than the filter on
+    tokenize-dominated queries (fuzzy_title_pairs ~1.85 s → ~2.7 s
+    isolated); the per-element lambda is cheaper than a second regex
+    pass over the text. Guide §1.1: the 'ideal' plan lost to the gotcha,
+    empirical loop wins."""
     c = F.col(text) if isinstance(text, str) else text
-    t = F.regexp_replace(c, r"^\s+|\s+$", "")
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
 def tokens_bpe(text: str | Column) -> Column:
