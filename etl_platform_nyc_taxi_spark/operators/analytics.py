@@ -1149,7 +1149,14 @@ def markov_removal_attribution(
     :func:`journey_transitions`; the value iteration folds over the
     per-variant collected edge row — at most (|channels|+1)² edges per
     variant — as ``rounds`` map projections (r12; see the inline
-    comment for the CollapseProject guard)."""
+    comment for the CollapseProject guard).
+
+    Cardinality bound (ADVICE r12, the bradley_terry twin): the fold
+    collects one (|channels|+1)²-edge row per variant and each round is
+    O(edges·states) inside that row's task — sized for marketing-channel
+    alphabets (≲10³ channels). Above that, revert to the retired
+    distributed join loop (git history, pre-r12); ``channels`` is an
+    explicit tuple argument, so the bound is visible at the call site."""
     tcounts = journey_transitions(
         events, user_col, type_col, ts_col, id_col, conversion
     ).localCheckpoint(eager=False)

@@ -728,6 +728,36 @@ def attach_media_meta(
     ).drop("__hdr")
 
 
+#: Bound on the per-task content-addressed decode memos (ADVICE r12):
+#: entries are 16-byte digests + one feature row, so 64k entries is a few
+#: MB — but an unbounded dict on an all-distinct high-cardinality task
+#: would grow O(task rows) and pressure the Python worker. At the cap the
+#: memo stops ADMITTING new keys (existing hits keep serving): dedup-heavy
+#: partitions keep their wins, all-distinct partitions degrade to exactly
+#: the no-memo cost plus one md5 per blob.
+_DECODE_MEMO_CAP = 65536
+
+
+def _bounded_memo(fn):
+    """Wrap a pure bytes→value kernel with a size-capped, md5-keyed memo
+    (one instance per task; see :data:`_DECODE_MEMO_CAP`)."""
+    import hashlib
+
+    memo: dict[bytes, object] = {}
+
+    def wrapped(b):
+        b = bytes(b or b"")
+        key = hashlib.md5(b).digest()
+        hit = memo.get(key)
+        if hit is None:
+            hit = fn(b)
+            if len(memo) < _DECODE_MEMO_CAP:
+                memo[key] = hit
+        return hit
+
+    return wrapped
+
+
 def _fake_image_features(payload: bytes, dim: int) -> list[float]:
     """Deterministic stand-in for a real image encoder: byte-histogram
     moments, reproducible across runs/partitions. Used only for payloads
@@ -1151,21 +1181,9 @@ def image_features(
         # DISTINCT blob decodes once per task and duplicates are a dict
         # hit — the §8 "decide on small rows" rule applied to the decode
         # kernel (dedup-heavy corpora and LUT-built fixtures alike).
-        # Keyed by md5 digest, not the blob, so the memo holds 16 bytes
-        # + the feature row per distinct payload; worst case
-        # (all-distinct) adds one hash per blob, ~1e-4 of a pure-Python
-        # decode.
-        import hashlib
-
-        memo: dict[bytes, list[float]] = {}
-
-        def feat_memo(b) -> list[float]:
-            b = bytes(b or b"")
-            key = hashlib.md5(b).digest()
-            hit = memo.get(key)
-            if hit is None:
-                hit = memo[key] = _feat(b)
-            return hit
+        # Keyed by md5 digest and size-capped (ADVICE r12) so worst-case
+        # memory is O(_DECODE_MEMO_CAP), not O(task rows).
+        feat_memo = _bounded_memo(_feat)
 
         for pdf in batches:
             payloads = pdf[payload_col]
@@ -1472,18 +1490,9 @@ def audio_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # content-addressed decode memo, per task — the image_features
-        # twin (r12, guide §1.2): distinct payloads decode once.
-        import hashlib
-
-        memo: dict[bytes, tuple[int, list[float]]] = {}
-
-        def audio_memo(b) -> tuple[int, list[float]]:
-            b = bytes(b or b"")
-            key = hashlib.md5(b).digest()
-            hit = memo.get(key)
-            if hit is None:
-                hit = memo[key] = _audio(b)
-            return hit
+        # twin (r12, guide §1.2): distinct payloads decode once. Size-
+        # capped (ADVICE r12): worst case stays O(_DECODE_MEMO_CAP).
+        audio_memo = _bounded_memo(_audio)
 
         for pdf in batches:
             decoded = pdf[payload_col].map(audio_memo)

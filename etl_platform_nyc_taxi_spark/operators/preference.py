@@ -84,6 +84,14 @@ def stage_duels(
     lower id. Blocked windows keep the sort local — no per-group global
     row_number at corpus scale — and make the ledger reproducible
     shard-by-shard.
+
+    Contract (ADVICE r12): ``id_col`` must be NON-NULL. The odd-tail
+    sentinel is ``lead(id).isNotNull()``, so a NULL id arriving as a duel
+    PARTNER would silently drop the pair (the pre-r12 rank split-join
+    paired purely on row_number); NULL ids also make the window order and
+    the ``__id div DUEL_BLOCK`` block assignment ill-defined. Every
+    registry consumer passes a parquet primary key; filter or synthesize
+    ids upstream before staging anything else.
     """
     from pyspark.sql import Window
 
@@ -202,6 +210,15 @@ def bradley_terry(matrix: DataFrame, iters: int = BT_ITERS) -> DataFrame:
     CollapseProject keeps the rounds apart because each map is
     referenced many times by its successor. The corpus-sized staging
     stays distributed; only items²-sized ledgers ever reach this fold.
+
+    Cardinality bound (ADVICE r12): the single collected row holds the
+    items²-sized matrix and each MM round is O(items³) inside one task
+    (per item, a filter over all edges), so this fold is for CATALOG-
+    sized item sets — sources, models, annotators: ≲10³ items (≈10⁶
+    edge structs, single-digit MB, well under the 2 GB row limit). Above
+    that, stage the retired per-round broadcast-join loop (git history,
+    pre-r12) which degrades gracefully; item count is known from
+    ``duel_matrix``'s inputs before collecting anything.
     """
     m = matrix.localCheckpoint(eager=True)
     items = _bt_items(m)

@@ -45,12 +45,16 @@ def _scan_apply(
     fold ``step(prev, x)`` over ``value_col`` starting from
     ``init(first_x)``.
 
-    Null semantics: rows with a null value or a null order key are
-    DROPPED before the fold (filtered plan-side, so both engines and
-    any oracle see the same input). Inside the recurrence a null has no
-    meaningful step — pandas would coerce it to NaN and poison every
+    Null semantics: rows with a null key, a null value, or a null order
+    key are DROPPED before the fold (filtered plan-side, so both engines
+    and any oracle see the same input). Inside the recurrence a null has
+    no meaningful step — pandas would coerce it to NaN and poison every
     subsequent output of that key, silently diverging from an oracle
-    that propagates NULL (ADVICE r5).
+    that propagates NULL (ADVICE r5). The KEY filter is load-bearing for
+    the mapInPandas fold (VERDICT r12 item 4): a null key surfaces as
+    NaN in the numpy key array and ``NaN != NaN`` would re-init the fold
+    on every null-key row — where the old per-group applyInPandas folded
+    them as ONE group — so null keys must never reach the kernel.
 
     ``order_cols`` MUST be a unique key within each group (append a
     unique tiebreak like an event id): the fold is order-dependent by
@@ -100,7 +104,7 @@ def _scan_apply(
             yield pdf
 
     cleaned = df.select(key_col, *order_cols, value_col)
-    for c in (value_col, *order_cols):
+    for c in (key_col, value_col, *order_cols):
         cleaned = cleaned.filter(F.col(c).isNotNull())
     return (
         cleaned.repartition(F.col(key_col))

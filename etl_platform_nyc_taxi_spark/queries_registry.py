@@ -2025,6 +2025,12 @@ def q_corpus_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occurrences",
             "n_docs",
         )
+        # ADVICE r12: the r12 rework left the 20-row output in arbitrary
+        # post-join order (a silent contract change vs the pre-r12 sorted
+        # report, masked by the oracle's order-insensitive hash). Free at
+        # 20 rows; span_text is unique among winners (distinct fp ⇒
+        # distinct span text), so the order is total.
+        .orderBy(F.col("n_occurrences").desc(), F.col("span_text").asc())
     )
 
 
@@ -5097,7 +5103,12 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # workload — the streaming_stream_join precedent (the 100 TB rule:
     # size state partitions to key cardinality × per-key state, not the
     # batch shuffle width); measured 5.9 s → 2.9 s at sf0.1. Restored in
-    # finally.
+    # finally. Scope caveat (ADVICE r12): the override is session-global
+    # while held, so this query assumes the engine's serial one-query-
+    # at-a-time execution contract (bench/driver both run queries
+    # serially); the width is also baked into the stream's state
+    # checkpoint, and the sink + checkpoint are created fresh per call —
+    # never resume an old checkpoint at a different width.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -9195,7 +9206,9 @@ def q_streaming_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming aggregation state: one store per shuffle partition per
     # micro-batch — scope the stateful width to the (day × bin) key
     # space (the streaming_stream_join/sessionize precedent, guide §2.2);
-    # restored in finally
+    # restored in finally. Same scope caveat as sessionize (ADVICE r12):
+    # assumes serial query execution; fresh sink + checkpoint per call —
+    # never resume an old checkpoint at a different width.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8")

@@ -113,3 +113,23 @@ def test_scan_drops_null_values_and_null_order_keys(spark):
     out = ewma_per_key(df, "k", ["o"], "v", alpha=0.5)
     got = {r["o"]: r["ewma"] for r in out.collect()}
     assert got == {1: 10.0, 3: 15.0}  # 0.5*20 + 0.5*10; no NaN anywhere
+
+
+def test_scan_drops_null_keys(spark):
+    """VERDICT r12 item 4: null KEYS are dropped plan-side too. In the
+    mapInPandas fold a null key is NaN in the numpy key array, and since
+    NaN != NaN the fold would re-init on EVERY null-key row (the retired
+    groupBy().applyInPandas shape folded them as one group) — so the
+    contract pins null-key rows as DROPPED, same as null values/orders."""
+    from etl_platform_nyc_taxi_spark.operators.scans import ewma_per_key
+
+    rows = [
+        (None, 1, 100.0),
+        (None, 2, 200.0),
+        (1, 1, 10.0),
+        (1, 2, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, v double")
+    out = ewma_per_key(df, "k", ["o"], "v", alpha=0.5).collect()
+    got = {(r["k"], r["o"]): r["ewma"] for r in out}
+    assert got == {(1, 1): 10.0, (1, 2): 15.0}  # no null-key rows emitted
