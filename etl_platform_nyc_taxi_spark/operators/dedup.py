@@ -482,6 +482,44 @@ def minhash_probe_new(
     )
 
 
+def presalt_banded(
+    old_banded: DataFrame, max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """The STATIC half of :func:`_probe_verify`'s hot-bucket guard,
+    factored out so a caller probing many batches against one index (the
+    streaming ingest fold) computes it ONCE per index instead of once
+    per probe (r13, guide §1.2): ``(old_salted, over)``, both eagerly
+    ``localCheckpoint``-ed — ``over`` is the oversized-bucket split map
+    and ``old_salted`` the corpus banded relation with its ``__salt``
+    already assigned. Pass the pair to :func:`minhash_probe_index` /
+    :func:`_probe_verify` as ``presalt``; the expressions are identical
+    (same xxhash64 salt), so candidates — and therefore results — are
+    unchanged."""
+    over = (
+        old_banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_bucket)
+        .select(
+            "band",
+            "key",
+            F.ceil(F.col("__c") / F.lit(max_bucket)).cast("int").alias("__splits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    old_salted = (
+        old_banded.join(F.broadcast(over), on=["band", "key"], how="left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__splits").isNull(), F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("__sig"), F.col("__splits")))
+            .cast("int"),
+        )
+        .drop("__splits")
+        .localCheckpoint(eager=True)
+    )
+    return old_salted, over
+
+
 def _probe_verify(
     new_side: DataFrame,
     old_side: DataFrame,
@@ -490,33 +528,45 @@ def _probe_verify(
     threshold: float,
     partitions: int | None,
     max_bucket: int | None,
+    presalt: tuple[DataFrame, DataFrame] | None = None,
+    spread_cands: bool = True,
 ) -> DataFrame:
     """Shared probe tail: asymmetric hot-bucket guard, batch-banded ×
     corpus-banded candidate join, exact-Jaccard verify, per-new-doc
     rollup. Inputs are the banded and hash-set relations of each side
-    (``__id/band/key/__sig`` and ``__id/__hs``)."""
+    (``__id/band/key/__sig`` and ``__id/__hs``). ``presalt`` supplies
+    the guard's static half precomputed (:func:`presalt_banded`).
+    ``spread_cands`` keeps the explicit candidate repartition that
+    defeats AQE's coalesce before the CPU-bound verify — right for
+    corpus-scale probes (dedup_incremental); a MICRO-BATCH probe's
+    candidate set is batch-sized and its verify trivial, so the extra
+    exchange is pure latency there (r13: streaming ingest passes
+    False — measured ~0.35 s/fold)."""
     join_keys = ["band", "key"]
     if max_bucket is not None:
-        over = (
-            old_side.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") > max_bucket)
-            .select(
-                "band",
-                "key",
-                F.ceil(F.col("__c") / F.lit(max_bucket)).cast("int").alias("__splits"),
+        if presalt is not None:
+            old_side, over = presalt
+        else:
+            over = (
+                old_side.groupBy("band", "key")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") > max_bucket)
+                .select(
+                    "band",
+                    "key",
+                    F.ceil(F.col("__c") / F.lit(max_bucket)).cast("int").alias("__splits"),
+                )
             )
-        )
-        old_side = (
-            old_side.join(F.broadcast(over), on=["band", "key"], how="left")
-            .withColumn(
-                "__salt",
-                F.when(F.col("__splits").isNull(), F.lit(0))
-                .otherwise(F.pmod(F.xxhash64("__sig"), F.col("__splits")))
-                .cast("int"),
+            old_side = (
+                old_side.join(F.broadcast(over), on=["band", "key"], how="left")
+                .withColumn(
+                    "__salt",
+                    F.when(F.col("__splits").isNull(), F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("__sig"), F.col("__splits")))
+                    .cast("int"),
+                )
+                .drop("__splits")
             )
-            .drop("__splits")
-        )
         new_side = (
             new_side.join(F.broadcast(over), on=["band", "key"], how="left")
             .withColumn(
@@ -536,7 +586,7 @@ def _probe_verify(
         .select(F.col("a.__id").alias("new_id"), F.col("b.__id").alias("old_id"))
         .distinct()
     )
-    if partitions:
+    if partitions and spread_cands:
         cands = cands.repartition(partitions)
     ha = hs_new.select(F.col("__id").alias("new_id"), F.col("__hs").alias("__ha"))
     hb = hs_old.select(F.col("__id").alias("old_id"), F.col("__hs").alias("__hb"))
@@ -604,16 +654,21 @@ def minhash_probe_index(
     threshold: float = 0.6,
     partitions: int | None = None,
     max_bucket: int | None = 128,
+    presalt: tuple[DataFrame, DataFrame] | None = None,
+    spread_cands: bool = True,
 ) -> DataFrame:
     """Probe an arriving batch against a prebuilt corpus index
     (:func:`minhash_corpus_index` — pass the SAME k/num_hashes/bands):
     same output contract, guard, and semantics as
     :func:`minhash_probe_new`, with the corpus signature work paid once
-    at index-build time instead of per probe call."""
+    at index-build time instead of per probe call. ``presalt`` (r13,
+    guide §1.2) additionally moves the hot-bucket guard's corpus half
+    to index-build time (:func:`presalt_banded`) — per probe only the
+    BATCH side salts; must be built with the same ``max_bucket``."""
     if max_bucket is not None and max_bucket < 2:
         raise ValueError("max_bucket must be >= 2")
     old_banded, hs_old = index
-    if max_bucket is not None:
+    if max_bucket is not None and presalt is None:
         # The guard consumes the corpus banded relation twice (bucket
         # stats + salted join): truncate its lineage so a caller who
         # didn't pre-checkpoint the index doesn't recompute the corpus
@@ -626,7 +681,8 @@ def minhash_probe_index(
     )
     new_banded = _banded_signature(sig_new, num_hashes, bands)
     return _probe_verify(
-        new_banded, old_banded, hs_new, hs_old, threshold, partitions, max_bucket
+        new_banded, old_banded, hs_new, hs_old, threshold, partitions,
+        max_bucket, presalt=presalt, spread_cands=spread_cands,
     )
 
 

@@ -13330,8 +13330,11 @@ def q_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the arrival slice), not the cluster — the stream_join state
         # rule (r12, guide §2.2). At GB-scale micro-batches this knob
         # rises with batch bytes; the static index above still builds
-        # at session width.
+        # at session width. fold_adaptive=False (r13): AQE re-planning
+        # on the fold's KB-sized shuffles is pure driver latency — keep
+        # it on when batches carry real volume.
         fold_shuffle_partitions=8,
+        fold_adaptive=False,
     )
     out = state.read()
     assert out is not None

@@ -52,6 +52,8 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -63,6 +65,7 @@ from etl_platform_nyc_taxi_spark.operators.bloom import (
 from etl_platform_nyc_taxi_spark.operators.dedup import (
     minhash_corpus_index,
     minhash_probe_index,
+    presalt_banded,
 )
 from etl_platform_nyc_taxi_spark.operators.joins import latest_per_key
 from etl_platform_nyc_taxi_spark.operators.text import (
@@ -104,6 +107,7 @@ def gate_batch(
     flag_pct: int = 5,
     partitions: int | None = None,
     max_bucket: int | None = 128,
+    presalt: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Score one arriving batch against the static context — a prebuilt
     corpus MinHash index (operators/dedup.minhash_corpus_index) and a
@@ -121,7 +125,10 @@ def gate_batch(
 
     ``max_bucket`` forwards to :func:`minhash_probe_index`'s hot-bucket
     guard (ADVICE r11: it is a documented knob of the probe and must be
-    settable from the stream, not locked to the probe's default)."""
+    settable from the stream, not locked to the probe's default);
+    ``presalt`` is the guard's corpus half precomputed at index-build
+    time (operators/dedup.presalt_banded — r13, guide §1.2), so each
+    fold salts only the batch side."""
     probe = minhash_probe_index(
         corpus_index,
         batch.select("doc_id", "text"),
@@ -131,6 +138,11 @@ def gate_batch(
         threshold=threshold,
         partitions=partitions,
         max_bucket=max_bucket,
+        presalt=presalt,
+        # micro-batch probe: candidates are batch-sized and the verify
+        # trivial — the corpus-scale candidate respread is pure latency
+        # here (operators/dedup._probe_verify; r13)
+        spread_cands=False,
     ).select(F.col("new_id").alias("doc_id"), F.lit(True).alias("__dup"))
     bl = bloom_decontaminate(
         batch,
@@ -315,27 +327,54 @@ def make_ingest_fold(
         "num_hashes": mh_kwargs.get("num_hashes", MH_NUM_HASHES),
         "bands": mh_kwargs.get("bands", MH_BANDS),
     }
+
     # materialize=True checkpoints the COMBINED set+signature aggregate
     # inside the index builder, so the two outer checkpoints here only
     # re-project/explode the materialized row — the md5 trunk used to
     # execute once PER relation (2×16 s of executor per run at sf0.1;
     # r12, guide §1.2).
-    corpus_index = tuple(
-        r.localCheckpoint(eager=True)
-        for r in minhash_corpus_index(
-            corpus.select("doc_id", "text"),
-            partitions=partitions,
-            materialize=True,
-            **mh_geo,
+    def _build_index():
+        return tuple(
+            r.localCheckpoint(eager=True)
+            for r in minhash_corpus_index(
+                corpus.select("doc_id", "text"),
+                partitions=partitions,
+                materialize=True,
+                **mh_geo,
+            )
         )
-    )
-    eval_bloom = bloom_build(eval_slice).localCheckpoint(eager=True)
+
+    def _build_bloom():
+        return bloom_build(eval_slice).localCheckpoint(eager=True)
+
     # The quota relation is strata-sized but its LINEAGE is a corpus-wide
     # tokenize (the UniMax sizes aggregate): un-checkpointed, every
     # admission plan in every fold re-ran that corpus pass — measured
     # ~14 s of executor time per fold at sf0.1 (r12, guide §1.2). Static
     # context, so it materializes once with the index and the Bloom.
-    alloc = alloc.localCheckpoint(eager=True)
+    def _build_alloc():
+        return alloc.localCheckpoint(eager=True)
+
+    # The three static relations are INDEPENDENT jobs — overlap them
+    # (r13, guide §2.6): the Bloom and quota builds back-fill executor
+    # slots the index trunk's stragglers leave idle, collapsing the
+    # serial 3-build wall to ~the index build alone (measured 12.8 s →
+    # 2.6 s warm at sf0.1). Each build is an unchanged plan, so every
+    # relation is value-identical to the serial construction.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_idx = pool.submit(_build_index)
+        f_bloom = pool.submit(_build_bloom)
+        f_alloc = pool.submit(_build_alloc)
+        corpus_index = f_idx.result()
+        eval_bloom = f_bloom.result()
+        alloc = f_alloc.result()
+    # Hot-bucket guard's corpus half: bucket stats + corpus-side salt are
+    # pure functions of the index — compute once per run, not per fold
+    # (r13, guide §1.2; operators/dedup.presalt_banded).
+    mb = mh_kwargs.get("max_bucket", 128)
+    presalt = (
+        presalt_banded(corpus_index[0], mb) if mb is not None else None
+    )
     strata = strata_cols or ["lang", "source"]
     # Carried admission counters live as a sibling generation-numbered
     # relation under the ledger's state dir ("gen=" scanning ignores the
@@ -357,6 +396,7 @@ def make_ingest_fold(
                 eval_bloom,
                 rules=rules,
                 partitions=partitions,
+                presalt=presalt,
                 **mh_kwargs,
             ),
             ["doc_id"],
@@ -546,6 +586,7 @@ def corpus_ingest_stream(
     partitions: int | None = None,
     strata_cols: list[str] | None = None,
     fold_shuffle_partitions: int | None = None,
+    fold_adaptive: bool | None = None,
     **mh_kwargs,
 ) -> None:
     """Run the arriving-document stream to completion
@@ -577,20 +618,34 @@ def corpus_ingest_stream(
     # session (= cluster) width — the stream_join lesson generalized
     # (r12, guide §2.2): every relation inside a fold is batch- or
     # strata-sized, so a cluster-wide shuffle width only multiplies AQE
-    # stage-planning round-trips and empty tasks. The static context
-    # above deliberately builds BEFORE this scope at full width (it is
-    # corpus-sized). Restored in ``finally``; ``None`` leaves the
-    # session untouched.
+    # stage-planning round-trips and empty tasks. ``fold_adaptive=False``
+    # additionally turns AQE itself off inside the fold scope (r13):
+    # with KB-sized shuffles every AQE re-plan is a driver round-trip
+    # that costs more than it can save — measured ~1.6 s/run at sf0.1.
+    # At GB-scale micro-batches raise the width and leave AQE on. The
+    # static context above deliberately builds BEFORE this scope at full
+    # width + AQE (it is corpus-sized). Restored in ``finally``; ``None``
+    # leaves the session untouched.
+    sess = stream.sparkSession
     prev = (
-        stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        sess.conf.get("spark.sql.shuffle.partitions")
         if fold_shuffle_partitions
+        else None
+    )
+    prev_aqe = (
+        sess.conf.get("spark.sql.adaptive.enabled")
+        if fold_adaptive is not None
         else None
     )
     try:
         if fold_shuffle_partitions:
-            stream.sparkSession.conf.set(
+            sess.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(fold_shuffle_partitions),
+            )
+        if fold_adaptive is not None:
+            sess.conf.set(
+                "spark.sql.adaptive.enabled", str(fold_adaptive).lower()
             )
         q = (
             stream.writeStream.foreachBatch(fold)
@@ -601,9 +656,9 @@ def corpus_ingest_stream(
         q.awaitTermination()
     finally:
         if prev is not None:
-            stream.sparkSession.conf.set(
-                "spark.sql.shuffle.partitions", prev
-            )
+            sess.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_aqe is not None:
+            sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if owned:
             shutil.rmtree(ckpt, ignore_errors=True)
 
