@@ -530,16 +530,25 @@ def label_propagation(
     count is fixed — no convergence-dependent stopping, no traversal
     order. Init label = own id.
 
-    Scale shape: per round one equi-join (edges ⋈ labels, shuffled on
-    the node key) + one count aggregate (map-combinable) + one
-    row_number window PARTITIONED BY NODE (neighbor-label-count-sized
-    partitions); ``localCheckpoint`` keeps lineage flat (the
-    connected_components discipline). Isolated nodes never enter —
-    compose with a left join against the full id universe, as
-    :func:`dedup_clusters` does for CC.
+    Scale shape (r13, guide §2.3/§2.4 — the argmax-fold pattern): per
+    round one equi-join (edges ⋈ labels, shuffled on the node key) + one
+    count aggregate (map-combinable) + one ``max(struct(cnt, −label))``
+    argmax aggregate — ``max`` over the struct compares cnt first, then
+    −label, which IS "most frequent, ties to the SMALLEST label", the
+    same total order the former per-node row_number window sorted by,
+    with map-side partials instead of a window sort. The own-label rows
+    double as change detection (exactly one (u, label) group per node
+    carries the ``__own`` tag — the node's previous label), so each
+    round is ONE job (non-eager ``localCheckpoint`` + the change count
+    as the materializing action, the connected_components discipline)
+    and the loop EARLY-EXITS at fixpoint: the update is a deterministic
+    function of the label relation, so once a round changes nothing,
+    every remaining round provably reproduces it — the returned
+    relation equals the full ``rounds``-round result exactly (near-dup
+    mutant graphs converge in 2 rounds; the fixed-round oracle replays
+    unchanged). Isolated nodes never enter — compose with a left join
+    against the full id universe, as :func:`dedup_clusters` does for CC.
     """
-    from pyspark.sql import Window
-
     # checkpoint the PAIR relation before symmetrizing: the union reads
     # it twice, and an un-materialized reference would execute the whole
     # upstream pair trunk (LSH signature + verify) once per branch — the
@@ -556,22 +565,37 @@ def label_propagation(
     labels = sym.select("u").distinct().select(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
-    w = Window.partitionBy("u").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
         votes = sym.join(labels, sym["v"] == labels["node"]).select(
-            "u", "label"
+            "u", "label", F.lit(0).alias("__own")
         ).unionByName(
-            labels.select(F.col("node").alias("u"), "label")
+            labels.select(
+                F.col("node").alias("u"), "label", F.lit(1).alias("__own")
+            )
         )
         cnt = votes.groupBy("u", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("__own").alias("__has_own"),
         )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("node"), "label")
-            .localCheckpoint(eager=True)
+        new_labels = (
+            cnt.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("__w"),
+                F.min(
+                    F.when(F.col("__has_own") == 1, F.col("label"))
+                ).alias("__old"),
+            )
+            .select(
+                F.col("u").alias("node"),
+                (-F.col("__w.nl")).alias("label"),
+                "__old",
+            )
+            .localCheckpoint(eager=False)
         )
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        labels = new_labels.drop("__old")
+        if changed == 0:
+            break
     return labels

@@ -1054,6 +1054,7 @@ def hard_triplets(
     label_col: str = "label",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Batch-hard triplet mining for contrastive/metric training
     (Hermans et al. 2017, "In Defense of the Triplet Loss"): for every
@@ -1109,6 +1110,15 @@ def hard_triplets(
         F.col(vec_col).alias("__bvec"),
         l2_norm(F.col(vec_col)).alias("__bn"),
     )
+    # ``partitions`` spreads the STREAMED candidate side of the
+    # nested-loop scoring join (r13, guide §2.5 — the brute_force_topk
+    # precedent): a few-split fixture scan otherwise runs the whole
+    # |anchors|·n pair scoring as ONE task (measured 5.2 s of
+    # single-task CPU at sf0.1). The explicit broadcast pins the
+    # anchor side as the build side so the spread survives planning;
+    # inner-join output is identical either way.
+    if partitions:
+        b = b.repartition(partitions)
     denom = F.col("__an") * F.col("__bn")
     cos = F.round(
         dot(F.col("__avec"), F.col("__bvec"))
@@ -1116,7 +1126,7 @@ def hard_triplets(
         round_digits,
     )
     pairs = (
-        a.join(b, F.col("anchor_id") != F.col("cand_id"))
+        b.join(F.broadcast(a), F.col("anchor_id") != F.col("cand_id"))
         .select(
             "anchor_id",
             "label",
@@ -1161,10 +1171,14 @@ def hard_triplets_lsh(
     dim: int = 64,
     seed: int = 42,
     round_digits: int = 6,
+    partitions: int | None = None,
 ) -> DataFrame:
     """:func:`hard_triplets` with the negative side mined from LSH
     candidate buckets instead of all pairs — the 100 TB path the exact
-    form documents.
+    form documents. ``partitions`` spreads the two CPU-bound pair
+    scorings (candidate-negative and label-blocked positive joins) that
+    a few-split fixture scan otherwise runs 1-8 tasks wide (r13, guide
+    §2.5 — the hard_triplets/brute_force precedent).
 
     Hardest negatives are near-anchors by definition, so the candidate
     set only needs recall at MODERATE cosine — hence fewer planes per
@@ -1200,6 +1214,10 @@ def hard_triplets_lsh(
         )
         .distinct()
     )
+    if partitions:
+        # explicit respread is exempt from AQE coalescing: the per-pair
+        # dot below is CPU-bound while candidate rows are tiny in bytes
+        cand = cand.repartition(partitions)
     vecs = df.select(
         F.col(id_col).alias("__jid"),
         F.col(label_col).alias("__jlab"),
@@ -1264,6 +1282,8 @@ def hard_triplets_lsh(
         F.col(vec_col).alias("__av"),
         l2_norm(F.col(vec_col)).alias("__pan"),
     )
+    if partitions:
+        p1 = p1.repartition(partitions)
     p2 = df.select(
         F.col(id_col).alias("pos_id"),
         F.col(label_col).alias("label"),

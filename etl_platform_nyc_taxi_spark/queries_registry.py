@@ -15622,7 +15622,17 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return hard_triplets(e, anchors=e.filter(F.col("vec_id") % 5 == 0))
+    return hard_triplets(
+        e,
+        anchors=e.filter(F.col("vec_id") % 5 == 0),
+        # spread the streamed candidate side of the scoring join — the
+        # fixture scan is 1-2 splits and the pair scoring ran as one
+        # 5.2 s task (r13, guide §2.5). rows_per_task=64: this stage's
+        # work is per PAIR (row × |anchors|), not per input row, so the
+        # default 256-row sizing leaves the stage 8 tasks wide on 32
+        # cores.
+        partitions=_spread(spark, sf_dir, "embeddings", rows_per_task=64),
+    )
 
 
 @register(
@@ -16190,7 +16200,13 @@ def q_triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_triplets_lsh,
     )
 
-    return hard_triplets_lsh(_t(spark, sf_dir, "embeddings"))
+    return hard_triplets_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        # spread the CPU-bound pair scorings off the few-split fixture
+        # scan (r13, guide §2.5); 64 rows/task — work is per candidate
+        # PAIR, not per input row (see triplet_mining)
+        partitions=_spread(spark, sf_dir, "embeddings", rows_per_task=64),
+    )
 
 
 _SB_THR = 3_700_000  # avg-NLL micro-nats: flags the worst ~15% of the fixture
