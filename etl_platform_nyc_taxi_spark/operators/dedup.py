@@ -1090,7 +1090,13 @@ def minhash_estimate_audit(
     Output: (id_a, id_b, est_jaccard, hash_jaccard, abs_err), rounded to
     6 places after the exact-arithmetic compare.
     """
-    hs, sig = _minhash_relations(df, id_col, text_col, k, num_hashes, partitions)
+    # ONE trunk relation carries both the signature slots and the hash
+    # set (r13, guide §2.4 — VERDICT r12 item 5): each candidate side
+    # joins the combined aggregate ONCE instead of once for signatures
+    # and once for hash sets — 4 joins of the pair relation → 2, and the
+    # two per-side trunk scans collapse into one ReuseExchange subtree.
+    both = _minhash_combined(df, id_col, text_col, k, num_hashes, partitions)
+    sig = both.select("__id", *[f"__m{i}" for i in range(num_hashes)])
     banded = _banded_signature(sig, num_hashes, bands)
     ba, bb = banded.alias("a"), banded.alias("b")
     cands = (
@@ -1101,16 +1107,16 @@ def minhash_estimate_audit(
     )
     if partitions:
         cands = cands.repartition(partitions)
-    sa = sig.select(
+    sa = both.select(
         F.col("__id").alias("id_a"),
+        F.col("__hs").alias("__ha"),
         *[F.col(f"__m{i}").alias(f"__a{i}") for i in range(num_hashes)],
     )
-    sb = sig.select(
+    sb = both.select(
         F.col("__id").alias("id_b"),
+        F.col("__hs").alias("__hb"),
         *[F.col(f"__m{i}").alias(f"__b{i}") for i in range(num_hashes)],
     )
-    ha = hs.select(F.col("__id").alias("id_a"), F.col("__hs").alias("__ha"))
-    hb = hs.select(F.col("__id").alias("id_b"), F.col("__hs").alias("__hb"))
     matches = None
     for i in range(num_hashes):
         m = F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
@@ -1122,8 +1128,6 @@ def minhash_estimate_audit(
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .join(ha, "id_a")
-        .join(hb, "id_b")
         .withColumn("__est", est)
         .withColumn("__jac", jac)
         .select(

@@ -74,12 +74,25 @@ from etl_platform_nyc_taxi_spark.operators.windows import top_k_per_group
 MILLI_OFFSET = 1_048_576
 
 
+def _quantize_milli_sql(vec_col: str, offset: int = MILLI_OFFSET) -> str:
+    """SQL text of :func:`quantize_milli` over a NAMED column — one
+    ``F.expr`` parse instead of a nested Column build (r13: each Column
+    operation is a py4j round-trip; plan-construction chatter was ~2.5 s
+    of the ann_ivfpq_drift wall). Identical expression tree."""
+    return (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000"
+        f" + 0.5D) AS BIGINT) + CAST({offset} AS BIGINT))"
+    )
+
+
 def quantize_milli(vec_col: str | Column, offset: int = MILLI_OFFSET) -> Column:
     """``array<float>`` → ``array<bigint>`` in milli units, shifted
     positive: ``floor(x·1000 + 0.5) + offset`` per component. float32 →
     float64 widening, the ×1000, and the floor are all IEEE-exact and
     identical across engines — the replay anchor for everything else."""
-    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if isinstance(vec_col, str):
+        return F.expr(_quantize_milli_sql(vec_col, offset))
+    c = vec_col
     return F.transform(
         c,
         lambda x: (F.floor(x.cast("double") * 1000 + F.lit(0.5))).cast(
@@ -115,9 +128,16 @@ def int_nearest(vec: Column, centroids: list[list[int]], n: int) -> Column:
     return F.slice(F.transform(F.array_sort(d), lambda s: s["i"]), 1, n)
 
 
-def _col_dist2(v: Column, cw: Column) -> Column:
+def _col_dist2(v: Column | str, cw: Column | str) -> Column:
     """Exact integer squared L2 between two ``array<bigint>`` COLUMNS —
-    the join-side twin of :func:`_int_dist2`."""
+    the join-side twin of :func:`_int_dist2`. Pass column NAMES to build
+    the expression as one SQL parse (the r13 py4j-chatter fix; same
+    expression tree either way)."""
+    if isinstance(v, str) and isinstance(cw, str):
+        return F.expr(
+            f"aggregate(zip_with({v}, {cw}, (a, b) -> (a - b) * (a - b)),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(v, cw, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -141,21 +161,21 @@ def codebook_df(
 def _explode_subspaces(
     df: DataFrame, vec_col: str, id_cols: list[str], m: int, dsub: int
 ) -> DataFrame:
-    """One row per (id, subspace): ``(*id_cols, s, v array<bigint>)``."""
-    mv = quantize_milli(vec_col)
+    """One row per (id, subspace): ``(*id_cols, s, v array<bigint>)``.
+
+    Built as ONE ``F.expr`` parse (r13): the per-struct Column build was
+    ~m·dsub py4j round-trips per call and this helper runs several times
+    per IVF-PQ query construction. The parsed tree — quantize inlined
+    per slice, INT ``s`` literals — matches the former build exactly."""
+    mv = _quantize_milli_sql(vec_col)
+    arr = ", ".join(
+        f"struct(CAST({s} AS INT) AS s, slice({mv}, {s * dsub + 1},"
+        f" {dsub}) AS v)"
+        for s in range(m)
+    )
     return df.select(
         *id_cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(mv, s * dsub + 1, dsub).alias("v"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("__e"),
+        F.expr(f"explode(array({arr}))").alias("__e"),
     ).select(*id_cols, F.col("__e.s").alias("s"), F.col("__e.v").alias("v"))
 
 
@@ -170,7 +190,7 @@ def _assign(
         .select(
             *id_cols,
             "s",
-            F.struct(_col_dist2(F.col("v"), F.col("cw")).alias("d"),
+            F.struct(_col_dist2("v", "cw").alias("d"),
                      F.col("j").alias("j")).alias("__dj"),
         )
         .groupBy(*id_cols, "s")
@@ -305,7 +325,7 @@ def _query_probe_lists(
         .select(
             query_id_col,
             F.struct(
-                _col_dist2(F.col("v"), F.col("cw")).alias("d"),
+                _col_dist2("v", "cw").alias("d"),
                 F.col("j").alias("j"),
             ).alias("__dj"),
         )
@@ -338,7 +358,7 @@ def _query_lut(
         query_id_col,
         "s",
         "j",
-        _col_dist2(F.col("v"), F.col("cw")).alias("__d"),
+        _col_dist2("v", "cw").alias("__d"),
     )
 
 

@@ -10162,7 +10162,14 @@ def q_dedup_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = corpus.select(
         F.col("doc_id").alias("__id"), "lang", "source"
     )
-    hsm = hs.join(meta, "__id")
+    # Explicit co-partitioning on the block key (r13, guide §2.5): the
+    # blocked self-join's shuffle carries few BYTES (25 blocks of hash
+    # sets), so AQE coalesced it to 2 tasks — but its work is per PAIR
+    # (CPU-quadratic within each block; measured 3.8 s of CPU in those 2
+    # tasks). An explicit repartition is exempt from AQE coalescing and
+    # both join sides derive from the same exchange (ReuseExchange), so
+    # the block pairs score ~as wide as the distinct block count.
+    hsm = hs.join(meta, "__id").repartition(par, "lang", "source")
     a = hsm.select(
         "lang", "source", F.col("__id").alias("id_a"), F.col("__hs").alias("__ha")
     )
@@ -13524,8 +13531,11 @@ def q_streaming_corpus_ingest_semantic(
         nprobe=p["nprobe"],
         threshold_micro=999_000,
         partitions=spark.sparkContext.defaultParallelism,
-        # Micro-batch-sized fold shuffle width (see the lexical ingest).
+        # Micro-batch-sized fold shuffle width + AQE off inside the fold
+        # (see the lexical ingest — KB-sized shuffles pay replan latency
+        # for nothing; keep AQE on for GB batches).
         fold_shuffle_partitions=8,
+        fold_adaptive=False,
     )
     out = state.read()
     assert out is not None

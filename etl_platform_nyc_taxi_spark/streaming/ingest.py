@@ -794,6 +794,7 @@ def semantic_ingest_stream(
     checkpoint_dir: str | None = None,
     partitions: int | None = None,
     fold_shuffle_partitions: int | None = None,
+    fold_adaptive: bool | None = None,
 ) -> None:
     """Run the arriving-embedding stream to completion
     (Trigger.AvailableNow), folding each micro-batch's semantic-gate
@@ -844,18 +845,29 @@ def semantic_ingest_stream(
 
     owned = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_sem_ingest_")
-    # Batch-volume-scoped fold shuffle width, restored in finally — see
-    # corpus_ingest_stream (the static index above builds pre-scope).
+    # Batch-volume-scoped fold shuffle width + optional AQE scope,
+    # restored in finally — see corpus_ingest_stream (the static index
+    # above builds pre-scope).
+    sess = stream.sparkSession
     prev = (
-        stream.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        sess.conf.get("spark.sql.shuffle.partitions")
         if fold_shuffle_partitions
+        else None
+    )
+    prev_aqe = (
+        sess.conf.get("spark.sql.adaptive.enabled")
+        if fold_adaptive is not None
         else None
     )
     try:
         if fold_shuffle_partitions:
-            stream.sparkSession.conf.set(
+            sess.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(fold_shuffle_partitions),
+            )
+        if fold_adaptive is not None:
+            sess.conf.set(
+                "spark.sql.adaptive.enabled", str(fold_adaptive).lower()
             )
         q = (
             stream.writeStream.foreachBatch(fold)
@@ -866,8 +878,8 @@ def semantic_ingest_stream(
         q.awaitTermination()
     finally:
         if prev is not None:
-            stream.sparkSession.conf.set(
-                "spark.sql.shuffle.partitions", prev
-            )
+            sess.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_aqe is not None:
+            sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         if owned:
             shutil.rmtree(ckpt, ignore_errors=True)
